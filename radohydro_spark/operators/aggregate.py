@@ -1,0 +1,85 @@
+"""Weighted aggregation (A4), sink-time pivots (D6), temporal resampling.
+
+A4 is the reference's ``np.add.reduceat`` grouped weighted sum
+(reference geotools/geotools.py:268-281) re-expressed as a hash aggregate
+with map-side partials.  The NULL-propagation twist: Spark's ``sum`` skips
+NULLs, but the reference's NaN arithmetic poisons a basin-timestep whenever
+a *kept* (all-dirty-basin) cell is NaN — so the aggregate must emit NULL iff
+any contributing value is NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def weighted_basin_timeseries(
+    obs: DataFrame,
+    weighted_fragments: DataFrame,
+    numerator: float = 10.0,
+) -> DataFrame:
+    """result(basin_id, ts, rainfall_mm) = Σ_cells w_i * value_i / numerator.
+
+    Plan shape (scale-critical): the weighted fragment table is
+    dimension-sized → ``broadcast`` it onto the obs fact table (no shuffle
+    for the join), then one ``groupBy(basin_id, ts)`` hash aggregate — the
+    single shuffle of the whole pipeline, with partial aggregation map-side.
+    ``numerator=10`` converts 0.1 mm integer units to mm
+    (reference geotools/geotools.py:174-176, radohydro.py:527).
+    """
+    joined = obs.join(
+        F.broadcast(
+            weighted_fragments.select("basin_id", "cell_row", "cell_col", "weight")
+        ),
+        ["cell_row", "cell_col"],
+        "inner",
+    )
+    any_null = F.max(F.col("value").isNull().cast("int"))
+    wsum = F.sum(F.col("weight") * F.col("value"))
+    return joined.groupBy("basin_id", "ts").agg(
+        F.when(any_null > 0, F.lit(None).cast("double"))
+        .otherwise(wsum / F.lit(float(numerator)))
+        .alias("rainfall_mm")
+    )
+
+
+def pivot_wide(
+    result: DataFrame,
+    ts_format: str = "yyMMddHHmm",
+    value_col: str = "rainfall_mm",
+    key_col: str = "basin_id",
+) -> DataFrame:
+    """D6 — sink-time pivot to one column per timestep, column names in the
+    reference's ``%y%m%d%H%M`` convention (geotools/geotools.py:173).
+
+    Internal processing never goes wide; this exists only for
+    shapefile-compatible export (and has no 500-column dBase limit when the
+    sink is Parquet — SURVEY.md §6).
+    """
+    return (
+        result.withColumn("_ts_str", F.date_format("ts", ts_format))
+        .groupBy(key_col)
+        .pivot("_ts_str")
+        .agg(F.first(value_col))
+    )
+
+
+def resample(
+    result: DataFrame,
+    every: str = "1 day",
+    value_col: str = "rainfall_mm",
+    agg: str = "sum",
+) -> DataFrame:
+    """Tumbling-window resampling (hourly → daily etc.).
+
+    Generalizes the reference's hard-coded hourly-RADOLAN vs daily-REGNIE
+    split (SURVEY.md §2.9) into one operator; same code works on a stream
+    (streaming/precip_stream.py).
+    """
+    agg_fn = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[agg]
+    return (
+        result.groupBy("basin_id", F.window("ts", every).alias("win"))
+        .agg(agg_fn(value_col).alias(value_col))
+        .select("basin_id", F.col("win.start").alias("ts"), value_col)
+    )

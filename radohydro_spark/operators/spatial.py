@@ -1,0 +1,248 @@
+"""Spatial operators: cell-grid generation, clip windows, intersection join.
+
+Spark-first re-expressions of the reference's geotools stages:
+
+* ``create_cell_grid``       — port of ``create_footprint_cells``
+  (reference geotools/geotools.py:105-152): pure column arithmetic +
+  ``sequence``/``explode`` cross grid, no itertools.product materialization.
+* ``buffered_clip_window``   — port of ``buffered_raster_clipping``
+  (reference geotools/geotools.py:29-99): bbox aggregation of basins plus a
+  cell-buffer, returned as integer row/col ranges for predicate pushdown.
+* ``spatial_intersect``      — the J1 core operator (reference
+  geotools/geotools.py:215-219, ``gp.overlay(..., 'intersection')``, flagged
+  "most time consuming timestep" at :214): implemented as a broadcast bbox
+  theta-join (basins side is small) followed by an exact rect∩polygon area
+  pandas UDF.  No shuffle: at 100 TB the obs table never enters this join —
+  only the cell dimension does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import pandas as pd
+
+from radohydro_spark.geometry.clip import rect_clip_polygon_area
+from radohydro_spark.geometry.wkb import parse_wkb_polygons
+
+
+def create_cell_grid(
+    spark: SparkSession,
+    n_rows: int,
+    n_cols: int,
+    ulx: float,
+    uly: float,
+    xres: float,
+    yres: float,
+) -> DataFrame:
+    """Generate the cell-footprint dimension table for a raster grid.
+
+    Mirrors ``create_footprint_cells`` (reference geotools/geotools.py:105-152)
+    but as a lazy crossJoin of two ``sequence`` ranges with corner columns
+    derived by affine arithmetic (C9/C10 in SURVEY.md §2.8).  ``yres`` is
+    negative for north-up rasters (row 0 at the top), matching GDAL
+    GeoTransform conventions the reference consumes
+    (geotools/geotools.py:50-54).
+    """
+    rows = spark.range(n_rows).select(F.col("id").cast("int").alias("cell_row"))
+    cols = spark.range(n_cols).select(F.col("id").cast("int").alias("cell_col"))
+    grid = rows.crossJoin(cols)
+    x0 = F.lit(float(ulx)) + F.col("cell_col") * F.lit(float(xres))
+    x1 = F.lit(float(ulx)) + (F.col("cell_col") + 1) * F.lit(float(xres))
+    y0 = F.lit(float(uly)) + F.col("cell_row") * F.lit(float(yres))
+    y1 = F.lit(float(uly)) + (F.col("cell_row") + 1) * F.lit(float(yres))
+    return grid.select(
+        "cell_row",
+        "cell_col",
+        F.least(x0, x1).alias("left"),
+        F.least(y0, y1).alias("bottom"),
+        F.greatest(x0, x1).alias("right"),
+        F.greatest(y0, y1).alias("top"),
+    )
+
+
+_BBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_BBOX_SCHEMA)
+def geom_bbox(wkb: pd.Series) -> pd.DataFrame:
+    """Bounding box of a WKB polygon column (A1 spatial-extent aggregate,
+    reference geotools/geotools.py:86 ``total_bounds``)."""
+    out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
+    for blob in wkb:
+        xs: list[float] = []
+        ys: list[float] = []
+        for rings in parse_wkb_polygons(bytes(blob)):
+            for x, y in rings[0]:
+                xs.append(x)
+                ys.append(y)
+        out["xmin"].append(min(xs))
+        out["ymin"].append(min(ys))
+        out["xmax"].append(max(xs))
+        out["ymax"].append(max(ys))
+    return pd.DataFrame(out)
+
+
+def with_bbox(basins: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Attach xmin/ymin/xmax/ymax columns derived from the WKB geometry."""
+    b = basins.withColumn("_bbox", geom_bbox(F.col(geom_col)))
+    return b.select("*", "_bbox.xmin", "_bbox.ymin", "_bbox.xmax", "_bbox.ymax").drop(
+        "_bbox"
+    )
+
+
+def basin_bounds(basins: DataFrame) -> tuple[float, float, float, float]:
+    """Total bounds over all basin geometries (driver-side scalars; the
+    clip window is two scalars collected once, SURVEY.md §4)."""
+    row = (
+        with_bbox(basins)
+        .agg(
+            F.min("xmin").alias("xmin"),
+            F.min("ymin").alias("ymin"),
+            F.max("xmax").alias("xmax"),
+            F.max("ymax").alias("ymax"),
+        )
+        .first()
+    )
+    return (row["xmin"], row["ymin"], row["xmax"], row["ymax"])
+
+
+def buffered_clip_window(
+    bounds: tuple[float, float, float, float],
+    ulx: float,
+    uly: float,
+    xres: float,
+    yres: float,
+    n_rows: int,
+    n_cols: int,
+    buffer_cells: int = 2,
+) -> tuple[int, int, int, int]:
+    """Integer (row0, row1, col0, col1) inclusive window covering the
+    buffered basin bounds.
+
+    Port of ``buffered_raster_clipping`` (reference geotools/geotools.py:85-99)
+    with the same 2-cell default slack (``buffrcllsz=2``,
+    geotools/geotools.py:33) that keeps edge cells available for the V0.6
+    edge-interpolation renormalization (reference radohydro.py:12).  The
+    buffer is domain semantics — must not be optimized away (SURVEY.md §4).
+    """
+    import math
+
+    xmin, ymin, xmax, ymax = bounds
+    xmin -= buffer_cells * abs(xres)
+    xmax += buffer_cells * abs(xres)
+    ymin -= buffer_cells * abs(yres)
+    ymax += buffer_cells * abs(yres)
+
+    col0 = int(math.floor((xmin - ulx) / xres))
+    col1 = int(math.floor((xmax - ulx) / xres))
+    if yres < 0:
+        row0 = int(math.floor((ymax - uly) / yres))
+        row1 = int(math.floor((ymin - uly) / yres))
+    else:
+        row0 = int(math.floor((ymin - uly) / yres))
+        row1 = int(math.floor((ymax - uly) / yres))
+    row0 = max(row0, 0)
+    col0 = max(col0, 0)
+    row1 = min(row1, n_rows - 1)
+    col1 = min(col1, n_cols - 1)
+    return (row0, row1, col0, col1)
+
+
+def window_predicate(window: tuple[int, int, int, int]) -> Column:
+    """Range predicate for a clip window — pushes into Parquet row-group
+    stats (F3, reference geotools/geotools.py:85-94)."""
+    row0, row1, col0, col1 = window
+    return F.col("cell_row").between(row0, row1) & F.col("cell_col").between(
+        col0, col1
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def rect_clip_area_udf(
+    left: pd.Series, bottom: pd.Series, right: pd.Series, top: pd.Series, wkb: pd.Series
+) -> pd.Series:
+    """Exact area of (cell rectangle ∩ basin polygon), Arrow-batched.
+
+    The custom kernel replacing GEOS overlay fragment areas
+    (reference geotools/geotools.py:215-219, :262); see geometry/clip.py.
+    """
+    vals = [
+        rect_clip_polygon_area(bytes(w), l, b, r, t)
+        for l, b, r, t, w in zip(left, bottom, right, top, wkb)
+    ]
+    return pd.Series(vals, dtype="float64")
+
+
+def spatial_intersect(cells: DataFrame, basins: DataFrame) -> DataFrame:
+    """J1 — spatial overlay intersection join producing fragments.
+
+    Plan shape (scale-critical): ``broadcast(basins)`` bbox theta-join
+    against the cell dimension, then the exact-area pandas UDF only on
+    surviving candidate pairs, then ``frag_area > 0`` filter.  The obs fact
+    table is never involved; at 100 TB this join touches only dimension
+    rows.  With >10k basins (the reference's documented cliff,
+    README.md:18) the bbox join still broadcasts (10k WKB rows ≪ 64 MB) and
+    the quadratic pair explosion is bounded by bbox selectivity.
+
+    Returns FRAGMENTS_SCHEMA plus any passthrough basin attribute columns.
+    """
+    b = with_bbox(basins)
+    cand = cells.join(
+        F.broadcast(b),
+        (F.col("left") < F.col("xmax"))
+        & (F.col("right") > F.col("xmin"))
+        & (F.col("bottom") < F.col("ymax"))
+        & (F.col("top") > F.col("ymin")),
+        "inner",
+    )
+    cand = cand.withColumn(
+        "frag_area",
+        rect_clip_area_udf(
+            F.col("left"), F.col("bottom"), F.col("right"), F.col("top"), F.col("geom")
+        ),
+    ).withColumn(
+        "cell_area",
+        (F.col("right") - F.col("left")) * (F.col("top") - F.col("bottom")),
+    )
+    return cand.filter(F.col("frag_area") > 0).drop(
+        "geom", "xmin", "ymin", "xmax", "ymax"
+    )
+
+
+def rasterize(
+    cells: DataFrame, basins: DataFrame, attr: str, fill=None
+) -> DataFrame:
+    """C13 — reverse of J1: burn a polygon attribute onto the pixel grid
+    (reference geotools/geotools.py:337-367 ``rasterizegeo``).
+
+    A cell takes the attribute of a polygon whose area share of the cell is
+    largest (ties broken by basin_id; the reference's GDAL rasterize uses
+    cell-center containment — largest-overlap is the long-format analog that
+    also matches it for cells fully inside one polygon).  ``fill`` replaces
+    the reference's -9999 sentinel (geotools/geotools.py:367) — default NULL.
+    """
+    from pyspark.sql import Window as W
+
+    frags = spatial_intersect(cells, basins)
+    w = W.partitionBy("cell_row", "cell_col").orderBy(
+        F.desc("frag_area"), F.asc("basin_id")
+    )
+    best = (
+        frags.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cell_row", "cell_col", F.col(attr).alias("burn"))
+    )
+    out = cells.join(best, ["cell_row", "cell_col"], "left")
+    if fill is not None:
+        out = out.withColumn("burn", F.coalesce(F.col("burn"), F.lit(fill)))
+    return out

@@ -1,0 +1,171 @@
+"""Deterministic synthetic grid / basins / observations.
+
+Single source of truth for the correctness harness: the *same* closed-form
+integer arithmetic is evaluated by Spark here and by DuckDB in the oracle
+SQL (__spark_entry__.py), so the full precipitation pipeline is verifiable
+end-to-end without any shared files.  Basin geometries are axis-aligned
+rectangles — so the oracle can compute exact intersection areas in pure SQL
+while the Spark path exercises the real WKB + Sutherland–Hodgman kernel.
+
+Shapes follow FIXTURES.md: grid per reference RADOLAN conventions (1 km
+cells), values in 0.1 mm units with NULL nodata patches, basins covering
+the fixture taxonomy (inside-one-cell / fractional straddle / multi-cell /
+past-grid-edge, FIXTURES.md §1.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radohydro_spark.geometry.wkb import wkb_box
+from radohydro_spark.operators.spatial import create_cell_grid
+from radohydro_spark.schemas import BASINS_SCHEMA
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    n_rows: int = 6
+    n_cols: int = 8
+    x0: float = 400000.0  # grid origin (lower-left), UTM-like metres
+    y0: float = 5600000.0
+    cell: float = 1000.0  # RADOLAN-sized 1 km cells
+    n_ts: int = 24  # hourly steps
+    t0: str = "2024-01-01 00:00:00"
+
+
+GRID = GridSpec()
+
+# Rectangular basins (basin_id, left, bottom, right, top) — offsets from
+# (x0, y0).  Taxonomy per FIXTURES.md §1.3: b1 inside one (dirty) cell,
+# b2 straddles two cells 40/60, b3 spans a 3x3 block fractionally,
+# b4 extends past the grid edge (exercises renormalization).
+BASIN_RECTS: list[tuple[int, float, float, float, float]] = [
+    (1, 200.0, 300.0, 700.0, 700.0),
+    (2, 1600.0, 1200.0, 2600.0, 2000.0),
+    (3, 3250.0, 1500.0, 6250.0, 4500.0),
+    (4, 6500.0, 4500.0, 9500.0, 7500.0),
+]
+
+# value = (r*31 + c*17 + h*13) % 120   [0.1 mm units]
+# NULL iff (r*13 + c*7) % 5 == 0 AND (h + r + c) % 8 == 0
+# (≈20% of cells are "dirty" — NULL at some timestep)
+VALUE_EXPR = "CAST((cell_row*31 + cell_col*17 + h*13) % 120 AS DOUBLE)"
+NULL_COND = "((cell_row*13 + cell_col*7) % 5 = 0) AND ((h + cell_row + cell_col) % 8 = 0)"
+
+
+def synthetic_cells(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
+    """Cell grid with row 0 at the bottom (yres > 0)."""
+    return create_cell_grid(
+        spark, g.n_rows, g.n_cols, ulx=g.x0, uly=g.y0, xres=g.cell, yres=g.cell
+    )
+
+
+def synthetic_obs(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
+    cells = spark.range(g.n_rows * g.n_cols).select(
+        (F.col("id") % g.n_rows).cast("int").alias("cell_row"),
+        (F.col("id") / g.n_rows).cast("int").alias("cell_col"),
+    )
+    hours = spark.range(g.n_ts).select(F.col("id").cast("int").alias("h"))
+    obs = cells.crossJoin(hours)
+    return obs.select(
+        (
+            F.to_timestamp(F.lit(g.t0)) + F.make_interval(hours=F.col("h"))
+        ).alias("ts"),
+        "cell_row",
+        "cell_col",
+        F.when(F.expr(NULL_COND), F.lit(None).cast("double"))
+        .otherwise(F.expr(VALUE_EXPR))
+        .alias("value"),
+    )
+
+
+def synthetic_basins(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
+    rows = [
+        (
+            bid,
+            wkb_box(g.x0 + l, g.y0 + b, g.x0 + r, g.y0 + t),
+        )
+        for bid, l, b, r, t in BASIN_RECTS
+    ]
+    return spark.createDataFrame(rows, schema=BASINS_SCHEMA)
+
+
+def oracle_pipeline_sql(g: GridSpec = GRID, remove_nan: bool = False) -> str:
+    """DuckDB SQL computing the identical result via closed-form rect∩rect
+    intersection areas — the independent oracle for the whole pipeline
+    (spatial join J1, NULL policy A5, weights A3/W1, weighted agg A4,
+    scaling A7, rounding C8)."""
+    basins_values = ",\n      ".join(
+        f"({bid}, {g.x0 + l!r}, {g.y0 + b!r}, {g.x0 + r!r}, {g.y0 + t!r})"
+        for bid, l, b, r, t in BASIN_RECTS
+    )
+    if remove_nan:
+        keep_cond = "is_dirty = 0"
+    else:
+        keep_cond = "is_dirty = 0 OR all_dirty = 1"
+    return f"""
+WITH cells AS (
+  SELECT r.range AS cell_row, c.range AS cell_col,
+         {g.x0!r} + c.range * {g.cell!r} AS l,
+         {g.y0!r} + r.range * {g.cell!r} AS b,
+         {g.x0!r} + (c.range + 1) * {g.cell!r} AS rr,
+         {g.y0!r} + (r.range + 1) * {g.cell!r} AS t
+  FROM range({g.n_rows}) r, range({g.n_cols}) c
+),
+obs AS (
+  SELECT cell_row, cell_col, h.range AS h,
+         CASE WHEN ((cell_row*13 + cell_col*7) % 5 = 0)
+                   AND ((h.range + cell_row + cell_col) % 8 = 0)
+              THEN NULL
+              ELSE CAST((cell_row*31 + cell_col*17 + h.range*13) % 120 AS DOUBLE)
+         END AS value
+  FROM cells, range({g.n_ts}) h
+),
+basins(basin_id, bl, bb, br, bt) AS (
+  VALUES
+      {basins_values}
+),
+frags AS (
+  SELECT basin_id, cell_row, cell_col,
+         greatest(0, least(br, rr) - greatest(bl, l))
+       * greatest(0, least(bt, t) - greatest(bb, b)) AS frag_area,
+         (rr - l) * (t - b) AS cell_area
+  FROM cells, basins
+),
+frags_pos AS (SELECT * FROM frags WHERE frag_area > 0),
+dirty AS (
+  SELECT cell_row, cell_col,
+         max(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS is_dirty
+  FROM obs GROUP BY cell_row, cell_col
+),
+fb AS (
+  SELECT f.*, d.is_dirty,
+         CASE WHEN min(d.is_dirty) OVER (PARTITION BY f.basin_id) = 1
+              THEN 1 ELSE 0 END AS all_dirty
+  FROM frags_pos f JOIN dirty d USING (cell_row, cell_col)
+),
+kept AS (SELECT * FROM fb WHERE {keep_cond}),
+wts AS (
+  SELECT basin_id, cell_row, cell_col,
+         (frag_area / cell_area)
+         / sum(frag_area / cell_area) OVER (PARTITION BY basin_id) AS weight
+  FROM kept
+),
+res AS (
+  SELECT w.basin_id, o.h,
+         CASE WHEN sum(CASE WHEN o.value IS NULL THEN 1 ELSE 0 END) > 0
+              THEN NULL
+              ELSE round(sum(w.weight * o.value) / 10.0, 3)
+         END AS rainfall_mm
+  FROM wts w JOIN obs o USING (cell_row, cell_col)
+  GROUP BY w.basin_id, o.h
+)
+SELECT basin_id,
+       strftime(TIMESTAMP '{g.t0}' + h * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       rainfall_mm
+FROM res
+"""

@@ -1,0 +1,192 @@
+"""Golden + oracle tests for the core precipitation pipeline.
+
+Golden cases replicate the reference's debug fixtures' intent
+(Examples/radohydro_debug1x3.shp, FIXTURES.md §2): hand-computable weighted
+means on a 1x3 strip, NULL-policy outcomes, conservation properties.  The
+oracle test cross-checks the full synthetic pipeline against DuckDB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from radohydro_spark.geometry.wkb import wkb_box, wkb_polygon
+from radohydro_spark.operators.spatial import create_cell_grid, spatial_intersect
+from radohydro_spark.plans.pipeline import precip_timeseries
+from radohydro_spark.schemas import BASINS_SCHEMA, OBS_SCHEMA
+from radohydro_spark.sources.synthetic import (
+    GRID,
+    oracle_pipeline_sql,
+    synthetic_basins,
+    synthetic_cells,
+    synthetic_obs,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _strip_cells(spark):
+    # 3 vertical cells like radohydro_debug1x3: 1000x1000, left=406000,
+    # bottoms 5617800/5618800/5619800 (row 0 at bottom)
+    return create_cell_grid(
+        spark, 3, 1, ulx=406000.0, uly=5617800.0, xres=1000.0, yres=1000.0
+    )
+
+
+def _strip_obs(spark, values=(10.0, 20.0, 30.0)):
+    rows = [(T0, r, 0, float(v)) for r, v in enumerate(values)]
+    return spark.createDataFrame(rows, schema=OBS_SCHEMA)
+
+
+def _basins(spark, rects):
+    rows = [(bid, wkb_box(*r)) for bid, r in rects]
+    return spark.createDataFrame(rows, schema=BASINS_SCHEMA)
+
+
+def _run(obs, cells, basins, **kw):
+    res = precip_timeseries(obs, cells, basins, **kw)
+    return {
+        (r["basin_id"], r["ts"]): r["rainfall_mm"] for r in res.collect()
+    }
+
+
+class TestDebug1x3:
+    """FIXTURES.md §2.1 hand-computed goldens (values 10/20/30 = 1/2/3 mm)."""
+
+    def test_basin_single_cell(self, spark):
+        cells, obs = _strip_cells(spark), _strip_obs(spark)
+        basins = _basins(
+            spark, [(1, (406200.0, 5618000.0, 406800.0, 5618500.0))]
+        )  # inside bottom cell only
+        out = _run(obs, cells, basins)
+        assert out[(1, T0)] == pytest.approx(1.0)
+
+    def test_basin_spanning_all_equally(self, spark):
+        cells, obs = _strip_cells(spark), _strip_obs(spark)
+        # covers the same x-slice of each of the 3 cells -> weights 1/3 each
+        basins = _basins(spark, [(1, (406100.0, 5617800.0, 406900.0, 5620800.0))])
+        out = _run(obs, cells, basins)
+        assert out[(1, T0)] == pytest.approx((1.0 + 2.0 + 3.0) / 3.0)
+
+    def test_basin_quarter_half_quarter(self, spark):
+        cells, obs = _strip_cells(spark), _strip_obs(spark)
+        # covers bottom cell's top 500m, full middle, top cell's bottom 500m
+        # raw weights: .5, 1, .5 -> normalized .25/.5/.25
+        basins = _basins(spark, [(1, (406000.0, 5618300.0, 407000.0, 5620300.0))])
+        out = _run(obs, cells, basins)
+        assert out[(1, T0)] == pytest.approx(0.25 * 1 + 0.5 * 2 + 0.25 * 3)
+
+    def test_triangle_basin_weights(self, spark):
+        cells, obs = _strip_cells(spark), _strip_obs(spark)
+        # right triangle over the bottom two cells: vertices at
+        # (406000,5617800),(407000,5617800),(406000,5619800) — area 1e6,
+        # split 0.75/0.25 between bottom and middle cells
+        tri = wkb_polygon(
+            [[(406000.0, 5617800.0), (407000.0, 5617800.0), (406000.0, 5619800.0)]]
+        )
+        basins = spark.createDataFrame([(1, tri)], schema=BASINS_SCHEMA)
+        out = _run(obs, cells, basins)
+        assert out[(1, T0)] == pytest.approx(0.75 * 1.0 + 0.25 * 2.0)
+
+    def test_edge_renormalization(self, spark):
+        cells, obs = _strip_cells(spark), _strip_obs(spark)
+        # basin extends past the top of the grid; only the top cell's slice
+        # is available -> weight renormalizes to 1 (V0.6 edge interpolation)
+        basins = _basins(spark, [(1, (406000.0, 5620300.0, 407000.0, 5621800.0))])
+        out = _run(obs, cells, basins)
+        assert out[(1, T0)] == pytest.approx(3.0)
+
+    def test_uniform_rain_conservation(self, spark):
+        cells = _strip_cells(spark)
+        obs = _strip_obs(spark, values=(70.0, 70.0, 70.0))
+        basins = _basins(
+            spark,
+            [
+                (1, (406100.0, 5617900.0, 406500.0, 5620700.0)),
+                (2, (406000.0, 5618300.0, 407000.0, 5619300.0)),
+            ],
+        )
+        out = _run(obs, cells, basins)
+        assert out[(1, T0)] == pytest.approx(7.0)
+        assert out[(2, T0)] == pytest.approx(7.0)
+
+
+class TestNullPolicy:
+    """FIXTURES.md §2.2 — A5 semantics."""
+
+    def _obs_two_ts(self, spark):
+        # 3 cells, 2 timesteps; middle cell NULL at t1 (dirty)
+        t1 = T0 + dt.timedelta(hours=1)
+        rows = [
+            (T0, 0, 0, 10.0),
+            (T0, 1, 0, 20.0),
+            (T0, 2, 0, 30.0),
+            (t1, 0, 0, 40.0),
+            (t1, 1, 0, None),
+            (t1, 2, 0, 60.0),
+        ]
+        return spark.createDataFrame(rows, schema=OBS_SCHEMA), t1
+
+    def test_dirty_cell_dropped_and_renormalized(self, spark):
+        cells = _strip_cells(spark)
+        obs, t1 = self._obs_two_ts(spark)
+        # basin covers all 3 cells equally; middle is dirty -> dropped,
+        # weights renormalize to 1/2, 1/2 over bottom+top for ALL ts
+        basins = _basins(spark, [(1, (406100.0, 5617800.0, 406900.0, 5620800.0))])
+        out = _run(obs, cells, basins)
+        assert out[(1, T0)] == pytest.approx((1.0 + 3.0) / 2)
+        assert out[(1, t1)] == pytest.approx((4.0 + 6.0) / 2)
+
+    def test_all_dirty_basin_keeps_cells_null_result(self, spark):
+        cells = _strip_cells(spark)
+        obs, t1 = self._obs_two_ts(spark)
+        # basin covers only the middle (dirty) cell
+        basins = _basins(spark, [(1, (406200.0, 5619000.0, 406800.0, 5619500.0))])
+        out = _run(obs, cells, basins)
+        assert out[(1, T0)] == pytest.approx(2.0)  # clean at T0
+        assert out[(1, t1)] is None  # NULL at t1
+
+    def test_remove_nan_unconditional(self, spark):
+        cells = _strip_cells(spark)
+        obs, t1 = self._obs_two_ts(spark)
+        basins = _basins(spark, [(1, (406200.0, 5619000.0, 406800.0, 5619500.0))])
+        # remove_nan drops the only cell -> basin disappears from output
+        out = _run(obs, cells, basins, remove_nan=True)
+        assert out == {}
+
+
+class TestSyntheticOracle:
+    """Full pipeline vs DuckDB closed-form oracle (SURVEY.md §5.3)."""
+
+    def test_matches_duckdb(self, spark):
+        res = precip_timeseries(
+            synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
+        )
+        got = {
+            (r["basin_id"], r["ts"].strftime("%Y-%m-%d %H:%M:%S")): r["rainfall_mm"]
+            for r in res.collect()
+        }
+        exp_rows = duckdb.sql(oracle_pipeline_sql(GRID)).fetchall()
+        exp = {(b, ts): v for b, ts, v in exp_rows}
+        assert set(got) == set(exp)
+        for k in exp:
+            if exp[k] is None:
+                assert got[k] is None, k
+            else:
+                assert got[k] == pytest.approx(exp[k], abs=2e-3), k
+
+    def test_fragment_count_positive(self, spark):
+        frags = spatial_intersect(
+            synthetic_cells(spark), synthetic_basins(spark)
+        ).collect()
+        assert len(frags) > 4
+        by_basin = {}
+        for f in frags:
+            by_basin.setdefault(f["basin_id"], 0)
+            by_basin[f["basin_id"]] += 1
+        assert by_basin[1] == 1  # inside one cell
+        assert by_basin[2] == 2  # straddles two cells
