@@ -1,0 +1,185 @@
+"""Decoder + manifest tests with golden byte fixtures (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+import math
+import tarfile
+
+import numpy as np
+import pytest
+
+from radohydro_spark.functions.temporal import date_range
+from radohydro_spark.schemas import MANIFEST_SCHEMA
+from radohydro_spark.sources.ascii_grid import (
+    decode_ascii_grids,
+    grid_meta,
+    parse_ascii_grid,
+)
+from radohydro_spark.sources.manifest import (
+    expand_tars,
+    filter_members_by_range,
+    listing_manifest,
+    prune_by_dates,
+)
+from radohydro_spark.sources.regnie import (
+    decode_regnie_day,
+    parse_regnie_line_compat,
+    parse_regnie_line_fixed,
+)
+
+ASC_3x3 = b"""ncols 3
+nrows 3
+xllcorner 406000
+yllcorner 5617800
+cellsize 1000
+NODATA_value -1
+1 2 3
+4 -1 6
+7 8 9
+"""
+
+
+def _manifest(spark, rows):
+    return spark.createDataFrame(
+        [(f, None, "recent", p) for f, p in rows], schema=MANIFEST_SCHEMA
+    )
+
+
+class TestAsciiGrid:
+    def test_parse_header_and_nodata(self):
+        header, data = parse_ascii_grid(ASC_3x3)
+        assert header["ncols"] == 3 and header["nrows"] == 3
+        assert data.shape == (3, 3)
+        assert math.isnan(data[1, 1])
+        assert data[0, 0] == 1.0 and data[2, 2] == 9.0
+
+    def test_grid_meta_north_up(self):
+        meta = grid_meta(ASC_3x3)
+        assert meta["uly"] == 5617800 + 3 * 1000
+        assert meta["yres"] == -1000
+
+    def test_decode_to_long(self, spark):
+        m = _manifest(spark, [("RW-20240101-0150.asc", ASC_3x3)])
+        obs = decode_ascii_grids(m, date_type="minutes")
+        rows = {(r["cell_row"], r["cell_col"]): r for r in obs.collect()}
+        assert len(rows) == 9
+        assert rows[(0, 0)]["value"] == 1.0
+        assert rows[(1, 1)]["value"] is None  # nodata -> NULL
+        assert rows[(0, 0)]["ts"] == dt.datetime(2024, 1, 1, 1, 50)
+
+
+class TestRegnie:
+    def _line(self, vals, width=4):
+        return "".join(f"{v:>{width}d}" for v in vals)
+
+    def test_fixed_width_normal(self):
+        line = self._line([5, 23, 999, -999, 0])
+        arr = parse_regnie_line_fixed(line, no_per_line=5)
+        assert arr.tolist() == [5, 23, 999, -999, 0]
+
+    def test_fixed_width_fused_values(self):
+        # 1234 fills its field completely -> fuses with neighbors
+        line = self._line([12, 1234, 56])
+        assert "  121234  56" == line
+        arr = parse_regnie_line_fixed(line, no_per_line=3)
+        assert arr.tolist() == [12, 1234, 56]
+
+    def test_compat_heuristic_matches_fixed_on_conforming_input(self):
+        # Cases satisfying the reference's stated assumptions
+        # (radohydro.py:99-101: fused neighbors of >1000 values are
+        # 3-digit), where the repair branches recover the truth
+        # (radohydro.py:124-137)
+        cases = [
+            [1234, 5678],  # len%4==0 chunking
+            [999, 1234],  # 3-digit then 4-digit -> first-3 branch
+            [-999, 1234],  # minus-split then chunk
+            [1234, -999],  # splits cleanly after '-' spacing
+        ]
+        for vals in cases:
+            line = self._line(vals)
+            fixed = parse_regnie_line_fixed(line, no_per_line=len(vals))
+            compat = parse_regnie_line_compat(line, no_per_line=len(vals))
+            assert fixed.tolist() == compat.tolist(), vals
+
+    def test_compat_heuristic_divergence_pinned(self):
+        # Input violating the reference's assumption (2-digit neighbor
+        # fused with a 4-digit value): fixed-width parses the truth; the
+        # reference heuristic mis-chunks via its last-3-digits branch
+        # (radohydro.py:129-132).  Pinned so the divergence is explicit.
+        line = self._line([12, 1234, 56])
+        assert parse_regnie_line_fixed(line, no_per_line=3).tolist() == [12, 1234, 56]
+        assert parse_regnie_line_compat(line, no_per_line=3).tolist() == [234, 121, 56]
+
+    def test_decode_day_gz(self):
+        lines = [self._line([10, -999, 30]), self._line([40, 50, 60]), "meta"]
+        payload = gzip.compress("\n".join(lines).encode())
+        data = decode_regnie_day(payload, no_per_line=3)
+        assert data.shape == (2, 3)
+        assert math.isnan(data[0, 1])
+        assert data[1, 2] == 60.0
+
+
+class TestManifest:
+    def _tar_bytes(self, members: dict[str, bytes]) -> bytes:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for name, blob in members.items():
+                info = tarfile.TarInfo(name)
+                info.size = len(blob)
+                tar.addfile(info, io.BytesIO(blob))
+        return buf.getvalue()
+
+    def test_prune_by_dates_daily(self, spark):
+        m = listing_manifest(
+            spark,
+            ["RW-20240101.tar", "RW-20240102.tar", "RW-20240301.tar"],
+        )
+        dates = date_range(spark, "2024-01-01", "2024-01-31")
+        kept = [r["fname"] for r in prune_by_dates(m, dates).collect()]
+        assert sorted(kept) == ["RW-20240101.tar", "RW-20240102.tar"]
+
+    def test_prune_by_dates_monthly(self, spark):
+        m = listing_manifest(spark, ["RW-202401.tar", "RW-202403.tar"])
+        dates = date_range(spark, "2024-01-01", "2024-02-15")
+        kept = [r["fname"] for r in prune_by_dates(m, dates, monthly=True).collect()]
+        assert kept == ["RW-202401.tar"]
+
+    def test_expand_tars_flat_and_nested(self, spark):
+        inner = self._tar_bytes(
+            {"RW-2024010100.asc": b"a", "RW-2024010101.asc": b"b"}
+        )
+        outer = self._tar_bytes({"daily-20240101.tar": inner, "readme.txt": b"x"})
+        m = _manifest(spark, [("monthly.tar", outer)])
+        out = {r["fname"]: bytes(r["payload"]) for r in expand_tars(m, nested=True).collect()}
+        assert out == {
+            "RW-2024010100.asc": b"a",
+            "RW-2024010101.asc": b"b",
+            "readme.txt": b"x",
+        }
+
+    def test_member_date_filter(self, spark):
+        m = listing_manifest(
+            spark, ["RW-20240101.asc", "RW-20240105.asc", "RW-20240301.asc"]
+        )
+        kept = [
+            r["fname"]
+            for r in filter_members_by_range(
+                m, "2024-01-01", "2024-01-31", "days"
+            ).collect()
+        ]
+        assert sorted(kept) == ["RW-20240101.asc", "RW-20240105.asc"]
+
+
+class TestEndToEndDecode:
+    def test_tar_to_pipeline(self, spark):
+        """Archive → expand → decode → obs matches direct parse."""
+        tar = TestManifest()._tar_bytes(
+            {"RW-20240101-0050.asc": ASC_3x3, "RW-20240101-0150.asc": ASC_3x3}
+        )
+        m = _manifest(spark, [("RW-20240101.tar", tar)])
+        obs = decode_ascii_grids(expand_tars(m), date_type="minutes")
+        assert obs.count() == 18
+        assert obs.select("ts").distinct().count() == 2
