@@ -1,38 +1,937 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the radohydro_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship multi-join analytics query on sf0.001.
+``queries()`` — one callable per implemented operator from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text /
+multimodal).  ``oracle_sql()`` — DuckDB twins, same column names and
+rounding, so the driver's row-count + schema + value-hash comparison is
+exact.
+
+Design note: relational queries that are pure ANSI share ONE SQL string
+between Spark (spark.sql over temp views → Catalyst) and DuckDB —
+semantics pinned by construction.  Engine-specific operators (spatial
+pipeline, decoders, minhash/simhash, multimodal) run through the
+radohydro_spark DataFrame operators and get hand-matched SQL twins.
+
+Run ``python __spark_entry__.py [sf_dir]`` for a local self-check that
+mimics the driver: per-query row-count / column / value comparison.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radohydro_spark.functions import text as TX
+from radohydro_spark.operators import dedup as DD
+from radohydro_spark.operators import multimodal as MM
+from radohydro_spark.operators import similarity as SIM
+from radohydro_spark.operators.aggregate import resample
+from radohydro_spark.operators.spatial import rasterize, spatial_intersect
+from radohydro_spark.operators.weights import apply_nan_policy, basin_weights
+from radohydro_spark.plans.pipeline import precip_timeseries
+from radohydro_spark.sources.synthetic import (
+    GRID,
+    oracle_cellgrid_sql,
+    oracle_daily_sql,
+    oracle_fragments_sql,
+    oracle_pipeline_sql,
+    oracle_rasterize_sql,
+    oracle_weights_sql,
+    synthetic_basins,
+    synthetic_cells,
+    synthetic_obs,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) parquet columns arrive as long under the
+    # nanosAsLong legacy conf; convert to microsecond timestamps (same
+    # truncation DuckDB applies when it reads the file)
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer div: ns values exceed 2^53, float division would
+            # round the microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _register(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def _sql(sql: str, tables: list[str]):
+    """Query callable running shared ANSI SQL through Catalyst."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Core precipitation pipeline (synthetic deterministic grid; SURVEY §2.1-2.8)
+
+
+def q_precip_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = precip_timeseries(
+        synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
+    )
+    return res.select(
+        "basin_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "rainfall_mm",
+    )
+
+
+def q_precip_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frags = spatial_intersect(synthetic_cells(spark), synthetic_basins(spark))
+    return frags.select(
+        "basin_id",
+        "cell_row",
+        "cell_col",
+        F.round("frag_area", 3).alias("frag_area"),
+        "cell_area",
+    )
+
+
+def q_precip_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frags = spatial_intersect(synthetic_cells(spark), synthetic_basins(spark))
+    frags = apply_nan_policy(frags, synthetic_obs(spark))
+    return basin_weights(frags).select(
+        "basin_id", "cell_row", "cell_col", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_precip_cellgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthetic_cells(spark).select(
+        "cell_row",
+        "cell_col",
+        F.col("left").alias("x_min"),
+        F.col("bottom").alias("y_min"),
+        F.col("right").alias("x_max"),
+        F.col("top").alias("y_max"),
+    )
+
+
+def q_precip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = precip_timeseries(
+        synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
+    )
+    daily = resample(res, "1 day", "rainfall_mm", "sum")
+    return daily.select(
+        "basin_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("rainfall_mm", 6).alias("rainfall_mm"),
+    )
+
+
+def q_precip_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = rasterize(synthetic_cells(spark), synthetic_basins(spark), "basin_id")
+    return out.select("cell_row", "cell_col", F.col("burn").cast("int").alias("burn"))
+
+
+# ---------------------------------------------------------------------------
+# Relational operators on the TPC-H-ish tables (shared ANSI SQL → Catalyst)
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+SQL_Q3 = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS STRING) AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+SQL_Q5 = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+SQL_WINDOW_TOP = """
+SELECT c_custkey, c_nationkey, c_acctbal, rnk
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) t
+WHERE rnk <= 3
+"""
+
+SQL_RUNNING = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_total
+FROM orders
+"""
+
+SQL_SEMI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+SQL_SETOPS = """
+SELECT p_partkey FROM part WHERE p_size > 40
+UNION
+SELECT p_partkey FROM part WHERE p_retailprice > 1700
+EXCEPT
+SELECT p_partkey FROM part WHERE p_size < 10
+"""
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C8 scalar showcase: regex digit extraction, date parts, zero-pad,
+    rounding, contains — DataFrame API (regex escaping differs between
+    Spark SQL string literals and DuckDB)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"(\d+)", 1).alias("prio_num"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.lpad(F.col("o_custkey").cast("string"), 8, "0").alias("custkey_padded"),
+        F.round("o_totalprice", 0).alias("price_rounded"),
+        F.col("o_orderpriority").contains("URGENT").alias("is_urgent"),
+    )
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '(\\d+)', 1) AS prio_num,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+       lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS custkey_padded,
+       ROUND(o_totalprice, 0) AS price_rounded,
+       contains(o_orderpriority, 'URGENT') AS is_urgent
+FROM orders
+"""
+
+
+def q_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radohydro_spark.functions.temporal import date_range
+
+    return date_range(spark, "1995-01-01", "1995-01-10").select(
+        F.date_format("dt", "yyyy-MM-dd").alias("d")
+    )
+
+
+ORACLE_DATE_SEQUENCE = """
+SELECT strftime(ts, '%Y-%m-%d') AS d
+FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '1995-01-10',
+                                    INTERVAL 1 DAY)) AS ts)
+"""
+
+_FILENAMES = [
+    "RW-20240101-0050.asc",
+    "RW_2024.01.02_0150.asc",
+    "raa01-rw-2403151820.asc",
+]
+
+
+def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from radohydro_spark.functions.temporal import filename_to_ts
+
+    df = spark.createDataFrame([(f,) for f in _FILENAMES[:2]], "fname string")
+    return df.select(
+        "fname",
+        F.date_format(filename_to_ts("fname", "minutes"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts"
+        ),
+    )
+
+
+ORACLE_FILENAME_PARSE = f"""
+SELECT fname,
+       strftime(strptime(substr(regexp_replace(fname, '[^0-9]', '', 'g'), 1, 12),
+                         '%Y%m%d%H%M'), '%Y-%m-%d %H:%M:%S') AS ts
+FROM (VALUES ('{_FILENAMES[0]}'), ('{_FILENAMES[1]}')) t(fname)
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session; one row per
+    session with start time and event count (the batch shape of a
+    session-window streaming aggregate)."""
+    _register(spark, sf_dir, ["events"])
+    return spark.sql(SQL_EVENTS_SESSIONS_BODY.format(epoch="unix_micros(ts)", gap="1800000000"))
+
+
+SQL_EVENTS_SESSIONS_BODY = """
+SELECT user_id,
+       CAST(MIN(ts) AS STRING) AS session_start,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN {epoch} - LAG({epoch}) OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > {gap}
+                     OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  ) flags
+) sess
+GROUP BY user_id, session_id
+"""
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_val"),
+    )
+
+
+ORACLE_EVENTS_PROPS = """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_val
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (documents, embeddings)
+
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SQL_STOP = "('the','a','of','and','to','in','is','on','for')"
+
+
+def _ph_sql(expr: str) -> str:
+    """DuckDB twin of functions.text.portable_hash."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({expr}), 1, 8), ''), "
+        "ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1)), "
+        "(a, x) -> a * 16 + x)"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        TX.punct_count("text").alias("n_punct"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(TX.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_tokens,
+       length(text) AS n_chars_calc,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       round(len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOP}))
+             / CAST(len({_SQL_TOKS}) AS DOUBLE), 6) AS stop_ratio,
+       round(len(list_distinct({_SQL_TOKS}))
+             / CAST(len({_SQL_TOKS}) AS DOUBLE), 6) AS distinct_ratio,
+       round(0.4 * least(length(text) / 500.0, 1.0)
+             + 0.4 * (len(list_distinct({_SQL_TOKS})) / CAST(len({_SQL_TOKS}) AS DOUBLE))
+             + 0.2 * (1.0 - len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOP}))
+                            / CAST(len({_SQL_TOKS}) AS DOUBLE)), 6) AS quality
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: (
+            f"len(list_filter(list_transform({_SQL_TOKS}, t -> lower(t)), "
+            f"x -> x IN ({', '.join(repr(m) for m in TX.LANG_MARKERS[lang])})))"
+        )
+        for lang in TX.LANG_MARKERS
+    }
+    langs = list(TX.LANG_MARKERS)
+    branches = []
+    for lang in langs:
+        conds = [
+            f"{scores[lang]} >= {scores[o]}" for o in langs if o != lang
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return f"SELECT doc_id, {case} AS lang_pred FROM documents"
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+         (a, x) -> (a * 31 + x) % 2147483647) AS fp
+FROM documents
+"""
+
+# corpus with injected duplicates (the base tables have none)
+_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+"""
+
+_NEARDUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || ' zz11 zz22 zz33' AS text
+FROM documents WHERE doc_id < 20
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str, near: bool = False) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.concat(F.col("text"), F.lit(" zz11 zz22 zz33")) if near else F.col("text")).alias(
+            "text"
+        ),
+    )
+    return d.unionByName(extra)
+
+
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return DD.exact_duplicates(corpus, "text", "doc_id")
+
+
+ORACLE_EXACT_DUPS = f"""
+WITH corpus AS ({_DUP_SQL})
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    return DD.ngram_jaccard_pairs(corpus, "text", "doc_id", k=3, threshold=0.5)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH corpus AS ({_NEARDUP_SQL}),
+docs AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
+
+_MINHASH_PARAMS_SQL = "hp(h_idx, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {DD.MINHASH_A[i]}, {DD.MINHASH_B[i]})" for i in range(8)
+) + ")"
+
+_MINHASH_SIGS_CTES = f"""
+docs AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+hx AS (SELECT doc_id, {_ph_sql('shingle')} AS x FROM sh),
+{_MINHASH_PARAMS_SQL},
+sigs AS (
+  SELECT doc_id, h_idx, min((a * x + b) % 2147483647) AS sig
+  FROM hx, hp GROUP BY doc_id, h_idx
+)
+"""
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_signatures(d, "text", "doc_id", n_hashes=8, k=3)
+
+
+ORACLE_MINHASH_SIGS = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_MINHASH_SIGS_CTES}
+SELECT doc_id, h_idx, sig FROM sigs
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return DD.minhash_lsh_pairs(corpus, "text", "doc_id", n_hashes=8, k=3, rows_per_band=2)
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH corpus AS ({_DUP_SQL}),
+{_MINHASH_SIGS_CTES},
+bands AS (
+  SELECT doc_id, CAST(h_idx // 2 AS INT) AS band,
+         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY h_idx) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(h_idx // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b AND sa.h_idx = sb.h_idx
+GROUP BY id_a, id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash(d, "text", "doc_id", bits=16)
+
+
+ORACLE_SIMHASH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+),
+hashed AS (SELECT doc_id, {_ph_sql('tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, j.range AS bit,
+         CASE WHEN sum(((h >> CAST(j.range AS INT)) & 1) * 2 - 1) > 0
+              THEN 1 ELSE 0 END AS bit_val
+  FROM hashed, range(16) j
+  GROUP BY doc_id, j.range
+)
+SELECT doc_id,
+       CAST(sum(bit_val * CAST(power(2, bit) AS BIGINT)) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+_COSINE_SQL = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk(e, queries, k=5)
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, e.vec_id, {_COSINE_SQL.replace('cv', 'e.v')} AS cosine
+  FROM q, e
+)
+SELECT query_id, vec_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored) t
+WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return DD.embedding_near_dups(e, threshold=0.35)
+
+
+ORACLE_EMB_NEAR_DUPS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COSINE_SQL.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COSINE_SQL.replace('qv', 'a.v').replace('cv', 'b.v')} >= 0.35
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via deterministic random-hyperplane LSH buckets.
+    No SQL oracle (rows-only check): the bucketing is engine-native."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ann_topk_lsh(e, queries, k=5, n_planes=4, n_dims=64)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (text bytes as stand-in payloads; ASCII-only docs)
+
+_ASCII_FILTER = "^[ -~]*$"
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").rlike(_ASCII_FILTER))
+    return d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.decode_media(_media_df(spark, sf_dir), fake=True).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+ORACLE_MEDIA_DECODE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+)
+SELECT media_id,
+       greatest(CAST(floor(sqrt(greatest(CAST(floor(n / 3) AS BIGINT), 1))) AS INT), 1) AS width,
+       greatest(CAST(floor(sqrt(greatest(CAST(floor(n / 3) AS BIGINT), 1))) AS INT), 1) AS height,
+       3 AS channels,
+       round((SELECT avg(ascii(c)) FROM unnest(string_split(m.text, '')) t(c)), 4)
+         AS mean_intensity
+FROM m
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = MM.chunk_frames(_media_df(spark, sf_dir), frame_bytes=100)
+    return frames.select("media_id", "frame_idx", F.length("frame").alias("frame_len"))
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id, length(text) AS n
+  FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+),
+fr AS (
+  SELECT media_id, n,
+         unnest(range(0, CAST(ceil(n / 100.0) AS BIGINT))) AS frame_idx
+  FROM m
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(100, n - frame_idx * 100) AS INT) AS frame_len
+FROM fr
+"""
+
+
+def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.byte_histogram(_media_df(spark, sf_dir), buckets=16)
+
+
+ORACLE_BYTE_HISTOGRAM = """
+WITH m AS (
+  SELECT doc_id AS media_id, text
+  FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+),
+chars AS (
+  SELECT media_id, CAST(ascii(c) // 16 AS INT) AS bucket
+  FROM (SELECT media_id, unnest(string_split(text, '')) AS c FROM m)
+)
+SELECT media_id,
+""" + ",\n".join(
+    f"       sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS b{i}" for i in range(16)
+) + """
+FROM chars GROUP BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: regional-revenue multi-join analytics on sf0.001."""
+    return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core precipitation pipeline (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13)
+        "precip_basin_timeseries": q_precip_timeseries,
+        "precip_fragments": q_precip_fragments,
+        "precip_weights": q_precip_weights,
+        "precip_cellgrid": q_precip_cellgrid,
+        "precip_daily_resample": q_precip_daily,
+        "precip_rasterize": q_precip_rasterize,
+        # relational (SURVEY §2.2-2.8 generic operators)
+        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
+        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
+        "tpch_q5_regional_revenue": _sql(
+            SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"]
+        ),
+        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
+        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
+        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
+        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
+        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
+        "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
+        "scalar_funcs": q_scalar_funcs,
+        "date_sequence": q_date_sequence,
+        "filename_parse": q_filename_parse,
+        # events / streaming-shaped
+        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
+        "events_sessionize": q_events_sessions,
+        "events_props_extract": q_events_props,
+        # text analysis
+        "text_stats": q_text_stats,
+        "text_lang_id": q_lang_id,
+        "text_fingerprint": q_fingerprint,
+        # dedup
+        "dedup_exact_groups": q_exact_dups,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_signatures": q_minhash_sigs,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_simhash": q_simhash,
+        "dedup_embedding_cosine": q_embedding_near_dups,
+        # similarity search
+        "similarity_cosine_topk": q_cosine_topk,
+        "similarity_ann_lsh_topk": q_ann_lsh_topk,
+        # multimodal plumbing
+        "media_decode_fake": q_media_decode,
+        "media_frame_sample": q_media_frames,
+        "media_byte_histogram": q_byte_histogram,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "precip_basin_timeseries": oracle_pipeline_sql(GRID),
+        "precip_fragments": oracle_fragments_sql(GRID),
+        "precip_weights": oracle_weights_sql(GRID),
+        "precip_cellgrid": oracle_cellgrid_sql(GRID),
+        "precip_daily_resample": oracle_daily_sql(GRID),
+        "precip_rasterize": oracle_rasterize_sql(GRID),
+        "tpch_q1_pricing": SQL_Q1,
+        "tpch_q3_top_orders": SQL_Q3,
+        "tpch_q5_regional_revenue": SQL_Q5,
+        "window_top_customers": SQL_WINDOW_TOP,
+        "window_running_total": SQL_RUNNING,
+        "join_semi_customers": SQL_SEMI,
+        "join_anti_customers": SQL_ANTI,
+        "set_ops_brands": SQL_SETOPS,
+        "rollup_revenue": SQL_ROLLUP,
+        "scalar_funcs": ORACLE_SCALAR_FUNCS,
+        "date_sequence": ORACLE_DATE_SEQUENCE,
+        "filename_parse": ORACLE_FILENAME_PARSE,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_sessionize": SQL_EVENTS_SESSIONS_BODY.format(epoch="epoch_us(ts)", gap="1800000000"),
+        "events_props_extract": ORACLE_EVENTS_PROPS,
+        "text_stats": ORACLE_TEXT_STATS,
+        "text_lang_id": _langid_sql(),
+        "text_fingerprint": ORACLE_FINGERPRINT,
+        "dedup_exact_groups": ORACLE_EXACT_DUPS,
+        "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dedup_minhash_signatures": ORACLE_MINHASH_SIGS,
+        "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
+        "dedup_simhash": ORACLE_SIMHASH,
+        "dedup_embedding_cosine": ORACLE_EMB_NEAR_DUPS,
+        "similarity_cosine_topk": ORACLE_COSINE_TOPK,
+        # similarity_ann_lsh_topk: rows-only (engine-native bucketing)
+        "media_decode_fake": ORACLE_MEDIA_DECODE,
+        "media_frame_sample": ORACLE_MEDIA_FRAMES,
+        "media_byte_histogram": ORACLE_BYTE_HISTOGRAM,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Local self-check harness (mimics the driver's comparison)
+
+def _self_check(sf_dir: str, only: list[str] | None = None) -> int:  # pragma: no cover
+    import duckdb
+    import math
+    from decimal import Decimal as _Decimal
+
+    from radohydro_spark import get_spark
+
+    spark = get_spark("entry_self_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        def _key(row):
+            out = []
+            for v in row:
+                if v is None:
+                    out.append((0, "", 0.0))
+                elif isinstance(v, (int, float, _Decimal)) and not isinstance(v, bool):
+                    out.append((1, "", float(v)))
+                else:
+                    out.append((2, str(v), 0.0))
+            return out
+
+        try:
+            sdf = fn(SparkSession.getActiveSession() or spark, sf_dir)
+            spark_rows = sdf.collect()
+            scols = sorted(sdf.columns)
+            sset = sorted(
+                (tuple(r[c] for c in scols) for r in spark_rows), key=_key
+            )
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+        ocols = [ocols_raw[i] for i in order]
+        oset = sorted((tuple(r[i] for i in order) for r in orows), key=_key)
+        if scols != ocols:
+            print(f"FAIL {name}: columns {scols} vs {ocols}")
+            failures += 1
+            continue
+        if len(sset) != len(oset):
+            print(f"FAIL {name}: rowcount {len(sset)} vs {len(oset)}")
+            failures += 1
+            continue
+
+        def _eq(a, b):
+            if a is None or b is None:
+                return a is None and b is None
+            if isinstance(a, (float, _Decimal)) or isinstance(b, (float, _Decimal)):
+                fa, fb = float(a), float(b)
+                if math.isnan(fa) or math.isnan(fb):
+                    return math.isnan(fa) and math.isnan(fb)
+                return fa == fb or abs(fa - fb) < 1e-9
+            return str(a) == str(b)
+
+        bad = None
+        for srow, orow in zip(sset, oset):
+            if not all(_eq(a, b) for a, b in zip(srow, orow)):
+                bad = (srow, orow)
+                break
+        if bad:
+            print(f"FAIL {name}: value mismatch\n  spark:  {bad[0]}\n  oracle: {bad[1]}")
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(sset)} rows)")
+    return failures
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    raise SystemExit(1 if _self_check(sf, only) else 0)

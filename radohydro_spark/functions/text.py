@@ -1,0 +1,132 @@
+"""Text-analysis scalar functions for large-scale training-data pipelines.
+
+All JVM-side built-in expressions (split/transform/aggregate/regexp) — no
+Python UDFs in the hot path.  Every function has an exact ANSI-SQL twin used
+by the DuckDB oracle (__spark_entry__.py), so semantics are pinned
+cross-engine:
+
+* token counting        — whitespace tokenization
+* quality scoring       — length / punctuation / stopword / distinct ratios
+* language ID           — marker-word n-gram heuristic, deterministic CASE
+* document fingerprint  — 31-base rolling hash over characters (mod p)
+* portable string hash  — md5-hex prefix folded to a 32-bit int (the
+  cross-engine primitive under minhash/simhash/LSH)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+# marker words scored per language; priority order breaks ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "la", "que", "es"),
+    "fr": ("le", "la", "et", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BPE-ish subword counting is `token_count /
+    0.75` by the usual 4-chars-per-token rule; kept separate so the oracle
+    stays exact)."""
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    in_list = F.filter(
+        toks, lambda t: F.lower(t).isin(*[F.lit(s) for s in STOPWORDS])
+    )
+    return F.size(in_list) / F.size(toks)
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1]-ish quality score: rewards mid-length docs with
+    diverse vocabulary, penalizes stopword stuffing.  Fixed formula so the
+    oracle can mirror it exactly."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score
+        + 0.4 * distinct_token_ratio(c)
+        + 0.2 * (1.0 - stopword_ratio(c)),
+        6,
+    )
+
+
+def lang_id(text: Column | str, langs: list[str] | None = None) -> Column:
+    """Marker-word language heuristic: count marker hits per language,
+    argmax with deterministic priority-order tie-break (CASE chain, same
+    shape as the SQL twin)."""
+    c = F.col(text) if isinstance(text, str) else text
+    langs = langs or list(LANG_MARKERS)
+    toks = F.transform(tokens(c), F.lower)
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in LANG_MARKERS[lang]]))
+        )
+        for lang in langs
+    }
+    # CASE chain in priority order: first branch whose score is >= all
+    # others wins — evaluation order itself implements the tie-break,
+    # exactly like the SQL CASE twin.
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = scores[lang] >= scores[other]
+            cond = ge if cond is None else (cond & ge)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def char_codes(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.transform(F.split(c, ""), F.ascii)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive rolling hash: fold acc*31 + ascii(char) mod 2^31-1.
+
+    The document-fingerprint primitive (and the basis for shingle hashing):
+    identical fold in DuckDB via list_reduce(list_prepend(0, codes), ...).
+    """
+    return F.aggregate(
+        char_codes(text),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_MOD,
+    )
+
+
+def portable_hash(s: Column | str) -> Column:
+    """Deterministic cross-engine 32-bit string hash: first 8 hex chars of
+    md5(s) read base-16.  Spark: ``conv(_, 16, 10)``; DuckDB 1.0 has no
+    strtol/conv, so the SQL twin folds digit-by-digit via
+    ``list_reduce(... strpos('0123456789abcdef', ch) - 1 ...)`` — same
+    value."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")

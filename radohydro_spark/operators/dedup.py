@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all DataFrame-native and shuffle-aware:
+
+* exact           — md5 hash-groupBy (one shuffle on a 32-char key)
+* n-gram Jaccard  — shingle self-join: candidates bounded by shared-shingle
+                    selectivity, exact Jaccard on candidates
+* MinHash + LSH   — signatures via (a*x+b) mod p over portable shingle
+                    hashes; banding turns the pair join into an equi-join on
+                    band keys (the 100 TB scale path: no O(n²) anywhere)
+* SimHash         — 16-bit sign-of-weighted-bit-sums fingerprint; near-dup
+                    candidates join on equal fingerprint
+* embedding cosine— exact pairwise above a threshold (brute force for small
+                    n; LSH bucketing in similarity.py is the scale path)
+
+Every step uses functions.text.portable_hash so the DuckDB oracle can
+reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from radohydro_spark.functions.text import HASH_MOD, portable_hash, tokens
+
+# fixed affine-hash parameters: h_i(x) = (A_i * x + B_i) mod p.  Small
+# primes chosen once; the oracle embeds the same constants.
+MINHASH_A = [2971, 4111, 5669, 7919, 9973, 11939, 14033, 16127]
+MINHASH_B = [1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613]
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document, exploded long."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: md5(text) groupBy, keep lowest id as canonical.
+
+    Returns (text_hash, keep_id, n_copies) for groups with n_copies > 1.
+    Single hash-shuffle on the digest; at 100 TB this is the cheapest
+    possible exact dedup (no text comparison after the hash)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (lowest id) per distinct text."""
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle candidates.
+
+    |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.  The join
+    shuffles on the shingle value — skew-prone on stop-shingles; at scale,
+    drop top-frequency shingles first (the standard guard) or use MinHash
+    banding below."""
+    sh = word_shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signature matrix, long form (doc_id, h_idx, sig).
+
+    sig_i(doc) = min over shingles of (A_i * portable_hash(shingle) + B_i)
+    mod p.  One groupBy over exploded (doc, shingle, i) rows — map-side
+    combinable, linear in corpus size."""
+    assert n_hashes <= len(MINHASH_A)
+    sh = word_shingles(df, text_col, id_col, k)
+    sh = sh.withColumn("x", portable_hash("shingle"))
+    hs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("h_idx"),
+                    ((F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % HASH_MOD).alias("hv"),
+                )
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("h")
+    return (
+        sh.select("doc_id", hs)
+        .select("doc_id", "h.h_idx", "h.hv")
+        .groupBy("doc_id", "h_idx")
+        .agg(F.min("hv").alias("sig"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature matrix: (doc_id, band, band_key) where band_key
+    concatenates the band's signature values.  Candidate pairs then come
+    from an equi-join on (band, band_key) — the step that makes near-dup
+    detection linear-ish at 100 TB."""
+    banded = signatures.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.concat_ws("_", F.collect_list(F.col("sig").cast("string"))).alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    k: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding, with estimated Jaccard
+    (fraction of matching signature rows) attached."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k).cache()
+    # deterministic band keys: collect_list is order-nondeterministic, so
+    # collect (h_idx, sig) structs and sort_array before concatenating
+    banded = (
+        sigs.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("h_idx", "sig"))).alias("pairs"))
+        .withColumn(
+            "band_key",
+            F.concat_ws("_", F.transform(F.col("pairs"), lambda p: p["sig"].cast("string"))),
+        )
+        .select("doc_id", "band", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    est = (
+        cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("id_b") == F.col("sb.doc_id"))
+            & (F.col("sa.h_idx") == F.col("sb.h_idx")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(
+                F.avg((F.col("sa.sig") == F.col("sb.sig")).cast("double")), 6
+            ).alias("est_jaccard")
+        )
+    )
+    return est
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: bit_j = 1 iff Σ_tokens (2*bit_j(h(tok)) - 1) > 0.
+
+    Computed with array expressions over distinct tokens — no UDF, no
+    shuffle beyond the token explode's groupBy."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn("h", portable_hash("tok"))
+    per_bit = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bit"),
+                        (
+                            (F.shiftright(F.col("h"), j) % 2) * 2 - 1
+                        ).alias("contrib"),
+                    )
+                    for j in range(bits)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bit", "b.contrib")
+    bit_signs = per_bit.groupBy("doc_id", "bit").agg(
+        (F.sum("contrib") > 0).cast("long").alias("bit_val")
+    )
+    return bit_signs.groupBy("doc_id").agg(
+        F.sum(F.col("bit_val") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("simhash")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (brute force O(n²) — correct
+    baseline; LSH bucketing in similarity.py is the scale path)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride as ``binary`` columns with a struct of metadata;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` kernels.  The actual codec step is STUBBED (no image/audio
+libraries in this container): ``decode_media`` raises ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic byte-derived fake is
+produced — the Spark-side plumbing (schema, partitioning, UDF signature,
+batch shape) is real and tested either way.
+
+``byte_histogram`` and ``chunk_frames`` are honest binary operators (no
+codec needed) usable at full scale as-is.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def byte_histogram(df: DataFrame, payload_col: str = "payload", buckets: int = 16) -> DataFrame:
+    """Per-row histogram of payload bytes into ``buckets`` equal bins —
+    pure Spark expressions on the binary column (no Python), usable as a
+    cheap content fingerprint / corruption screen at any scale."""
+    # binary -> array of byte values via substring+ascii on the latin-1
+    # decoded string would be lossy; use mapInPandas for exact bytes
+    out_fields = ", ".join(f"b{i} long" for i in range(buckets))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            counts = []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr // (256 // buckets), minlength=buckets)
+                counts.append(hist[:buckets])
+            hmat = np.vstack(counts) if counts else np.zeros((0, buckets), dtype=int)
+            data = {c: pdf[c] for c in pdf.columns if c != payload_col}
+            for i in range(buckets):
+                data[f"b{i}"] = hmat[:, i]
+            yield pd.DataFrame(data)
+
+    keep = [c for c in df.columns if c != payload_col]
+    keep_schema = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in keep)
+    schema = f"{keep_schema}, {out_fields}" if keep else out_fields
+    return df.mapInPandas(gen, schema=schema)
+
+
+def decode_media(
+    df: DataFrame, payload_col: str = "payload", fake: bool = False
+) -> DataFrame:
+    """Decode payloads into (width, height, channels, mean_intensity).
+
+    STUB: real decoding needs an image library not present in this
+    container.  ``fake=True`` produces a deterministic byte-derived result
+    (dims from payload length, intensity = mean byte value) so downstream
+    plumbing is exercisable end-to-end.
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass fake=True for the deterministic stub"
+                )
+            rows = {"media_id": pdf["media_id"], "width": [], "height": [], "channels": [], "mean_intensity": []}
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(arr)
+                side = max(int(np.sqrt(max(n // 3, 1))), 1)
+                rows["width"].append(side)
+                rows["height"].append(side)
+                rows["channels"].append(3)
+                rows["mean_intensity"].append(float(arr.mean()) if n else 0.0)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        gen,
+        schema="media_id long, width int, height int, channels int, mean_intensity double",
+    )
+
+
+def chunk_frames(
+    df: DataFrame, payload_col: str = "payload", frame_bytes: int = 1024, every_nth: int = 1
+) -> DataFrame:
+    """Frame sampling as byte-chunking: one output row per (every_nth)
+    chunk of ``frame_bytes`` — the one-to-many batch shape of real video
+    frame extraction, with deterministic content."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                blob = bytes(payload)
+                n_frames = (len(blob) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_nth):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(blob[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("media_id", payload_col).mapInPandas(
+        gen, schema="media_id long, frame_idx int, frame binary"
+    )
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize placeholder: passes metadata through with the new dims.
+    Raises on execution unless the pipeline never materializes it —
+    documents the UDF signature for when a codec is available."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError("image resize requires a codec library")
+        yield  # pragma: no cover
+
+    return df.mapInPandas(gen, schema=f"media_id long, payload binary")

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``     — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, JVM-side dot products via zip_with/aggregate,
+  per-query window top-k.  The correctness baseline.
+* ``lsh_bucket``      — deterministic random-hyperplane signatures: buckets
+  candidates so the scale path probes only matching buckets.  Hyperplane
+  components derive from portable md5 hashing, so the DuckDB oracle can
+  reproduce bucket assignments exactly.
+* ``ann_topk_lsh``    — top-k within the query's bucket (approximate; recall
+  grows with fewer planes / multi-probe).
+
+At 100 TB the corpus side is hash-partitioned by bucket; queries broadcast.
+No shuffle of the corpus beyond its one-time bucketing write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from radohydro_spark.functions.text import HASH_MOD, portable_hash
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(c: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries(query_id, embedding)`` is broadcast (query sets are small);
+    the corpus streams through one narrow stage; the only shuffle is the
+    window's partition-by-query — sized by |queries| * |corpus| candidate
+    rows, reduce with LSH below when that explodes."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    portable_hash of 'p<plane>-d<dim>' scaled.  Cross-engine reproducible."""
+    h = portable_hash(F.lit(f"p{plane}-d{dim}"))
+    return (h % 1000).cast("double") / 500.0 - 1.0
+
+
+def lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 4, n_dims: int | None = None
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit_j = (v · plane_j) >= 0.
+
+    ``n_dims`` defaults to the array length at runtime; pass it explicitly
+    to keep the expression fully static (needed for the SQL twin)."""
+    v = F.col(vec_col)
+    bits = []
+    for j in range(n_planes):
+        if n_dims is None:
+            proj = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda d: d),
+                    lambda x, d: x * ((portable_hash(F.concat(F.lit(f"p{j}-d"), d.cast("string"))) % 1000).cast("double") / 500.0 - 1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            proj = None
+            for d in range(n_dims):
+                term = F.element_at(v, d + 1) * _hyperplane_component(j, d)
+                proj = term if proj is None else proj + term
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**j))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Deterministic: same planes both engines.  Misses neighbors across
+    bucket boundaries by design (recall/cost trade); multi-probe = union
+    over neighboring buckets."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(corpus, vec_col, n_planes, n_dims).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(queries, vec_col, n_planes, n_dims).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

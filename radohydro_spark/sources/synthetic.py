@@ -93,11 +93,10 @@ def synthetic_basins(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
     return spark.createDataFrame(rows, schema=BASINS_SCHEMA)
 
 
-def oracle_pipeline_sql(g: GridSpec = GRID, remove_nan: bool = False) -> str:
-    """DuckDB SQL computing the identical result via closed-form rect∩rect
-    intersection areas — the independent oracle for the whole pipeline
-    (spatial join J1, NULL policy A5, weights A3/W1, weighted agg A4,
-    scaling A7, rounding C8)."""
+def oracle_base_ctes(g: GridSpec = GRID, remove_nan: bool = False) -> str:
+    """Shared WITH-clause body for all core-pipeline DuckDB oracles:
+    closed-form rect∩rect intersection areas, dirty flags, NULL policy,
+    normalized weights.  Appended SELECTs pick the stage to check."""
     basins_values = ",\n      ".join(
         f"({bid}, {g.x0 + l!r}, {g.y0 + b!r}, {g.x0 + r!r}, {g.y0 + t!r})"
         for bid, l, b, r, t in BASIN_RECTS
@@ -163,9 +162,86 @@ res AS (
   FROM wts w JOIN obs o USING (cell_row, cell_col)
   GROUP BY w.basin_id, o.h
 )
+"""
+
+
+def oracle_pipeline_sql(g: GridSpec = GRID, remove_nan: bool = False) -> str:
+    """Full-pipeline oracle (spatial join J1, NULL policy A5, weights
+    A3/W1, weighted agg A4, scaling A7, rounding C8)."""
+    return (
+        oracle_base_ctes(g, remove_nan)
+        + f"""
 SELECT basin_id,
        strftime(TIMESTAMP '{g.t0}' + h * INTERVAL 1 HOUR,
                 '%Y-%m-%d %H:%M:%S') AS ts,
        rainfall_mm
 FROM res
 """
+    )
+
+
+def oracle_fragments_sql(g: GridSpec = GRID) -> str:
+    """J1/A2 oracle: intersection fragments with areas."""
+    return (
+        oracle_base_ctes(g)
+        + """
+SELECT basin_id, cell_row, cell_col,
+       round(frag_area, 3) AS frag_area, cell_area
+FROM frags_pos
+"""
+    )
+
+
+def oracle_weights_sql(g: GridSpec = GRID) -> str:
+    """A3/A5/W1 oracle: normalized weights after the NULL policy."""
+    return (
+        oracle_base_ctes(g)
+        + """
+SELECT basin_id, cell_row, cell_col, round(weight, 6) AS weight
+FROM wts
+"""
+    )
+
+
+def oracle_cellgrid_sql(g: GridSpec = GRID) -> str:
+    """C9/C10 oracle: the generated cell grid."""
+    return (
+        oracle_base_ctes(g)
+        + """
+SELECT cell_row, cell_col, l AS x_min, b AS y_min, rr AS x_max, t AS y_max
+FROM cells
+"""
+    )
+
+
+def oracle_daily_sql(g: GridSpec = GRID) -> str:
+    """Tumbling-window resample oracle: hourly result summed per day."""
+    return (
+        oracle_base_ctes(g)
+        + f"""
+SELECT basin_id,
+       strftime(date_trunc('day', TIMESTAMP '{g.t0}' + h * INTERVAL 1 HOUR),
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       round(sum(rainfall_mm), 6) AS rainfall_mm
+FROM res
+GROUP BY 1, 2
+"""
+    )
+
+
+def oracle_rasterize_sql(g: GridSpec = GRID) -> str:
+    """C13 oracle: burn basin_id onto the grid by largest overlap."""
+    return (
+        oracle_base_ctes(g)
+        + """
+, best AS (
+  SELECT cell_row, cell_col, basin_id,
+         row_number() OVER (PARTITION BY cell_row, cell_col
+                            ORDER BY frag_area DESC, basin_id ASC) AS rn
+  FROM frags_pos
+)
+SELECT c.cell_row, c.cell_col, b.basin_id AS burn
+FROM cells c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  USING (cell_row, cell_col)
+"""
+    )
