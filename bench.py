@@ -45,8 +45,29 @@ def main() -> None:
     spark = get_spark("radohydro_bench")
     qs = entrymod.queries()
 
-    # JVM/codegen warmup on a trivial action
-    spark.range(1000).count()
+    # JVM/codegen warmup + Python-worker pool spin-up (pandas UDF)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _warm_fn(s):
+        return s * 1.0
+
+    _warm = F.pandas_udf(_warm_fn, "double")
+
+    from pyspark.sql import Window as W
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    a = spark.range(0, 20000, 1, cpus).select(
+        F.col("id"), (F.col("id") % 100).alias("k"), _warm(F.col("id").cast("double")).alias("v")
+    )
+    b = spark.range(0, 100, 1, 1).select(F.col("id").alias("k"), F.lit(1.0).alias("w"))
+    (
+        a.join(F.broadcast(b), "k")
+        .withColumn("r", F.row_number().over(W.partitionBy("k").orderBy("id")))
+        .groupBy("k")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

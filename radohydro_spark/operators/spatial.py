@@ -46,8 +46,10 @@ def create_cell_grid(
     GeoTransform conventions the reference consumes
     (geotools/geotools.py:50-54).
     """
-    rows = spark.range(n_rows).select(F.col("id").cast("int").alias("cell_row"))
-    cols = spark.range(n_cols).select(F.col("id").cast("int").alias("cell_col"))
+    # dimension-sized output (even RADOLAN's 900x900 = 810k rows): generate
+    # in a single partition rather than 32 near-empty tasks
+    rows = spark.range(0, n_rows, 1, 1).select(F.col("id").cast("int").alias("cell_row"))
+    cols = spark.range(0, n_cols, 1, 1).select(F.col("id").cast("int").alias("cell_col"))
     grid = rows.crossJoin(cols)
     x0 = F.lit(float(ulx)) + F.col("cell_col") * F.lit(float(xres))
     x1 = F.lit(float(ulx)) + (F.col("cell_col") + 1) * F.lit(float(xres))

@@ -64,11 +64,11 @@ def synthetic_cells(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
 
 
 def synthetic_obs(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
-    cells = spark.range(g.n_rows * g.n_cols).select(
+    cells = spark.range(0, g.n_rows * g.n_cols, 1, 1).select(
         (F.col("id") % g.n_rows).cast("int").alias("cell_row"),
         (F.col("id") / g.n_rows).cast("int").alias("cell_col"),
     )
-    hours = spark.range(g.n_ts).select(F.col("id").cast("int").alias("h"))
+    hours = spark.range(0, g.n_ts, 1, 1).select(F.col("id").cast("int").alias("h"))
     obs = cells.crossJoin(hours)
     return obs.select(
         (
@@ -83,14 +83,21 @@ def synthetic_obs(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
 
 
 def synthetic_basins(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
-    rows = [
-        (
-            bid,
-            wkb_box(g.x0 + l, g.y0 + b, g.x0 + r, g.y0 + t),
-        )
-        for bid, l, b, r, t in BASIN_RECTS
-    ]
-    return spark.createDataFrame(rows, schema=BASINS_SCHEMA)
+    import pandas as pd
+
+    # pandas + Arrow path: single partition, no Python-RDD slices (a
+    # parallelize(32 slices) + coalesce(1) costs a Python-worker roundtrip
+    # per slice — ~4s of pure overhead for 4 rows)
+    pdf = pd.DataFrame(
+        {
+            "basin_id": [bid for bid, *_ in BASIN_RECTS],
+            "geom": [
+                wkb_box(g.x0 + l, g.y0 + b, g.x0 + r, g.y0 + t)
+                for _, l, b, r, t in BASIN_RECTS
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf, schema=BASINS_SCHEMA)
 
 
 def oracle_base_ctes(g: GridSpec = GRID, remove_nan: bool = False) -> str:
