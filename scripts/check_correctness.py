@@ -1,0 +1,131 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every entry in ``__spark_entry__.queries()`` at sf0.01, runs the
+matching ``oracle_sql()`` through DuckDB over the same parquet tables, and
+compares row count, column-name set, and (column-name-sorted, row-sorted)
+values. Floats compare with rel tol 1e-9; everything else exact.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from radohydro_spark import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):  # datetime/date -> string so tz-naive == tz-aware UTC
+        return v.isoformat().replace("+00:00", "")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, bool):
+        return int(v)
+    try:  # Decimal and friends
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except Exception:
+        pass
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def values_match(a, b):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for x, y in zip(ra, rb):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                try:
+                    if not math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-9):
+                        return False
+                except (TypeError, ValueError):
+                    return False
+            elif x != y:
+                return False
+    return True
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+    spark = get_spark("correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {exc}")
+            failures.append(name)
+            continue
+        sc, sv = canon(scols, srows)
+        oc, ov = canon(ocols, orows)
+        if sc != oc:
+            print(f"FAIL  {name}: columns spark={sc} oracle={oc}")
+            failures.append(name)
+        elif len(sv) != len(ov):
+            print(f"FAIL  {name}: rowcount spark={len(sv)} oracle={len(ov)}")
+            failures.append(name)
+        elif not values_match(sv, ov):
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if not values_match([a], [b])
+            )
+            print(f"FAIL  {name}: values differ at sorted-row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: rows={len(sv)}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
