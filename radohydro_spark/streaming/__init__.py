@@ -1,0 +1,19 @@
+from radohydro_spark.streaming.streams import (
+    file_stream,
+    run_available_now,
+    sessionize_stream,
+    streaming_dedup,
+    streaming_precip,
+    stateful_running_total,
+    tumbling_agg,
+)
+
+__all__ = [
+    "file_stream",
+    "run_available_now",
+    "sessionize_stream",
+    "streaming_dedup",
+    "streaming_precip",
+    "stateful_running_total",
+    "tumbling_agg",
+]

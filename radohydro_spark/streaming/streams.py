@@ -1,0 +1,214 @@
+"""Structured Streaming surface (SURVEY.md §2.9 extension path).
+
+The reference has **no** streaming semantics — its "fully streambased
+solution" (reference radohydro.py:8, README.md:7) means in-memory BytesIO
+instead of temp files.  This module is the engine's generalization: the
+manifest→decode→aggregate pipeline re-expressed as a file-source
+Structured Stream, so a DWD mirror directory that keeps receiving new
+raster drops produces an incrementally-maintained per-basin time series
+instead of a batch re-run.
+
+Design rules (scale notes for the 1000-executor case):
+
+* Stream side is always the big fact (obs / events); dimensions (cells,
+  weights, basins) are static broadcast joins — stream-static equi-joins
+  need no state store at all.
+* Every stateful agg carries a watermark so state is bounded; without one
+  a 100 TB backfill would accrete unbounded window state.
+* ``availableNow`` trigger gives batch-equivalent replays of a directory —
+  used by tests to prove stream results == batch results.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a drop directory (the streaming analog of
+    sources.manifest.local_manifest)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: list,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding-window aggregate.
+
+    Generalizes the hourly-RADOLAN vs daily-REGNIE distinction the
+    reference hard-codes as two separate source pipelines
+    (radohydro.py:148-377 vs :380-499) into one resample operator.
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    gb = [win] + [F.col(k) for k in (keys or [])]
+    out = wm.groupBy(*gb).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("ts"),
+        *[F.col(c) for c in out.columns if c != "window"],
+    )
+
+
+def streaming_precip(
+    obs_stream: DataFrame,
+    weights: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    numerator: float = 10.0,
+) -> DataFrame:
+    """Incremental per-basin area-weighted precipitation.
+
+    Streaming form of plans.pipeline.precip_timeseries: the static
+    ``weights`` dimension (operators.weights.basin_cell_weights output —
+    the engine form of geotools/geotools.py:256-262) broadcast-joins onto
+    the observation stream, then a watermarked window aggregate maintains
+    the weighted mean per (basin, window) as rasters arrive.
+
+    NULL handling matches the batch path's A5-after-weights contract: a
+    NULL value in any contributing cell nulls that (basin, window) result
+    (max(isnull) flag), rather than silently dropping mass.
+    """
+    j = obs_stream.join(F.broadcast(weights), ["cell_row", "cell_col"])
+    out = tumbling_agg(
+        j,
+        "ts",
+        window,
+        [
+            F.max(F.isnull("value").cast("int")).alias("_any_null"),
+            F.sum(F.col("weight") * F.col("value")).alias("_wsum"),
+        ],
+        keys=["basin_id"],
+        watermark=watermark,
+    )
+    return out.select(
+        "basin_id",
+        "ts",
+        F.when(F.col("_any_null") > 0, F.lit(None))
+        .otherwise(F.round(F.col("_wsum") / F.lit(numerator), 3))
+        .alias("rainfall_mm"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows with a dynamic gap — the streaming twin of the
+    batch sessionization query (events_sessionize in __spark_entry__)."""
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    return out.select(
+        F.col(user_col),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup over a stream with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state older than the
+    watermark is evicted (dropDuplicatesWithinWatermark)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_running_total(
+    stream: DataFrame,
+    key_col: str = "basin_id",
+    ts_col: str = "ts",
+    value_col: str = "rainfall_mm",
+) -> DataFrame:
+    """Custom stateful operator: per-key cumulative sum across triggers via
+    applyInPandasWithState — the pattern for operators Structured
+    Streaming lacks natively (running antecedent-precipitation index,
+    model state, etc.).
+
+    State is one (count, total) pair per key — O(n_basins), trivially
+    sharded by the state store's hash partitioning at cluster scale.
+    """
+    out_schema = "basin_id int, n_obs long, cum_rainfall double"
+    state_schema = "n long, total double"
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += int(vals.shape[0])
+            total += float(vals.sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"basin_id": [key[0]], "n_obs": [n], "cum_rainfall": [round(total, 6)]}
+        )
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a stream with the availableNow trigger into a memory sink and
+    return the materialized result — batch-equivalent replay used by tests
+    and backfills.
+
+    Mode notes: windowed aggregates want ``complete`` here (append only
+    emits windows already past the watermark, so the tail of a bounded
+    replay would be withheld); non-aggregating streams (dedup, projections)
+    must use ``append``; applyInPandasWithState uses ``update``.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

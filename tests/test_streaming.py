@@ -1,0 +1,151 @@
+"""Structured Streaming tests: stream replay == batch result.
+
+Every test drains a bounded file-source stream with availableNow and
+compares against the equivalent batch computation on the same data —
+the engine's guarantee that incremental and batch maintenance agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from radohydro_spark.operators.spatial import spatial_intersect
+from radohydro_spark.operators.weights import apply_nan_policy, basin_weights
+from radohydro_spark.sources.synthetic import (
+    synthetic_basins,
+    synthetic_cells,
+    synthetic_obs,
+)
+from radohydro_spark.streaming import (
+    file_stream,
+    run_available_now,
+    sessionize_stream,
+    stateful_running_total,
+    streaming_dedup,
+    streaming_precip,
+    tumbling_agg,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _events_dir(spark, tmp_path):
+    p = str(tmp_path / "events_in")
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":  # int64-nanos encoding in testdata
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df.repartition(4).write.parquet(p)
+    return p
+
+
+def test_streaming_precip_matches_batch(spark, tmp_path):
+    obs = synthetic_obs(spark)
+    obs_dir = str(tmp_path / "obs")
+    obs.write.parquet(obs_dir)
+
+    cells, basins = synthetic_cells(spark), synthetic_basins(spark)
+    fragments = apply_nan_policy(spatial_intersect(cells, basins), obs)
+    weights = basin_weights(fragments).select("basin_id", "cell_row", "cell_col", "weight")
+
+    stream = file_stream(spark, obs_dir, obs.schema, max_files_per_trigger=2)
+    res = streaming_precip(stream, weights, window="1 hour")
+    got = run_available_now(
+        res, "precip_stream", str(tmp_path / "ckpt"), output_mode="complete"
+    )
+
+    batch = (
+        synthetic_obs(spark)
+        .join(F.broadcast(weights), ["cell_row", "cell_col"])
+        .groupBy("basin_id", F.window("ts", "1 hour").start.alias("ts"))
+        .agg(
+            F.max(F.isnull("value").cast("int")).alias("_n"),
+            F.sum(F.col("weight") * F.col("value")).alias("_s"),
+        )
+        .select(
+            "basin_id",
+            "ts",
+            F.when(F.col("_n") > 0, F.lit(None))
+            .otherwise(F.round(F.col("_s") / 10.0, 3))
+            .alias("rainfall_mm"),
+        )
+    )
+    g = {(r.basin_id, r.ts): r.rainfall_mm for r in got.collect()}
+    b = {(r.basin_id, r.ts): r.rainfall_mm for r in batch.collect()}
+    assert g == b and len(g) == 96
+
+
+def test_tumbling_agg_daily_counts(spark, tmp_path):
+    p = _events_dir(spark, tmp_path)
+    schema = spark.read.parquet(p).schema
+    stream = file_stream(spark, p, schema, max_files_per_trigger=1)
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 day",
+        [F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total")],
+        keys=["event_type"],
+        watermark="1 hour",
+    )
+    got = run_available_now(agg, "daily_counts", str(tmp_path / "ck2"), "complete")
+    batch = (
+        spark.read.parquet(p)
+        .groupBy(F.window("ts", "1 day").start.alias("ts"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_sessionize_stream_total_events_conserved(spark, tmp_path):
+    p = _events_dir(spark, tmp_path)
+    schema = spark.read.parquet(p).schema
+    stream = file_stream(spark, p, schema)
+    sess = sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
+    got = run_available_now(sess, "sessions", str(tmp_path / "ck3"), "complete")
+    n_events = got.agg(F.sum("n_events")).first()[0]
+    assert n_events == spark.read.parquet(p).count()
+    # sessions for one user never overlap
+    rows = sorted(
+        got.filter(F.col("user_id") == got.first().user_id).collect(),
+        key=lambda r: r.session_start,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.session_end <= b.session_start
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    p = _events_dir(spark, tmp_path)
+    schema = spark.read.parquet(p).schema
+    # duplicate the whole directory contents: every event arrives twice
+    dup_dir = str(tmp_path / "dup")
+    spark.read.parquet(p).union(spark.read.parquet(p)).repartition(4).write.parquet(dup_dir)
+    stream = file_stream(spark, dup_dir, schema)
+    got = run_available_now(
+        streaming_dedup(stream, ["event_id"], watermark="10 days"),
+        "dedup_stream",
+        str(tmp_path / "ck4"),
+        "append",
+    )
+    assert got.count() == spark.read.parquet(p).count()
+
+
+def test_stateful_running_total(spark, tmp_path):
+    rows = [(1, f"2024-01-01 {h:02d}:00:00", float(h)) for h in range(6)] + [
+        (2, "2024-01-01 00:00:00", None)
+    ]
+    df = spark.createDataFrame(rows, "basin_id int, ts string, rainfall_mm double").select(
+        "basin_id", F.col("ts").cast("timestamp").alias("ts"), "rainfall_mm"
+    )
+    p = str(tmp_path / "rt")
+    df.write.parquet(p)
+    stream = file_stream(spark, p, df.schema)
+    got = run_available_now(
+        stateful_running_total(stream),
+        "running_total",
+        str(tmp_path / "ck5"),
+        "update",
+    )
+    final = {r.basin_id: (r.n_obs, r.cum_rainfall) for r in got.collect()}
+    assert final[1] == (6, 15.0)
+    assert final[2] == (0, 0.0)
