@@ -386,15 +386,7 @@ def _ph_sql(expr: str) -> str:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        TX.token_count("text").alias("n_tokens"),
-        F.length("text").alias("n_chars_calc"),
-        TX.punct_count("text").alias("n_punct"),
-        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(TX.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
-        TX.quality_score("text").alias("quality"),
-    )
+    return TX.text_stats(d, "text", ("doc_id",))
 
 
 ORACLE_TEXT_STATS = f"""

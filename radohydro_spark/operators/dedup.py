@@ -38,10 +38,11 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )
+    # array_distinct before the explode already makes (doc_id, shingle)
+    # unique — no distinct() after, which would cost a full extra shuffle
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
 
 
