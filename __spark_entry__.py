@@ -385,7 +385,7 @@ def _ph_sql(expr: str) -> str:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return TX.text_stats(d, "text", ("doc_id",))
 
 
@@ -407,7 +407,7 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
 
 
@@ -459,8 +459,20 @@ FROM documents WHERE doc_id < 20
 """
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan fanned out to full parallelism.
+
+    The test fixture is ONE small parquet file (1-2 scan tasks); the
+    token-explode operators downstream are CPU-bound, so a tiny round-robin
+    repartition buys ~16x wall-clock locally.  At real scale the scan has
+    natural file parallelism and AQE would coalesce this away.
+    """
+    n = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "documents").repartition(n)
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str, near: bool = False) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     extra = d.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         (F.concat(F.col("text"), F.lit(" zz11 zz22 zz33")) if near else F.col("text")).alias(
@@ -534,7 +546,7 @@ sigs AS (
 
 
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return DD.minhash_signatures(d, "text", "doc_id", n_hashes=8, k=3)
 
 
@@ -573,7 +585,7 @@ GROUP BY id_a, id_b
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return DD.simhash(d, "text", "doc_id", bits=16)
 
 
