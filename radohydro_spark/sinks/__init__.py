@@ -1,0 +1,13 @@
+from radohydro_spark.sinks.sinks import (
+    write_ascii_grid,
+    write_basin_csvs,
+    write_cellgrid_geoparquet,
+    write_wide_geoparquet,
+)
+
+__all__ = [
+    "write_ascii_grid",
+    "write_basin_csvs",
+    "write_cellgrid_geoparquet",
+    "write_wide_geoparquet",
+]
