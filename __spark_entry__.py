@@ -751,6 +751,36 @@ FROM chars GROUP BY media_id
 # Contract surface
 
 
+def q_crs_radolan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 — RADOLAN sphere polar-stereographic projection of a
+    deterministic lon/lat grid (geometry.crs pandas-UDF kernel).  The
+    projection is closed-form trig, so DuckDB reproduces it exactly in
+    SQL; the UTM/Krueger path is series-based and covered by unit tests
+    (tests/test_crs.py) instead."""
+    from radohydro_spark.geometry.crs import transform_crs
+
+    pts = (
+        spark.range(0, 22, 1, 1)
+        .select((5.0 + F.col("id") * 0.5).alias("lon"))
+        .crossJoin(spark.range(0, 20, 1, 1).select((46.0 + F.col("id") * 0.5).alias("lat")))
+    )
+    out = transform_crs(pts, "lon", "lat", "epsg:4326", "radolan")
+    return out.select(
+        "lon", "lat", F.round("x_t", 4).alias("x_km"), F.round("y_t", 4).alias("y_km")
+    )
+
+
+ORACLE_CRS_RADOLAN = """
+WITH i AS (SELECT 5.0 + unnest(range(22)) * 0.5 AS lon),
+j AS (SELECT 46.0 + unnest(range(20)) * 0.5 AS lat),
+k AS (SELECT 2 * 6370040.0 * (1 + sin(radians(60.0))) / 2 AS rk)
+SELECT lon, lat,
+       round(rk * tan(pi() / 4 - radians(lat) / 2) * sin(radians(lon) - radians(10.0)) / 1000, 4) AS x_km,
+       round(-rk * tan(pi() / 4 - radians(lat) / 2) * cos(radians(lon) - radians(10.0)) / 1000, 4) AS y_km
+FROM i, j, k
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -804,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
         "media_byte_histogram": q_byte_histogram,
+        # geo scalar kernels
+        "crs_radolan_project": q_crs_radolan,
     }
 
 
@@ -844,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_fake": ORACLE_MEDIA_DECODE,
         "media_frame_sample": ORACLE_MEDIA_FRAMES,
         "media_byte_histogram": ORACLE_BYTE_HISTOGRAM,
+        "crs_radolan_project": ORACLE_CRS_RADOLAN,
     }
 
 

@@ -5,6 +5,7 @@ from radohydro_spark.geometry.wkb import (
     wkb_polygon,
 )
 from radohydro_spark.geometry.clip import polygon_area, rect_clip_polygon_area
+from radohydro_spark.geometry.crs import transform_crs, transform_points
 
 __all__ = [
     "parse_wkb_polygons",
@@ -13,4 +14,6 @@ __all__ = [
     "wkb_multipolygon",
     "polygon_area",
     "rect_clip_polygon_area",
+    "transform_crs",
+    "transform_points",
 ]
