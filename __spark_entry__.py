@@ -781,6 +781,176 @@ FROM i, j, k
 """
 
 
+SQL_SCALAR_SUBQ = """
+SELECT c_custkey, c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.8 FROM customer)
+"""
+
+SQL_EXISTS_CORRELATED = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+SQL_OUTER_JOIN = """
+SELECT n.n_name,
+       COUNT(c.c_custkey) AS n_customers,
+       CAST(COALESCE(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_acctbal
+FROM nation n
+LEFT JOIN customer c
+  ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0
+GROUP BY n.n_name
+"""
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+"""
+
+SQL_LARGE_ORDERS = """
+SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(t.sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+) t ON t.l_orderkey = o.o_orderkey
+"""
+
+SQL_DISTINCT_AGG = """
+SELECT c_nationkey,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+SQL_CASE_PIVOT = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       COUNT(*) AS n_total
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming replay of the hourly events rollup: file-source
+    stream -> watermark + tumbling window -> availableNow drain.  Returns
+    the SAME rows as the batch/DuckDB twin (SQL_EVENTS_HOURLY) — the
+    engine's incremental-equals-batch guarantee, checked by the driver."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import run_available_now, tumbling_agg
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file source wants a directory basePath: stream the sf dir with a
+    # glob pinned to the events file
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        [F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")],
+        keys=["event_type"],
+        watermark="1 hour",
+    )
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    out = run_available_now(agg, name, tempfile.mkdtemp(prefix="ck_"), "complete")
+    return out.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+ORACLE_STREAM_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: first-16 centroids, nprobe=4, exact rerank in probed
+    lists.  Deterministic coarse quantizer -> strong DuckDB oracle."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(e, queries, n_centroids=16, nprobe=4, k=5)
+
+
+ORACLE_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.cv)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.centroid_id ASC) AS rn
+    FROM e, cent) t
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+qprobe AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cent.cv)
+                      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.centroid_id ASC) AS pr
+    FROM q, cent) t
+  WHERE pr <= 4
+),
+scored AS (
+  SELECT qprobe.query_id, e.vec_id,
+         round(list_dot_product(qprobe.qv, e.v)
+               / (sqrt(list_dot_product(qprobe.qv, qprobe.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM qprobe
+  JOIN assigned ON assigned.centroid_id = qprobe.centroid_id
+  JOIN e ON e.vec_id = assigned.vec_id
+)
+SELECT query_id, vec_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored) t
+WHERE rank <= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -809,6 +979,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
         "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
         "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
+        "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
+        "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
+        "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
+        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
+        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
+        "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
+        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
         "scalar_funcs": q_scalar_funcs,
         "date_sequence": q_date_sequence,
         "filename_parse": q_filename_parse,
@@ -816,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         "events_sessionize": q_events_sessions,
         "events_props_extract": q_events_props,
+        "events_stream_hourly": q_events_stream_hourly,
         # text analysis
         "text_stats": q_text_stats,
         "text_lang_id": q_lang_id,
@@ -830,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "similarity_cosine_topk": q_cosine_topk,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
+        "similarity_ivf_topk": q_ivf_topk,
         # multimodal plumbing
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
@@ -856,12 +1035,20 @@ def oracle_sql() -> dict[str, str]:
         "join_anti_customers": SQL_ANTI,
         "set_ops_brands": SQL_SETOPS,
         "rollup_revenue": SQL_ROLLUP,
+        "subquery_scalar": SQL_SCALAR_SUBQ,
+        "subquery_exists_correlated": SQL_EXISTS_CORRELATED,
+        "join_outer_nations": SQL_OUTER_JOIN,
+        "grouping_sets_pricing": SQL_GROUPING_SETS,
+        "tpch_q18_large_orders": SQL_LARGE_ORDERS,
+        "distinct_agg_segments": SQL_DISTINCT_AGG,
+        "events_case_pivot": SQL_CASE_PIVOT,
         "scalar_funcs": ORACLE_SCALAR_FUNCS,
         "date_sequence": ORACLE_DATE_SEQUENCE,
         "filename_parse": ORACLE_FILENAME_PARSE,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONS_BODY.format(epoch="epoch_us(ts)", gap="1800000000"),
         "events_props_extract": ORACLE_EVENTS_PROPS,
+        "events_stream_hourly": ORACLE_STREAM_HOURLY,
         "text_stats": ORACLE_TEXT_STATS,
         "text_lang_id": _langid_sql(),
         "text_fingerprint": ORACLE_FINGERPRINT,
@@ -877,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": ORACLE_MEDIA_FRAMES,
         "media_byte_histogram": ORACLE_BYTE_HISTOGRAM,
         "crs_radolan_project": ORACLE_CRS_RADOLAN,
+        "similarity_ivf_topk": ORACLE_IVF_TOPK,
     }
 
 

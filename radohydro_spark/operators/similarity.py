@@ -106,6 +106,133 @@ def lsh_bucket(
     return bucket
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    by: str = "cosine",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine via
+    ``max_by`` over a broadcast centroid cross join — one narrow stage plus
+    a map-side-combinable aggregate, no corpus shuffle)."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).alias("_cent")
+    )
+    scored = df.crossJoin(F.broadcast(c)).withColumn(
+        "_sim", cosine(F.col(vec_col), F.col("_cent"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by("centroid_id", F.struct(F.col("_sim"), -F.col("centroid_id"))).alias(
+                "centroid_id"
+            )
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    inverted lists, probe only the query's ``nprobe`` nearest lists.
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id —
+    deterministic, so the DuckDB oracle reproduces the exact same
+    partitioning (swap in ``ivf_train``'s Lloyd-refined centroids for
+    production recall; the plan shape is identical).
+
+    Scale shape (100 TB): corpus is written bucketed by ``centroid_id``
+    once; a query probes nprobe/n_centroids of the data, queries
+    broadcast, and the only shuffle is the final per-query top-k window
+    over |queries| x nprobe x avg-list candidates.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col).join(
+        corpus, id_col
+    )
+
+    cq = centroids.select("centroid_id", F.col(vec_col).alias("_cent"))
+    qprobe = (
+        queries.crossJoin(F.broadcast(cq))
+        .withColumn("_sim", cosine(F.col(vec_col), F.col("_cent")))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                W.partitionBy(query_id_col).orderBy(
+                    F.desc("_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "centroid_id",
+        )
+    )
+    scored = assigned.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    ).join(F.broadcast(qprobe), "centroid_id").withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids, expressed relationally:
+    assignment = broadcast argmax-cosine; update = per-(centroid, dim) mean
+    via posexplode + groupBy — both map-side combinable.  The driver loop
+    only carries the (tiny) centroid table between iterations.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, centroids, vec_col, id_col).join(corpus, id_col)
+        centroids = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("_dm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("_dm"), lambda s: s["m"]).alias(vec_col),
+            )
+        )
+    return centroids
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
