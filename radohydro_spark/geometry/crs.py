@@ -166,6 +166,37 @@ def transform_points(x, y, src: str, dst: str):
     return _from_lonlat(lon, lat, dst)
 
 
+def reproject_wkb(
+    df: DataFrame, src: str, dst: str, geom_col: str = "geom"
+) -> DataFrame:
+    """Reproject a WKB geometry column between CRSs (the engine form of the
+    reference's ``to_crs`` on basins/cells, geotools/geotools.py:75,
+    207-208).  Pandas UDF: parse rings -> transform vertex arrays ->
+    re-encode; vertex counts are dimension-scale so this never dominates."""
+    import numpy as np
+
+    @F.pandas_udf("binary")
+    def _re(geoms: pd.Series) -> pd.Series:
+        from radohydro_spark.geometry.wkb import parse_wkb_polygons, wkb_multipolygon
+
+        out = []
+        for blob in geoms:
+            polys = parse_wkb_polygons(bytes(blob))
+            new_polys = []
+            for rings in polys:
+                new_rings = []
+                for ring in rings:
+                    xs = np.array([p[0] for p in ring])
+                    ys = np.array([p[1] for p in ring])
+                    xt, yt = transform_points(xs, ys, src, dst)
+                    new_rings.append(list(zip(xt.tolist(), yt.tolist())))
+                new_polys.append(new_rings)
+            out.append(wkb_multipolygon(new_polys))
+        return pd.Series(out)
+
+    return df.withColumn(geom_col, _re(F.col(geom_col)))
+
+
 def transform_crs(
     df: DataFrame, x_col: str, y_col: str, src: str, dst: str,
     out_x: str = "x_t", out_y: str = "y_t",

@@ -196,9 +196,12 @@ def spatial_intersect(cells: DataFrame, basins: DataFrame) -> DataFrame:
     README.md:18) the bbox join still broadcasts (10k WKB rows ≪ 64 MB) and
     the quadratic pair explosion is bounded by bbox selectivity.
 
-    Returns FRAGMENTS_SCHEMA plus any passthrough basin attribute columns.
+    Returns FRAGMENTS_SCHEMA.  The basin side is projected to
+    ``(basin_id, geom)`` before the join: passthrough attributes re-join at
+    sink time on ``basin_id`` (J3), and shapefile attrs may collide with
+    the cell grid's ``left/bottom/right/top`` columns otherwise.
     """
-    b = with_bbox(basins)
+    b = with_bbox(basins.select("basin_id", "geom"))
     cand = cells.join(
         F.broadcast(b),
         (F.col("left") < F.col("xmax"))

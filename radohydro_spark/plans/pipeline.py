@@ -19,12 +19,98 @@ becomes lazy evaluation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radohydro_spark.operators.aggregate import weighted_basin_timeseries
 from radohydro_spark.operators.spatial import spatial_intersect, window_predicate
 from radohydro_spark.operators.weights import apply_nan_policy, basin_weights
+
+
+def radohydro_run(
+    spark: SparkSession,
+    start: str,
+    end: str,
+    shapefile_path: str,
+    mirror_dir: str,
+    out_dir: str,
+    source: str = "radolan",
+    date_type: str = "minutes",
+    numerator: float = 10.0,
+    write_wide: bool = True,
+    shape_crs: str | None = None,
+    grid_crs: str | None = None,
+) -> DataFrame:
+    """The reference's primary entry (``radohydro(...)``, radohydro.py:
+    503-546) as one Spark job against a local/object-store mirror:
+
+        manifest(mirror) → date filter (S5, BEFORE decode) → decode (S6/S7)
+        → cell grid from a sample member (compute-once, broadcast)
+        → J1/A5/A3/A4 pipeline → K1 per-basin CSVs [+ K2 wide GeoParquet]
+
+    Returns the long result DataFrame (sinks are side effects, but unlike
+    the reference the result is also a first-class value).
+    """
+    from radohydro_spark.operators.spatial import (
+        basin_bounds,
+        buffered_clip_window,
+        create_cell_grid,
+    )
+    from radohydro_spark.sinks import write_basin_csvs, write_wide_geoparquet
+    from radohydro_spark.sources.ascii_grid import decode_ascii_grids, grid_meta
+    from radohydro_spark.sources.manifest import filter_members_by_range, local_manifest
+    from radohydro_spark.sources.regnie import decode_regnie
+    from radohydro_spark.sources.shapefile import basins_from_shapefile
+
+    manifest = filter_members_by_range(
+        local_manifest(spark, mirror_dir), start, end, date_type
+    )
+    if source == "radolan":
+        obs = decode_ascii_grids(manifest, date_type)
+    elif source == "regnie":
+        obs = decode_regnie(manifest)
+    else:
+        raise ValueError(f"unknown source: {source}")
+
+    # compute-once grid geometry from one member (reference initDf branch,
+    # radohydro.py:216-248) — driver-side probe of a single payload
+    sample = manifest.select("payload").first()
+    if sample is None:
+        raise ValueError(f"no members in [{start}, {end}] under {mirror_dir}")
+    meta = grid_meta(bytes(sample["payload"]))
+    cells = create_cell_grid(
+        spark,
+        meta["n_rows"],
+        meta["n_cols"],
+        meta["ulx"],
+        meta["uly"],
+        meta["xres"],
+        meta["yres"],
+    )
+    basins = basins_from_shapefile(spark, shapefile_path)
+    if shape_crs and grid_crs and shape_crs.lower() != grid_crs.lower():
+        # reference reprojects basins onto the working CRS before the
+        # overlay (geotools/geotools.py:207-208)
+        from radohydro_spark.geometry.crs import reproject_wkb
+
+        basins = reproject_wkb(basins, shape_crs, grid_crs)
+
+    window = buffered_clip_window(
+        basin_bounds(basins),
+        meta["ulx"],
+        meta["uly"],
+        meta["xres"],
+        meta["yres"],
+        meta["n_rows"],
+        meta["n_cols"],
+    )
+    result = precip_timeseries(
+        obs, cells, basins, clip_window=window, numerator=numerator
+    )
+    write_basin_csvs(result, basins, out_dir)
+    if write_wide:
+        write_wide_geoparquet(result, basins, f"{out_dir}/basins_wide.parquet")
+    return result
 
 
 def precip_timeseries(
