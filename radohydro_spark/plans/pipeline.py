@@ -62,22 +62,28 @@ def radohydro_run(
     from radohydro_spark.sources.regnie import decode_regnie
     from radohydro_spark.sources.shapefile import basins_from_shapefile
 
+    if source == "regnie":
+        date_type = "days2"  # raYYMMDD member names, reference radohydro.py:434
     manifest = filter_members_by_range(
         local_manifest(spark, mirror_dir), start, end, date_type
     )
     if source == "radolan":
         obs = decode_ascii_grids(manifest, date_type)
+        # compute-once grid geometry from one member (reference initDf
+        # branch, radohydro.py:216-248) — driver-side probe of one payload
+        sample = manifest.select("payload").first()
+        if sample is None:
+            raise ValueError(f"no members in [{start}, {end}] under {mirror_dir}")
+        meta = grid_meta(bytes(sample["payload"]))
     elif source == "regnie":
+        from radohydro_spark.sources.regnie import REGNIE_TRANSFORM
+
         obs = decode_regnie(manifest)
+        # REGNIE's grid is fixed by spec — the reference hard-codes the
+        # transform (radohydro.py:392-395)
+        meta = dict(REGNIE_TRANSFORM)
     else:
         raise ValueError(f"unknown source: {source}")
-
-    # compute-once grid geometry from one member (reference initDf branch,
-    # radohydro.py:216-248) — driver-side probe of a single payload
-    sample = manifest.select("payload").first()
-    if sample is None:
-        raise ValueError(f"no members in [{start}, {end}] under {mirror_dir}")
-    meta = grid_meta(bytes(sample["payload"]))
     cells = create_cell_grid(
         spark,
         meta["n_rows"],
@@ -87,7 +93,10 @@ def radohydro_run(
         meta["xres"],
         meta["yres"],
     )
-    basins = basins_from_shapefile(spark, shapefile_path)
+    if isinstance(shapefile_path, DataFrame):
+        basins = shapefile_path  # pre-built basins(basin_id, geom, ...)
+    else:
+        basins = basins_from_shapefile(spark, shapefile_path)
     if shape_crs and grid_crs and shape_crs.lower() != grid_crs.lower():
         # reference reprojects basins onto the working CRS before the
         # overlay (geotools/geotools.py:207-208)

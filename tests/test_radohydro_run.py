@@ -84,3 +84,54 @@ def test_radohydro_run_debug1x3(spark, tmp_path):
     body = open(out / "basin_1.csv").read().splitlines()
     assert len(body) == 3 + 3  # headers + 3 timesteps
     assert spark.read.parquet(str(out / "basins_wide.parquet")).count() == 3
+
+
+def test_radohydro_run_regnie(spark, tmp_path):
+    """REGNIE path: gzipped fixed-width day files, hard-coded lon/lat grid
+    (reference radohydro.py:392-395), daily timestamps from raYYMMDD names."""
+    import gzip
+
+    import numpy as np
+
+    from radohydro_spark.geometry.wkb import wkb_box
+    from radohydro_spark.sources.regnie import REGNIE_COLS, REGNIE_ROWS, REGNIE_TRANSFORM
+
+    def day_payload(day: int) -> bytes:
+        r = np.arange(REGNIE_ROWS)[:, None]
+        c = np.arange(REGNIE_COLS)[None, :]
+        vals = ((r + c + day) % 1200).astype(int)
+        lines = ["".join(f"{v:4d}" for v in row) for row in vals]
+        lines.append("metadata trailer")  # dropped by the decoder
+        return gzip.compress("\n".join(lines).encode())
+
+    mirror = tmp_path / "regnie"
+    mirror.mkdir()
+    for day in (1, 2):
+        (mirror / f"ra2401{day:02d}.gz").write_bytes(day_payload(day))
+
+    # one basin covering exactly cells (row 100, cols 200..202)
+    t = REGNIE_TRANSFORM
+    left = t["ulx"] + 200 * t["xres"]
+    right = t["ulx"] + 203 * t["xres"]
+    top = t["uly"] + 100 * t["yres"]
+    bottom = t["uly"] + 101 * t["yres"]
+    basins = spark.createDataFrame(
+        [(1, wkb_box(left, bottom, right, top))], "basin_id int, geom binary"
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    result = radohydro_run(
+        spark,
+        start="2024-01-01",
+        end="2024-01-02",
+        shapefile_path=basins,
+        mirror_dir=str(mirror),
+        out_dir=str(out),
+        source="regnie",
+        write_wide=False,
+    )
+    rows = {r.ts.day: r.rainfall_mm for r in result.collect()}
+    for day in (1, 2):
+        vals = [(100 + c + day) % 1200 for c in (200, 201, 202)]
+        assert rows[day] == round(sum(vals) / 3 / 10, 3)
