@@ -951,6 +951,25 @@ WHERE rank <= 5
 """
 
 
+def q_precip_radolan_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scale RADOLAN day (900x900 cells x 24 h = 19.4M obs rows, 20
+    basins) — the reference's real workload shape, where its dense stack
+    representation hits the RAM cliff (radohydro.py:257-260).  Rows-only
+    driver check (the small-grid precip queries pin exact values)."""
+    from radohydro_spark.sources.synthetic import (
+        radolan_scale_basins,
+        radolan_scale_cells,
+        radolan_scale_obs,
+    )
+
+    res = precip_timeseries(
+        radolan_scale_obs(spark), radolan_scale_cells(spark), radolan_scale_basins(spark)
+    )
+    return res.select(
+        "basin_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "rainfall_mm"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -967,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_cellgrid": q_precip_cellgrid,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
+        "precip_radolan_scale": q_precip_radolan_scale,
         # relational (SURVEY §2.2-2.8 generic operators)
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),

@@ -24,6 +24,7 @@ from radohydro_spark import get_spark
 
 HEADLINE = [
     "precip_basin_timeseries",
+    "precip_radolan_scale",
     "tpch_q1_pricing",
     "tpch_q3_top_orders",
     "tpch_q5_regional_revenue",

@@ -46,9 +46,13 @@ def create_cell_grid(
     GeoTransform conventions the reference consumes
     (geotools/geotools.py:50-54).
     """
-    # dimension-sized output (even RADOLAN's 900x900 = 810k rows): generate
-    # in a single partition rather than 32 near-empty tasks
-    rows = spark.range(0, n_rows, 1, 1).select(F.col("id").cast("int").alias("cell_row"))
+    # partition by output size: tiny grids in one task (32 near-empty tasks
+    # cost more than they save), RADOLAN-sized grids across the row axis so
+    # downstream per-cell work (bbox join + area UDF) parallelizes
+    n_parts = 1 if n_rows * n_cols < 100_000 else min(n_rows, 32)
+    rows = spark.range(0, n_rows, 1, n_parts).select(
+        F.col("id").cast("int").alias("cell_row")
+    )
     cols = spark.range(0, n_cols, 1, 1).select(F.col("id").cast("int").alias("cell_col"))
     grid = rows.crossJoin(cols)
     x0 = F.lit(float(ulx)) + F.col("cell_col") * F.lit(float(xres))

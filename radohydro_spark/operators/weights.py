@@ -42,7 +42,15 @@ def apply_nan_policy(
     ``remove_nan=True`` is the reference's unconditional drop path
     (geotools/geotools.py:239-240): dirty cells are removed even if the
     whole basin is dirty.
+
+    Scale note: the dirty-flag aggregate is the only operator that would
+    otherwise scan the whole obs table, so obs is first semi-joined to the
+    fragment cell set (dimension-sized, broadcast) — on a RADOLAN day that
+    cuts the aggregate's input to just the basin-covered cells, and the
+    filter sits before the shuffle.
     """
+    frag_cells = fragments.select("cell_row", "cell_col").distinct()
+    obs = obs.join(F.broadcast(frag_cells), ["cell_row", "cell_col"], "left_semi")
     flags = cell_dirty_flags(obs)
     fb = fragments.join(F.broadcast(flags), ["cell_row", "cell_col"], "left").fillna(
         {"is_dirty": 0}

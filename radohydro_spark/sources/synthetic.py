@@ -252,3 +252,62 @@ FROM cells c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
   USING (cell_row, cell_col)
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# RADOLAN-true-scale generator (bench only): the reference's actual workload
+# shape — 900x900 cells @ 1 km, hourly (radohydro.py:150,181) — which its
+# dense np.dstack representation cannot hold for long ranges
+# (radohydro.py:257-260).  ~19.4M obs rows/day, generated JVM-side.
+
+RADOLAN_SCALE = GridSpec(
+    n_rows=900,
+    n_cols=900,
+    x0=-523458.0,
+    y0=-4658645.0,
+    cell=1000.0,
+    n_ts=24,
+)
+
+
+def radolan_scale_cells(spark: SparkSession, g: GridSpec = RADOLAN_SCALE) -> DataFrame:
+    return synthetic_cells(spark, g)
+
+
+def radolan_scale_obs(
+    spark: SparkSession, g: GridSpec = RADOLAN_SCALE, partitions: int = 32
+) -> DataFrame:
+    """Long obs at full RADOLAN scale: one `spark.range` + pure column
+    arithmetic, so generation is whole-stage-codegen JVM work that
+    parallelizes across `partitions` tasks (no driver materialization)."""
+    n = g.n_rows * g.n_cols * g.n_ts
+    base = spark.range(0, n, 1, partitions)
+    cell_idx = F.col("id") % (g.n_rows * g.n_cols)
+    return base.select(
+        (
+            F.to_timestamp(F.lit(g.t0))
+            + F.make_interval(hours=(F.col("id") / (g.n_rows * g.n_cols)).cast("int"))
+        ).alias("ts"),
+        (cell_idx % g.n_rows).cast("int").alias("cell_row"),
+        (cell_idx / g.n_rows).cast("int").alias("cell_col"),
+        F.when(F.expr(NULL_COND.replace("h +", "CAST(id / 810000 AS INT) +")), F.lit(None).cast("double"))
+        .otherwise(F.expr(VALUE_EXPR.replace("h*13", "CAST(id / 810000 AS INT)*13")))
+        .alias("value"),
+    )
+
+
+def radolan_scale_basins(
+    spark: SparkSession, g: GridSpec = RADOLAN_SCALE, n_basins: int = 20
+) -> DataFrame:
+    """n_basins rectangles of growing size (5x5 .. ~60x60 km) scattered
+    deterministically over the grid interior."""
+    import pandas as pd
+
+    rows = []
+    for i in range(n_basins):
+        size = 5000.0 + (i * 2901.0) % 55000.0
+        left = g.x0 + ((i * 97003.0) % (g.n_cols * g.cell - size - 4000.0)) + 2000.0
+        bottom = g.y0 + ((i * 53077.0) % (g.n_rows * g.cell - size - 4000.0)) + 2000.0
+        rows.append((i + 1, wkb_box(left, bottom, left + size + 500.0, bottom + size)))
+    pdf = pd.DataFrame({"basin_id": [r[0] for r in rows], "geom": [r[1] for r in rows]})
+    return spark.createDataFrame(pdf, schema=BASINS_SCHEMA)
