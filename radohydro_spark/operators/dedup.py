@@ -69,15 +69,35 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle candidates.
 
     |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.  The join
-    shuffles on the shingle value — skew-prone on stop-shingles; at scale,
-    drop top-frequency shingles first (the standard guard) or use MinHash
-    banding below."""
-    sh = word_shingles(df, text_col, id_col, k).cache()
+    shuffles on the shingle value — skew-prone on stop-shingles.
+
+    ``max_doc_freq`` is the scale guard: shingles occurring in more than
+    that many documents are dropped *before* the self-join (a shingle in f
+    docs contributes f² candidate pairs, so one hot stop-shingle at corpus
+    scale dwarfs everything else).  Off by default — it changes |A∩B|/|A∪B|
+    slightly, so the exact-oracle query keeps it off; at 100 TB you turn it
+    on (or use MinHash banding below, which has no quadratic term at all).
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
