@@ -970,6 +970,27 @@ def q_precip_radolan_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-counting trio for corpus budgeting: whitespace words, BPE-ish
+    pre-token count (letter runs / digits / punct), chars/4 estimate."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_words"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        TX.bpe_ish_token_estimate("text").alias("n_chars4"),
+    )
+
+
+ORACLE_TOKEN_BUDGET = f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_ish,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars4
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -1018,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
+        "text_token_budget": q_token_budget,
         # dedup
         "dedup_exact_groups": q_exact_dups,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1072,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": ORACLE_TEXT_STATS,
         "text_lang_id": _langid_sql(),
         "text_fingerprint": ORACLE_FINGERPRINT,
+        "text_token_budget": ORACLE_TOKEN_BUDGET,
         "dedup_exact_groups": ORACLE_EXACT_DUPS,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_minhash_signatures": ORACLE_MINHASH_SIGS,

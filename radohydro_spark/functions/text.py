@@ -44,6 +44,25 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """GPT-2-style pre-tokenizer approximation: letter runs, single digits,
+    and punctuation each count as one token (the dominant terms of the
+    byte-pair pre-tokenization regex).  Trains-data budgeting needs token
+    counts long before a real tokenizer enters the pipeline; this stays
+    JVM-side (`regexp_count`) and has an exact DuckDB twin."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_RE))
+
+
+def bpe_ish_token_estimate(text: Column | str) -> Column:
+    """chars/4 rule-of-thumb estimate, the standard budgeting fallback."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.ceil(F.length(c) / F.lit(4.0)).cast("long")
+
+
 def punct_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))

@@ -142,18 +142,34 @@ def ftp_list(kind: str = "recent", year: int | None = None, max_retries: int = 3
     raise ConnectionError(f"FTP listing failed after {max_retries} attempts: {path}")
 
 
-def ftp_fetch_payloads(manifest: DataFrame, kind: str = "recent", year: int | None = None) -> DataFrame:
+def ftp_fetch_payloads(
+    manifest: DataFrame,
+    kind: str = "recent",
+    year: int | None = None,
+    ftp_factory=None,
+) -> DataFrame:
     """S2 — fetch payloads for a names-only manifest inside executor tasks
     (each task downloads its files; retries via task retries + bounded
-    in-UDF loop, reference radohydro.py:191-204)."""
+    in-UDF loop with reconnect, reference radohydro.py:191-204).
+
+    ``ftp_factory`` (a no-arg callable returning a connected-able FTP-like
+    object) is pickled into the task closure — the injection point for
+    tests and for non-DWD servers."""
     path = DWD_PATHS[kind].format(year=year)
 
-    def fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ftplib import FTP
+    def connect():
+        if ftp_factory is not None:
+            ftp = ftp_factory()
+        else:
+            from ftplib import FTP
 
-        ftp = FTP(DWD_SERVER, timeout=60)
+            ftp = FTP(DWD_SERVER, timeout=60)
         ftp.login()
         ftp.cwd(path)
+        return ftp
+
+    def fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ftp = connect()
         for pdf in it:
             payloads = []
             for fname in pdf["fname"]:
@@ -164,9 +180,7 @@ def ftp_fetch_payloads(manifest: DataFrame, kind: str = "recent", year: int | No
                         ftp.retrbinary(f"RETR {fname}", buf.write)
                         break
                     except OSError:
-                        ftp = FTP(DWD_SERVER, timeout=60)
-                        ftp.login()
-                        ftp.cwd(path)
+                        ftp = connect()
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"fname": pdf["fname"], "payload": payloads})
 
