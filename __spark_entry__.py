@@ -991,6 +991,48 @@ FROM documents
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event gets the most recent prior (<=) click
+    by the same user — union+window implementation (operators/asof.py), no
+    inequality join anywhere.  DuckDB's native ASOF JOIN is the oracle."""
+    from radohydro_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, keys=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("click_value_asof", 4).alias("click_value"),
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       round(c.click_value, 4) AS click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -1035,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessions,
         "events_props_extract": q_events_props,
         "events_stream_hourly": q_events_stream_hourly,
+        "events_asof_join": q_events_asof,
         # text analysis
         "text_stats": q_text_stats,
         "text_lang_id": q_lang_id,
@@ -1091,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONS_BODY.format(epoch="epoch_us(ts)", gap="1800000000"),
         "events_props_extract": ORACLE_EVENTS_PROPS,
         "events_stream_hourly": ORACLE_STREAM_HOURLY,
+        "events_asof_join": ORACLE_EVENTS_ASOF,
         "text_stats": ORACLE_TEXT_STATS,
         "text_lang_id": _langid_sql(),
         "text_fingerprint": ORACLE_FINGERPRINT,

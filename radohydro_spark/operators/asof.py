@@ -1,0 +1,80 @@
+"""As-of (most-recent-prior) join — a custom operator Spark lacks natively.
+
+The naive formulation is an inequality theta-join (`l.ts >= r.ts`, pick
+the max r.ts), which Spark executes as a broadcast nested loop or a
+sort-merge over an exploded range — both blow up at scale.  This
+implementation uses the union+window form instead:
+
+    tag right rows side=0, left rows side=1
+    unionByName → one shuffle on the join keys
+    last(right_payload, ignoreNulls) OVER (PARTITION BY keys
+        ORDER BY ts, side ROWS UNBOUNDED PRECEDING)
+    keep side=1 rows
+
+One hash-partition shuffle + one sort — the same cost profile as a
+groupBy, linear in |L|+|R|, no quadratic candidate expansion.  Ordering
+(ts, side) puts a right row at ts == t before left rows at t, giving
+inclusive `l.ts >= r.ts` semantics (DuckDB ASOF JOIN's default), and ties
+inside the right stream resolve to its last row in (ts, tiebreak) order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right.ts <= left.ts`` within the same key group (NULLs when no prior
+    right row exists).
+
+    ``right_cols`` are the right-side payload columns to carry (default:
+    everything except keys and ts); each arrives as ``<name><suffix>``,
+    plus ``<ts_col><suffix>`` for the matched timestamp.  ``tiebreak``
+    optionally orders equal-timestamp right rows (last one wins).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys + [ts_col]]
+    payload = F.struct(
+        F.col(ts_col).alias("_rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    order_tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        order_tb.alias("_tb"),
+        payload.alias("_rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(0).alias("_tb"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "_match", F.last("_rpay", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        F.col(f"_match._rts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out

@@ -1,0 +1,55 @@
+"""asof_join semantics: inclusive match, no-prior-row NULLs, key isolation,
+tie-break, and linear plan shape (exactly one shuffle, no nested-loop join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from radohydro_spark.operators.asof import asof_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_asof_basic_semantics(spark):
+    left = _df(
+        spark,
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:30:00"), (2, "2024-01-01 09:00:00")],
+        "k int, ts string",
+    )
+    right = _df(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 10.0),  # equal ts -> inclusive match
+            (1, "2024-01-01 11:00:00", 20.0),
+            (2, "2024-01-01 12:00:00", 99.0),  # after left -> no match
+        ],
+        "k int, ts string, v double",
+    )
+    out = {
+        (r.k, r.ts.strftime("%H:%M")): (r.v_asof, r.ts_asof and r.ts_asof.strftime("%H:%M"))
+        for r in asof_join(left, right, keys=["k"]).collect()
+    }
+    assert out[(1, "10:00")] == (10.0, "10:00")  # l.ts >= r.ts inclusive
+    assert out[(1, "11:30")] == (20.0, "11:00")  # most recent prior
+    assert out[(2, "09:00")] == (None, None)  # nothing prior for key 2
+
+
+def test_asof_tiebreak_last_wins(spark):
+    left = _df(spark, [(1, "2024-01-01 10:00:00")], "k int, ts string")
+    right = _df(
+        spark,
+        [(1, "2024-01-01 09:00:00", 1.0), (1, "2024-01-01 09:00:00", 2.0)],
+        "k int, ts string, v double",
+    )
+    out = asof_join(left, right, keys=["k"], tiebreak="v").collect()
+    assert out[0].v_asof == 2.0
+
+
+def test_asof_plan_is_linear(spark):
+    left = _df(spark, [(1, "2024-01-01 10:00:00")], "k int, ts string")
+    right = _df(spark, [(1, "2024-01-01 09:00:00", 1.0)], "k int, ts string, v double")
+    plan = asof_join(left, right, keys=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
