@@ -1033,6 +1033,82 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders priced into deterministic price bands via the
+    bucketized equi-join (operators/rangejoin.py) — no nested-loop join in
+    the plan.  Oracle is the plain inequality join."""
+    from radohydro_spark.operators.rangejoin import range_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(0, 12, 1, 1).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    out = range_join(o, bands, "o_totalprice", bucket_width=50000.0)
+    return (
+        out.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH bands AS (
+  SELECT CAST(i AS INT) AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+  FROM (SELECT unnest(range(12)) AS i)
+)
+SELECT band_id, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS band_revenue
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+"""
+
+SQL_LEAD_LAG = """
+SELECT o_custkey, o_orderkey,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+       datediff(o_orderdate,
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)) AS days_since_prev,
+       CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS next_orderkey
+FROM orders
+"""
+
+ORACLE_LEAD_LAG = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       datediff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS days_since_prev,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+"""
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(percentile(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(percentile(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(percentile(l_extendedprice, 0.99), 4) AS p99,
+       ROUND(MIN(l_extendedprice), 4) AS pmin,
+       ROUND(MAX(l_extendedprice), 4) AS pmax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       ROUND(MIN(l_extendedprice), 4) AS pmin,
+       ROUND(MAX(l_extendedprice), 4) AS pmax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -1078,6 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": q_events_props,
         "events_stream_hourly": q_events_stream_hourly,
         "events_asof_join": q_events_asof,
+        "orders_range_join": q_orders_range_join,
+        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
+        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
         # text analysis
         "text_stats": q_text_stats,
         "text_lang_id": q_lang_id,
@@ -1135,6 +1214,9 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": ORACLE_EVENTS_PROPS,
         "events_stream_hourly": ORACLE_STREAM_HOURLY,
         "events_asof_join": ORACLE_EVENTS_ASOF,
+        "orders_range_join": ORACLE_RANGE_JOIN,
+        "window_lead_lag": ORACLE_LEAD_LAG,
+        "stats_percentiles": ORACLE_PERCENTILES,
         "text_stats": ORACLE_TEXT_STATS,
         "text_lang_id": _langid_sql(),
         "text_fingerprint": ORACLE_FINGERPRINT,

@@ -53,3 +53,19 @@ def test_asof_plan_is_linear(spark):
     right = _df(spark, [(1, "2024-01-01 09:00:00", 1.0)], "k int, ts string, v double")
     plan = asof_join(left, right, keys=["k"])._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_matches_naive_and_avoids_bnlj(spark):
+    from radohydro_spark.operators.rangejoin import range_join
+
+    points = spark.range(0, 500, 1, 4).select((F.col("id") * 7.3 % 100).alias("x"))
+    iv = spark.createDataFrame(
+        [(1, 5.0, 20.0), (2, 15.0, 40.0), (3, 90.0, 100.0)], "iv_id int, lo double, hi double"
+    )
+    fast = range_join(points, iv, "x", bucket_width=10.0)
+    naive = points.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+    assert sorted((r.x, r.iv_id) for r in fast.collect()) == sorted(
+        (r.x, r.iv_id) for r in naive.collect()
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
