@@ -38,3 +38,38 @@ def write_obs_bucketed(
 
 def read_obs_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_obs_partitioned(obs: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist obs hive-partitioned by observation date (``dt=YYYYMMDD/``).
+
+    The storage form of the reference's filename-date pruning (S3,
+    radohydro.py:188-189): a date-range query prunes whole directories at
+    planning time (PartitionFilters in the scan), so a one-day query over a
+    100 TB archive reads one day's files.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        obs.withColumn("dt", F.date_format("ts", "yyyyMMdd"))
+        .repartition("dt")
+        .write.mode(mode)
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def read_obs_partitioned(
+    spark: SparkSession, path: str, start: str | None = None, end: str | None = None
+) -> DataFrame:
+    """Read the partitioned obs archive with partition pruning: the date
+    predicate targets the ``dt`` partition column, so Catalyst eliminates
+    directories before any I/O."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if start:
+        df = df.filter(F.col("dt") >= start.replace("-", "")[:8])
+    if end:
+        df = df.filter(F.col("dt") <= end.replace("-", "")[:8])
+    return df.drop("dt")

@@ -73,11 +73,22 @@ def grid_meta(payload: bytes) -> dict:
 
 
 def _decode_partition(
-    it: Iterator[pd.DataFrame], date_type: str
+    it: Iterator[pd.DataFrame], date_type: str, permissive: bool = False
 ) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for fname, payload in zip(pdf["fname"], pdf["payload"]):
-            _, data = parse_ascii_grid(bytes(payload))
+            try:
+                _, data = parse_ascii_grid(bytes(payload))
+            except (KeyError, ValueError) as exc:
+                if permissive:
+                    # corrupt member: skip instead of failing the task (the
+                    # engine form of the reference's warn-and-continue
+                    # prints, radohydro.py:141-142)
+                    import sys
+
+                    print(f"skipping undecodable member {fname}: {exc}", file=sys.stderr)
+                    continue
+                raise ValueError(f"undecodable ASCII grid member {fname}: {exc}") from exc
             nrows, ncols = data.shape
             flat = data.ravel()
             yield pd.DataFrame(
@@ -92,15 +103,19 @@ def _decode_partition(
             )
 
 
-def decode_ascii_grids(manifest: DataFrame, date_type: str = "hours") -> DataFrame:
+def decode_ascii_grids(
+    manifest: DataFrame, date_type: str = "hours", permissive: bool = False
+) -> DataFrame:
     """manifest(fname, payload) → obs(ts, cell_row, cell_col, value).
 
     One-to-many decode; the timestamp comes from the member filename (F8).
     NaN → NULL happens in the Arrow transfer (NaN in a float column maps to
-    null after the explicit cast below).
+    null after the explicit cast below).  ``permissive=True`` skips
+    undecodable members instead of failing the job — at archive scale a
+    handful of corrupt tar members must not kill a backfill.
     """
     decoded = manifest.select("fname", "payload").mapInPandas(
-        lambda it: _decode_partition(it, date_type),
+        lambda it: _decode_partition(it, date_type, permissive),
         schema="fname string, cell_row int, cell_col int, value double",
     )
     return decoded.select(

@@ -46,3 +46,17 @@ def test_ngram_max_doc_freq_guard(spark):
     # identical duplicate pair survives the cap; candidates only shrink
     assert (1, 2) in full_pairs and (1, 2) in capped_pairs
     assert capped_pairs <= full_pairs
+
+
+def test_partitioned_obs_prunes(spark, tmp_path):
+    from radohydro_spark.sinks.bucketed import read_obs_partitioned, write_obs_partitioned
+
+    obs = synthetic_obs(spark)
+    path = str(tmp_path / "obs_part")
+    write_obs_partitioned(obs, path)
+    one_day = read_obs_partitioned(spark, path, start="2024-01-01", end="2024-01-01")
+    assert one_day.count() == obs.count()  # fixture is a single day
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan  # pruning at the scan
+    none = read_obs_partitioned(spark, path, start="2030-01-01")
+    assert none.count() == 0

@@ -135,3 +135,34 @@ def test_radohydro_run_regnie(spark, tmp_path):
     for day in (1, 2):
         vals = [(100 + c + day) % 1200 for c in (200, 201, 202)]
         assert rows[day] == round(sum(vals) / 3 / 10, 3)
+
+
+def test_cli_entry(spark, tmp_path, capsys):
+    """python -m radohydro_spark smoke: same flow as the API test, through
+    argument parsing (session is reused via getOrCreate)."""
+    from radohydro_spark.__main__ import main
+
+    attrs = read_dbf(f"{EXAMPLES}/radohydro_debug1x3.dbf")
+    cell = 1000.0
+    ulx = min(a["left"] for a in attrs) - 2 * cell
+    uly = max(a["top"] for a in attrs) + 2 * cell
+    mirror = tmp_path / "m"
+    mirror.mkdir()
+    _write_grid(str(mirror / "RW-20240101-0000.asc"), ulx, uly, 8, 8, cell, lambda r, c: 50)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(
+        [
+            "--start", "2024-01-01 00:00:00",
+            "--end", "2024-01-01 02:00:00",
+            "--shape", f"{EXAMPLES}/radohydro_debug1x3.shp",
+            "--mirror", str(mirror),
+            "--out", str(out),
+            "--shape-crs", "epsg:4326",
+            "--grid-crs", "epsg:25833",
+            "--no-wide",
+        ]
+    )
+    assert rc == 0
+    assert "wrote 3 (basin, timestep) rows" in capsys.readouterr().out
+    assert len([p for p in os.listdir(out) if p.endswith(".csv")]) == 3

@@ -183,3 +183,20 @@ class TestEndToEndDecode:
         obs = decode_ascii_grids(expand_tars(m), date_type="minutes")
         assert obs.count() == 18
         assert obs.select("ts").distinct().count() == 2
+
+
+def test_decode_permissive_skips_corrupt_member(spark):
+    manifest = _manifest(
+        spark,
+        [("RW-20240101-0000.asc", ASC_3x3), ("RW-20240101-0100.asc", b"not a grid")],
+    )
+    from radohydro_spark.sources.ascii_grid import decode_ascii_grids
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    ok = decode_ascii_grids(manifest, "minutes", permissive=True)
+    assert ok.count() == 9  # corrupt member skipped, good one decoded
+    strict = decode_ascii_grids(manifest, "minutes", permissive=False)
+    with _pytest.raises(Exception, match="undecodable"):
+        strict.count()
