@@ -65,6 +65,31 @@ def pivot_wide(
     )
 
 
+def cells_wide(
+    obs: DataFrame,
+    cells: DataFrame,
+    ts_format: str = "yyMMddHHmm",
+    numerator: float = 10.0,
+) -> DataFrame:
+    """D6 — wide cell table: the cell grid with one scaled data column per
+    timestep, column names in the reference's all-digits convention.
+
+    Parity surface for ``map_arraystack_on_cellgrd`` (reference
+    geotools/geotools.py:154-185) including the ``/numerator`` unit scaling
+    (A7, geotools/geotools.py:174-176).  SINK-TIME ONLY: this is the shape
+    that breaks the reference at >500 timesteps and it does not scale in
+    time — internal processing stays long (SURVEY.md §7.1).
+    """
+    wide = (
+        obs.withColumn("_ts_str", F.date_format("ts", ts_format))
+        .withColumn("_v", F.col("value") / F.lit(float(numerator)))
+        .groupBy("cell_row", "cell_col")
+        .pivot("_ts_str")
+        .agg(F.first("_v"))
+    )
+    return cells.join(wide, ["cell_row", "cell_col"], "left")
+
+
 def resample(
     result: DataFrame,
     every: str = "1 day",

@@ -97,3 +97,16 @@ def test_ascii_grid_roundtrip(spark, tmp_path):
             assert decoded[k] is None
         else:
             assert decoded[k] == float(v)
+
+
+def test_cells_wide_parity(spark):
+    from radohydro_spark.operators.aggregate import cells_wide
+    from radohydro_spark.sources.synthetic import synthetic_obs
+
+    wide = cells_wide(synthetic_obs(spark), synthetic_cells(spark))
+    data_cols = [c for c in wide.columns if c.isdigit()]
+    assert len(data_cols) == 24
+    assert wide.count() == synthetic_cells(spark).count()
+    row = wide.filter((F.col("cell_row") == 1) & (F.col("cell_col") == 2)).first()
+    # value = (r*31 + c*17 + h*13) % 120 / 10 at (1, 2, h=0) -> 65/10
+    assert row["2401010000"] == 6.5
