@@ -1109,6 +1109,43 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column hygiene pass: L2 norm, dimensionality, normalized first
+    component — the standard pre-index screen over an embedding corpus."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    n = SIM.norm(F.col("v"))
+    return e.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(n, 6).alias("l2_norm"),
+        F.round(F.element_at("v", 1) / n, 6).alias("u0"),
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(sqrt(list_dot_product(embedding, embedding)), 6) AS l2_norm,
+       round(embedding[1] / sqrt(list_dot_product(embedding, embedding)), 6) AS u0
+FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings)
+"""
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL + quantile digest): approximate by design, so
+    rows-only driver check; the exact twins are stats_percentiles /
+    distinct_agg_segments."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -1173,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": q_cosine_topk,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
         "similarity_ivf_topk": q_ivf_topk,
+        "embedding_norm_stats": q_embedding_norms,
+        "stats_approx_sketches": q_approx_sketches,
         # multimodal plumbing
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
@@ -1234,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "media_byte_histogram": ORACLE_BYTE_HISTOGRAM,
         "crs_radolan_project": ORACLE_CRS_RADOLAN,
         "similarity_ivf_topk": ORACLE_IVF_TOPK,
+        "embedding_norm_stats": ORACLE_EMBEDDING_NORMS,
     }
 
 

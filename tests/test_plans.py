@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the scale-critical plan shapes must not
+silently degrade (SURVEY.md §4's \"plan-shape discipline\").
+
+These assert the *kind* of plan, not timings — broadcast vs shuffle joins,
+exchange counts, scan-level pushdown — so a refactor that turns a broadcast
+bbox join into a cartesian product fails CI instead of failing at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from radohydro_spark.operators.spatial import spatial_intersect
+from radohydro_spark.operators.weights import apply_nan_policy, basin_weights
+from radohydro_spark.plans.pipeline import precip_timeseries
+from radohydro_spark.sources.synthetic import (
+    synthetic_basins,
+    synthetic_cells,
+    synthetic_obs,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(df) -> str:
+    # run the query so AQE finalizes, then read the final plan
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spatial_intersect_broadcasts_basins(spark):
+    plan = _plan(spatial_intersect(synthetic_cells(spark), synthetic_basins(spark)))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dimension join must never SMJ
+
+
+def test_pipeline_fact_side_single_shuffle(spark):
+    res = precip_timeseries(
+        synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
+    )
+    plan = _final_plan(res)
+    # obs joins weights via broadcast (fact table never shuffled before agg)
+    assert "BroadcastHashJoin" in plan
+    # partial+final hash aggregation on (basin_id, ts)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "c_custkey",
+        "c_mktsegment",
+    }
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_weights_window_is_dimension_sized(spark):
+    frags = apply_nan_policy(
+        spatial_intersect(synthetic_cells(spark), synthetic_basins(spark)),
+        synthetic_obs(spark),
+    )
+    plan = _plan(basin_weights(frags))
+    # the window runs over fragments (dimension), never over obs: the obs
+    # table appears only under the dirty-flag aggregate subtree
+    assert "Window" in plan
+
+
+def test_whole_stage_codegen_covers_text_path(spark):
+    import radohydro_spark.functions.text as TX
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(TX.text_stats(d, "text", ("doc_id",)))
+    # "*(n)" prefixes mark WholeStageCodegen stages in executedPlan output;
+    # the higher-order-function Project sits between them (HOFs are
+    # interpreted) but NOTHING drops to row-at-a-time Python
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "BatchEvalPython" not in plan
