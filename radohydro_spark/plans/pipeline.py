@@ -145,7 +145,10 @@ def precip_timeseries(
         cells = cells.filter(pred)
         obs = obs.filter(pred)
 
-    fragments = spatial_intersect(cells, basins)
+    # fragments are dimension-sized (cells ∩ basins, never the fact table)
+    # but feed three subtrees: the semi-join cell set, the dirty-flag join,
+    # and the weight broadcast — cache so the clip join runs once, not 3×
+    fragments = spatial_intersect(cells, basins).cache()
     fragments = apply_nan_policy(fragments, obs, remove_nan=remove_nan)
     weighted = basin_weights(fragments)
     result = weighted_basin_timeseries(obs, weighted, numerator=numerator)

@@ -95,3 +95,36 @@ def test_clip_polygon_with_hole():
     # window covering half the hole: 5x10 minus half the hole (2x1... hole
     # x in [4,6]; window x in [0,5] → hole overlap 1x2=2) → 50-2=48
     assert math.isclose(rect_clip_polygon_area(blob, 0, 0, 5, 10), 48.0)
+
+
+def test_vectorized_kernel_matches_scalar():
+    """clip_vec's clamp-shoelace sweep must agree with the scalar
+    Sutherland–Hodgman kernel on irregular polygons, holes, and rects that
+    are inside / outside / straddling — the UDF hot path runs clip_vec."""
+    import random
+
+    import numpy as np
+
+    from radohydro_spark.geometry.clip_vec import rect_clip_areas_grouped
+
+    rng = random.Random(1234)
+    for _ in range(60):
+        cx, cy = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(rng.randint(3, 11)))
+        pts = [
+            (cx + rng.uniform(0.5, 4) * math.cos(a), cy + rng.uniform(0.5, 4) * math.sin(a))
+            for a in angs
+        ]
+        rings = [pts + [pts[0]]]
+        if rng.random() < 0.3:
+            rings.append([(cx - 0.2, cy - 0.2), (cx + 0.2, cy - 0.2), (cx, cy + 0.2), (cx - 0.2, cy - 0.2)])
+        blob = wkb_polygon(rings)
+        n = 10
+        ls = np.array([rng.uniform(-7, 6) for _ in range(n)])
+        bs = np.array([rng.uniform(-7, 6) for _ in range(n)])
+        rs = ls + np.array([rng.uniform(0.01, 4) for _ in range(n)])
+        ts = bs + np.array([rng.uniform(0.01, 4) for _ in range(n)])
+        vec = rect_clip_areas_grouped([blob] * n, ls, bs, rs, ts)
+        for i in range(n):
+            ref = rect_clip_polygon_area(blob, ls[i], bs[i], rs[i], ts[i])
+            assert math.isclose(vec[i], ref, rel_tol=1e-9, abs_tol=1e-9)
