@@ -67,14 +67,20 @@ def radohydro_run(
     manifest = filter_members_by_range(
         local_manifest(spark, mirror_dir), start, end, date_type
     )
-    if source == "radolan":
-        obs = decode_ascii_grids(manifest, date_type)
+    if source in ("radolan", "geotiff"):
         # compute-once grid geometry from one member (reference initDf
         # branch, radohydro.py:216-248) — driver-side probe of one payload
         sample = manifest.select("payload").first()
         if sample is None:
             raise ValueError(f"no members in [{start}, {end}] under {mirror_dir}")
-        meta = grid_meta(bytes(sample["payload"]))
+        if source == "geotiff":
+            from radohydro_spark.sources.geotiff import decode_geotiffs, geotiff_meta
+
+            obs = decode_geotiffs(manifest, date_type)
+            meta = geotiff_meta(bytes(sample["payload"]))
+        else:
+            obs = decode_ascii_grids(manifest, date_type)
+            meta = grid_meta(bytes(sample["payload"]))
     elif source == "regnie":
         from radohydro_spark.sources.regnie import REGNIE_TRANSFORM
 

@@ -182,3 +182,44 @@ def write_ascii_grid(
         f.write(f"NODATA_value {nodata}\n")
         for row in grid:
             f.write(" ".join(f"{v:g}" for v in row) + "\n")
+
+
+def write_geotiff(
+    raster: DataFrame,
+    path: str,
+    ulx: float,
+    uly: float,
+    xres: float,
+    yres: float,
+    value_col: str = "burn",
+    nodata: float = -9999.0,
+    dtype: str = "float32",
+    compress: bool = True,
+) -> None:
+    """K4 — render a (cell_row, cell_col, value) DataFrame to a GeoTIFF
+    file (the reference's rasterio GTiff sink, geotools/geotools.py:369-381,
+    via the dependency-free codec in sources/geotiff.py).
+
+    Same collect-to-driver contract as ``write_ascii_grid``: rasters here
+    are clip-window-sized, never corpus-sized.  Row 0 is the TOP row.
+    """
+    import numpy as np
+
+    from radohydro_spark.sources.geotiff import encode_geotiff
+
+    rows = raster.select(
+        "cell_row", "cell_col", F.col(value_col).cast("double").alias("v")
+    ).collect()
+    if not rows:
+        raise ValueError("empty raster")
+    n_rows = max(r["cell_row"] for r in rows) + 1
+    n_cols = max(r["cell_col"] for r in rows) + 1
+    grid = np.full((n_rows, n_cols), nodata, dtype=dtype)
+    for r in rows:
+        if r["v"] is not None:
+            grid[r["cell_row"], r["cell_col"]] = r["v"]
+    blob = encode_geotiff(
+        grid, ulx, uly, xres, yres, nodata=nodata, compress=compress
+    )
+    with open(path, "wb") as f:
+        f.write(blob)

@@ -166,3 +166,53 @@ def test_cli_entry(spark, tmp_path, capsys):
     assert rc == 0
     assert "wrote 3 (basin, timestep) rows" in capsys.readouterr().out
     assert len([p for p in os.listdir(out) if p.endswith(".csv")]) == 3
+
+
+def test_radohydro_run_geotiff_mirror(spark, tmp_path):
+    """S9 path: the same debug1x3 run from a GeoTIFF mirror must reproduce
+    the ASCII-grid run bit-for-bit (shared obs contract, SURVEY.md §2 S9)."""
+    import numpy as np
+
+    from radohydro_spark.sources.geotiff import encode_geotiff
+
+    attrs = read_dbf(f"{EXAMPLES}/radohydro_debug1x3.dbf")
+    cell = 1000.0
+    ulx = min(a["left"] for a in attrs) - 2 * cell
+    uly = max(a["top"] for a in attrs) + 2 * cell
+    n_cols = n_rows = 8
+
+    mirror = tmp_path / "mirror_tif"
+    mirror.mkdir()
+    for h in range(3):
+        vals = np.array(
+            [[10 * (r + c + h + 1) for c in range(n_cols)] for r in range(n_rows)],
+            dtype="int16",
+        )
+        blob = encode_geotiff(vals, ulx, uly, cell, -cell, nodata=-1.0)
+        (mirror / f"RW-20240101-{h:02d}00.tif").write_bytes(blob)
+
+    out = tmp_path / "out_tif"
+    out.mkdir()
+    result = radohydro_run(
+        spark,
+        start="2024-01-01 00:00:00",
+        end="2024-01-01 02:00:00",
+        shapefile_path=f"{EXAMPLES}/radohydro_debug1x3.shp",
+        mirror_dir=str(mirror),
+        out_dir=str(out),
+        source="geotiff",
+        date_type="minutes",
+        shape_crs="epsg:4326",
+        grid_crs="epsg:25833",
+        write_wide=False,
+    )
+    rows = result.collect()
+    assert len(rows) == 9
+    expected = {}
+    for i, a in enumerate(attrs, start=1):
+        col = round((a["left"] - ulx) / cell)
+        row = round((uly - a["top"]) / cell)
+        expected[i] = (row, col)
+    for r in rows:
+        row_, col_ = expected[r.basin_id]
+        assert abs(r.rainfall_mm - (row_ + col_ + r.ts.hour + 1)) < 0.05
