@@ -523,6 +523,55 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
+def q_dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution: n-gram Jaccard pairs → connected
+    components (iterative hash-min label propagation,
+    operators/graph.py) → (doc_id, component).  The transitive-closure step
+    every pair-producing dedup needs before it can canonicalize; oracle is
+    the recursive-CTE reachability closure."""
+    from radohydro_spark.operators.graph import connected_components
+
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    pairs = DD.ngram_jaccard_pairs(corpus, "text", "doc_id", k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, "id_a", "id_b", nodes=corpus.select("doc_id"))
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+ORACLE_DEDUP_CC = f"""
+WITH RECURSIVE corpus AS ({_NEARDUP_SQL}),
+docs AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+"""
+
+
 _MINHASH_PARAMS_SQL = "hp(h_idx, a, b) AS (VALUES " + ", ".join(
     f"({i}, {DD.MINHASH_A[i]}, {DD.MINHASH_B[i]})" for i in range(8)
 ) + ")"
@@ -1202,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact_groups": q_exact_dups,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_signatures": q_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_simhash,
@@ -1262,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_budget": ORACLE_TOKEN_BUDGET,
         "dedup_exact_groups": ORACLE_EXACT_DUPS,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dedup_groups_cc": ORACLE_DEDUP_CC,
         "dedup_minhash_signatures": ORACLE_MINHASH_SIGS,
         "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
         "dedup_simhash": ORACLE_SIMHASH,
