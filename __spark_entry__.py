@@ -195,6 +195,60 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
 
+SQL_Q7 = """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1999-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+SQL_Q10 = """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+SQL_RETENTION = """
+WITH activity AS (
+  -- portable day ordinal (engine-identical in Spark and DuckDB; exact
+  -- within a month, monotonic across): y*372 + (m-1)*31 + (d-1)
+  SELECT user_id,
+         CAST(EXTRACT(YEAR FROM ts) * 372 + (EXTRACT(MONTH FROM ts) - 1) * 31
+              + EXTRACT(DAY FROM ts) - 1 AS INT) AS d
+  FROM events
+  GROUP BY user_id, CAST(EXTRACT(YEAR FROM ts) * 372 + (EXTRACT(MONTH FROM ts) - 1) * 31
+                         + EXTRACT(DAY FROM ts) - 1 AS INT)
+),
+cohort AS (SELECT user_id, MIN(d) AS d0 FROM activity GROUP BY user_id)
+SELECT c.d0 AS cohort_day, a.d - c.d0 AS days_since,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+WHERE a.d - c.d0 <= 7
+GROUP BY c.d0, a.d - c.d0
+"""
+
 SQL_WINDOW_TOP = """
 SELECT c_custkey, c_nationkey, c_acctbal, rnk
 FROM (
@@ -1229,6 +1283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
+        "tpch_q7_volume_shipping": _sql(
+            SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"]
+        ),
+        "tpch_q10_returned_items": _sql(
+            SQL_Q10, ["customer", "orders", "lineitem", "nation"]
+        ),
+        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
         "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
         "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
         "scalar_funcs": q_scalar_funcs,
@@ -1293,6 +1354,9 @@ def oracle_sql() -> dict[str, str]:
         "join_outer_nations": SQL_OUTER_JOIN,
         "grouping_sets_pricing": SQL_GROUPING_SETS,
         "tpch_q18_large_orders": SQL_LARGE_ORDERS,
+        "tpch_q7_volume_shipping": SQL_Q7,
+        "tpch_q10_returned_items": SQL_Q10,
+        "events_retention_cohorts": SQL_RETENTION,
         "distinct_agg_segments": SQL_DISTINCT_AGG,
         "events_case_pivot": SQL_CASE_PIVOT,
         "scalar_funcs": ORACLE_SCALAR_FUNCS,
