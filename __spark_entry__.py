@@ -577,6 +577,37 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
+def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted lineitem⋈orders (operators/skew.py) + priority revenue
+    rollup.  Salting changes only work distribution, so the oracle is the
+    plain join — the correctness contract a skew strategy must keep."""
+    from radohydro_spark.operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(l, o, ["o_orderkey"], "inner", n_salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_SKEW_SALTED = """
+SELECT o.o_orderpriority,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-GROUP resolution: n-gram Jaccard pairs → connected
     components (iterative hash-min label propagation,
@@ -1313,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_exact_dups,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_groups_cc": q_dedup_groups_cc,
+        "skew_salted_revenue": q_skew_salted_revenue,
         "dedup_minhash_signatures": q_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_simhash,
@@ -1377,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": ORACLE_EXACT_DUPS,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_groups_cc": ORACLE_DEDUP_CC,
+        "skew_salted_revenue": ORACLE_SKEW_SALTED,
         "dedup_minhash_signatures": ORACLE_MINHASH_SIGS,
         "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
         "dedup_simhash": ORACLE_SIMHASH,
