@@ -73,3 +73,56 @@ def read_obs_partitioned(
     if end:
         df = df.filter(F.col("dt") <= end.replace("-", "")[:8])
     return df.drop("dt")
+
+
+def morton_code(row_col: str = "cell_row", col_col: str = "cell_col", bits: int = 16):
+    """Z-order (Morton) interleave of two grid indices as a Column — pure
+    bit arithmetic, whole-stage-codegen JVM-side (no UDF).
+
+    Interleaving makes 1-D file/row-group order track 2-D locality: any
+    bbox window maps to O(perimeter) Morton ranges, so parquet min/max
+    stats on the code column prune row groups for spatial windows the same
+    way ``dt=`` partitions prune dates.  ``bits`` must cover the grid
+    extent (16 bits ≫ RADOLAN's 900)."""
+    from pyspark.sql import functions as F
+
+    r = F.col(row_col).cast("long")
+    c = F.col(col_col).cast("long")
+    code = F.lit(0).cast("long")
+    for b in range(bits):
+        code = (
+            code
+            .bitwiseOR(F.shiftleft(r.bitwiseAND(F.lit(1 << b)), b + 1))
+            .bitwiseOR(F.shiftleft(c.bitwiseAND(F.lit(1 << b)), b))
+        )
+    return code
+
+
+def write_obs_zordered(
+    obs: DataFrame,
+    path: str,
+    files_per_day: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned archive with Z-order clustering inside each day.
+
+    ``repartitionByRange`` over (dt, morton) range-partitions the day into
+    ``files_per_day`` Morton slabs and ``sortWithinPartitions`` orders rows
+    inside each file, so every parquet row group covers a compact spatial
+    square — a basin-bbox query then skips most row groups via column
+    min/max stats on cell_row/cell_col (which Z-order makes tight), on top
+    of the directory-level date pruning."""
+    from pyspark.sql import functions as F
+
+    coded = obs.withColumn("dt", F.date_format("ts", "yyyyMMdd")).withColumn(
+        "_z", morton_code()
+    )
+    n_days = coded.select("dt").distinct().count()
+    (
+        coded.repartitionByRange(max(files_per_day * n_days, 1), "dt", "_z")
+        .sortWithinPartitions("dt", "_z")
+        .drop("_z")
+        .write.mode(mode)
+        .partitionBy("dt")
+        .parquet(path)
+    )

@@ -5,6 +5,7 @@ from radohydro_spark.streaming.streams import (
     streaming_dedup,
     streaming_precip,
     stateful_running_total,
+    stream_stream_join,
     tumbling_agg,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "streaming_dedup",
     "streaming_precip",
     "stateful_running_total",
+    "stream_stream_join",
     "tumbling_agg",
 ]

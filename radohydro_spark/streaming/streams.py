@@ -212,3 +212,51 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded event-time band.
+
+    Both inputs are streams (e.g. raw radar drops joined to a quality-flag
+    feed, or click events to impression events).  Unlike stream-static
+    joins this NEEDS state on both sides; the two bounds below are what
+    keep that state finite at 100 TB/day:
+
+    * ``withWatermark`` on each side lets Spark drop buffered rows older
+      than the watermark;
+    * the time-band predicate ``right_ts ∈ [left_ts - max_lag, left_ts]``
+      tells the state store how long an unmatched row can possibly still
+      match, enabling eviction for outer joins too.
+
+    ``how``: inner or leftOuter (left rows with no partner within the band
+    emit with NULL right columns once the watermark passes).
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"stream_stream_join supports inner/leftOuter, got {how}")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    key_pred = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    band = (
+        (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    cond = band
+    for p in key_pred:
+        cond = cond & p
+    joined = l.join(r, cond, how)
+    # project unambiguous columns: left in full, right's non-key payload
+    rcols = [
+        F.col(f"r.{c}").alias(f"r_{c}")
+        for c in right.columns
+        if c not in keys
+    ]
+    return joined.select([F.col(f"l.{c}") for c in left.columns] + rcols)

@@ -60,3 +60,60 @@ def test_partitioned_obs_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(dt" in plan  # pruning at the scan
     none = read_obs_partitioned(spark, path, start="2030-01-01")
     assert none.count() == 0
+
+
+def test_morton_code_matches_python_reference(spark):
+    from radohydro_spark.sinks.bucketed import morton_code
+
+    def py_morton(r, c, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((r >> b) & 1) << (2 * b + 1)
+            z |= ((c >> b) & 1) << (2 * b)
+        return z
+
+    rows = [(r, c) for r in (0, 1, 5, 299, 899) for c in (0, 3, 17, 898)]
+    df = spark.createDataFrame(rows, "cell_row int, cell_col int")
+    got = df.select("cell_row", "cell_col", morton_code().alias("z")).collect()
+    for rec in got:
+        assert rec["z"] == py_morton(rec["cell_row"], rec["cell_col"]), rec
+
+
+def test_zordered_archive_files_are_spatially_compact(spark, tmp_path):
+    """Each Morton slab file must be bounded in BOTH grid dimensions —
+    the property that makes row-group min/max stats prune bbox queries
+    (a row-major layout is compact in rows but spans every column)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from radohydro_spark.sinks.bucketed import write_obs_zordered
+    from pyspark.sql import functions as F
+
+    n = 32
+    obs = (
+        spark.range(n * n)
+        .select(
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            (F.col("id") % n).cast("int").alias("cell_row"),
+            (F.col("id") / n).cast("int").alias("cell_col"),
+            F.rand(7).alias("value"),
+        )
+    )
+    path = str(tmp_path / "zarch")
+    write_obs_zordered(obs, path, files_per_day=4)
+    files = glob.glob(os.path.join(path, "dt=*", "*.parquet"))
+    assert len(files) >= 3
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["cell_row", "cell_col"])
+        rr = max(t["cell_row"].to_pylist()) - min(t["cell_row"].to_pylist())
+        cr = max(t["cell_col"].to_pylist()) - min(t["cell_col"].to_pylist())
+        # a quadrant spans at most ~n/2 in each dim (+1 slack for range cuts)
+        assert rr <= n // 2 + 2 and cr <= n // 2 + 2, (f, rr, cr)
+        total += t.num_rows
+    assert total == n * n
+    # archive round-trips
+    back = spark.read.parquet(path).drop("dt")
+    assert back.count() == n * n

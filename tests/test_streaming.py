@@ -149,3 +149,37 @@ def test_stateful_running_total(spark, tmp_path):
     final = {r.basin_id: (r.n_obs, r.cum_rainfall) for r in got.collect()}
     assert final[1] == (6, 15.0)
     assert final[2] == (0, 0.0)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Two bounded streams through the watermarked band join == the batch
+    join with the same band predicate."""
+    from radohydro_spark.streaming import stream_stream_join
+
+    rows_l = [(k, f"2024-01-01 {h:02d}:00:00", float(k * 100 + h)) for k in (1, 2, 3) for h in range(6)]
+    rows_r = [(k, f"2024-01-01 {h:02d}:{m:02d}:00", h * 10 + m) for k in (1, 2) for h in range(6) for m in (0, 20)]
+    ldf = spark.createDataFrame(rows_l, "k int, ts_s string, lv double").select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "lv"
+    )
+    rdf = spark.createDataFrame(rows_r, "k int, ts_s string, rv int").select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "rv"
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf.write.parquet(lp)
+    rdf.write.parquet(rp)
+    ls = file_stream(spark, lp, ldf.schema)
+    rs = file_stream(spark, rp, rdf.schema)
+    joined = stream_stream_join(
+        ls, rs, ["k"], watermark="10 minutes", max_lag="30 minutes", how="inner"
+    )
+    got = run_available_now(joined, "ssj", str(tmp_path / "ck"), output_mode="append")
+    batch = ldf.alias("l").join(
+        rdf.alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("r.ts") <= F.col("l.ts")),
+        "inner",
+    ).select("l.k", "l.ts", "l.lv", F.col("r.ts").alias("r_ts"), F.col("r.rv").alias("r_rv"))
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b and len(a) > 0
