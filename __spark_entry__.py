@@ -577,6 +577,65 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash bucket + train/val/test assignment per document
+    (operators/sampling.py) — reproducible across engines/runs by
+    construction, hence the exact oracle."""
+    from radohydro_spark.operators.sampling import hash_bucket, split_assign
+
+    d = _docs(spark, sf_dir)
+    return split_assign(d, "doc_id", val_pct=10, test_pct=10).select(
+        "doc_id", hash_bucket("doc_id", 100).alias("bucket"), "split"
+    )
+
+
+ORACLE_SAMPLE_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, {_ph_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CASE WHEN bucket < 10 THEN 'val'
+            WHEN bucket < 20 THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus augmented with deterministic synthetic
+    emails/phones/IPs (the raw corpus has none) — chained JVM-side
+    regexp_replace, portable regex subset shared with the oracle."""
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +49 30 "),
+        F.col("doc_id").cast("string"),
+        F.lit("1234 at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return d.select("doc_id", TX.redact_pii(aug).alias("clean"))
+
+
+ORACLE_REDACT_PII = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(aug,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+         '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+         '\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean
+FROM (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +49 30 ' || CAST(doc_id AS VARCHAR)
+              || '1234 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS aug
+  FROM documents
+)
+"""
+
+
 def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted lineitem⋈orders (operators/skew.py) + priority revenue
     rollup.  Salting changes only work distribution, so the oracle is the
@@ -1345,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_groups_cc": q_dedup_groups_cc,
         "skew_salted_revenue": q_skew_salted_revenue,
+        "sample_split_assign": q_sample_split,
+        "text_redact_pii": q_redact_pii,
         "dedup_minhash_signatures": q_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_simhash,
@@ -1410,6 +1471,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_groups_cc": ORACLE_DEDUP_CC,
         "skew_salted_revenue": ORACLE_SKEW_SALTED,
+        "sample_split_assign": ORACLE_SAMPLE_SPLIT,
+        "text_redact_pii": ORACLE_REDACT_PII,
         "dedup_minhash_signatures": ORACLE_MINHASH_SIGS,
         "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
         "dedup_simhash": ORACLE_SIMHASH,

@@ -192,3 +192,23 @@ def portable_hash(s: Column | str) -> Column:
     value."""
     c = F.col(s) if isinstance(s, str) else s
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+# PII patterns: deliberately a portable regex subset (char classes +
+# bounded quantifiers only) so the Java-regex engine (Spark) and RE2
+# (DuckDB oracle, with the 'g' flag) produce identical rewrites.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    (r"\+[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails / IPv4s / international-format phone numbers to typed
+    placeholder tokens — the standard pre-training hygiene pass, as chained
+    JVM-side ``regexp_replace`` (no UDF in the hot path)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c

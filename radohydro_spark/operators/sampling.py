@@ -1,0 +1,74 @@
+"""Deterministic corpus sampling and dataset splits.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible across runs and engines — no RNG, no seed-drift between
+retries — and (b) stable under corpus growth (a document's split never
+changes when other documents arrive).  Both follow from hashing a stable
+id: ``bucket = portable_hash(id) mod N``.  ``portable_hash`` (md5-prefix,
+functions/text.py) is reproducible bit-for-bit in DuckDB SQL, so every
+operator here has an exact oracle twin.
+
+All column arithmetic — one md5 + conv per row, whole-stage codegen,
+no shuffle; sampling composes with any downstream plan as a plain filter
+(and pushes down past column pruning like one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from radohydro_spark.functions.text import portable_hash
+
+
+def hash_bucket(id_col: Column | str, mod: int = 100) -> Column:
+    """Stable bucket 0..mod-1 from a string id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(portable_hash(c.cast("string")), F.lit(mod)).cast("int")
+
+
+def hash_sample(df: DataFrame, id_col: str, pct: float, mod: int = 1000) -> DataFrame:
+    """Deterministic ~pct% sample: keeps rows whose bucket < pct*mod/100.
+
+    Unlike ``df.sample()`` the result is a pure function of the id — the
+    same rows survive on every run, every engine, every partition layout."""
+    keep = int(round(pct * mod / 100.0))
+    return df.filter(hash_bucket(id_col, mod) < keep)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    col_name: str = "split",
+) -> DataFrame:
+    """Annotate rows with a stable train/val/test assignment.
+
+    Buckets 0..99: [0, val_pct) → val, [val_pct, val_pct+test_pct) → test,
+    rest → train.  Membership is per-id stable: growing the corpus never
+    reassigns an existing document."""
+    b = hash_bucket(id_col, 100)
+    return df.withColumn(
+        col_name,
+        F.when(b < val_pct, F.lit("val"))
+        .when(b < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates: dict, mod: int = 1000
+) -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. downsample boilerplate
+    languages, keep all rare ones): ``rates`` maps stratum value → percent.
+    Strata absent from ``rates`` are dropped — make the keep-all rate
+    explicit."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    keep_pct = rate_map.getItem(F.col(strata_col))
+    return df.filter(
+        keep_pct.isNotNull()
+        & (hash_bucket(id_col, mod) < F.round(keep_pct * mod / 100.0).cast("int"))
+    )

@@ -1,0 +1,74 @@
+"""Deterministic sampling / split operators and PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from radohydro_spark.functions.text import redact_pii
+from radohydro_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    split_assign,
+    stratified_hash_sample,
+)
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    df = _ids(spark)
+    a = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 10.0).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 10.0).collect())
+    assert a == b
+    assert 0.07 < len(a) / 2000 < 0.13  # ~10% within hash-noise tolerance
+
+
+def test_sample_nesting_is_monotone(spark):
+    """The 5% sample is a subset of the 20% sample — bucket thresholds
+    nest, so shrinking a corpus sample never picks different documents."""
+    df = _ids(spark)
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 5.0).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", 20.0).collect()}
+    assert small <= big
+
+
+def test_split_assign_stable_under_growth(spark):
+    full = split_assign(_ids(spark, 2000), "doc_id")
+    half = split_assign(_ids(spark, 1000), "doc_id")
+    m_full = {r["doc_id"]: r["split"] for r in full.collect()}
+    for r in half.collect():
+        assert m_full[r["doc_id"]] == r["split"]
+    frac = sum(1 for v in m_full.values() if v == "train") / 2000
+    assert 0.72 < frac < 0.88
+
+
+def test_stratified_rates(spark):
+    df = _ids(spark, 3000).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    out = stratified_hash_sample(df, "doc_id", "lang", {"en": 100.0, "de": 10.0})
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["en"] == 1000  # keep-all stratum keeps everything
+    assert 100 < by["de"] < 320
+
+
+def test_stratified_drops_unlisted_strata(spark):
+    df = _ids(spark, 100).withColumn("lang", F.lit("xx"))
+    assert stratified_hash_sample(df, "doc_id", "lang", {"en": 100.0}).count() == 0
+
+
+def test_redact_pii_tokens(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server at 192.168.0.17, call +1 (555) 123-4567 ok"),
+            (3, "no pii here"),
+        ],
+        "id int, text string",
+    ).select("id", redact_pii("text").alias("t")).collect()
+    got = {r["id"]: r["t"] for r in rows}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP>, call <PHONE> ok"
+    assert got[3] == "no pii here"
