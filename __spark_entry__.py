@@ -249,6 +249,24 @@ WHERE a.d - c.d0 <= 7
 GROUP BY c.d0, a.d - c.d0
 """
 
+SQL_FUNNEL = """
+WITH steps AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  COUNT(t_signup) AS did_signup,
+  COUNT(CASE WHEN t_view > t_signup THEN 1 END) AS signup_then_view,
+  COUNT(CASE WHEN t_purchase > t_view AND t_view > t_signup THEN 1 END)
+    AS full_funnel
+FROM steps
+"""
+
 SQL_WINDOW_TOP = """
 SELECT c_custkey, c_nationkey, c_acctbal, rnk
 FROM (
@@ -576,6 +594,29 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of orders (operators/profile.py): null /
+    exact-distinct / min / max per column from a single agg job."""
+    from radohydro_spark.operators.profile import profile_columns
+
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    return profile_columns(_t(spark, sf_dir, "orders").select(cols), cols)
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""SELECT '{c}' AS column, count(*) AS n_rows,
+       count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value FROM orders"""
+
+
+ORACLE_PROFILE_ORDERS = " UNION ALL ".join(
+    _profile_col_sql(c)
+    for c in ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+)
+
 
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash bucket + train/val/test assignment per document
@@ -1380,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SQL_Q10, ["customer", "orders", "lineitem", "nation"]
         ),
         "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
+        "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
         "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
         "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
         "scalar_funcs": q_scalar_funcs,
@@ -1405,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_cc": q_dedup_groups_cc,
         "skew_salted_revenue": q_skew_salted_revenue,
         "sample_split_assign": q_sample_split,
+        "profile_orders_columns": q_profile_orders,
         "text_redact_pii": q_redact_pii,
         "dedup_minhash_signatures": q_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1450,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7_volume_shipping": SQL_Q7,
         "tpch_q10_returned_items": SQL_Q10,
         "events_retention_cohorts": SQL_RETENTION,
+        "events_funnel_ordered": SQL_FUNNEL,
         "distinct_agg_segments": SQL_DISTINCT_AGG,
         "events_case_pivot": SQL_CASE_PIVOT,
         "scalar_funcs": ORACLE_SCALAR_FUNCS,
@@ -1472,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups_cc": ORACLE_DEDUP_CC,
         "skew_salted_revenue": ORACLE_SKEW_SALTED,
         "sample_split_assign": ORACLE_SAMPLE_SPLIT,
+        "profile_orders_columns": ORACLE_PROFILE_ORDERS,
         "text_redact_pii": ORACLE_REDACT_PII,
         "dedup_minhash_signatures": ORACLE_MINHASH_SIGS,
         "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
