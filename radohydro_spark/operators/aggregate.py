@@ -108,3 +108,33 @@ def resample(
         .agg(agg_fn(value_col).alias(value_col))
         .select("basin_id", F.col("win.start").alias("ts"), value_col)
     )
+
+
+def wide_to_long(
+    wide: DataFrame,
+    key_cols: list[str],
+    ts_format: str = "yyMMddHHmm",
+    value_col: str = "value",
+) -> DataFrame:
+    """F7 — migration shim for the reference's WIDE tables: discover data
+    columns by the all-digits name convention (reference
+    geotools/geotools.py:242-245 ``str.isdigit()``) and unpivot them back
+    to the engine's long format with real timestamps.
+
+    Uses Spark's native ``unpivot`` (expand-based, no shuffle); the digits
+    convention dies at this boundary — downstream everything is
+    ``(keys..., ts, value)``."""
+    data_cols = [c for c in wide.columns if c.isdigit()]
+    if not data_cols:
+        raise ValueError("no all-digits data columns to unpivot")
+    long = wide.unpivot(
+        [F.col(c) for c in key_cols],
+        [F.col(c) for c in data_cols],
+        "_ts_str",
+        value_col,
+    )
+    return long.select(
+        *key_cols,
+        F.to_timestamp("_ts_str", ts_format).alias("ts"),
+        value_col,
+    )

@@ -126,3 +126,44 @@ def write_obs_zordered(
         .partitionBy("dt")
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_col: str | None = "dt",
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files — the
+    small-files compactor every long-running drop-directory archive needs
+    (a streaming sink or per-hour backfill leaves thousands of KB-sized
+    files; each adds a task + open() at read time, and at 100 TB the
+    metadata alone stalls planning).
+
+    File count = ceil(bytes / target).  The rewrite goes through a temp
+    dir then an atomic-ish swap (rename) so readers never see a half
+    archive.  Returns the number of files written.  Hive-partitioned
+    layouts keep their partition column via ``partitionBy``."""
+    import glob
+    import os
+    import shutil
+
+    data_files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        + glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in set(data_files))
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_col and partition_col in df.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return int(n_files)

@@ -117,3 +117,29 @@ def test_zordered_archive_files_are_spatially_compact(spark, tmp_path):
     # archive round-trips
     back = spark.read.parquet(path).drop("dt")
     assert back.count() == n * n
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.sinks.bucketed import compact_parquet_dir
+
+    path = str(tmp_path / "arch")
+    df = spark.range(20000).select(
+        F.date_format(
+            F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(hours=F.col("id") % 48),
+            "yyyyMMdd",
+        ).alias("dt"),
+        F.col("id"),
+        F.rand(3).alias("v"),
+    )
+    df.repartition(40).write.partitionBy("dt").parquet(path)  # many small files
+    import glob
+
+    before = len(glob.glob(f"{path}/dt=*/*.parquet"))
+    n = compact_parquet_dir(spark, path, target_file_mb=128)
+    after = len(glob.glob(f"{path}/dt=*/*.parquet"))
+    assert before > after  # fewer, bigger files
+    back = spark.read.parquet(path)
+    assert back.count() == 20000
+    assert back.select(F.sum("id")).first()[0] == sum(range(20000))

@@ -132,3 +132,22 @@ def test_rect_clip_translation_invariance(dx, dy):
     ring2 = [(x + dx, y + dy) for x, y in ring]
     a2 = rect_clip_polygon_area(wkb_polygon([ring2]), 1.0 + dx, 1.0 + dy, 3.0 + dx, 2.5 + dy)
     assert a1 == pytest.approx(a2, abs=1e-9)
+
+
+def test_wide_to_long_digit_column_shim(spark):
+    """F7 parity: a reference-convention wide table (all-digits data
+    columns) unpivots to the engine's long schema and round-trips."""
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.aggregate import pivot_wide, wide_to_long
+
+    long0 = spark.createDataFrame(
+        [(b, f"2024-01-01 {h:02d}:00:00", float(b * 10 + h)) for b in (1, 2) for h in range(3)],
+        "basin_id int, ts_s string, rainfall_mm double",
+    ).select("basin_id", F.to_timestamp("ts_s").alias("ts"), "rainfall_mm")
+    wide = pivot_wide(long0)
+    assert sum(c.isdigit() for c in wide.columns) == 3
+    back = wide_to_long(wide, ["basin_id"], value_col="rainfall_mm")
+    a = sorted(tuple(r) for r in long0.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
