@@ -230,6 +230,177 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
+SQL_Q4 = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+SQL_Q8 = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+SQL_Q9 = """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+SQL_Q12 = """
+SELECT o.o_orderpriority,
+       SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END) AS late_count,
+       COUNT(*) AS total_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+SQL_Q14 = """
+SELECT ROUND(100.00
+         * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+       6) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-09-01' AND l.l_shipdate < DATE '1996-10-01'
+"""
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+SQL_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+SQL_Q17 = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+       AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+SQL_Q19 = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+SQL_Q21 = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+SQL_Q22 = """
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c.c_acctbal > (SELECT ROUND(AVG(c2.c_acctbal), 2) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0
+                       AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+"""
+
 SQL_RETENTION = """
 WITH activity AS (
   -- portable day ordinal (engine-identical in Spark and DuckDB; exact
@@ -1420,6 +1591,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": _sql(
             SQL_Q10, ["customer", "orders", "lineitem", "nation"]
         ),
+        "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
+        "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
+        "tpch_q8_market_share": _sql(
+            SQL_Q8,
+            ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+        ),
+        "tpch_q9_product_profit": _sql(
+            SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"]
+        ),
+        "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
+        "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
+        "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
+        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
+        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
+        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
+        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
+        "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
+        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
         "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
         "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
         "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
@@ -1492,6 +1681,19 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_large_orders": SQL_LARGE_ORDERS,
         "tpch_q7_volume_shipping": SQL_Q7,
         "tpch_q10_returned_items": SQL_Q10,
+        "tpch_q4_priority_late_ship": SQL_Q4,
+        "tpch_q6_forecast_revenue": SQL_Q6,
+        "tpch_q8_market_share": SQL_Q8,
+        "tpch_q9_product_profit": SQL_Q9,
+        "tpch_q12_late_lines_by_priority": SQL_Q12,
+        "tpch_q13_customer_distribution": SQL_Q13,
+        "tpch_q14_promo_effect": SQL_Q14,
+        "tpch_q15_top_supplier": SQL_Q15,
+        "tpch_q16_supplier_cnt": SQL_Q16,
+        "tpch_q17_small_qty_revenue": SQL_Q17,
+        "tpch_q19_disjunctive_revenue": SQL_Q19,
+        "tpch_q21_waiting_supplier": SQL_Q21,
+        "tpch_q22_dormant_customers": SQL_Q22,
         "events_retention_cohorts": SQL_RETENTION,
         "events_funnel_ordered": SQL_FUNNEL,
         "distinct_agg_segments": SQL_DISTINCT_AGG,
