@@ -649,6 +649,32 @@ FROM documents
 """
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality gate: keep documents passing token-count
+    bounds, stopword-ratio floor, repetition (distinct-token) floor, and a
+    punctuation-density ceiling.  At 100 TB this is a single narrow
+    (shuffle-free) map + filter over the corpus scan — the stats and the
+    gate fuse into one whole-stage-codegen span."""
+    s = TX.text_stats(_docs(spark, sf_dir), "text", ("doc_id",))
+    return s.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 5000)
+        & (F.col("stop_ratio") >= 0.05)
+        & (F.col("distinct_ratio") >= 0.3)
+        & (F.col("n_punct").cast("double") / F.col("n_chars_calc") <= 0.1)
+    ).select("doc_id", "n_tokens", "quality")
+
+
+ORACLE_QUALITY_FILTER = f"""
+SELECT doc_id, n_tokens, quality
+FROM ({ORACLE_TEXT_STATS}) s
+WHERE n_tokens BETWEEN 10 AND 5000
+  AND stop_ratio >= 0.05
+  AND distinct_ratio >= 0.3
+  AND CAST(n_punct AS DOUBLE) / n_chars_calc <= 0.1
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
@@ -1627,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
         # text analysis
         "text_stats": q_text_stats,
+        "text_quality_filter": q_text_quality_filter,
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
         "text_token_budget": q_token_budget,
@@ -1710,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "window_lead_lag": ORACLE_LEAD_LAG,
         "stats_percentiles": ORACLE_PERCENTILES,
         "text_stats": ORACLE_TEXT_STATS,
+        "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),
         "text_fingerprint": ORACLE_FINGERPRINT,
         "text_token_budget": ORACLE_TOKEN_BUDGET,
