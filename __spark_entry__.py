@@ -230,6 +230,44 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
+SQL_Q2 = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+       ROUND(CAST(c.unit_cost AS DOUBLE), 4) AS unit_cost,
+       CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+  AND c.unit_cost = (
+    SELECT MIN(c2.unit_cost)
+    FROM cost c2
+    JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n.n_name ASC, s.s_name ASC, p.p_partkey ASC
+LIMIT 100
+"""
+
+SQL_Q20 = """
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM(l.l_quantity) > 50)
+"""
+
 SQL_Q4 = """
 SELECT o.o_orderpriority, COUNT(*) AS order_count
 FROM orders o
@@ -1617,6 +1655,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": _sql(
             SQL_Q10, ["customer", "orders", "lineitem", "nation"]
         ),
+        "tpch_q2_min_cost_supplier": _sql(
+            SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"]
+        ),
+        "tpch_q20_volume_suppliers": _sql(
+            SQL_Q20, ["supplier", "nation", "lineitem", "part"]
+        ),
         "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
         "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
         "tpch_q8_market_share": _sql(
@@ -1708,6 +1752,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_large_orders": SQL_LARGE_ORDERS,
         "tpch_q7_volume_shipping": SQL_Q7,
         "tpch_q10_returned_items": SQL_Q10,
+        "tpch_q2_min_cost_supplier": SQL_Q2,
+        "tpch_q20_volume_suppliers": SQL_Q20,
         "tpch_q4_priority_late_ship": SQL_Q4,
         "tpch_q6_forecast_revenue": SQL_Q6,
         "tpch_q8_market_share": SQL_Q8,
