@@ -55,6 +55,10 @@ TABLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver builds its own SparkSession without our session.py confs;
+    # nanosAsLong is runtime-settable, so set it here before every read or
+    # events.parquet (TIMESTAMP_NANOS) fails with PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) parquet columns arrive as long under the
     # nanosAsLong legacy conf; convert to microsecond timestamps (same
@@ -329,8 +333,8 @@ GROUP BY nation, o_year
 
 SQL_Q12 = """
 SELECT o.o_orderpriority,
-       SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-                THEN 1 ELSE 0 END) AS late_count,
+       CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
        COUNT(*) AS total_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
@@ -1817,9 +1821,16 @@ def _self_check(sf_dir: str, only: list[str] | None = None) -> int:  # pragma: n
     import math
     from decimal import Decimal as _Decimal
 
-    from radohydro_spark import get_spark
-
-    spark = get_spark("entry_self_check")
+    # Deliberately a PLAIN session (not radohydro_spark.get_spark): the
+    # driver builds its own bare SparkSession, so the self-check must prove
+    # every query works without our session-builder confs (nanosAsLong etc.).
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("entry_self_check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -1884,13 +1895,37 @@ def _self_check(sf_dir: str, only: list[str] | None = None) -> int:  # pragma: n
                 return fa == fb or abs(fa - fb) < 1e-9
             return str(a) == str(b)
 
+        def _kind(v):
+            if isinstance(v, bool) or v is None:
+                return "o"
+            if isinstance(v, int):
+                return "i"
+            if isinstance(v, (float, _Decimal)):
+                return "f"
+            return "s"
+
         bad = None
+        kind_warn = None
         for srow, orow in zip(sset, oset):
             if not all(_eq(a, b) for a, b in zip(srow, orow)):
                 bad = (srow, orow)
                 break
+            # the driver's value-hash is type-sensitive (int 5828 vs
+            # DuckDB HUGEINT->float 5828.0 mismatched in round 1) — flag
+            # numeric-kind divergence even when the values compare equal
+            if kind_warn is None:
+                for a, b in zip(srow, orow):
+                    if a is not None and b is not None and _kind(a) != _kind(b):
+                        kind_warn = (a, b)
+                        break
         if bad:
             print(f"FAIL {name}: value mismatch\n  spark:  {bad[0]}\n  oracle: {bad[1]}")
+            failures += 1
+        elif kind_warn:
+            print(
+                f"WARN {name}: type-kind mismatch {kind_warn[0]!r} vs "
+                f"{kind_warn[1]!r} — driver hash may differ"
+            )
             failures += 1
         else:
             print(f"PASS {name} ({len(sset)} rows)")
