@@ -133,34 +133,46 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, k: int = 3
 ) -> DataFrame:
-    """MinHash signature matrix, long form (doc_id, h_idx, sig).
+    """MinHash signature matrix, wide form (doc_id, sig_0 .. sig_{n-1}).
 
     sig_i(doc) = min over shingles of (A_i * portable_hash(shingle) + B_i)
-    mod p.  One groupBy over exploded (doc, shingle, i) rows — map-side
-    combinable, linear in corpus size."""
+    mod p.  ONE groupBy(doc_id) with n_hashes conditional-min aggregates —
+    the shuffle moves one row per (doc, shingle), not n_hashes of them, and
+    map-side partials collapse each task's shingles to one row per doc
+    before any network transfer.  Linear in corpus size."""
     assert n_hashes <= len(MINHASH_A)
     sh = word_shingles(df, text_col, id_col, k)
     sh = sh.withColumn("x", portable_hash("shingle"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % HASH_MOD
+            ).alias(f"sig_{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signature matrix, long form (doc_id, h_idx, sig) — the wide
+    aggregate unpivoted with a zero-shuffle inline explode."""
+    wide = minhash_signatures_wide(df, text_col, id_col, n_hashes, k)
     hs = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(i).alias("h_idx"),
-                    ((F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % HASH_MOD).alias("hv"),
+                    F.lit(i).alias("h_idx"), F.col(f"sig_{i}").alias("sig")
                 )
                 for i in range(n_hashes)
             ]
         )
     ).alias("h")
-    return (
-        sh.select("doc_id", hs)
-        .select("doc_id", "h.h_idx", "h.hv")
-        .groupBy("doc_id", "h_idx")
-        .agg(F.min("hv").alias("sig"))
-    )
+    return wide.select("doc_id", hs).select("doc_id", "h.h_idx", "h.sig")
 
 
 def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -183,20 +195,33 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding, with estimated Jaccard
-    (fraction of matching signature rows) attached."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k).cache()
-    # deterministic band keys: collect_list is order-nondeterministic, so
-    # collect (h_idx, sig) structs and sort_array before concatenating
-    banded = (
-        sigs.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("h_idx", "sig"))).alias("pairs"))
-        .withColumn(
-            "band_key",
-            F.concat_ws("_", F.transform(F.col("pairs"), lambda p: p["sig"].cast("string"))),
+    (fraction of matching signature rows) attached.
+
+    Plan shape (scale-critical): ONE shuffle builds the wide signature row
+    per doc; band keys and the signature array are then derived columns —
+    no re-aggregation.  Candidates come from the (band, band_key) equi-join
+    on the exploded band table; est-Jaccard compares the two docs' signature
+    *arrays* element-wise (``zip_with``), so the scoring joins move one row
+    per doc instead of one per (doc, hash)."""
+    assert n_hashes % rows_per_band == 0
+    wide = minhash_signatures_wide(df, text_col, id_col, n_hashes, k).cache()
+    n_bands = n_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"sig_{bi * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ).alias("band_key"),
         )
-        .select("doc_id", "band", "band_key")
-    )
+        for bi in range(n_bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -209,20 +234,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(n_hashes)])
+    arrs = wide.select("doc_id", sig_arr.alias("sig_arr"))
     est = (
-        cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("id_b") == F.col("sb.doc_id"))
-            & (F.col("sa.h_idx") == F.col("sb.h_idx")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
+        cand.join(arrs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig_arr", "arr_a"), "id_a")
+        .join(arrs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig_arr", "arr_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
             F.round(
-                F.avg((F.col("sa.sig") == F.col("sb.sig")).cast("double")), 6
-            ).alias("est_jaccard")
+                F.aggregate(
+                    F.zip_with(
+                        "arr_a", "arr_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(float(n_hashes)),
+                6,
+            ).alias("est_jaccard"),
         )
     )
     return est
