@@ -443,6 +443,26 @@ WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
 GROUP BY c.c_nationkey
 """
 
+# q11 adapted to the synthetic star schema: no partsupp table, so "stock
+# value" of a part held via one nation's suppliers is re-derived from
+# lineitem as SUM(extendedprice * quantity); the fraction threshold keeps
+# the HAVING-over-scalar-subquery shape of the original.
+SQL_Q11 = """
+WITH v AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(l.l_quantity AS DECIMAL(18,2))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS stock_value
+FROM v
+WHERE CAST(val AS DOUBLE) > (SELECT AVG(CAST(val AS DOUBLE)) * 2.0 FROM v)
+"""
+
 SQL_RETENTION = """
 WITH activity AS (
   -- portable day ordinal (engine-identical in Spark and DuckDB; exact
@@ -1220,6 +1240,77 @@ FROM chars GROUP BY media_id
 """
 
 
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash perceptual fingerprint (operators.multimodal.average_hash):
+    64 contiguous byte chunks, bit = chunk mean > overall mean — the
+    codec-free form of image average-hash, emitted as a 64-char bit string
+    for engine-portable comparison."""
+    return MM.average_hash(_media_df(spark, sf_dir), grid=64)
+
+
+ORACLE_MEDIA_AHASH = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+),
+idx AS (
+  -- lateral range(0, col) is unsupported; unnest the list-valued range
+  SELECT media_id, text, n, unnest(range(0, n)) AS i FROM m
+),
+chunked AS (
+  SELECT media_id, CAST(i * 64 // n AS INT) AS c,
+         ascii(substring(text, CAST(i AS INT) + 1, 1)) AS b
+  FROM idx
+),
+cmeans AS (SELECT media_id, c, avg(b) AS mc FROM chunked GROUP BY media_id, c),
+omean AS (SELECT media_id, avg(b) AS mo FROM chunked GROUP BY media_id),
+grid AS (SELECT media_id, CAST(r.range AS INT) AS c FROM m, range(0, 64) r),
+bits AS (
+  SELECT g.media_id, g.c,
+         CASE WHEN cm.mc IS NOT NULL AND cm.mc > o.mo THEN '1' ELSE '0' END AS bit
+  FROM grid g
+  LEFT JOIN cmeans cm ON cm.media_id = g.media_id AND cm.c = g.c
+  JOIN omean o ON o.media_id = g.media_id
+)
+SELECT media_id, string_agg(bit, '' ORDER BY c) AS ahash
+FROM bits GROUP BY media_id
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (functions.text.tfidf_top_terms): top-3
+    terms per document, fully relational — one explode, tf/df aggregates,
+    scalar-subquery N, ranking window."""
+    d = _docs(spark, sf_dir)
+    return TX.tfidf_top_terms(d, "text", "doc_id", top_k=3)
+
+
+ORACLE_TEXT_TFIDF = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM corpus),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 
@@ -1683,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
         "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
         "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
+        "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
         "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
         "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
         "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
@@ -1705,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
         "text_token_budget": q_token_budget,
+        "text_tfidf_top_terms": q_text_tfidf,
         # dedup
         "dedup_exact_groups": q_exact_dups,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1727,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
         "media_byte_histogram": q_byte_histogram,
+        "media_ahash": q_media_ahash,
         # geo scalar kernels
         "crs_radolan_project": q_crs_radolan,
     }
@@ -1771,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19_disjunctive_revenue": SQL_Q19,
         "tpch_q21_waiting_supplier": SQL_Q21,
         "tpch_q22_dormant_customers": SQL_Q22,
+        "tpch_q11_part_value": SQL_Q11,
         "events_retention_cohorts": SQL_RETENTION,
         "events_funnel_ordered": SQL_FUNNEL,
         "distinct_agg_segments": SQL_DISTINCT_AGG,
@@ -1791,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _langid_sql(),
         "text_fingerprint": ORACLE_FINGERPRINT,
         "text_token_budget": ORACLE_TOKEN_BUDGET,
+        "text_tfidf_top_terms": ORACLE_TEXT_TFIDF,
         "dedup_exact_groups": ORACLE_EXACT_DUPS,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_groups_cc": ORACLE_DEDUP_CC,
@@ -1807,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_fake": ORACLE_MEDIA_DECODE,
         "media_frame_sample": ORACLE_MEDIA_FRAMES,
         "media_byte_histogram": ORACLE_BYTE_HISTOGRAM,
+        "media_ahash": ORACLE_MEDIA_AHASH,
         "crs_radolan_project": ORACLE_CRS_RADOLAN,
         "similarity_ivf_topk": ORACLE_IVF_TOPK,
         "embedding_norm_stats": ORACLE_EMBEDDING_NORMS,

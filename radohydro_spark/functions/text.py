@@ -212,3 +212,56 @@ def redact_pii(text: Column | str) -> Column:
     for pat, token in PII_PATTERNS:
         c = F.regexp_replace(c, pat, token)
     return c
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+):
+    """Top-k terms per document by TF-IDF — the classic keyword-extraction
+    pass of a corpus pipeline, fully relational (no UDF, no vocabulary
+    collect):
+
+        tf(d, t)  = occurrences of t in d            (explode + count)
+        df(t)     = documents containing t           (count distinct docs)
+        idf(t)    = ln((N + 1) / (df + 1))           (smoothed)
+        score     = tf * idf, rank per doc, keep top_k
+
+    Plan shape: one explode → groupBy(doc, term) for tf; df(t) reuses the
+    tf table (already one row per (doc, term)) with a groupBy(term) — no
+    second pass over the raw text.  N is a scalar broadcast subquery, not a
+    driver collect.  Ranking shuffles one row per (doc, term) once.
+
+    Returns (id_col, term, tf, df, tfidf, rank), tfidf rounded to 6 for
+    cross-engine hash stability.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("doc_id").alias(id_col), "term", "tf", "df", "tfidf", "rank"
+        )
+    )

@@ -140,3 +140,49 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
         yield  # pragma: no cover
 
     return df.mapInPandas(gen, schema=f"media_id long, payload binary")
+
+
+def average_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid: int = 64,
+) -> DataFrame:
+    """aHash-style perceptual fingerprint over the payload bytes.
+
+    The classic image average-hash (resize to 8x8, bit = pixel > mean)
+    re-expressed codec-free: the byte stream is divided into ``grid``
+    contiguous chunks (chunk of byte i = i*grid//n, exact integer
+    arithmetic), bit c = 1 iff mean(chunk c) > mean(all bytes).  With a real
+    decoder the same kernel runs on decoded luma planes; the chunking and
+    bit logic are unchanged.
+
+    Returns (id_col, ahash) where ``ahash`` is a ``grid``-char '0'/'1'
+    string — string form avoids 64-bit sign pitfalls across engines and
+    makes Hamming distance a per-char comparison.  Arrow-batched
+    ``mapInPandas``; one numpy ``bincount`` pair per row, no shuffle.
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                n = len(arr)
+                if n == 0:
+                    ids.append(mid)
+                    hashes.append("0" * grid)
+                    continue
+                idx = (np.arange(n) * grid) // n
+                sums = np.bincount(idx, weights=arr, minlength=grid)
+                cnts = np.bincount(idx, minlength=grid)
+                overall = arr.sum() / n
+                means = np.divide(sums, cnts, out=np.zeros(grid), where=cnts > 0)
+                bits = np.where((cnts > 0) & (means > overall), "1", "0")
+                ids.append(mid)
+                hashes.append("".join(bits))
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=f"{id_col} long, ahash string"
+    )

@@ -1,0 +1,78 @@
+"""TF-IDF keyword extraction and aHash media fingerprint: hand-computed
+goldens plus plan-shape checks."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from radohydro_spark.functions.text import tfidf_top_terms
+from radohydro_spark.operators.multimodal import average_hash
+
+
+def test_tfidf_golden(spark):
+    # 3 docs; "rare" appears only in doc 1 (twice), "common" in all docs
+    df = spark.createDataFrame(
+        [
+            (1, "rare rare common x"),
+            (2, "common y z"),
+            (3, "common z z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in tfidf_top_terms(df, "text", "doc_id", top_k=10).collect()
+    }
+    r = out[(1, "rare")]
+    assert r["tf"] == 2 and r["df"] == 1
+    assert r["tfidf"] == round(2 * math.log(4.0 / 2.0), 6)
+    assert r["rank"] == 1  # highest score in doc 1
+    # common is in every doc: idf = ln(4/4) = 0
+    assert out[(2, "common")]["tfidf"] == 0.0
+    # z: doc 3 has tf=2, df=2 -> 2*ln(4/3)
+    assert out[(3, "z")]["tfidf"] == round(2 * math.log(4.0 / 3.0), 6)
+
+
+def test_tfidf_ranks_are_dense_per_doc(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i} shared") for i in range(6)], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(df, "text", "doc_id", top_k=2)
+    per_doc = (
+        out.groupBy("doc_id").agg(F.collect_set("rank").alias("ranks")).collect()
+    )
+    for row in per_doc:
+        assert sorted(row["ranks"]) == [1, 2]
+
+
+def test_ahash_golden(spark):
+    # 8 bytes, grid=4 -> chunks of 2: means (0.5, 2.5, 4.5, 200.5),
+    # overall mean 52.0 -> bits 0001
+    payload = bytes([0, 1, 2, 3, 4, 5, 200, 201])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = average_hash(df, grid=4).collect()
+    assert rows[0]["ahash"] == "0001"
+
+
+def test_ahash_empty_and_short(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"\xff"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r["ahash"] for r in average_hash(df, grid=4).collect()}
+    assert out[1] == "0000"  # empty payload -> all zero
+    # single byte lands in chunk 0; mean == overall mean -> strict > is False
+    assert out[2] == "0000"
+
+
+def test_ahash_deterministic_across_partitions(spark):
+    data = [(i, bytearray(bytes([(i * 7 + j) % 256 for j in range(100)]))) for i in range(20)]
+    df1 = spark.createDataFrame(data, "media_id long, payload binary").repartition(1)
+    df8 = spark.createDataFrame(data, "media_id long, payload binary").repartition(8)
+    h1 = {r["media_id"]: r["ahash"] for r in average_hash(df1).collect()}
+    h8 = {r["media_id"]: r["ahash"] for r in average_hash(df8).collect()}
+    assert h1 == h8
