@@ -35,7 +35,7 @@ def cell_dirty_flags(obs: DataFrame) -> DataFrame:
 
 
 def apply_nan_policy(
-    fragments: DataFrame, obs: DataFrame, remove_nan: bool = False
+    fragments: DataFrame, obs: DataFrame, remove_nan: bool = False, pruned: bool = False
 ) -> DataFrame:
     """A5 — filter fragments by the per-basin dirty-cell policy.
 
@@ -47,10 +47,14 @@ def apply_nan_policy(
     otherwise scan the whole obs table, so obs is first semi-joined to the
     fragment cell set (dimension-sized, broadcast) — on a RADOLAN day that
     cuts the aggregate's input to just the basin-covered cells, and the
-    filter sits before the shuffle.
+    filter sits before the shuffle.  Pass ``pruned=True`` when the caller
+    already restricted obs to the fragment cells (precip_timeseries does,
+    and caches that pruned table so this pass and the weighted aggregate
+    share one scan of the fact table).
     """
-    frag_cells = fragments.select("cell_row", "cell_col").distinct()
-    obs = obs.join(F.broadcast(frag_cells), ["cell_row", "cell_col"], "left_semi")
+    if not pruned:
+        frag_cells = fragments.select("cell_row", "cell_col").distinct()
+        obs = obs.join(F.broadcast(frag_cells), ["cell_row", "cell_col"], "left_semi")
     flags = cell_dirty_flags(obs)
     fb = fragments.join(F.broadcast(flags), ["cell_row", "cell_col"], "left").fillna(
         {"is_dirty": 0}

@@ -155,9 +155,21 @@ def precip_timeseries(
     # but feed three subtrees: the semi-join cell set, the dirty-flag join,
     # and the weight broadcast — cache so the clip join runs once, not 3×
     fragments = spatial_intersect(cells, basins).cache()
-    fragments = apply_nan_policy(fragments, obs, remove_nan=remove_nan)
+    # one scan of the fact table: prune obs to the fragment-covered cells
+    # (broadcast semi-join), persist the survivors — basin-covered cells are
+    # a sliver of a full grid, so this is dimension-of-fact-sized — and feed
+    # BOTH the dirty-flag pass (A5) and the weighted aggregate (A4) from it.
+    # MEMORY_AND_DISK: at full scale the pruned table may exceed executor
+    # memory; spilling still beats a second pass over the raw fact table.
+    from pyspark import StorageLevel
+
+    frag_cells = fragments.select("cell_row", "cell_col").distinct()
+    obs_pruned = obs.join(
+        F.broadcast(frag_cells), ["cell_row", "cell_col"], "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fragments = apply_nan_policy(fragments, obs_pruned, remove_nan=remove_nan, pruned=True)
     weighted = basin_weights(fragments)
-    result = weighted_basin_timeseries(obs, weighted, numerator=numerator)
+    result = weighted_basin_timeseries(obs_pruned, weighted, numerator=numerator)
     if round_decimals is not None:
         result = result.withColumn(
             "rainfall_mm", F.round("rainfall_mm", round_decimals)
