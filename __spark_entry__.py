@@ -658,6 +658,85 @@ GROUP BY user_id, session_id
 """
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history (operators.scd.scd2_from_changes): collapse each
+    user's event stream into versioned runs of equal event_type with
+    validity intervals — snapshot maintenance for dimension tables, one
+    shuffle on the key."""
+    from radohydro_spark.operators.scd import scd2_from_changes
+
+    e = _t(spark, sf_dir, "events")
+    hist = scd2_from_changes(
+        e, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    return hist.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+    )
+
+
+ORACLE_EVENTS_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+versioned AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS version
+  FROM flagged
+),
+hist AS (
+  SELECT user_id, version,
+         MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from,
+         COUNT(*) AS n_events
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events
+FROM hist
+"""
+
+
+def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows (streaming.sessionize_stream):
+    30-minute-gap sessions computed incrementally with a watermark, drained
+    with availableNow — must emit the same sessions as the batch
+    sessionization (events_sessionize), which is also the DuckDB oracle."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import run_available_now, sessionize_stream
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
+    name = "stream_sessions_" + uuid.uuid4().hex[:8]
+    out = run_available_now(sessions, name, tempfile.mkdtemp(prefix="ck_"), "complete")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        "n_events",
+    )
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -1785,6 +1864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events / streaming-shaped
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         "events_sessionize": q_events_sessions,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "events_scd2_type_history": q_events_scd2,
         "events_props_extract": q_events_props,
         "events_stream_hourly": q_events_stream_hourly,
         "events_asof_join": q_events_asof,
@@ -1875,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
         "filename_parse": ORACLE_FILENAME_PARSE,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONS_BODY.format(epoch="epoch_us(ts)", gap="1800000000"),
+        "events_stream_sessionize": SQL_EVENTS_SESSIONS_BODY.format(epoch="epoch_us(ts)", gap="1800000000"),
+        "events_scd2_type_history": ORACLE_EVENTS_SCD2,
         "events_props_extract": ORACLE_EVENTS_PROPS,
         "events_stream_hourly": ORACLE_STREAM_HOURLY,
         "events_asof_join": ORACLE_EVENTS_ASOF,
