@@ -443,6 +443,62 @@ WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
 GROUP BY c.c_nationkey
 """
 
+SQL_CUBE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+SQL_NTILE = """
+SELECT c_nationkey, quartile, COUNT(*) AS n_customers,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+FROM (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+  FROM customer
+) q
+GROUP BY c_nationkey, quartile
+"""
+
+
+def q_listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg WITHIN GROUP): top-3 customer
+    names per nation by balance, concatenated in rank order.  DuckDB twin
+    uses string_agg(... ORDER BY) — same semantics, dialect-split syntax."""
+    _register(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+SELECT c_nationkey,
+       listagg(c_name, ',') WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey ASC)
+         AS top_names
+FROM (
+  SELECT c_nationkey, c_name, c_acctbal, c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) t
+WHERE rn <= 3
+GROUP BY c_nationkey
+"""
+    )
+
+
+ORACLE_LISTAGG = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey ASC) AS top_names
+FROM (
+  SELECT c_nationkey, c_name, c_acctbal, c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) t
+WHERE rn <= 3
+GROUP BY c_nationkey
+"""
+
 # q11 adapted to the synthetic star schema: no partsupp table, so "stock
 # value" of a part held via one nation's suppliers is re-derived from
 # lineitem as SUM(extendedprice * quantity); the fraction threshold keeps
@@ -1822,6 +1878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
         "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
+        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
+        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
+        "listagg_top_customers": q_listagg_top_customers,
         "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
         "tpch_q7_volume_shipping": _sql(
             SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"]
@@ -1928,6 +1987,9 @@ def oracle_sql() -> dict[str, str]:
         "subquery_exists_correlated": SQL_EXISTS_CORRELATED,
         "join_outer_nations": SQL_OUTER_JOIN,
         "grouping_sets_pricing": SQL_GROUPING_SETS,
+        "cube_order_status": SQL_CUBE,
+        "window_ntile_quartiles": SQL_NTILE,
+        "listagg_top_customers": ORACLE_LISTAGG,
         "tpch_q18_large_orders": SQL_LARGE_ORDERS,
         "tpch_q7_volume_shipping": SQL_Q7,
         "tpch_q10_returned_items": SQL_Q10,
