@@ -793,6 +793,49 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (streaming.streaming_dedup / dropDuplicatesWithinWatermark): the events
+    file is replayed as the union of TWO file streams — every event arrives
+    twice — and the dedup must reduce the doubled stream back to exactly
+    the batch table (the DuckDB oracle is a plain SELECT over events).
+    State for ids older than the watermark horizon is evicted, so memory is
+    bounded by the horizon, not the stream length."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import run_available_now, streaming_dedup
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        s = (
+            spark.readStream.format("parquet")
+            .schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        if dict(s.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    doubled = src().unionByName(src())
+    deduped = streaming_dedup(doubled, ["event_id"], ts_col="ts", watermark="1 hour")
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    out = run_available_now(deduped, name, tempfile.mkdtemp(prefix="ck_"), "append")
+    return out.select(
+        "event_id",
+        F.col("ts").cast("string").alias("ts"),
+        "event_type",
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_id, CAST(ts AS VARCHAR) AS ts, event_type
+FROM events
+"""
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -1924,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         "events_sessionize": q_events_sessions,
         "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_dedup": q_events_stream_dedup,
         "events_scd2_type_history": q_events_scd2,
         "events_props_extract": q_events_props,
         "events_stream_hourly": q_events_stream_hourly,
@@ -2020,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONS_BODY.format(epoch="epoch_us(ts)", gap="1800000000"),
         "events_stream_sessionize": SQL_EVENTS_SESSIONS_BODY.format(epoch="epoch_us(ts)", gap="1800000000"),
         "events_scd2_type_history": ORACLE_EVENTS_SCD2,
+        "events_stream_dedup": ORACLE_STREAM_DEDUP,
         "events_props_extract": ORACLE_EVENTS_PROPS,
         "events_stream_hourly": ORACLE_STREAM_HOURLY,
         "events_asof_join": ORACLE_EVENTS_ASOF,
