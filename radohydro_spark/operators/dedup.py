@@ -30,8 +30,16 @@ MINHASH_A = [2971, 4111, 5669, 7919, 9973, 11939, 14033, 16127]
 MINHASH_B = [1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613]
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document, exploded long."""
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, with_count: bool = False
+) -> DataFrame:
+    """Distinct k-word shingles per document, exploded long.
+
+    ``with_count=True`` attaches ``n_sh`` (the document's distinct-shingle
+    count) to every exploded row — computed from the array BEFORE the
+    explode, so consumers that need per-doc sizes (Jaccard denominators)
+    get them with ZERO extra shuffle instead of a groupBy + back-join.
+    """
     toks = tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -40,9 +48,20 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     )
     # array_distinct before the explode already makes (doc_id, shingle)
     # unique — no distinct() after, which would cost a full extra shuffle
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .filter(F.col("shingle") != "")
+    arr = F.array_distinct(sh)
+    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("_sh"))
+    if with_count:
+        # count AFTER removing the empty shingle so n_sh matches the
+        # post-filter row count exactly
+        base = base.withColumn(
+            "n_sh", F.size(F.array_remove(F.col("_sh"), ""))
+        )
+        return (
+            base.select("doc_id", "n_sh", F.explode("_sh").alias("shingle"))
+            .filter(F.col("shingle") != "")
+        )
+    return base.select("doc_id", F.explode("_sh").alias("shingle")).filter(
+        F.col("shingle") != ""
     )
 
 
@@ -94,9 +113,15 @@ def ngram_jaccard_pairs(
     A 64-bit collision would merge two shingles (P ≈ n²/2⁶⁴ ≈ 1e-8 at a
     million distinct shingles) — acceptable for a near-dup *candidate*
     metric that MinHash approximates anyway.
+
+    Denominators |A| and |B| ride along on the shingle rows themselves
+    (``word_shingles(with_count=True)`` computes them from the pre-explode
+    array): the pair aggregate reads them with ``first()``, eliminating
+    the per-doc sizes aggregation and its two back-joins — the whole
+    operator is the self-join plus ONE pair-key shuffle.
     """
-    sh = word_shingles(df, text_col, id_col, k).select(
-        "doc_id", F.xxhash64("shingle").alias("sid")
+    sh = word_shingles(df, text_col, id_col, k, with_count=True).select(
+        "doc_id", "n_sh", F.xxhash64("shingle").alias("sid")
     )
     if max_doc_freq is not None:
         hot = (
@@ -106,26 +131,24 @@ def ngram_jaccard_pairs(
             .select("sid")
         )
         sh = sh.join(F.broadcast(hot), "sid", "left_anti")
+    # cache: the self-join consumes sh twice and the tokenize+shingle
+    # projection is the expensive part of this operator
     sh = sh.cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("a.n_sh")).alias("_na"),
+            F.first(F.col("b.n_sh")).alias("_nb"),
+        )
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("n_common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
         )
