@@ -836,6 +836,100 @@ FROM events
 """
 
 
+def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (operators.merge.merge_upsert): a change batch
+    derived deterministically from orders — urgent orders get a 10% price
+    update, keys ≡ 0 (mod 97) spawn inserts under shifted keys, keys ≡ 0
+    (mod 101) are deleted — reconciled against the full table in ONE
+    full-outer shuffle.  Oracle is the equivalent FULL JOIN in DuckDB."""
+    from radohydro_spark.operators.merge import merge_upsert
+
+    full = _t(spark, sf_dir, "orders")
+    o = full.select("o_orderkey", "o_totalprice")
+    updates = full.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        # decimal, not double: round(x*1.1, 2) on doubles straddles the
+        # cent boundary differently in Spark (BigDecimal of shortest repr,
+        # HALF_UP) vs DuckDB (C-double rounding)
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit(False).alias("is_del"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit(False).alias("is_del"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(True).alias("is_del"),
+    )
+    src = updates.unionByName(inserts).unionByName(deletes)
+    merged = merge_upsert(o, src, ["o_orderkey"], delete_col="is_del")
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH o AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+src AS (
+  SELECT o_orderkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)),
+                    2) AS DOUBLE) AS o_totalprice,
+         FALSE AS is_del
+  FROM o WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey + 10000000, 1.0, FALSE FROM o WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, TRUE FROM o WHERE o_orderkey % 101 = 0
+)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                  ELSE t.o_totalprice END, 2) AS o_totalprice
+FROM o t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (s.o_orderkey IS NOT NULL AND s.is_del)
+"""
+
+
+def q_events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window rollup: 2-hour windows every 1 hour, so
+    each event lands in exactly two windows — Spark's ``window(ts, '2
+    hours', '1 hour')``; the oracle expands each event into both windows
+    with an unnest."""
+    e = _t(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+ORACLE_HOPPING = """
+WITH expanded AS (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+           AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, round(SUM(value), 4) AS sum_value
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -1968,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessions,
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_stream_dedup": q_events_stream_dedup,
+        "events_hopping_window": q_events_hopping_window,
+        "orders_merge_upsert": q_orders_merge_upsert,
         "events_scd2_type_history": q_events_scd2,
         "events_props_extract": q_events_props,
         "events_stream_hourly": q_events_stream_hourly,
@@ -2065,6 +2161,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_sessionize": SQL_EVENTS_SESSIONS_BODY.format(epoch="epoch_us(ts)", gap="1800000000"),
         "events_scd2_type_history": ORACLE_EVENTS_SCD2,
         "events_stream_dedup": ORACLE_STREAM_DEDUP,
+        "events_hopping_window": ORACLE_HOPPING,
+        "orders_merge_upsert": ORACLE_MERGE_UPSERT,
         "events_props_extract": ORACLE_EVENTS_PROPS,
         "events_stream_hourly": ORACLE_STREAM_HOURLY,
         "events_asof_join": ORACLE_EVENTS_ASOF,

@@ -1,0 +1,74 @@
+"""MERGE INTO semantics as a DataFrame operator (upsert / delete).
+
+The copy-on-write table-maintenance primitive: reconcile a target snapshot
+with a change batch in one pass —
+
+    matched  + no delete flag  -> source values win (UPDATE)
+    matched  + delete flag     -> row dropped       (DELETE)
+    source-only                -> row added          (INSERT)
+    target-only                -> row kept unchanged
+
+Plan shape: ONE full-outer shuffle join on the keys (sort-merge at scale;
+AQE turns it into a broadcast variant when the change batch is small).
+With a bucketed target (sinks/bucketed.py) the target side's exchange
+disappears entirely — the standard layout for repeated merges at 100 TB.
+
+Cite: the reference has no mutation surface at all (files in, files out);
+this is engine-native extension territory (SURVEY.md §7.2 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MARK = "__src_present"
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Merge ``source`` changes into ``target`` by ``keys``.
+
+    Source columns overwrite same-named target columns on match; target
+    columns absent from the source pass through (NULL on inserts).
+    ``delete_col``: boolean column in ``source`` marking rows to remove;
+    it never appears in the output.
+    """
+    src_vals = [c for c in source.columns if c not in keys and c != delete_col]
+    tgt_vals = [c for c in target.columns if c not in keys]
+
+    renamed = source.select(
+        *keys,
+        *[F.col(c).alias(f"{c}{_MARK}") for c in src_vals],
+        *([F.col(delete_col).alias(f"__del{_MARK}")] if delete_col else []),
+        F.lit(1).alias(_MARK),
+    )
+    j = target.join(renamed, keys, "full_outer")
+    if delete_col:
+        j = j.filter(
+            ~((F.col(_MARK) == 1) & F.coalesce(F.col(f"__del{_MARK}"), F.lit(False)))
+        )
+
+    matched = F.col(_MARK) == 1
+    out_cols = [F.col(k) for k in keys]
+    emitted = set(keys)
+    for c in tgt_vals:
+        if c in src_vals:
+            out_cols.append(
+                F.when(matched, F.col(f"{c}{_MARK}")).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+        emitted.add(c)
+    for c in src_vals:
+        if c not in emitted:  # source-only column: NULL for unmatched target rows
+            out_cols.append(
+                F.when(matched, F.col(f"{c}{_MARK}"))
+                .otherwise(F.lit(None))
+                .alias(c)
+            )
+    return j.select(*out_cols)

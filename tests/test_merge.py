@@ -1,0 +1,48 @@
+"""merge_upsert: update / insert / delete / passthrough goldens."""
+
+from __future__ import annotations
+
+from radohydro_spark.operators.merge import merge_upsert
+
+
+def test_merge_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0), (4, 40.0)], "k int, v double"
+    )
+    out = {r["k"]: r for r in merge_upsert(target, source, ["k"]).collect()}
+    assert len(out) == 4
+    assert out[1]["v"] == 10.0 and out[1]["name"] == "a"  # untouched
+    assert out[2]["v"] == 99.0 and out[2]["name"] == "b"  # updated, name kept
+    assert out[3]["v"] == 30.0                             # untouched
+    assert out[4]["v"] == 40.0 and out[4]["name"] is None  # inserted
+
+
+def test_merge_delete(spark):
+    target = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    source = spark.createDataFrame(
+        [(1, None, True), (3, 3.0, False)], "k int, v double, is_del boolean"
+    )
+    out = {r["k"]: r["v"] for r in
+           merge_upsert(target, source, ["k"], delete_col="is_del").collect()}
+    assert out == {2: 2.0, 3: 3.0}  # 1 deleted, 2 kept, 3 inserted
+    # delete flag column must not leak into the output schema
+    cols = merge_upsert(target, source, ["k"], delete_col="is_del").columns
+    assert cols == ["k", "v"]
+
+
+def test_merge_source_only_column(spark):
+    target = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    source = spark.createDataFrame([(1, "x"), (2, "y")], "k int, tag string")
+    out = {r["k"]: r for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out[1]["tag"] == "x" and out[1]["v"] == 1.0
+    assert out[2]["tag"] == "y" and out[2]["v"] is None
+
+
+def test_merge_idempotent_on_empty_source(spark):
+    target = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    source = spark.createDataFrame([], "k int, v double")
+    out = merge_upsert(target, source, ["k"]).collect()
+    assert sorted((r["k"], r["v"]) for r in out) == [(1, 1.0), (2, 2.0)]
