@@ -930,6 +930,52 @@ GROUP BY window_start, event_type
 """
 
 
+def q_events_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator
+    (streaming.stateful_running_total / applyInPandasWithState): per-user
+    cumulative (count, sum) carried in the state store across triggers;
+    after draining the bounded stream the state equals the batch aggregate
+    — the DuckDB oracle is a plain GROUP BY."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from radohydro_spark.streaming import run_available_now, stateful_running_total
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    totals = stateful_running_total(
+        stream, key_col="user_id", ts_col="ts", value_col="value"
+    )
+    name = "stream_state_" + uuid.uuid4().hex[:8]
+    out = run_available_now(totals, name, tempfile.mkdtemp(prefix="ck_"), "update")
+    # update mode emits one row per (key, trigger); keep the last per key —
+    # n_obs is monotone, so max(n_obs) picks the final state
+    w = W.partitionBy("user_id").orderBy(F.desc("n_obs"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_obs", "cum_value")
+    )
+
+
+ORACLE_STREAM_STATE_TOTALS = """
+SELECT user_id,
+       COUNT(value) AS n_obs,
+       round(SUM(CASE WHEN value IS NOT NULL THEN value ELSE 0 END), 6) AS cum_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -2063,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_stream_dedup": q_events_stream_dedup,
         "events_hopping_window": q_events_hopping_window,
+        "events_stream_state_totals": q_events_stream_state_totals,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_scd2_type_history": q_events_scd2,
         "events_props_extract": q_events_props,
@@ -2162,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2_type_history": ORACLE_EVENTS_SCD2,
         "events_stream_dedup": ORACLE_STREAM_DEDUP,
         "events_hopping_window": ORACLE_HOPPING,
+        "events_stream_state_totals": ORACLE_STREAM_STATE_TOTALS,
         "orders_merge_upsert": ORACLE_MERGE_UPSERT,
         "events_props_extract": ORACLE_EVENTS_PROPS,
         "events_stream_hourly": ORACLE_STREAM_HOURLY,

@@ -160,10 +160,14 @@ def stateful_running_total(
     Streaming lacks natively (running antecedent-precipitation index,
     model state, etc.).
 
-    State is one (count, total) pair per key — O(n_basins), trivially
+    State is one (count, total) pair per key — O(n_keys), trivially
     sharded by the state store's hash partitioning at cluster scale.
+    Output columns: ``(key_col, n_obs, cum_<value_col>)`` with the key's
+    input type preserved.
     """
-    out_schema = "basin_id int, n_obs long, cum_rainfall double"
+    key_type = dict(stream.dtypes)[key_col]
+    cum_col = f"cum_{value_col}"
+    out_schema = f"{key_col} {key_type}, n_obs long, {cum_col} double"
     state_schema = "n long, total double"
 
     def update(
@@ -178,7 +182,7 @@ def stateful_running_total(
             total += float(vals.sum())
         state.update((n, total))
         yield pd.DataFrame(
-            {"basin_id": [key[0]], "n_obs": [n], "cum_rainfall": [round(total, 6)]}
+            {key_col: [key[0]], "n_obs": [n], cum_col: [round(total, 6)]}
         )
 
     return stream.groupBy(F.col(key_col)).applyInPandasWithState(

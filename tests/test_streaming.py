@@ -146,7 +146,7 @@ def test_stateful_running_total(spark, tmp_path):
         str(tmp_path / "ck5"),
         "update",
     )
-    final = {r.basin_id: (r.n_obs, r.cum_rainfall) for r in got.collect()}
+    final = {r.basin_id: (r.n_obs, r.cum_rainfall_mm) for r in got.collect()}
     assert final[1] == (6, 15.0)
     assert final[2] == (0, 0.0)
 
