@@ -1852,6 +1852,69 @@ def q_precip_radolan_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.contamination_check):
+    every 50th document plays the eval set; corpus docs sharing >= 3
+    distinct 3-gram shingles with it are flagged.  Benchmark shingle set is
+    broadcast — the corpus side never shuffles on shingles."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return DD.contamination_check(corpus, bench, "text", "doc_id", k=3, min_shared=3)
+
+
+ORACLE_CONTAMINATION = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+c_toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+c_sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM c_toks
+),
+c_sh AS (SELECT DISTINCT doc_id, shingle FROM c_sh_raw WHERE shingle <> ''),
+b_toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM bench),
+b_sh_raw AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM b_toks
+),
+b_sh AS (SELECT DISTINCT shingle FROM b_sh_raw WHERE shingle <> '')
+SELECT doc_id, COUNT(*) AS n_shared
+FROM c_sh JOIN b_sh USING (shingle)
+GROUP BY doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (functions.text.pack_sequences): greedy
+    sequential assignment of documents to 256-token training bins per
+    source, bin index from the running token count — one window shuffle."""
+    d = _docs(spark, sf_dir)
+    return TX.pack_sequences(
+        d, budget=256, group_col="source", order_cols=("doc_id",)
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_SQL_TOKS}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cb // 256 AS INT) AS bin,
+       CAST(cb % 256 AS BIGINT) AS offset
+FROM c
+"""
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-counting trio for corpus budgeting: whitespace words, BPE-ish
     pre-token count (letter runs / digits / punct), chars/4 estimate."""
@@ -2125,6 +2188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "text_token_budget": q_token_budget,
         "text_tfidf_top_terms": q_text_tfidf,
+        "text_contamination_check": q_text_contamination,
+        "text_pack_sequences": q_text_pack_sequences,
         # dedup
         "dedup_exact_groups": q_exact_dups,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -2223,6 +2288,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ORACLE_FINGERPRINT,
         "text_token_budget": ORACLE_TOKEN_BUDGET,
         "text_tfidf_top_terms": ORACLE_TEXT_TFIDF,
+        "text_contamination_check": ORACLE_CONTAMINATION,
+        "text_pack_sequences": ORACLE_PACK_SEQUENCES,
         "dedup_exact_groups": ORACLE_EXACT_DUPS,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_groups_cc": ORACLE_DEDUP_CC,

@@ -265,3 +265,48 @@ def tfidf_top_terms(
             F.col("doc_id").alias(id_col), "term", "tf", "df", "tfidf", "rank"
         )
     )
+
+
+def pack_sequences(
+    df,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    order_cols: tuple[str, ...] = ("doc_id",),
+):
+    """Deterministic greedy sequence packing: assign documents to training
+    bins of ``budget`` tokens by running token count, in a fixed document
+    order — the relational analog of context-window packing.
+
+    bin = floor(cumulative_tokens_before_doc / budget): a document opens a
+    new bin when the running total crosses a budget boundary (documents are
+    not split; a bin may overflow by at most one document's tokens, the
+    standard greedy-packing tradeoff).
+
+    One window shuffle; with ``group_col`` (e.g. source) packing is
+    per-group and the window partitions by it — at corpus scale that is the
+    natural parallel unit.  Returns (id_col, [group_col], n_tokens, bin,
+    offset) with ``offset`` = token start position inside the bin's stream.
+    """
+    from pyspark.sql import Window as W
+
+    parts = [group_col] if group_col else []
+    w = (
+        W.partitionBy(*parts)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n_tok = token_count(text_col)
+    out = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        n_tok.alias("n_tokens"),
+    ).withColumn("_cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return out.select(
+        id_col,
+        *parts,
+        "n_tokens",
+        F.floor(F.col("_cum_before") / budget).cast("int").alias("bin"),
+        (F.col("_cum_before") % budget).cast("long").alias("offset"),
+    )

@@ -342,3 +342,38 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_shared`` distinct k-word shingles with ANY benchmark document.
+
+    The pre-training hygiene pass that keeps eval sets out of the training
+    corpus.  Plan shape: the benchmark's distinct shingle-hash set is
+    dimension-sized (eval suites are small) → ``broadcast`` semi-join
+    against the corpus shingles, then one groupBy(doc) count — the corpus
+    side streams through map-side, no corpus-sized shuffle key explosion.
+
+    Returns (doc_id, n_shared) for flagged docs only.
+    """
+    c_sh = word_shingles(corpus, text_col, id_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("sid")
+    )
+    b_sh = (
+        word_shingles(benchmark, text_col, id_col, k)
+        .select(F.xxhash64("shingle").alias("sid"))
+        .distinct()
+    )
+    hits = c_sh.join(F.broadcast(b_sh), "sid", "left_semi")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
