@@ -2054,6 +2054,49 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization with per-vector symmetric scale
+    (operators.similarity.quantize_int8_stats): reconstruction-error report
+    over the corpus — pure array-expression projection, no UDF/shuffle.
+    floor(v+0.5) rounding keeps both engines on identical IEEE ops."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.quantize_int8_stats(e, "embedding", "vec_id")
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                     (acc, x) -> greatest(acc, x)) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CASE WHEN scale > 0
+                                     THEN floor(x / scale + 0.5)
+                                     ELSE 0.0 END) AS qv
+  FROM s
+),
+err AS (
+  SELECT vec_id, scale, len(v) AS dim,
+         list_transform(range(1, len(v) + 1),
+                        i -> abs(v[i] - qv[i] * scale)) AS ev
+  FROM q
+)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       round(scale, 9) AS scale,
+       round(list_reduce(list_prepend(0.0, ev), (acc, x) -> greatest(acc, x)), 9)
+         AS max_abs_err,
+       round(list_reduce(list_prepend(0.0, list_transform(ev, x -> x * x)),
+                         (acc, x) -> acc + x) / dim, 12) AS mse
+FROM err
+"""
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column hygiene pass: L2 norm, dimensionality, normalized first
     component — the standard pre-index screen over an embedding corpus."""
@@ -2207,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
         "similarity_ivf_topk": q_ivf_topk,
         "embedding_norm_stats": q_embedding_norms,
+        "embedding_quantize_int8": q_embedding_quantize,
         "stats_approx_sketches": q_approx_sketches,
         # multimodal plumbing
         "media_decode_fake": q_media_decode,
@@ -2310,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
         "crs_radolan_project": ORACLE_CRS_RADOLAN,
         "similarity_ivf_topk": ORACLE_IVF_TOPK,
         "embedding_norm_stats": ORACLE_EMBEDDING_NORMS,
+        "embedding_quantize_int8": ORACLE_EMBEDDING_QUANTIZE,
     }
 
 

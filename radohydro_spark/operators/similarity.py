@@ -267,3 +267,45 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def quantize_int8_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column with per-vector
+    scale, reporting reconstruction error — the storage-compression pass
+    that turns a 100 TB float32 embedding store into ~25 TB.
+
+    q_i = floor(x_i / scale + 0.5), scale = max|x| / 127 (symmetric,
+    zero-point 0).  ``floor(v + 0.5)`` instead of round(): identical IEEE
+    semantics in every engine, no banker's/decimal-string divergence.
+    All JVM-side array expressions (zip_with/aggregate/transform) — no UDF,
+    no shuffle; the operator is a pure projection that pipelines into
+    whatever scan feeds it.
+
+    Returns (id_col, dim, scale, max_abs_err, mse) — error between the
+    original and the dequantized q*scale, sequential-fold sums so the
+    oracle reproduces bit-exact values.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = max_abs / F.lit(127.0)
+    # guard all-zero vectors: scale 0 -> quantized all zeros, zero error
+    q = F.transform(
+        v,
+        lambda x: F.when(scale > 0, F.floor(x / scale + F.lit(0.5)))
+        .otherwise(F.lit(0.0))
+        .cast("double"),
+    )
+    err = F.zip_with(v, q, lambda x, qq: F.abs(x - qq * scale))
+    max_err = F.aggregate(err, F.lit(0.0), lambda acc, e: F.greatest(acc, e))
+    sq_sum = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(scale, 9).alias("scale"),
+        F.round(max_err, 9).alias("max_abs_err"),
+        F.round(sq_sum / F.size(F.col(vec_col)), 12).alias("mse"),
+    )
