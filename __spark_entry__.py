@@ -1844,8 +1844,13 @@ def q_precip_radolan_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         radolan_scale_obs,
     )
 
+    from radohydro_spark.sources.synthetic import RADOLAN_SCALE as _RS
+
     res = precip_timeseries(
-        radolan_scale_obs(spark), radolan_scale_cells(spark), radolan_scale_basins(spark)
+        radolan_scale_obs(spark),
+        radolan_scale_cells(spark),
+        radolan_scale_basins(spark),
+        grid_meta=(_RS.x0, _RS.y0, _RS.cell, _RS.cell),
     )
     return res.select(
         "basin_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "rainfall_mm"

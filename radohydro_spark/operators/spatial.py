@@ -195,16 +195,29 @@ def rect_clip_area_udf(
     )
 
 
-def spatial_intersect(cells: DataFrame, basins: DataFrame) -> DataFrame:
+def spatial_intersect(
+    cells: DataFrame,
+    basins: DataFrame,
+    grid_meta: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
     """J1 — spatial overlay intersection join producing fragments.
 
     Plan shape (scale-critical): ``broadcast(basins)`` bbox theta-join
     against the cell dimension, then the exact-area pandas UDF only on
     surviving candidate pairs, then ``frag_area > 0`` filter.  The obs fact
     table is never involved; at 100 TB this join touches only dimension
-    rows.  With >10k basins (the reference's documented cliff,
-    README.md:18) the bbox join still broadcasts (10k WKB rows ≪ 64 MB) and
-    the quadratic pair explosion is bounded by bbox selectivity.
+    rows.
+
+    ``grid_meta = (ulx, uly, xres, yres)``: when the cell grid is affine
+    (create_cell_grid output — the RADOLAN/REGNIE case), pass the
+    transform and the bbox theta-join becomes an **equi-join**: each
+    basin's bbox maps to a cell-index rectangle, exploded into candidate
+    (cell_row, cell_col) keys and broadcast against the cells dimension.
+    That replaces the nested-loop's |cells| x |basins| predicate sweep with
+    an O(candidates) hash probe — the fix for the reference's >10k-polygon
+    cliff (README.md:18): 10k basins x 810k cells = 8.1e9 nested-loop pairs
+    vs ~10^6 candidate keys.  Without ``grid_meta`` the generic theta-join
+    path handles arbitrary rectilinear cell tables.
 
     Returns FRAGMENTS_SCHEMA.  The basin side is projected to
     ``(basin_id, geom)`` before the join: passthrough attributes re-join at
@@ -212,14 +225,36 @@ def spatial_intersect(cells: DataFrame, basins: DataFrame) -> DataFrame:
     the cell grid's ``left/bottom/right/top`` columns otherwise.
     """
     b = with_bbox(basins.select("basin_id", "geom"))
-    cand = cells.join(
-        F.broadcast(b),
-        (F.col("left") < F.col("xmax"))
-        & (F.col("right") > F.col("xmin"))
-        & (F.col("bottom") < F.col("ymax"))
-        & (F.col("top") > F.col("ymin")),
-        "inner",
-    )
+    if grid_meta is not None:
+        ulx, uly, xres, yres = (float(v) for v in grid_meta)
+        # inclusive index range of cells whose footprint overlaps the bbox:
+        # open interval semantics match the theta-join's strict < / >
+        col0 = F.floor((F.col("xmin") - ulx) / xres).cast("int")
+        col1 = F.ceil((F.col("xmax") - ulx) / xres).cast("int") - 1
+        if yres < 0:  # north-up: row 0 at the top
+            row0 = F.floor((F.col("ymax") - uly) / yres).cast("int")
+            row1 = F.ceil((F.col("ymin") - uly) / yres).cast("int") - 1
+        else:
+            row0 = F.floor((F.col("ymin") - uly) / yres).cast("int")
+            row1 = F.ceil((F.col("ymax") - uly) / yres).cast("int") - 1
+        cand_keys = (
+            b.withColumn("cell_row", F.explode(F.sequence(row0, row1)))
+            .withColumn("cell_col", F.explode(F.sequence(col0, col1)))
+            .select("basin_id", "geom", "xmin", "ymin", "xmax", "ymax",
+                    "cell_row", "cell_col")
+        )
+        cand = cells.join(
+            F.broadcast(cand_keys), ["cell_row", "cell_col"], "inner"
+        )
+    else:
+        cand = cells.join(
+            F.broadcast(b),
+            (F.col("left") < F.col("xmax"))
+            & (F.col("right") > F.col("xmin"))
+            & (F.col("bottom") < F.col("ymax"))
+            & (F.col("top") > F.col("ymin")),
+            "inner",
+        )
     cand = cand.withColumn(
         "frag_area",
         rect_clip_area_udf(

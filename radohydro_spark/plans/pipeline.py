@@ -120,7 +120,12 @@ def radohydro_run(
         meta["n_cols"],
     )
     result = precip_timeseries(
-        obs, cells, basins, clip_window=window, numerator=numerator
+        obs,
+        cells,
+        basins,
+        clip_window=window,
+        numerator=numerator,
+        grid_meta=(meta["ulx"], meta["uly"], meta["xres"], meta["yres"]),
     )
     write_basin_csvs(result, basins, out_dir)
     if write_wide:
@@ -136,6 +141,7 @@ def precip_timeseries(
     remove_nan: bool = False,
     numerator: float = 10.0,
     round_decimals: int | None = 3,
+    grid_meta: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """Area-weighted mean precipitation per basin per timestep.
 
@@ -154,7 +160,7 @@ def precip_timeseries(
     # fragments are dimension-sized (cells ∩ basins, never the fact table)
     # but feed three subtrees: the semi-join cell set, the dirty-flag join,
     # and the weight broadcast — cache so the clip join runs once, not 3×
-    fragments = spatial_intersect(cells, basins).cache()
+    fragments = spatial_intersect(cells, basins, grid_meta=grid_meta).cache()
     # one scan of the fact table: prune obs to the fragment-covered cells
     # (broadcast semi-join), persist the survivors — basin-covered cells are
     # a sliver of a full grid, so this is dimension-of-fact-sized — and feed

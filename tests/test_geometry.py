@@ -128,3 +128,52 @@ def test_vectorized_kernel_matches_scalar():
         for i in range(n):
             ref = rect_clip_polygon_area(blob, ls[i], bs[i], rs[i], ts[i])
             assert math.isclose(vec[i], ref, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_spatial_intersect_grid_meta_path_equivalence(spark):
+    """The affine equi-join candidate path (grid_meta) must produce exactly
+    the theta-join's fragments, including boundary-aligned basins."""
+    from radohydro_spark.geometry.wkb import wkb_box
+    from radohydro_spark.operators.spatial import create_cell_grid, spatial_intersect
+    from radohydro_spark.schemas import BASINS_SCHEMA
+    import pandas as pd
+
+    cells = create_cell_grid(spark, 6, 8, ulx=1000.0, uly=2000.0, xres=100.0, yres=100.0)
+    rects = [
+        (1, 1150.0, 2150.0, 1250.0, 2250.0),   # interior, fractional
+        (2, 1100.0, 2100.0, 1300.0, 2300.0),   # exactly cell-aligned edges
+        (3, 900.0, 1900.0, 1050.0, 2050.0),    # extends past the grid edge
+        (4, 1700.0, 2500.0, 1800.0, 2600.0),   # exactly on the far corner
+    ]
+    pdf = pd.DataFrame({
+        "basin_id": [r[0] for r in rects],
+        "geom": [wkb_box(*r[1:]) for r in rects],
+    })
+    basins = spark.createDataFrame(pdf, schema=BASINS_SCHEMA)
+    key = ["basin_id", "cell_row", "cell_col"]
+    theta = spatial_intersect(cells, basins).orderBy(*key).collect()
+    equi = spatial_intersect(
+        cells, basins, grid_meta=(1000.0, 2000.0, 100.0, 100.0)
+    ).orderBy(*key).collect()
+    assert [tuple(r) for r in theta] == [tuple(r) for r in equi]
+    assert len(theta) > 0
+
+
+def test_spatial_intersect_grid_meta_north_up(spark):
+    """Same equivalence with a negative yres (north-up raster, row 0 top)."""
+    from radohydro_spark.geometry.wkb import wkb_box
+    from radohydro_spark.operators.spatial import create_cell_grid, spatial_intersect
+    from radohydro_spark.schemas import BASINS_SCHEMA
+    import pandas as pd
+
+    cells = create_cell_grid(spark, 5, 5, ulx=0.0, uly=500.0, xres=100.0, yres=-100.0)
+    pdf = pd.DataFrame({
+        "basin_id": [1, 2],
+        "geom": [wkb_box(120.0, 130.0, 340.0, 280.0), wkb_box(0.0, 400.0, 100.0, 500.0)],
+    })
+    basins = spark.createDataFrame(pdf, schema=BASINS_SCHEMA)
+    key = ["basin_id", "cell_row", "cell_col"]
+    theta = spatial_intersect(cells, basins).orderBy(*key).collect()
+    equi = spatial_intersect(cells, basins, grid_meta=(0.0, 500.0, 100.0, -100.0)).orderBy(*key).collect()
+    assert [tuple(r) for r in theta] == [tuple(r) for r in equi]
+    assert len(theta) > 0
