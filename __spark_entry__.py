@@ -1836,8 +1836,8 @@ WHERE rank <= 5
 def q_precip_radolan_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-scale RADOLAN day (900x900 cells x 24 h = 19.4M obs rows, 20
     basins) — the reference's real workload shape, where its dense stack
-    representation hits the RAM cliff (radohydro.py:257-260).  Rows-only
-    driver check (the small-grid precip queries pin exact values)."""
+    representation hits the RAM cliff (radohydro.py:257-260).  Exact
+    oracle: DuckDB evaluates the same closed-form pipeline at full scale."""
     from radohydro_spark.sources.synthetic import (
         radolan_scale_basins,
         radolan_scale_cells,
@@ -2267,6 +2267,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _radolan_scale_oracle() -> str:
+    from radohydro_spark.sources.synthetic import (
+        RADOLAN_SCALE,
+        radolan_scale_rects,
+    )
+
+    return oracle_pipeline_sql(RADOLAN_SCALE, rects=radolan_scale_rects(RADOLAN_SCALE))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
@@ -2275,6 +2284,9 @@ def oracle_sql() -> dict[str, str]:
         "precip_cellgrid": oracle_cellgrid_sql(GRID),
         "precip_daily_resample": oracle_daily_sql(GRID),
         "precip_rasterize": oracle_rasterize_sql(GRID),
+        # full 900x900x24 pipeline: same closed-form CTEs at true RADOLAN
+        # scale (19.4M obs rows generated inside DuckDB, ~6s)
+        "precip_radolan_scale": _radolan_scale_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

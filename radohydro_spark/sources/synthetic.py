@@ -100,13 +100,19 @@ def synthetic_basins(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
     return spark.createDataFrame(pdf, schema=BASINS_SCHEMA)
 
 
-def oracle_base_ctes(g: GridSpec = GRID, remove_nan: bool = False) -> str:
+def oracle_base_ctes(
+    g: GridSpec = GRID,
+    remove_nan: bool = False,
+    rects: list[tuple[int, float, float, float, float]] | None = None,
+) -> str:
     """Shared WITH-clause body for all core-pipeline DuckDB oracles:
     closed-form rect∩rect intersection areas, dirty flags, NULL policy,
-    normalized weights.  Appended SELECTs pick the stage to check."""
+    normalized weights.  Appended SELECTs pick the stage to check.
+    ``rects``: (basin_id, left, bottom, right, top) offsets from the grid
+    origin — defaults to the small-grid fixture taxonomy."""
     basins_values = ",\n      ".join(
         f"({bid}, {g.x0 + l!r}, {g.y0 + b!r}, {g.x0 + r!r}, {g.y0 + t!r})"
-        for bid, l, b, r, t in BASIN_RECTS
+        for bid, l, b, r, t in (rects if rects is not None else BASIN_RECTS)
     )
     if remove_nan:
         keep_cond = "is_dirty = 0"
@@ -172,11 +178,15 @@ res AS (
 """
 
 
-def oracle_pipeline_sql(g: GridSpec = GRID, remove_nan: bool = False) -> str:
+def oracle_pipeline_sql(
+    g: GridSpec = GRID,
+    remove_nan: bool = False,
+    rects: list[tuple[int, float, float, float, float]] | None = None,
+) -> str:
     """Full-pipeline oracle (spatial join J1, NULL policy A5, weights
     A3/W1, weighted agg A4, scaling A7, rounding C8)."""
     return (
-        oracle_base_ctes(g, remove_nan)
+        oracle_base_ctes(g, remove_nan, rects)
         + f"""
 SELECT basin_id,
        strftime(TIMESTAMP '{g.t0}' + h * INTERVAL 1 HOUR,
@@ -296,6 +306,21 @@ def radolan_scale_obs(
     )
 
 
+def radolan_scale_rects(
+    g: GridSpec = RADOLAN_SCALE, n_basins: int = 20
+) -> list[tuple[int, float, float, float, float]]:
+    """Deterministic basin rectangles as offsets from the grid origin —
+    single source of truth for BOTH the Spark basins table and the DuckDB
+    oracle's VALUES list."""
+    rects = []
+    for i in range(n_basins):
+        size = 5000.0 + (i * 2901.0) % 55000.0
+        left = ((i * 97003.0) % (g.n_cols * g.cell - size - 4000.0)) + 2000.0
+        bottom = ((i * 53077.0) % (g.n_rows * g.cell - size - 4000.0)) + 2000.0
+        rects.append((i + 1, left, bottom, left + size + 500.0, bottom + size))
+    return rects
+
+
 def radolan_scale_basins(
     spark: SparkSession, g: GridSpec = RADOLAN_SCALE, n_basins: int = 20
 ) -> DataFrame:
@@ -303,11 +328,9 @@ def radolan_scale_basins(
     deterministically over the grid interior."""
     import pandas as pd
 
-    rows = []
-    for i in range(n_basins):
-        size = 5000.0 + (i * 2901.0) % 55000.0
-        left = g.x0 + ((i * 97003.0) % (g.n_cols * g.cell - size - 4000.0)) + 2000.0
-        bottom = g.y0 + ((i * 53077.0) % (g.n_rows * g.cell - size - 4000.0)) + 2000.0
-        rows.append((i + 1, wkb_box(left, bottom, left + size + 500.0, bottom + size)))
+    rows = [
+        (bid, wkb_box(g.x0 + l, g.y0 + b, g.x0 + r, g.y0 + t))
+        for bid, l, b, r, t in radolan_scale_rects(g, n_basins)
+    ]
     pdf = pd.DataFrame({"basin_id": [r[0] for r in rows], "geom": [r[1] for r in rows]})
     return spark.createDataFrame(pdf, schema=BASINS_SCHEMA)
