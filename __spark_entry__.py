@@ -1467,8 +1467,11 @@ WHERE {_COSINE_SQL.replace('qv', 'a.v').replace('cv', 'b.v')} >= 0.35
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via deterministic random-hyperplane LSH buckets.
-    No SQL oracle (rows-only check): the bucketing is engine-native."""
+    """Approximate NN via deterministic random-hyperplane LSH buckets —
+    approximate w.r.t. true neighbors, but bit-reproducible: the
+    hyperplanes derive from the portable md5 hash, so the oracle embeds the
+    identical constants and the bucket assignment (and thus the result
+    set) is exact cross-engine."""
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
@@ -1476,6 +1479,42 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ann_topk_lsh(e, queries, k=5, n_planes=4, n_dims=64)
+
+
+def _hyperplane_const(plane: int, dim: int) -> float:
+    """Python twin of operators.similarity._hyperplane_component."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}-d{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 1000) / 500.0 - 1.0
+
+
+def _ann_lsh_oracle(n_planes: int = 4, n_dims: int = 64, k: int = 5) -> str:
+    planes = [
+        "[" + ", ".join(repr(_hyperplane_const(j, d)) for d in range(n_dims)) + "]"
+        for j in range(n_planes)
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[j]}) >= 0 THEN {2**j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+               6) AS cosine
+  FROM q JOIN b USING (bucket)
+)
+SELECT query_id, vec_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored) t
+WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2363,7 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": ORACLE_SIMHASH,
         "dedup_embedding_cosine": ORACLE_EMB_NEAR_DUPS,
         "similarity_cosine_topk": ORACLE_COSINE_TOPK,
-        # similarity_ann_lsh_topk: rows-only (engine-native bucketing)
+        "similarity_ann_lsh_topk": _ann_lsh_oracle(),
         "media_decode_fake": ORACLE_MEDIA_DECODE,
         "media_frame_sample": ORACLE_MEDIA_FRAMES,
         "media_byte_histogram": ORACLE_BYTE_HISTOGRAM,
