@@ -976,6 +976,60 @@ GROUP BY user_id
 """
 
 
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream band join (streaming.stream_stream_join):
+    click events joined to the same user's purchase events from the
+    preceding 30 minutes — state on BOTH sides, bounded by the watermark +
+    band so eviction keeps it finite.  Drained bounded replay must equal
+    the batch band join (the DuckDB oracle)."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import run_available_now, stream_stream_join
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src(kind: str) -> DataFrame:
+        s = (
+            spark.readStream.format("parquet")
+            .schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        if dict(s.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.filter(F.col("event_type") == kind).select(
+            "user_id", "event_id", "ts"
+        )
+    joined = stream_stream_join(
+        src("click"), src("purchase"), ["user_id"],
+        watermark="1 hour", max_lag="30 minutes",
+    )
+    name = "stream_ssj_" + uuid.uuid4().hex[:8]
+    out = run_available_now(joined, name, tempfile.mkdtemp(prefix="ck_"), "append")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("ts").cast("string").alias("click_ts"),
+        F.col("r_ts").cast("string").alias("purchase_ts"),
+    )
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT l.user_id,
+       l.event_id AS click_id,
+       r.event_id AS purchase_id,
+       CAST(l.ts AS VARCHAR) AS click_ts,
+       CAST(r.ts AS VARCHAR) AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 30 MINUTE
+ AND r.ts <= l.ts
+"""
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -2260,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "events_hopping_window": q_events_hopping_window,
         "events_stream_state_totals": q_events_stream_state_totals,
+        "events_stream_stream_join": q_events_stream_stream_join,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_scd2_type_history": q_events_scd2,
         "events_props_extract": q_events_props,
@@ -2375,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_dedup": ORACLE_STREAM_DEDUP,
         "events_hopping_window": ORACLE_HOPPING,
         "events_stream_state_totals": ORACLE_STREAM_STATE_TOTALS,
+        "events_stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
         "orders_merge_upsert": ORACLE_MERGE_UPSERT,
         "events_props_extract": ORACLE_EVENTS_PROPS,
         "events_stream_hourly": ORACLE_STREAM_HOURLY,
