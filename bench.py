@@ -70,14 +70,14 @@ def main() -> None:
         .count()
     )
 
-    # best of 2 runs per query: the machine shares cores with other tenants
+    # best of 3 runs per query: the machine shares cores with other tenants
     # and single-shot timings show 3-5x spikes unrelated to the plans; min
     # over repetitions reports steady-state (first run still pays codegen)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -92,7 +92,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "sf": sf,
             }
         )
