@@ -1388,6 +1388,35 @@ SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup (operators.graph.dedup_canonical):
+    Jaccard pairs → connected components → ONE canonical keeper (min id)
+    per cluster — the filter a training pipeline actually applies.
+    Returns every doc with its cluster and keeper flag."""
+    from radohydro_spark.operators.graph import dedup_canonical
+
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    pairs = DD.ngram_jaccard_pairs(corpus, "text", "doc_id", k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    out = dedup_canonical(corpus.select("doc_id"), pairs, "doc_id")
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        F.col("is_canonical").cast("int").alias("is_canonical"),
+    )
+
+
+ORACLE_DEDUP_CANONICAL = (
+    ORACLE_DEDUP_CC.rstrip()[: -len('SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node')]
+    + """, comp AS (SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node)
+SELECT doc_id, component,
+       CASE WHEN doc_id = component THEN 1 ELSE 0 END AS is_canonical
+FROM comp
+"""
+)
+
+
 _MINHASH_PARAMS_SQL = "hp(h_idx, a, b) AS (VALUES " + ", ".join(
     f"({i}, {DD.MINHASH_A[i]}, {DD.MINHASH_B[i]})" for i in range(8)
 ) + ")"
@@ -2336,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_exact_dups,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_groups_cc": q_dedup_groups_cc,
+        "dedup_canonical_docs": q_dedup_canonical,
         "skew_salted_revenue": q_skew_salted_revenue,
         "sample_split_assign": q_sample_split,
         "profile_orders_columns": q_profile_orders,
@@ -2449,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": ORACLE_EXACT_DUPS,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_groups_cc": ORACLE_DEDUP_CC,
+        "dedup_canonical_docs": ORACLE_DEDUP_CANONICAL,
         "skew_salted_revenue": ORACLE_SKEW_SALTED,
         "sample_split_assign": ORACLE_SAMPLE_SPLIT,
         "profile_orders_columns": ORACLE_PROFILE_ORDERS,
