@@ -1680,6 +1680,45 @@ FROM chars GROUP BY media_id
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake resize (operators.multimodal.resize_media):
+    nearest-neighbor byte downsample to 8x8 — real mapInPandas batch shape
+    and output schema with the codec stubbed; verified via byte checksum."""
+    resized = MM.resize_media(_media_df(spark, sf_dir), 8, 8, fake=True)
+    # checksum the payload JVM-side: aggregate over the byte array
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length("payload")),
+                lambda i: F.ascii(F.substring(F.col("payload").cast("string"), i, 1)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("byte_sum"),
+    )
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+),
+sampled AS (
+  SELECT media_id,
+         ascii(substring(text, CAST(i * n // 64 AS INT) + 1, 1)) AS b
+  FROM m, (SELECT unnest(range(0, 64)) AS i)
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       CAST(64 AS INT) AS n_bytes,
+       CAST(SUM(b) AS INT) AS byte_sum
+FROM sampled GROUP BY media_id
+"""
+
+
 def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aHash perceptual fingerprint (operators.multimodal.average_hash):
     64 contiguous byte chunks, bit = chunk mean > overall mean — the
@@ -2386,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frames,
         "media_byte_histogram": q_byte_histogram,
         "media_ahash": q_media_ahash,
+        "media_resize_fake": q_media_resize,
         # geo scalar kernels
         "crs_radolan_project": q_crs_radolan,
     }
@@ -2494,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": ORACLE_MEDIA_FRAMES,
         "media_byte_histogram": ORACLE_BYTE_HISTOGRAM,
         "media_ahash": ORACLE_MEDIA_AHASH,
+        "media_resize_fake": ORACLE_MEDIA_RESIZE,
         "crs_radolan_project": ORACLE_CRS_RADOLAN,
         "similarity_ivf_topk": ORACLE_IVF_TOPK,
         "embedding_norm_stats": ORACLE_EMBEDDING_NORMS,

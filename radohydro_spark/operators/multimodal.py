@@ -130,16 +130,64 @@ def chunk_frames(
     )
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize placeholder: passes metadata through with the new dims.
-    Raises on execution unless the pipeline never materializes it —
-    documents the UDF signature for when a codec is available."""
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize payloads to ``width x height`` (single channel).
+
+    STUB for the codec step (no image library in this container): with
+    ``fake=True`` the kernel nearest-neighbor-samples the RAW BYTE STREAM
+    down to ``width*height`` bytes (index i ↦ byte ⌊i*n/(w*h)⌋) — the same
+    batch shape, output schema, and deterministic-downsampling structure a
+    real decoder+resampler produces on a luma plane, so partitioning and
+    downstream consumers are exercisable end-to-end.  Without ``fake`` it
+    raises NotImplementedError at execution, documenting the signature.
+
+    Returns (media_id, width, height, payload) with len(payload) == w*h
+    (short inputs zero-pad — real resizers upsample; byte-space analog).
+    """
+
+    n_out = width * height
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError("image resize requires a codec library")
-        yield  # pragma: no cover
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass fake=True for the deterministic stub"
+                )
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    out = np.zeros(n_out, dtype=np.uint8)
+                else:
+                    idx = (np.arange(n_out) * n) // n_out
+                    out = arr[idx]
+                ids.append(mid)
+                payloads.append(out.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "payload": payloads,
+                }
+            )
 
-    return df.mapInPandas(gen, schema=f"media_id long, payload binary")
+    return df.select("media_id", payload_col).mapInPandas(
+        gen, schema="media_id long, width int, height int, payload binary"
+    )
+
+
+# backwards-compat alias for the raising-stub name
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    return resize_media(df, width, height, fake=False)
 
 
 def average_hash(

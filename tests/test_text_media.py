@@ -76,3 +76,27 @@ def test_ahash_deterministic_across_partitions(spark):
     h1 = {r["media_id"]: r["ahash"] for r in average_hash(df1).collect()}
     h8 = {r["media_id"]: r["ahash"] for r in average_hash(df8).collect()}
     assert h1 == h8
+
+
+def test_resize_media_fake(spark):
+    from radohydro_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(100)))), (2, bytearray(b"")), (3, bytearray(b"\x07"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_media(df, 4, 4, fake=True).collect()}
+    assert all(len(r["payload"]) == 16 for r in out.values())
+    # nearest-neighbor sampling: index i -> byte floor(i*100/16)
+    assert list(out[1]["payload"]) == [(i * 100) // 16 for i in range(16)]
+    assert list(out[2]["payload"]) == [0] * 16          # empty -> zero pad
+    assert list(out[3]["payload"]) == [7] * 16          # single byte repeats
+
+
+def test_resize_media_raises_without_fake(spark):
+    import pytest
+    from radohydro_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        resize_media(df, 2, 2, fake=False).collect()
