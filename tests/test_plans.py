@@ -88,3 +88,38 @@ def test_whole_stage_codegen_covers_text_path(spark):
     # interpreted) but NOTHING drops to row-at-a-time Python
     assert "*(1)" in plan and "*(2)" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_minhash_wide_is_single_shuffle(spark):
+    """Wide MinHash signatures: one groupBy(doc) Exchange, no explode-side
+    multiplication of shuffle rows (the round-2 rewrite's contract)."""
+    from radohydro_spark.operators.dedup import minhash_signatures_wide
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_signatures_wide(d, "text", "doc_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from radohydro_spark.functions.text import pack_sequences
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(pack_sequences(d, budget=256, group_col="source"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """Decontamination: the benchmark shingle set must broadcast — the
+    corpus side never shuffles on shingle values."""
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.dedup import contamination_check
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    plan = _plan(contamination_check(corpus, bench, "text", "doc_id"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the only hash Exchange is the final per-doc count (and the broadcast
+    # build side's distinct) — the corpus shingles stream map-side
+    assert "SortMergeJoin" not in plan
