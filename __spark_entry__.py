@@ -71,6 +71,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _probe_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Schema of a testdata parquet, safe under ANY session: sets the
+    nanosAsLong conf first (the driver's own SparkSession does not carry
+    our session.py confs — without this, TIMESTAMP(NANOS) files throw
+    PARQUET_TYPE_ILLEGAL, the round-1 failure mode)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+
+
 def _register(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     for n in names:
         _t(spark, sf_dir, n).createOrReplaceTempView(n)
@@ -774,7 +783,7 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from radohydro_spark.streaming import run_available_now, sessionize_stream
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _probe_schema(spark, sf_dir, "events")
     stream = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
@@ -806,7 +815,7 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from radohydro_spark.streaming import run_available_now, streaming_dedup
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _probe_schema(spark, sf_dir, "events")
 
     def src() -> DataFrame:
         s = (
@@ -943,7 +952,7 @@ def q_events_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from radohydro_spark.streaming import run_available_now, stateful_running_total
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _probe_schema(spark, sf_dir, "events")
     stream = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
@@ -987,7 +996,7 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from radohydro_spark.streaming import run_available_now, stream_stream_join
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _probe_schema(spark, sf_dir, "events")
 
     def src(kind: str) -> DataFrame:
         s = (
@@ -1901,7 +1910,7 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from radohydro_spark.streaming import run_available_now, tumbling_agg
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _probe_schema(spark, sf_dir, "events")
     # file source wants a directory basePath: stream the sf dir with a
     # glob pinned to the events file
     stream = (
