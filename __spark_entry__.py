@@ -58,7 +58,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver builds its own SparkSession without our session.py confs;
     # nanosAsLong is runtime-settable, so set it here before every read or
     # events.parquet (TIMESTAMP_NANOS) fails with PARQUET_TYPE_ILLEGAL.
+    # UTC likewise: DuckDB reads these timestamps naive/UTC, so a non-UTC
+    # session would shift every timestamp->string rendering.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) parquet columns arrive as long under the
     # nanosAsLong legacy conf; convert to microsecond timestamps (same
@@ -77,6 +80,7 @@ def _probe_schema(spark: SparkSession, sf_dir: str, name: str):
     our session.py confs — without this, TIMESTAMP(NANOS) files throw
     PARQUET_TYPE_ILLEGAL, the round-1 failure mode)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
 
 
