@@ -103,7 +103,15 @@ def _sql(sql: str, tables: list[str]):
 # Core precipitation pipeline (synthetic deterministic grid; SURVEY §2.1-2.8)
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone for queries that never touch _t/_probe:
+    date_trunc / window / date_format semantics must match the naive-UTC
+    DuckDB oracle even under a foreign non-UTC driver session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def q_precip_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     res = precip_timeseries(
         synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
     )
@@ -115,6 +123,7 @@ def q_precip_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_precip_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     frags = spatial_intersect(synthetic_cells(spark), synthetic_basins(spark))
     return frags.select(
         "basin_id",
@@ -126,6 +135,7 @@ def q_precip_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_precip_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     frags = spatial_intersect(synthetic_cells(spark), synthetic_basins(spark))
     frags = apply_nan_policy(frags, synthetic_obs(spark))
     return basin_weights(frags).select(
@@ -134,6 +144,7 @@ def q_precip_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_precip_cellgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     return synthetic_cells(spark).select(
         "cell_row",
         "cell_col",
@@ -145,6 +156,7 @@ def q_precip_cellgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_precip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     res = precip_timeseries(
         synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
     )
@@ -157,6 +169,7 @@ def q_precip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_precip_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     out = rasterize(synthetic_cells(spark), synthetic_basins(spark), "basin_id")
     return out.select("cell_row", "cell_col", F.col("burn").cast("int").alias("burn"))
 
@@ -656,6 +669,7 @@ FROM orders
 
 
 def q_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     from radohydro_spark.functions.temporal import date_range
 
     return date_range(spark, "1995-01-01", "1995-01-10").select(
@@ -678,6 +692,7 @@ _FILENAMES = [
 
 
 def q_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     from radohydro_spark.functions.temporal import filename_to_ts
 
     df = spark.createDataFrame([(f,) for f in _FILENAMES[:2]], "fname string")
@@ -2012,6 +2027,7 @@ def q_precip_radolan_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     basins) — the reference's real workload shape, where its dense stack
     representation hits the RAM cliff (radohydro.py:257-260).  Exact
     oracle: DuckDB evaluates the same closed-form pipeline at full scale."""
+    _utc(spark)
     from radohydro_spark.sources.synthetic import (
         radolan_scale_basins,
         radolan_scale_cells,
