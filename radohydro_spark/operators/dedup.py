@@ -198,17 +198,6 @@ def minhash_signatures(
     return wide.select("doc_id", hs).select("doc_id", "h.h_idx", "h.sig")
 
 
-def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
-    """Band the signature matrix: (doc_id, band, band_key) where band_key
-    concatenates the band's signature values.  Candidate pairs then come
-    from an equi-join on (band, band_key) — the step that makes near-dup
-    detection linear-ish at 100 TB."""
-    banded = signatures.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
-    return banded.groupBy("doc_id", "band").agg(
-        F.concat_ws("_", F.collect_list(F.col("sig").cast("string"))).alias("band_key")
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
