@@ -2110,6 +2110,61 @@ FROM c
 """
 
 
+def q_text_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence splitting + deterministic re-chunking to ~200 chars
+    (functions.text.sentence_chunks) — the stage between raw docs and
+    context-window packing; one window shuffle."""
+    d = _docs(spark, sf_dir)
+    return TX.sentence_chunks(d, max_chars=200)
+
+
+ORACLE_SENTENCE_CHUNKS = """
+WITH sents_arr AS (
+  SELECT doc_id, string_split_regex(text, '[.!?][ ]+') AS sents FROM documents
+),
+idx AS (
+  SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS i FROM sents_arr
+),
+sent AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, sents[CAST(i AS INT)] AS sent
+  FROM idx
+),
+kept AS (
+  SELECT doc_id, pos, sent, length(sent) AS n FROM sent WHERE trim(sent) <> ''
+),
+cum AS (
+  SELECT doc_id, pos, sent, n,
+         COALESCE(SUM(n) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM kept
+)
+SELECT doc_id, CAST(cb // 200 AS INT) AS chunk_id,
+       COUNT(*) AS n_sentences, CAST(SUM(n) AS BIGINT) AS n_chars,
+       string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+FROM cum GROUP BY doc_id, CAST(cb // 200 AS INT)
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the props column: schema-on-read via from_json
+    plus path extraction via get_json_object (both JVM-side)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("j", F.from_json("props", "k int"))
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k_struct"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_path
+FROM events
+"""
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-counting trio for corpus budgeting: whitespace words, BPE-ish
     pre-token count (letter runs / digits / punct), chars/4 estimate."""
@@ -2429,6 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": q_text_tfidf,
         "text_contamination_check": q_text_contamination,
         "text_pack_sequences": q_text_pack_sequences,
+        "text_sentence_chunks": q_text_sentence_chunks,
+        "events_json_extract": q_events_json_extract,
         # dedup
         "dedup_exact_groups": q_exact_dups,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -2545,6 +2602,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_top_terms": ORACLE_TEXT_TFIDF,
         "text_contamination_check": ORACLE_CONTAMINATION,
         "text_pack_sequences": ORACLE_PACK_SEQUENCES,
+        "text_sentence_chunks": ORACLE_SENTENCE_CHUNKS,
+        "events_json_extract": ORACLE_EVENTS_JSON,
         "dedup_exact_groups": ORACLE_EXACT_DUPS,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_groups_cc": ORACLE_DEDUP_CC,

@@ -310,3 +310,64 @@ def pack_sequences(
         F.floor(F.col("_cum_before") / budget).cast("int").alias("bin"),
         (F.col("_cum_before") % budget).cast("long").alias("offset"),
     )
+
+
+SENTENCE_SPLIT_RE = r"[.!?][ ]+"  # portable: char class + literal space, no lookaround
+
+
+def sentence_chunks(
+    df,
+    max_chars: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into sentences and regroup them into chunks of at
+    most ~``max_chars`` — the splitting stage between raw documents and
+    context-window packing.  Chunk assignment uses the same deterministic
+    running-total rule as ``pack_sequences`` (chunk = floor(cumulative
+    chars before sentence / max_chars)): one window shuffle, identical
+    arithmetic in any engine, and a sentence longer than the budget gets
+    its own chunk rather than being split.
+
+    Returns (id_col, chunk_id, n_sentences, n_chars, chunk_text) with
+    sentences joined in document order.
+    """
+    from pyspark.sql import Window as W
+
+    c = F.col(text_col)
+    sent = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(c, SENTENCE_SPLIT_RE)).alias("pos", "sent"),
+    ).filter(F.trim(F.col("sent")) != "")
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sent = sent.withColumn("n", F.length("sent")).withColumn(
+        "_cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    sent = sent.withColumn(
+        "chunk_id", F.floor(F.col("_cum_before") / max_chars).cast("int")
+    )
+    return (
+        sent.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum("n").alias("n_chars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda s: s["sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "chunk_id",
+            "n_sentences",
+            "n_chars",
+            "chunk_text",
+        )
+    )
