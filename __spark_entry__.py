@@ -2372,6 +2372,39 @@ FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedd
 """
 
 
+def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (operators.aggregate.trimmed_mean):
+    10%-trimmed mean of event values per type — the holistic aggregate
+    flavor, whole groups Arrow-streamed to Python.  Oracle trims by exact
+    sorted-rank indices, bit-identical rule."""
+    from radohydro_spark.operators.aggregate import trimmed_mean
+
+    e = _t(spark, sf_dir, "events")
+    out = trimmed_mean(e, ["event_type"], "value", trim=0.1)
+    return out.select(
+        "event_type", F.round("trimmed_mean", 6).alias("trimmed_mean"), "n"
+    )
+
+
+ORACLE_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+kept AS (
+  SELECT * FROM ranked
+  WHERE n - 2 * CAST(floor(n * 0.1) AS BIGINT) <= 0
+     OR (r > CAST(floor(n * 0.1) AS BIGINT)
+         AND r <= n - CAST(floor(n * 0.1) AS BIGINT))
+)
+SELECT k.event_type, round(avg(k.value), 6) AS trimmed_mean,
+       (SELECT COUNT(value) FROM events e WHERE e.event_type = k.event_type) AS n
+FROM kept k GROUP BY k.event_type
+"""
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL + quantile digest): approximate by design, so
     rows-only driver check; the exact twins are stats_percentiles /
@@ -2506,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norms,
         "embedding_quantize_int8": q_embedding_quantize,
         "stats_approx_sketches": q_approx_sketches,
+        "stats_trimmed_mean": q_stats_trimmed_mean,
         # multimodal plumbing
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
@@ -2594,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_range_join": ORACLE_RANGE_JOIN,
         "window_lead_lag": ORACLE_LEAD_LAG,
         "stats_percentiles": ORACLE_PERCENTILES,
+        "stats_trimmed_mean": ORACLE_TRIMMED_MEAN,
         "text_stats": ORACLE_TEXT_STATS,
         "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),

@@ -10,6 +10,8 @@ any contributing value is NULL.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -138,3 +140,41 @@ def wide_to_long(
         F.to_timestamp("_ts_str", ts_format).alias("ts"),
         value_col,
     )
+
+
+def trimmed_mean_udf(trim: float = 0.1):
+    """Grouped-aggregate pandas UDF: mean after dropping ``floor(n*trim)``
+    values at each end — the robust-statistics aggregate Spark lacks
+    natively, and the fourth Arrow UDF flavor in the engine (scalar
+    pandas_udf, mapInPandas, applyInPandasWithState being the others).
+
+    Whole groups stream to the UDF as one pandas Series (Arrow-batched);
+    partial aggregation is NOT available for holistic aggregates like this,
+    so the shuffle moves raw rows — use on dimension-bounded groups, or
+    pre-sample at 100 TB.  Deterministic tie handling: values sorted, exact
+    index trim, so any engine reproduces it bit-for-bit.
+    """
+    @F.pandas_udf("double")
+    def _trimmed(v: pd.Series) -> float:
+        s = v.dropna().sort_values().to_numpy()
+        n = len(s)
+        if n == 0:
+            return None
+        k = int(n * trim)
+        kept = s[k : n - k] if n - 2 * k > 0 else s
+        return float(kept.mean())
+
+    return _trimmed
+
+
+def trimmed_mean(df, group_cols, value_col, trim: float = 0.1):
+    """Per-group trimmed mean via the grouped-agg pandas UDF.
+
+    Spark forbids mixing a group-agg pandas UDF with JVM aggregates in one
+    Aggregate node, so the count rides a separate aggregate joined back on
+    the group key (both sides share the same shuffle partitioning — the
+    join is exchange-free)."""
+    udf = trimmed_mean_udf(trim)
+    tm = df.groupBy(*group_cols).agg(udf(F.col(value_col)).alias("trimmed_mean"))
+    cnt = df.groupBy(*group_cols).agg(F.count(value_col).alias("n"))
+    return tm.join(cnt, list(group_cols))
