@@ -2405,6 +2405,37 @@ FROM kept k GROUP BY k.event_type
 """
 
 
+def q_orders_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native relational pivot (the D6 sink-time operator as a query):
+    ``groupBy(status).pivot(priority, values)`` with a FIXED value list —
+    deterministic schema, no value-discovery job; oracle is the CASE-sum
+    expansion."""
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renames = {p: f"n_{p.split('-')[0]}" for p in prios}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+ORACLE_PIVOT_NATIVE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS n_2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL + quantile digest): approximate by design, so
     rows-only driver check; the exact twins are stats_percentiles /
@@ -2540,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": q_embedding_quantize,
         "stats_approx_sketches": q_approx_sketches,
         "stats_trimmed_mean": q_stats_trimmed_mean,
+        "orders_pivot_native": q_orders_pivot_native,
         # multimodal plumbing
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
@@ -2629,6 +2661,7 @@ def oracle_sql() -> dict[str, str]:
         "window_lead_lag": ORACLE_LEAD_LAG,
         "stats_percentiles": ORACLE_PERCENTILES,
         "stats_trimmed_mean": ORACLE_TRIMMED_MEAN,
+        "orders_pivot_native": ORACLE_PIVOT_NATIVE,
         "text_stats": ORACLE_TEXT_STATS,
         "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),
