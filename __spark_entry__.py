@@ -1058,6 +1058,40 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 """
 
 
+# RANGE-frame window body, shared between Catalyst and DuckDB via the
+# {epoch} placeholder (engine-specific epoch-microseconds accessor):
+# trailing 3h average EXCLUDING the current hour -> spike flag.
+SQL_RATE_SPIKE_BODY = """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(FLOOR({epoch} / 3600000000.0) AS BIGINT) * 3600 AS h,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY user_id, CAST(FLOOR({epoch} / 3600000000.0) AS BIGINT) * 3600
+),
+w AS (
+  SELECT user_id, h, n,
+         AVG(n) OVER (PARTITION BY user_id ORDER BY h
+                      RANGE BETWEEN 10800 PRECEDING AND 3600 PRECEDING)
+           AS trailing_avg
+  FROM hourly
+)
+SELECT user_id, h, n,
+       ROUND(trailing_avg, 6) AS trailing_avg,
+       CASE WHEN trailing_avg IS NOT NULL AND n > 2 * trailing_avg
+            THEN 1 ELSE 0 END AS is_spike
+FROM w
+"""
+
+
+def q_events_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (numeric range over event-time seconds): per-user
+    hourly event counts vs the trailing-3h average (current hour excluded)
+    with a 2x spike flag — the rate-anomaly screen, one shuffle."""
+    _register(spark, sf_dir, ["events"])
+    return spark.sql(SQL_RATE_SPIKE_BODY.format(epoch="unix_micros(ts)"))
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -2529,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_stream_dedup": q_events_stream_dedup,
         "events_hopping_window": q_events_hopping_window,
+        "events_rate_spikes": q_events_rate_spikes,
         "events_stream_state_totals": q_events_stream_state_totals,
         "events_stream_stream_join": q_events_stream_stream_join,
         "orders_merge_upsert": q_orders_merge_upsert,
@@ -2651,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2_type_history": ORACLE_EVENTS_SCD2,
         "events_stream_dedup": ORACLE_STREAM_DEDUP,
         "events_hopping_window": ORACLE_HOPPING,
+        "events_rate_spikes": SQL_RATE_SPIKE_BODY.format(epoch="epoch_us(ts)"),
         "events_stream_state_totals": ORACLE_STREAM_STATE_TOTALS,
         "events_stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
         "orders_merge_upsert": ORACLE_MERGE_UPSERT,
