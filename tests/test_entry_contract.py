@@ -43,3 +43,18 @@ def test_tpch_sql_plans_through_catalyst(spark, const):
     df = spark.sql(getattr(entry, const))
     # planning only: resolves columns/tables and runs the optimizer
     df.explain(mode="cost")
+
+
+def test_query_notes_reference_real_queries():
+    """QUERY_NOTES (the QUERIES.md index source) must not drift: every key
+    names a declared query, and every query has either a note or a
+    docstring to describe it."""
+    qs = entry.queries()
+    dangling = set(entry.QUERY_NOTES) - set(qs)
+    assert not dangling, f"notes for unknown queries: {sorted(dangling)}"
+    undescribed = [
+        n
+        for n, fn in qs.items()
+        if n not in entry.QUERY_NOTES and not getattr(fn, "__doc__", None)
+    ]
+    assert not undescribed, f"queries with no description: {undescribed}"
