@@ -1545,8 +1545,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(d, "text", "doc_id", bits=16)
 
 
-ORACLE_SIMHASH = f"""
-WITH toks AS (
+_SIMHASH_CTES = f"""
+toks AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
   WHERE tok <> ''
@@ -1558,10 +1558,38 @@ bits AS (
               THEN 1 ELSE 0 END AS bit_val
   FROM hashed, range(16) j
   GROUP BY doc_id, j.range
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(bit_val * CAST(power(2, bit) AS BIGINT)) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(sum(bit_val * CAST(power(2, bit) AS BIGINT)) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+"""
+
+ORACLE_SIMHASH = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sims
+"""
+
+
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance
+    (operators.dedup.simhash_hamming_pairs): 2-band pigeonhole candidates
+    (any pair with distance < 2 shares a band slice) + exact
+    bit_count(xor) filter — the banded Hamming join that avoids all-pairs
+    at corpus scale."""
+    d = _docs(spark, sf_dir)
+    return DD.simhash_hamming_pairs(
+        d, "text", "doc_id", bits=16, n_bands=2, max_hamming=1
+    )
+
+
+ORACLE_SIMHASH_HAMMING = f"""
+WITH {_SIMHASH_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """
 
 _COSINE_SQL = (
@@ -2597,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": q_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_simhash,
+        "dedup_simhash_hamming_pairs": q_simhash_hamming,
         "dedup_embedding_cosine": q_embedding_near_dups,
         # similarity search
         "similarity_cosine_topk": q_cosine_topk,
@@ -2719,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": ORACLE_MINHASH_SIGS,
         "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
         "dedup_simhash": ORACLE_SIMHASH,
+        "dedup_simhash_hamming_pairs": ORACLE_SIMHASH_HAMMING,
         "dedup_embedding_cosine": ORACLE_EMB_NEAR_DUPS,
         "similarity_cosine_topk": ORACLE_COSINE_TOPK,
         "similarity_ann_lsh_topk": _ann_lsh_oracle(),

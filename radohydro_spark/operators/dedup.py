@@ -366,3 +366,70 @@ def contamination_check(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    n_bands: int = 2,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Pigeonhole banding: split the ``bits``-bit fingerprint into ``n_bands``
+    contiguous slices; any pair within Hamming distance < n_bands shares at
+    least one identical slice, so candidates come from an equi-join on
+    (band index, slice value) — never an all-pairs comparison.  Exact
+    ``bit_count(xor)`` then filters candidates to ``<= max_hamming``
+    (requires ``max_hamming < n_bands`` for completeness).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    assert bits % n_bands == 0 and max_hamming < n_bands
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sims = simhash(df, text_col, id_col, bits).cache()
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), b * band_bits)
+                            % F.lit(mask + 1)
+                        ).alias("slice"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.slice")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
