@@ -2498,6 +2498,28 @@ GROUP BY o_orderstatus
 """
 
 
+def q_orders_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot -> unpivot round-trip (D6/F7): the wide per-priority counts
+    stacked back to long form must equal the plain GROUP BY — the oracle IS
+    that GROUP BY.  Exercises the native unpivot/stack operator."""
+    wide = q_orders_pivot_native(spark, sf_dir)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    stack_args = ", ".join(
+        f"'{p}', n_{p.split('-')[0]}" for p in prios
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        f"stack({len(prios)}, {stack_args}) AS (o_orderpriority, n)",
+    ).filter(F.col("n") > 0)
+
+
+ORACLE_UNPIVOT = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL + quantile digest): approximate by design, so
     rows-only driver check; the exact twins are stats_percentiles /
@@ -2636,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_approx_sketches": q_approx_sketches,
         "stats_trimmed_mean": q_stats_trimmed_mean,
         "orders_pivot_native": q_orders_pivot_native,
+        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
         # multimodal plumbing
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
@@ -2727,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_percentiles": ORACLE_PERCENTILES,
         "stats_trimmed_mean": ORACLE_TRIMMED_MEAN,
         "orders_pivot_native": ORACLE_PIVOT_NATIVE,
+        "orders_unpivot_roundtrip": ORACLE_UNPIVOT,
         "text_stats": ORACLE_TEXT_STATS,
         "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),
