@@ -2520,6 +2520,41 @@ GROUP BY o_orderstatus, o_orderpriority
 """
 
 
+def q_events_partitioned_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage layout as part of the query surface: write events
+    date-partitioned (dt=YYYYMMDD directories), read back with a partition
+    filter — the scan touches ONLY the two selected directories (partition
+    pruning, no data-file reads outside them) — and aggregate.  The oracle
+    computes the same two days straight from the source table, so the
+    round-trip through the partitioned layout is value-verified."""
+    import tempfile
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    e = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_part_") + "/archive"
+    (
+        e.withColumn("dt", F.date_format("ts", "yyyyMMdd"))
+        .write.partitionBy("dt")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("dt").isin("20240101", "20240102")
+    )
+    return back.groupBy("dt").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+ORACLE_PARTITIONED_ARCHIVE = """
+SELECT strftime(ts, '%Y%m%d') AS dt, COUNT(*) AS n,
+       round(SUM(value), 4) AS sum_value
+FROM events
+WHERE strftime(ts, '%Y%m%d') IN ('20240101', '20240102')
+GROUP BY strftime(ts, '%Y%m%d')
+"""
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL + quantile digest): approximate by design, so
     rows-only driver check; the exact twins are stats_percentiles /
@@ -2659,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_trimmed_mean": q_stats_trimmed_mean,
         "orders_pivot_native": q_orders_pivot_native,
         "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
+        "events_partitioned_archive": q_events_partitioned_archive,
         # multimodal plumbing
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
@@ -2751,6 +2787,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_trimmed_mean": ORACLE_TRIMMED_MEAN,
         "orders_pivot_native": ORACLE_PIVOT_NATIVE,
         "orders_unpivot_roundtrip": ORACLE_UNPIVOT,
+        "events_partitioned_archive": ORACLE_PARTITIONED_ARCHIVE,
         "text_stats": ORACLE_TEXT_STATS,
         "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),
