@@ -2555,6 +2555,53 @@ GROUP BY strftime(ts, '%Y%m%d')
 """
 
 
+def q_obs_zorder_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered archive round-trip (sinks.bucketed): a 200x200x24
+    synthetic obs grid (~1M rows) written date-partitioned with Morton
+    clustering, read back under a 2-D bbox predicate — row groups outside
+    the Morton slabs prune via parquet min/max stats — and aggregated per
+    hour.  Oracle evaluates the same closed-form grid + window in SQL."""
+    import tempfile
+
+    from radohydro_spark.sinks.bucketed import write_obs_zordered
+    from radohydro_spark.sources.synthetic import GridSpec, synthetic_obs
+
+    _utc(spark)
+    g = GridSpec(n_rows=200, n_cols=200, n_ts=24)
+    path = tempfile.mkdtemp(prefix="obs_z_") + "/archive"
+    write_obs_zordered(synthetic_obs(spark, g), path, files_per_day=8)
+    back = spark.read.parquet(path).filter(
+        F.col("cell_row").between(100, 140) & F.col("cell_col").between(50, 90)
+    )
+    return back.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts")
+    ).agg(
+        F.count("*").alias("n_cells"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+    )
+
+
+ORACLE_ZORDER_ARCHIVE = """
+WITH obs AS (
+  SELECT r.range AS cell_row, c.range AS cell_col, h.range AS h,
+         CASE WHEN ((r.range*13 + c.range*7) % 5 = 0)
+                   AND ((h.range + r.range + c.range) % 8 = 0)
+              THEN NULL
+              ELSE CAST((r.range*31 + c.range*17 + h.range*13) % 120 AS DOUBLE)
+         END AS value
+  FROM range(200) r, range(200) c, range(24) h
+  WHERE r.range BETWEEN 100 AND 140 AND c.range BETWEEN 50 AND 90
+)
+SELECT strftime(TIMESTAMP '2024-01-01 00:00:00' + h * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       COUNT(*) AS n_cells,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_null
+FROM obs GROUP BY h
+"""
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL + quantile digest): approximate by design, so
     rows-only driver check; the exact twins are stats_percentiles /
@@ -2695,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pivot_native": q_orders_pivot_native,
         "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
         "events_partitioned_archive": q_events_partitioned_archive,
+        "obs_zorder_archive": q_obs_zorder_archive,
         # multimodal plumbing
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
@@ -2788,6 +2836,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_pivot_native": ORACLE_PIVOT_NATIVE,
         "orders_unpivot_roundtrip": ORACLE_UNPIVOT,
         "events_partitioned_archive": ORACLE_PARTITIONED_ARCHIVE,
+        "obs_zorder_archive": ORACLE_ZORDER_ARCHIVE,
         "text_stats": ORACLE_TEXT_STATS,
         "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),
