@@ -2569,7 +2569,7 @@ def q_obs_zorder_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     g = GridSpec(n_rows=200, n_cols=200, n_ts=24)
     path = tempfile.mkdtemp(prefix="obs_z_") + "/archive"
-    write_obs_zordered(synthetic_obs(spark, g), path, files_per_day=8)
+    write_obs_zordered(synthetic_obs(spark, g), path, files_per_day=8, n_days=1)
     back = spark.read.parquet(path).filter(
         F.col("cell_row").between(100, 140) & F.col("cell_col").between(50, 90)
     )

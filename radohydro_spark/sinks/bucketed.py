@@ -103,6 +103,7 @@ def write_obs_zordered(
     path: str,
     files_per_day: int = 8,
     mode: str = "overwrite",
+    n_days: int | None = None,
 ) -> None:
     """Date-partitioned archive with Z-order clustering inside each day.
 
@@ -117,7 +118,10 @@ def write_obs_zordered(
     coded = obs.withColumn("dt", F.date_format("ts", "yyyyMMdd")).withColumn(
         "_z", morton_code()
     )
-    n_days = coded.select("dt").distinct().count()
+    if n_days is None:
+        # day count drives the range-partition count; pass it when known to
+        # skip this extra job over the input
+        n_days = coded.select("dt").distinct().count()
     (
         coded.repartitionByRange(max(files_per_day * n_days, 1), "dt", "_z")
         .sortWithinPartitions("dt", "_z")
