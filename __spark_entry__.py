@@ -766,7 +766,11 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_SCD2 = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, event_type,
-         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+         -- first row per key flagged explicitly: LAG IS DISTINCT FROM alone
+         -- cannot distinguish 'no previous row' from 'previous value NULL',
+         -- so a key whose first tracked value is NULL would shift versions
+         CASE WHEN ROW_NUMBER() OVER w = 1
+                OR LAG(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -1624,18 +1628,59 @@ WHERE rank <= 5
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, BANDED: hyperplane-LSH (band, bucket)
+    equi-join candidates + exact cosine filter — the 100 TB plan shape (no
+    cartesian anywhere; tests/test_plans.py asserts it).  Deterministic
+    planes => the oracle embeds the identical constants, so the driver
+    check is value-exact despite the approximate candidate set.  The
+    brute-force O(n²) twin (dedup.embedding_near_dups) stays as the pytest
+    cross-check that banding loses no same-bucket pair."""
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return DD.embedding_near_dups(e, threshold=0.35)
+    return DD.embedding_near_dups_lsh(
+        e, threshold=0.35, n_planes=4, n_bands=2, n_dims=64
+    )
 
 
-ORACLE_EMB_NEAR_DUPS = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_COSINE_SQL.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_COSINE_SQL.replace('qv', 'a.v').replace('cv', 'b.v')} >= 0.35
+def _emb_near_dups_oracle(
+    threshold: float = 0.35, n_planes: int = 4, n_bands: int = 2, n_dims: int = 64
+) -> str:
+    """Banded-LSH near-dup oracle: same plane constants as the engine
+    (band b = planes [b*n_planes, (b+1)*n_planes)), candidates from the
+    (band, bucket) equi-join, exact cosine on candidates."""
+    band_selects = []
+    for bi in range(n_bands):
+        planes = [
+            "["
+            + ", ".join(
+                repr(_hyperplane_const(bi * n_planes + j, d)) for d in range(n_dims)
+            )
+            + "]"
+            for j in range(n_planes)
+        ]
+        bucket_expr = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {planes[j]}) >= 0 THEN {2**j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        band_selects.append(
+            f"SELECT vec_id, v, {bi} AS band, {bucket_expr} AS bucket FROM e"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    cos = _COSINE_SQL.replace("qv", "ea.v").replace("cv", "eb.v")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE {cos} >= {threshold}
 """
 
 
@@ -1972,9 +2017,9 @@ GROUP BY c_nationkey
 
 SQL_CASE_PIVOT = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
        COUNT(*) AS n_total
 FROM events
 GROUP BY user_id
@@ -2859,7 +2904,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": ORACLE_MINHASH_LSH,
         "dedup_simhash": ORACLE_SIMHASH,
         "dedup_simhash_hamming_pairs": ORACLE_SIMHASH_HAMMING,
-        "dedup_embedding_cosine": ORACLE_EMB_NEAR_DUPS,
+        "dedup_embedding_cosine": _emb_near_dups_oracle(),
         "similarity_cosine_topk": ORACLE_COSINE_TOPK,
         "similarity_ann_lsh_topk": _ann_lsh_oracle(),
         "media_decode_fake": ORACLE_MEDIA_DECODE,
@@ -2915,6 +2960,9 @@ def _self_check(sf_dir: str, only: list[str] | None = None) -> int:  # pragma: n
         try:
             sdf = fn(SparkSession.getActiveSession() or spark, sf_dir)
             spark_rows = sdf.collect()
+            from radohydro_spark.plans.pipeline import release_persisted
+
+            release_persisted()
             scols = sorted(sdf.columns)
             sset = sorted(
                 (tuple(r[c] for c in scols) for r in spark_rows), key=_key
@@ -3005,7 +3053,7 @@ if __name__ == "__main__":  # pragma: no cover
 QUERY_NOTES: dict[str, str] = {
     "cube_order_status": "GROUP BY CUBE over (priority, status): all 2^2 grouping combinations in one pass (shared ANSI).",
     "date_sequence": "F1 date-range generation: sequence+explode of day steps (reference daterange, radohydro.py:39-46).",
-    "dedup_embedding_cosine": "Embedding near-dup pairs: exact pairwise cosine above threshold over normalized vectors.",
+    "dedup_embedding_cosine": "Embedding near-dup pairs: banded hyperplane-LSH (band,bucket) equi-join candidates + exact cosine filter — no cartesian.",
     "dedup_exact_groups": "Exact dedup groups: md5(text) hash-groupBy, lowest id canonical, one shuffle on the digest.",
     "dedup_minhash_lsh_pairs": "MinHash banding: ONE-shuffle wide signatures, derived band keys, equi-join candidates + array-compare est-Jaccard.",
     "dedup_minhash_signatures": "MinHash signature matrix via 8 conditional-min aggregates in a single groupBy(doc).",

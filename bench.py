@@ -73,6 +73,8 @@ def main() -> None:
     # best of 3 runs per query: the machine shares cores with other tenants
     # and single-shot timings show 3-5x spikes unrelated to the plans; min
     # over repetitions reports steady-state (first run still pays codegen)
+    from radohydro_spark.plans.pipeline import release_persisted
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -82,6 +84,9 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # precip queries persist pruned fact slices for intra-query
+            # reuse; release between runs so repeats don't accumulate
+            release_persisted()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

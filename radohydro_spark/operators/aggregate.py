@@ -177,4 +177,6 @@ def trimmed_mean(df, group_cols, value_col, trim: float = 0.1):
     udf = trimmed_mean_udf(trim)
     tm = df.groupBy(*group_cols).agg(udf(F.col(value_col)).alias("trimmed_mean"))
     cnt = df.groupBy(*group_cols).agg(F.count(value_col).alias("n"))
-    return tm.join(cnt, list(group_cols))
+    # drop groups whose values are all NULL (n = 0): SQL oracles that rank
+    # non-NULL values never emit such groups, so presence must agree
+    return tm.join(cnt, list(group_cols)).filter(F.col("n") > 0)

@@ -333,6 +333,67 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 4,
+    n_bands: int = 2,
+    n_dims: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded hyperplane-LSH candidates
+    + exact cosine filter — the 100 TB scale path (brute force above is the
+    small-n cross-check).
+
+    Plan shape: each vector gets ``n_bands`` independent bucket ids
+    (band b hashes with planes [b*n_planes, (b+1)*n_planes)); candidates
+    come from the (band, bucket) **equi-join** — hash-partitioned, never
+    all-pairs — then the exact cosine runs only on candidates, with each
+    doc's array moving once via the two id-joins (minhash_lsh_pairs
+    pattern).  A pair is a candidate iff it collides in >= 1 band; recall
+    grows with n_bands at linear candidate cost.  Deterministic planes
+    (portable md5 stream) => the DuckDB oracle embeds identical constants
+    and reproduces the result set exactly.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    from radohydro_spark.operators.similarity import cosine, lsh_bucket
+
+    e = embeddings.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            lsh_bucket(
+                e, "v", n_planes, n_dims, plane_offset=b * n_planes
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = e.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(e.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(e.select(F.col("doc_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

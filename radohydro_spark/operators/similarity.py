@@ -75,15 +75,23 @@ def _hyperplane_component(plane: int, dim: int) -> Column:
 
 
 def lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 4, n_dims: int | None = None
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_dims: int | None = None,
+    plane_offset: int = 0,
 ) -> Column:
     """Random-hyperplane LSH bucket id: bit_j = (v · plane_j) >= 0.
 
     ``n_dims`` defaults to the array length at runtime; pass it explicitly
-    to keep the expression fully static (needed for the SQL twin)."""
+    to keep the expression fully static (needed for the SQL twin).
+    ``plane_offset`` selects an independent plane family (band b uses
+    planes [offset, offset + n_planes)) so multi-band callers get
+    uncorrelated bucketings from the same deterministic hash stream."""
     v = F.col(vec_col)
     bits = []
-    for j in range(n_planes):
+    for j_local in range(n_planes):
+        j = j_local + plane_offset
         if n_dims is None:
             proj = F.aggregate(
                 F.zip_with(
@@ -99,7 +107,7 @@ def lsh_bucket(
             for d in range(n_dims):
                 term = F.element_at(v, d + 1) * _hyperplane_component(j, d)
                 proj = term if proj is None else proj + term
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**j))
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**j_local))
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b

@@ -237,9 +237,16 @@ def spatial_intersect(
         else:
             row0 = F.floor((F.col("ymin") - uly) / yres).cast("int")
             row1 = F.ceil((F.col("ymax") - uly) / yres).cast("int") - 1
+        # clamp the upper bound: a degenerate bbox aligned to a cell edge
+        # can give col1 < col0 (resp. row1 < row0), and F.sequence would
+        # silently descend, fabricating candidate keys
         cand_keys = (
-            b.withColumn("cell_row", F.explode(F.sequence(row0, row1)))
-            .withColumn("cell_col", F.explode(F.sequence(col0, col1)))
+            b.withColumn(
+                "cell_row", F.explode(F.sequence(row0, F.greatest(row0, row1)))
+            )
+            .withColumn(
+                "cell_col", F.explode(F.sequence(col0, F.greatest(col0, col1)))
+            )
             .select("basin_id", "geom", "xmin", "ymin", "xmax", "ymax",
                     "cell_row", "cell_col")
         )
