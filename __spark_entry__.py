@@ -1264,8 +1264,12 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_freq=None: the exact-oracle query needs textbook Jaccard
+    # (the scale-safe hot-shingle guard is the operator's default)
     corpus = _dup_corpus(spark, sf_dir, near=True)
-    return DD.ngram_jaccard_pairs(corpus, "text", "doc_id", k=3, threshold=0.5)
+    return DD.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=None
+    )
 
 
 ORACLE_NGRAM_JACCARD = f"""

@@ -93,7 +93,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle candidates.
 
@@ -103,9 +103,13 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` is the scale guard: shingles occurring in more than
     that many documents are dropped *before* the self-join (a shingle in f
     docs contributes f² candidate pairs, so one hot stop-shingle at corpus
-    scale dwarfs everything else).  Off by default — it changes |A∩B|/|A∪B|
-    slightly, so the exact-oracle query keeps it off; at 100 TB you turn it
-    on (or use MinHash banding below, which has no quadratic term at all).
+    scale dwarfs everything else).  **ON by default (1000)** — the skew
+    cliff is the default failure mode at corpus scale, so the safe plan is
+    the default plan; a dropped shingle shifts |A∩B|/|A∪B| only for pairs
+    that share a stop-shingle seen in >1000 docs, which Jaccard treats as
+    near-zero-information anyway.  Pass ``None`` explicitly when bit-exact
+    textbook Jaccard is required (the driver's exact-oracle query does), or
+    use MinHash banding below, which has no quadratic term at all.
 
     The self-join runs on ``xxhash64(shingle)`` rather than the shingle
     string: a fixed 8-byte shuffle key instead of a variable-length one

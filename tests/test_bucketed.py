@@ -48,6 +48,32 @@ def test_ngram_max_doc_freq_guard(spark):
     assert capped_pairs <= full_pairs
 
 
+def test_ngram_guard_bounds_skewed_candidates(spark):
+    """The hot-shingle guard is the skew cliff fix: one stop-shingle in f
+    docs contributes f² candidate pairs.  Scale-safe default must be ON."""
+    import inspect
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_doc_freq"].default == 1000
+
+    # 60 docs share exactly one hot shingle; otherwise fully distinct
+    rows = [
+        (i, f"the quick fox tok{i}a tok{i}b tok{i}c") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # threshold 0 surfaces every candidate pair the join produces
+    unguarded = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.0, max_doc_freq=None
+    )
+    guarded = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.0, max_doc_freq=10
+    )
+    # without the guard the hot shingle fans out to C(60,2) pairs;
+    # with it, the quadratic term vanishes entirely
+    assert unguarded.count() == 60 * 59 // 2
+    assert guarded.count() == 0
+
+
 def test_partitioned_obs_prunes(spark, tmp_path):
     from radohydro_spark.sinks.bucketed import read_obs_partitioned, write_obs_partitioned
 

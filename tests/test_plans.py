@@ -123,3 +123,45 @@ def test_contamination_benchmark_side_broadcasts(spark):
     # the only hash Exchange is the final per-doc count (and the broadcast
     # build side's distinct) — the corpus shingles stream map-side
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_near_dups_lsh_no_cartesian(spark):
+    """Banded embedding near-dup: candidates must come from the
+    (band, bucket) equi-join — never a cartesian/nested-loop pair sweep
+    (the O(n^2) cliff the banded rewrite exists to remove)."""
+    from radohydro_spark.operators.dedup import embedding_near_dups_lsh
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    df = embedding_near_dups_lsh(e, threshold=0.35, n_planes=4, n_bands=2, n_dims=64)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dups_lsh_subset_of_bruteforce(spark):
+    """Every banded pair must appear in the brute-force result with the
+    identical cosine (banding only restricts candidates, never scores)."""
+    from radohydro_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    banded = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups_lsh(
+            e, threshold=0.35, n_planes=4, n_bands=2, n_dims=64
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(e, threshold=0.35).collect()
+    }
+    assert banded, "banded candidate set unexpectedly empty"
+    assert set(banded) <= set(brute)
+    for pair, cos in banded.items():
+        assert brute[pair] == cos
