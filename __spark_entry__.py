@@ -168,6 +168,173 @@ def q_precip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Decode-path driver queries: the REAL archive decoders (S4 tar expand, S5
+# member date filter, S6 ESRI-ASCII, S7 REGNIE fixed-width, F5 sentinel→NULL,
+# F8 filename→ts) exercised end-to-end against the same closed-form grid
+# oracle as the synthetic precip queries.  Payloads are generated in-query,
+# deterministically, so the DuckDB side needs no files (the
+# obs_zorder_archive pattern).
+
+
+def _ascii_member(h: int, g) -> bytes:
+    """One ESRI-ASCII member encoding the synthetic grid at hour ``h``:
+    NODATA -1 where the closed-form NULL condition holds, else the
+    closed-form value (0.1 mm ints).  ASCII grids are north-up, so the
+    first body line is synthetic row n_rows-1."""
+    lines = [
+        f"ncols {g.n_cols}",
+        f"nrows {g.n_rows}",
+        f"xllcorner {g.x0}",
+        f"yllcorner {g.y0}",
+        f"cellsize {g.cell}",
+        "NODATA_value -1",
+    ]
+    for rr in range(g.n_rows - 1, -1, -1):
+        vals = [
+            "-1"
+            if ((rr * 13 + c * 7) % 5 == 0) and ((h + rr + c) % 8 == 0)
+            else str((rr * 31 + c * 17 + h * 13) % 120)
+            for c in range(g.n_cols)
+        ]
+        lines.append(" ".join(vals))
+    return "\n".join(lines).encode("ascii")
+
+
+def q_precip_ascii_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4→S5→S6 end-to-end: ONE tar archive of 25 ASCII-grid members (24
+    in-range hours + 1 out-of-range decoy) → tar expansion (mapInPandas) →
+    member date filter (BEFORE decode) → real ESRI-ASCII decoder → north-up
+    row flip → the full precip pipeline.  Decoded obs reproduce the
+    synthetic closed form exactly, so the oracle is the SAME
+    oracle_pipeline_sql as precip_basin_timeseries — any decode divergence
+    (header parse, NODATA→NULL, filename→ts) breaks the hash.
+
+    Reference parity: tar drive loop radohydro.py:291-306, ASCII decode
+    radohydro.py:211-222, date filter radohydro.py:294-297."""
+    import io
+    import tarfile
+
+    from radohydro_spark.sources.ascii_grid import decode_ascii_grids
+    from radohydro_spark.sources.manifest import expand_tars, filter_members_by_range
+
+    _utc(spark)
+    g = GRID
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        members = [
+            (f"RW-20240101-{h:02d}.asc", _ascii_member(h, g)) for h in range(g.n_ts)
+        ]
+        # decoy outside the queried range: S5 must drop it pre-decode
+        members.append(("RW-20240102-07.asc", _ascii_member(0, g)))
+        for name, data in members:
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(data)
+            tar.addfile(ti, io.BytesIO(data))
+    archive = spark.createDataFrame(
+        [("RW-202401.tar", bytearray(buf.getvalue()))], "fname string, payload binary"
+    )
+    manifest = filter_members_by_range(
+        expand_tars(archive), "2024-01-01 00:00:00", "2024-01-01 23:00:00", "hours"
+    )
+    obs = decode_ascii_grids(manifest, date_type="hours")
+    # ASCII raster row 0 = TOP row; the synthetic cell grid is south-up
+    obs = obs.select(
+        "ts",
+        (F.lit(g.n_rows - 1) - F.col("cell_row")).cast("int").alias("cell_row"),
+        "cell_col",
+        "value",
+    )
+    res = precip_timeseries(obs, synthetic_cells(spark), synthetic_basins(spark))
+    return res.select(
+        "basin_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "rainfall_mm",
+    )
+
+
+# REGNIE variant of the synthetic grid: same geometry, 4 DAILY steps
+# (REGNIE is a daily product, reference radohydro.py:434).
+def _regnie_grid():
+    from radohydro_spark.sources.synthetic import GridSpec
+
+    return GridSpec(n_ts=4)
+
+
+def q_precip_regnie_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 end-to-end: 5 gzipped fixed-width REGNIE day files (4 in-range +
+    1 decoy) → member date filter → the real 4-char-stride REGNIE decoder
+    (-999 → NULL, trailer line dropped) → north-up flip → precip pipeline.
+    Values encode the synthetic closed form with h = day index, so the
+    oracle is oracle_base_ctes with DAY-stepped timestamps.
+
+    Reference parity: REGNIE decode radohydro.py:416-448, fixed-width
+    fields radohydro.py:95-144 (this engine parses by exact 4-char stride;
+    the reference's split-and-repair is its approximation)."""
+    import gzip
+
+    from radohydro_spark.sources.manifest import filter_members_by_range
+    from radohydro_spark.sources.regnie import decode_regnie
+
+    _utc(spark)
+    g = _regnie_grid()
+    payloads = []
+    for d in range(g.n_ts + 1):  # last one is the out-of-range decoy
+        lines = []
+        for rr in range(g.n_rows - 1, -1, -1):
+            vals = [
+                -999
+                if ((rr * 13 + c * 7) % 5 == 0) and ((d + rr + c) % 8 == 0)
+                else (rr * 31 + c * 17 + d * 13) % 120
+                for c in range(g.n_cols)
+            ]
+            lines.append("".join(f"{v:4d}" for v in vals))
+        lines.append("REGNIE synthetic trailer metadata line")
+        payloads.append(
+            (
+                f"ra2401{d + 1:02d}.gz",
+                bytearray(gzip.compress(("\n".join(lines) + "\n").encode("ascii"))),
+            )
+        )
+    manifest = filter_members_by_range(
+        spark.createDataFrame(payloads, "fname string, payload binary"),
+        "2024-01-01",
+        f"2024-01-{g.n_ts:02d}",
+        "days2",
+    )
+    obs = decode_regnie(manifest, no_per_line=g.n_cols)
+    obs = obs.select(
+        "ts",
+        (F.lit(g.n_rows - 1) - F.col("cell_row")).cast("int").alias("cell_row"),
+        "cell_col",
+        "value",
+    )
+    res = precip_timeseries(
+        obs, synthetic_cells(spark, g), synthetic_basins(spark, g)
+    )
+    return res.select(
+        "basin_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "rainfall_mm",
+    )
+
+
+def _regnie_decode_oracle() -> str:
+    from radohydro_spark.sources.synthetic import oracle_base_ctes
+
+    g = _regnie_grid()
+    return (
+        oracle_base_ctes(g)
+        + f"""
+SELECT basin_id,
+       strftime(TIMESTAMP '{g.t0}' + h * INTERVAL 1 DAY,
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       rainfall_mm
+FROM res
+"""
+    )
+
+
 def q_precip_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     out = rasterize(synthetic_cells(spark), synthetic_basins(spark), "basin_id")
@@ -2652,15 +2819,46 @@ FROM obs GROUP BY h
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL + quantile digest): approximate by design, so
-    rows-only driver check; the exact twins are stats_percentiles /
-    distinct_agg_segments."""
+    """Sketch aggregates (HLL + quantile digest) with a BOUNDED check: the
+    estimates themselves are engine-specific, so the query emits the exact
+    aggregates plus booleans asserting each sketch landed within its
+    published error (HLL rsd=0.02 → 3σ = 6%; percentile_approx
+    accuracy=1000 → rank error 1e-3, checked against a ±0.01 exact-rank
+    band).  The oracle computes the same exact aggregates and literal TRUE
+    flags — a sketch outside its guarantee flips a boolean and fails the
+    driver hash."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median_price"),
+    g = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("_acd"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("_amed"),
+        F.expr("percentile(o_totalprice, 0.49)").alias("_plo"),
+        F.expr("percentile(o_totalprice, 0.51)").alias("_phi"),
         F.count("*").alias("n"),
     )
+    return g.select(
+        "o_orderpriority",
+        "exact_customers",
+        "n",
+        (
+            F.abs(F.col("_acd") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.06
+        ).alias("hll_within_3sigma"),
+        (
+            (F.col("_amed") >= F.col("_plo")) & (F.col("_amed") <= F.col("_phi"))
+        ).alias("median_within_rank_eps"),
+    )
+
+
+ORACLE_APPROX_SKETCHES = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       COUNT(*) AS n,
+       TRUE AS hll_within_3sigma,
+       TRUE AS median_within_rank_eps
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2671,7 +2869,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver verifies the first 50 entries per round.
+    # Round-2 verified the relational/precip block (49 green); round 3
+    # front-loads everything the driver has NOT yet recorded — the fixed
+    # events_case_pivot, the new decode-path queries, and the LLM-pipeline /
+    # streaming / storage tail — and rotates the already-green block to the
+    # end for re-verification in a later round.
     return {
+        # --- round-3 driver window (first 50) ---
+        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),  # r2 hash fix
+        # decode path: real tar/ASCII/REGNIE decoders, closed-form oracle
+        "precip_ascii_decode_pipeline": q_precip_ascii_decode,
+        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
+        # events / streaming-shaped
+        "events_sessionize": q_events_sessions,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_hopping_window": q_events_hopping_window,
+        "events_rate_spikes": q_events_rate_spikes,
+        "events_stream_state_totals": q_events_stream_state_totals,
+        "events_stream_stream_join": q_events_stream_stream_join,
+        "orders_merge_upsert": q_orders_merge_upsert,
+        "events_scd2_type_history": q_events_scd2,
+        "events_stream_hourly": q_events_stream_hourly,
+        "events_asof_join": q_events_asof,
+        "orders_range_join": q_orders_range_join,
+        # text analysis
+        "text_stats": q_text_stats,
+        "text_quality_filter": q_text_quality_filter,
+        "text_lang_id": q_lang_id,
+        "text_fingerprint": q_fingerprint,
+        "text_token_budget": q_token_budget,
+        "text_tfidf_top_terms": q_text_tfidf,
+        "text_contamination_check": q_text_contamination,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_sentence_chunks": q_text_sentence_chunks,
+        "text_redact_pii": q_redact_pii,
+        # dedup
+        "dedup_exact_groups": q_exact_dups,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_groups_cc": q_dedup_groups_cc,
+        "dedup_canonical_docs": q_dedup_canonical,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_simhash": q_simhash,
+        "dedup_simhash_hamming_pairs": q_simhash_hamming,
+        "dedup_embedding_cosine": q_embedding_near_dups,
+        # similarity search
+        "similarity_cosine_topk": q_cosine_topk,
+        "similarity_ann_lsh_topk": q_ann_lsh_topk,
+        "similarity_ivf_topk": q_ivf_topk,
+        # sampling / skew / profiling / robust stats
+        "skew_salted_revenue": q_skew_salted_revenue,
+        "sample_split_assign": q_sample_split,
+        "profile_orders_columns": q_profile_orders,
+        "stats_approx_sketches": q_approx_sketches,
+        "stats_trimmed_mean": q_stats_trimmed_mean,
+        # storage layout
+        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
+        "events_partitioned_archive": q_events_partitioned_archive,
+        "obs_zorder_archive": q_obs_zorder_archive,
+        # multimodal plumbing
+        "media_decode_fake": q_media_decode,
+        "media_frame_sample": q_media_frames,
+        "media_byte_histogram": q_byte_histogram,
+        "media_ahash": q_media_ahash,
+        "media_resize_fake": q_media_resize,
+        # geo scalar kernels
+        "crs_radolan_project": q_crs_radolan,
+        # --- end of round-3 driver window ---
+        # deferred to a later rotation (adjacent families already checked):
+        "events_props_extract": q_events_props,
+        "events_json_extract": q_events_json_extract,
+        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
+        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
+        "dedup_minhash_signatures": q_minhash_sigs,
+        "embedding_norm_stats": q_embedding_norms,
+        "embedding_quantize_int8": q_embedding_quantize,
+        "orders_pivot_native": q_orders_pivot_native,
+        # driver-green in round 2 (CORRECTNESS_r02.json):
         # core precipitation pipeline (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13)
         "precip_basin_timeseries": q_precip_timeseries,
         "precip_fragments": q_precip_fragments,
@@ -2734,72 +3009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
         "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
         "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
-        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
         "scalar_funcs": q_scalar_funcs,
         "date_sequence": q_date_sequence,
         "filename_parse": q_filename_parse,
-        # events / streaming-shaped
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
-        "events_sessionize": q_events_sessions,
-        "events_stream_sessionize": q_events_stream_sessionize,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_hopping_window": q_events_hopping_window,
-        "events_rate_spikes": q_events_rate_spikes,
-        "events_stream_state_totals": q_events_stream_state_totals,
-        "events_stream_stream_join": q_events_stream_stream_join,
-        "orders_merge_upsert": q_orders_merge_upsert,
-        "events_scd2_type_history": q_events_scd2,
-        "events_props_extract": q_events_props,
-        "events_stream_hourly": q_events_stream_hourly,
-        "events_asof_join": q_events_asof,
-        "orders_range_join": q_orders_range_join,
-        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
-        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
-        # text analysis
-        "text_stats": q_text_stats,
-        "text_quality_filter": q_text_quality_filter,
-        "text_lang_id": q_lang_id,
-        "text_fingerprint": q_fingerprint,
-        "text_token_budget": q_token_budget,
-        "text_tfidf_top_terms": q_text_tfidf,
-        "text_contamination_check": q_text_contamination,
-        "text_pack_sequences": q_text_pack_sequences,
-        "text_sentence_chunks": q_text_sentence_chunks,
-        "events_json_extract": q_events_json_extract,
-        # dedup
-        "dedup_exact_groups": q_exact_dups,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_canonical_docs": q_dedup_canonical,
-        "skew_salted_revenue": q_skew_salted_revenue,
-        "sample_split_assign": q_sample_split,
-        "profile_orders_columns": q_profile_orders,
-        "text_redact_pii": q_redact_pii,
-        "dedup_minhash_signatures": q_minhash_sigs,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_simhash": q_simhash,
-        "dedup_simhash_hamming_pairs": q_simhash_hamming,
-        "dedup_embedding_cosine": q_embedding_near_dups,
-        # similarity search
-        "similarity_cosine_topk": q_cosine_topk,
-        "similarity_ann_lsh_topk": q_ann_lsh_topk,
-        "similarity_ivf_topk": q_ivf_topk,
-        "embedding_norm_stats": q_embedding_norms,
-        "embedding_quantize_int8": q_embedding_quantize,
-        "stats_approx_sketches": q_approx_sketches,
-        "stats_trimmed_mean": q_stats_trimmed_mean,
-        "orders_pivot_native": q_orders_pivot_native,
-        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
-        "events_partitioned_archive": q_events_partitioned_archive,
-        "obs_zorder_archive": q_obs_zorder_archive,
-        # multimodal plumbing
-        "media_decode_fake": q_media_decode,
-        "media_frame_sample": q_media_frames,
-        "media_byte_histogram": q_byte_histogram,
-        "media_ahash": q_media_ahash,
-        "media_resize_fake": q_media_resize,
-        # geo scalar kernels
-        "crs_radolan_project": q_crs_radolan,
     }
 
 
@@ -2823,6 +3036,10 @@ def oracle_sql() -> dict[str, str]:
         # full 900x900x24 pipeline: same closed-form CTEs at true RADOLAN
         # scale (19.4M obs rows generated inside DuckDB, ~6s)
         "precip_radolan_scale": _radolan_scale_oracle(),
+        # decode-path queries reproduce the synthetic closed form through
+        # the REAL decoders, so the grid oracles apply unchanged
+        "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),
+        "precip_regnie_decode_pipeline": _regnie_decode_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,
@@ -2886,6 +3103,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_unpivot_roundtrip": ORACLE_UNPIVOT,
         "events_partitioned_archive": ORACLE_PARTITIONED_ARCHIVE,
         "obs_zorder_archive": ORACLE_ZORDER_ARCHIVE,
+        "stats_approx_sketches": ORACLE_APPROX_SKETCHES,
         "text_stats": ORACLE_TEXT_STATS,
         "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),
