@@ -55,6 +55,7 @@ def radohydro_run(
     date_type: str = "minutes",
     numerator: float = 10.0,
     write_wide: bool = True,
+    wide_format: str = "geoparquet",
     shape_crs: str | None = None,
     grid_crs: str | None = None,
 ) -> DataFrame:
@@ -146,7 +147,14 @@ def radohydro_run(
     )
     write_basin_csvs(result, basins, out_dir)
     if write_wide:
-        write_wide_geoparquet(result, basins, f"{out_dir}/basins_wide.parquet")
+        if wide_format == "shapefile":
+            # the reference's actual sink format (geotools/geotools.py:
+            # 321-330), incl. its 500-column dBase refusal
+            from radohydro_spark.sinks import write_wide_shapefile
+
+            write_wide_shapefile(result, basins, f"{out_dir}/basins_wide.shp")
+        else:
+            write_wide_geoparquet(result, basins, f"{out_dir}/basins_wide.parquet")
     return result
 
 

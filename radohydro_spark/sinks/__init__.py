@@ -5,6 +5,10 @@ from radohydro_spark.sinks.sinks import (
     write_cellgrid_geoparquet,
     write_wide_geoparquet,
 )
+from radohydro_spark.sinks.shapefile_writer import (
+    write_shapefile,
+    write_wide_shapefile,
+)
 
 __all__ = [
     "write_ascii_grid",
@@ -12,4 +16,6 @@ __all__ = [
     "write_basin_csvs",
     "write_cellgrid_geoparquet",
     "write_wide_geoparquet",
+    "write_shapefile",
+    "write_wide_shapefile",
 ]
