@@ -35,6 +35,10 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "similarity_cosine_topk",
     "media_byte_histogram",
+    # round-3 rotation: one streaming and one storage-layout query so
+    # regressions in those paths are visible in the bench record
+    "events_stream_hourly",
+    "obs_zorder_archive",
 ]
 
 
