@@ -1423,6 +1423,29 @@ def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_duplicates(corpus, "text", "doc_id")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition profile: top-bigram share and
+    duplicate-bigram fraction per doc (functions.text.repetition_stats) —
+    two map-side-combinable aggregates, no UDF."""
+    return TX.repetition_stats(_docs(spark, sf_dir), "text", "doc_id", k=2)
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH docs AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+  FROM docs
+),
+per AS (SELECT doc_id, g, count(*) AS cnt FROM grams WHERE g <> '' GROUP BY doc_id, g)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_ngram_share,
+       round(1 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_ngram_frac
+FROM per GROUP BY doc_id
+"""
+
+
 ORACLE_EXACT_DUPS = f"""
 WITH corpus AS ({_DUP_SQL})
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -2938,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_radolan_project": q_crs_radolan,
         # --- end of round-3 driver window ---
         # deferred to a later rotation (adjacent families already checked):
+        "text_repetition_stats": q_text_repetition,
         "events_props_extract": q_events_props,
         "events_json_extract": q_events_json_extract,
         "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
@@ -3104,6 +3128,7 @@ def oracle_sql() -> dict[str, str]:
         "events_partitioned_archive": ORACLE_PARTITIONED_ARCHIVE,
         "obs_zorder_archive": ORACLE_ZORDER_ARCHIVE,
         "stats_approx_sketches": ORACLE_APPROX_SKETCHES,
+        "text_repetition_stats": ORACLE_TEXT_REPETITION,
         "text_stats": ORACLE_TEXT_STATS,
         "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),

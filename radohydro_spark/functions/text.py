@@ -138,6 +138,46 @@ def text_stats(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",
     )
 
 
+def repetition_stats(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 2
+):
+    """Intra-document repetition profile (the Gopher-style repetition
+    quality rule): per document, the share of occurrences claimed by the
+    single most frequent k-gram and the duplicate-k-gram fraction.
+    Boilerplate, templated spam, and decode loops all spike these.
+
+    Plan shape: k-grams explode WITH multiplicity (unlike the dedup
+    shingles, which are distinct-per-doc), then two map-side-combinable
+    aggregates — (doc, gram) counts, then per-doc max/sum/distinct.  Both
+    shuffles carry pre-combined partials, so network rows are bounded by
+    distinct (doc, gram) pairs, not token count; no UDF anywhere.
+
+    Returns (doc_id, n_ngrams, top_ngram_share, dup_ngram_frac).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).filter(F.col("g") != "")
+    per = ex.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_ngrams"),
+            F.max("cnt").alias("_top"),
+            F.count("*").alias("_nd"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.round(F.col("_top") / F.col("n_ngrams"), 6).alias("top_ngram_share"),
+            F.round(1 - F.col("_nd") / F.col("n_ngrams"), 6).alias("dup_ngram_frac"),
+        )
+    )
+
+
 def lang_id(text: Column | str, langs: list[str] | None = None) -> Column:
     """Marker-word language heuristic: count marker hits per language,
     argmax with deterministic priority-order tie-break (CASE chain, same
