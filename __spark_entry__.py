@@ -1423,6 +1423,158 @@ def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_duplicates(corpus, "text", "doc_id")
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training-data flagship: the full curation funnel as ONE lazy
+    DAG — quality gate → exact dedup → n-gram near-dedup → benchmark
+    decontamination → deterministic train/val/test split — reported as
+    per-stage survivor counts.  Every stage is an operator the driver
+    already value-verifies in isolation; this query proves they COMPOSE
+    (the corpus has injected exact + near duplicates so each stage
+    actually removes rows).  Plan shape at 100 TB: quality is a narrow
+    fused scan, dedup stages shuffle once each on their keys, the
+    benchmark shingle set broadcasts, splits are pure projection; the two
+    cached intermediates are survivor sets (corpus-sized, spillable)."""
+    from radohydro_spark.operators.sampling import split_assign
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lt20 = d.filter(F.col("doc_id") < 20)
+    corpus = d.unionByName(
+        lt20.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        lt20.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" zz11 zz22 zz33")).alias("text"),
+        )
+    )
+    stats = TX.text_stats(corpus, "text", ("doc_id",))
+    keep_q = stats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 5000)
+        & (F.col("stop_ratio") >= 0.05)
+        & (F.col("distinct_ratio") >= 0.3)
+        & (F.col("n_punct").cast("double") / F.col("n_chars_calc") <= 0.1)
+    ).select("doc_id")
+    q = corpus.join(keep_q, "doc_id", "left_semi")
+    e = DD.dedup_exact(q, "text", "doc_id").cache()
+    pairs = DD.ngram_jaccard_pairs(
+        e, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=None
+    )
+    nd = e.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    ).cache()
+    benchmark = d.filter(F.col("doc_id") % 50 == 0)
+    flagged = DD.contamination_check(nd, benchmark, "text", "doc_id", k=3, min_shared=5)
+    clean = nd.join(flagged.select("doc_id"), "doc_id", "left_anti").cache()
+    splits = split_assign(clean, "doc_id", val_pct=10, test_pct=10)
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        cnt(corpus, "00_raw")
+        .unionByName(cnt(q, "01_quality"))
+        .unionByName(cnt(e, "02_exact_dedup"))
+        .unionByName(cnt(nd, "03_near_dedup"))
+        .unionByName(cnt(clean, "04_decontaminated"))
+        .unionByName(
+            splits.groupBy("split")
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.concat(F.lit("05_split_"), F.col("split")).alias("stage"), "n_docs")
+        )
+    )
+
+
+_SQL_SHINGLE3 = (
+    "unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+
+ORACLE_CORPUS_CURATION = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zz11 zz22 zz33' AS text
+  FROM documents WHERE doc_id < 20
+),
+st AS (
+  SELECT doc_id, text,
+         len({_SQL_TOKS}) AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         round(len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOP}))
+               / CAST(len({_SQL_TOKS}) AS DOUBLE), 6) AS stop_ratio,
+         round(len(list_distinct({_SQL_TOKS}))
+               / CAST(len({_SQL_TOKS}) AS DOUBLE), 6) AS distinct_ratio
+  FROM corpus
+),
+q AS (
+  SELECT doc_id, text FROM st
+  WHERE n_tokens BETWEEN 10 AND 5000 AND stop_ratio >= 0.05
+    AND distinct_ratio >= 0.3 AND CAST(n_punct AS DOUBLE) / n_chars <= 0.1
+),
+e AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, {_SQL_SHINGLE3} AS shingle
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM e)
+  ) WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+drop_nd AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+),
+nd AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM drop_nd)),
+bsh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT {_SQL_SHINGLE3} AS shingle
+    FROM (SELECT {_SQL_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0)
+  ) WHERE shingle <> ''
+),
+nd_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, {_SQL_SHINGLE3} AS shingle
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM nd)
+  ) WHERE shingle <> ''
+),
+flagged AS (
+  SELECT doc_id FROM nd_sh JOIN bsh USING (shingle)
+  GROUP BY doc_id HAVING count(*) >= 5
+),
+clean AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+              ELSE 'train' END AS split
+  FROM (SELECT doc_id, {_ph_sql("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM clean)
+)
+SELECT '00_raw' AS stage, count(*) AS n_docs FROM corpus
+UNION ALL SELECT '01_quality', count(*) FROM q
+UNION ALL SELECT '02_exact_dedup', count(*) FROM e
+UNION ALL SELECT '03_near_dedup', count(*) FROM nd
+UNION ALL SELECT '04_decontaminated', count(*) FROM clean
+UNION ALL SELECT '05_split_' || split, count(*) FROM splits GROUP BY split
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition profile: top-bigram share and
     duplicate-bigram fraction per doc (functions.text.repetition_stats) —
@@ -2961,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_radolan_project": q_crs_radolan,
         # --- end of round-3 driver window ---
         # deferred to a later rotation (adjacent families already checked):
+        "corpus_curation_pipeline": q_corpus_curation,
         "text_repetition_stats": q_text_repetition,
         "events_props_extract": q_events_props,
         "events_json_extract": q_events_json_extract,
@@ -3129,6 +3282,7 @@ def oracle_sql() -> dict[str, str]:
         "obs_zorder_archive": ORACLE_ZORDER_ARCHIVE,
         "stats_approx_sketches": ORACLE_APPROX_SKETCHES,
         "text_repetition_stats": ORACLE_TEXT_REPETITION,
+        "corpus_curation_pipeline": ORACLE_CORPUS_CURATION,
         "text_stats": ORACLE_TEXT_STATS,
         "text_quality_filter": ORACLE_QUALITY_FILTER,
         "text_lang_id": _langid_sql(),
