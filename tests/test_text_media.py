@@ -100,3 +100,20 @@ def test_resize_media_raises_without_fake(spark):
     df = spark.createDataFrame([(1, bytearray(b"abc"))], "media_id long, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
         resize_media(df, 2, 2, fake=False).collect()
+
+
+def test_repetition_stats_hand_computed(spark):
+    from radohydro_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # doc1 bigrams: "a b","b a","a b","b a" -> 4 total, top appears 2x
+    assert got[1].n_ngrams == 4
+    assert got[1].top_ngram_share == 0.5
+    assert got[1].dup_ngram_frac == 0.5
+    # doc2 bigrams all distinct
+    assert got[2].n_ngrams == 3
+    assert got[2].top_ngram_share == round(1 / 3, 6)
+    assert got[2].dup_ngram_frac == 0.0
