@@ -10,8 +10,9 @@ Five dedup families, all DataFrame-native and shuffle-aware:
                     band keys (the 100 TB scale path: no O(n²) anywhere)
 * SimHash         — 16-bit sign-of-weighted-bit-sums fingerprint; near-dup
                     candidates join on equal fingerprint
-* embedding cosine— exact pairwise above a threshold (brute force for small
-                    n; LSH bucketing in similarity.py is the scale path)
+* embedding cosine— banded hyperplane-LSH candidates + exact cosine filter
+                    (embedding_near_dups_lsh, the scale path) with the
+                    brute-force O(n²) twin kept as the small-n cross-check
 
 Every step uses functions.text.portable_hash so the DuckDB oracle can
 reproduce signatures bit-for-bit.
