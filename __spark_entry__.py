@@ -253,6 +253,60 @@ def q_precip_ascii_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_precip_geotiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 end-to-end: 24 in-query-encoded GeoTIFFs (int16, DEFLATE strips,
+    GDAL nodata tag -1) through the real GeoTIFF decoder → north-up flip →
+    precip pipeline; byte-level codec divergence breaks the closed-form
+    oracle hash.  Reference parity: rasterio GTiff read radohydro.py:
+    211-222 via the dependency-free codec in sources/geotiff.py."""
+    import numpy as np
+
+    from radohydro_spark.sources.geotiff import decode_geotiffs, encode_geotiff
+
+    _utc(spark)
+    g = GRID
+    payloads = []
+    for h in range(g.n_ts):
+        arr = np.empty((g.n_rows, g.n_cols), dtype="int16")
+        for raster_r in range(g.n_rows):
+            rr = g.n_rows - 1 - raster_r  # raster row 0 = top = highest grid row
+            for c in range(g.n_cols):
+                if ((rr * 13 + c * 7) % 5 == 0) and ((h + rr + c) % 8 == 0):
+                    arr[raster_r, c] = -1
+                else:
+                    arr[raster_r, c] = (rr * 31 + c * 17 + h * 13) % 120
+        payloads.append(
+            (
+                f"RW-20240101-{h:02d}.tif",
+                bytearray(
+                    encode_geotiff(
+                        arr,
+                        g.x0,
+                        g.y0 + g.n_rows * g.cell,
+                        g.cell,
+                        -g.cell,
+                        nodata=-1.0,
+                        compress=True,
+                    )
+                ),
+            )
+        )
+    manifest = spark.createDataFrame(payloads, "fname string, payload binary")
+    obs = decode_geotiffs(manifest, date_type="hours")
+    obs = obs.select(
+        "ts",
+        (F.lit(g.n_rows - 1) - F.col("cell_row")).cast("int").alias("cell_row"),
+        "cell_col",
+        "value",
+    )
+    res = precip_timeseries(obs, synthetic_cells(spark), synthetic_basins(spark))
+    return res.select(
+        "basin_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "rainfall_mm",
+    )
+
+
 # REGNIE variant of the synthetic grid: same geometry, 4 DAILY steps
 # (REGNIE is a daily product, reference radohydro.py:434).
 def _regnie_grid():
@@ -3115,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferred to a later rotation (adjacent families already checked):
         "corpus_curation_pipeline": q_corpus_curation,
         "text_repetition_stats": q_text_repetition,
+        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
         "events_props_extract": q_events_props,
         "events_json_extract": q_events_json_extract,
         "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
@@ -3217,6 +3272,7 @@ def oracle_sql() -> dict[str, str]:
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),
         "precip_regnie_decode_pipeline": _regnie_decode_oracle(),
+        "precip_geotiff_decode_pipeline": oracle_pipeline_sql(GRID),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,
