@@ -165,3 +165,14 @@ def test_embedding_near_dups_lsh_subset_of_bruteforce(spark):
     assert set(banded) <= set(brute)
     for pair, cos in banded.items():
         assert brute[pair] == cos
+
+
+def test_corpus_curation_no_cartesian(spark):
+    """The curation funnel composes 5 operator families; none of its joins
+    may degrade to a cartesian/nested-loop sweep (quality is a narrow
+    filter, dedup joins are equi-joins, the benchmark side broadcasts)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_corpus_curation(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
