@@ -1,5 +1,6 @@
 from radohydro_spark.streaming.streams import (
     file_stream,
+    foreach_batch_upsert,
     run_available_now,
     sessionize_stream,
     streaming_dedup,
@@ -11,6 +12,7 @@ from radohydro_spark.streaming.streams import (
 
 __all__ = [
     "file_stream",
+    "foreach_batch_upsert",
     "run_available_now",
     "sessionize_stream",
     "streaming_dedup",

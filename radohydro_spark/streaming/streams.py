@@ -264,3 +264,63 @@ def stream_stream_join(
         if c not in keys
     ]
     return joined.select([F.col(f"l.{c}") for c in left.columns] + rcols)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    name: str,
+    checkpoint_dir: str,
+    delete_col: str | None = None,
+) -> None:
+    """Incrementally maintain a parquet-backed table from a change stream:
+    each micro-batch MERGEs into the target via ``operators.merge.
+    merge_upsert`` inside ``foreachBatch`` — the streaming-upsert pattern
+    Structured Streaming itself has no sink for.
+
+    Write protocol per batch: the merged snapshot is fully materialized
+    into a staging directory (reading the OLD target), then swapped in with
+    two renames — readers never observe a half-written table.  Copy-on-
+    write economics: each batch rewrites the target, so batch cadence
+    should amortize it (or the target should be partitioned and merged
+    per-partition); at warehouse scale the same ``foreachBatch`` body
+    targets a table format (Delta/Iceberg MERGE) instead of raw parquet —
+    the plan inside is identical.
+
+    Drains with ``availableNow`` (bounded backfill / test replay); for a
+    continuous pipeline swap the trigger.
+    """
+    import os
+    import shutil
+
+    from radohydro_spark.operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch_df, keys, delete_col)
+        elif delete_col is not None:
+            merged = batch_df.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        else:
+            merged = batch_df
+        staging = target_path + "__staging"
+        merged.write.mode("overwrite").parquet(staging)  # materializes BEFORE swap
+        old = target_path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(target_path):
+            os.rename(target_path, old)
+        os.rename(staging, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -183,3 +183,72 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     a = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert a == b and len(a) > 0
+
+
+def test_foreach_batch_upsert_multi_batch(spark, tmp_path):
+    """foreachBatch streaming MERGE: two micro-batches with disjoint key
+    sets (order-independent) must land the same final table as one batch
+    merge; a third replay with updates + deletes must match merge_upsert
+    applied in batch."""
+    import uuid
+
+    from radohydro_spark.operators.merge import merge_upsert
+    from radohydro_spark.streaming import foreach_batch_upsert
+
+    src_dir = tmp_path / "changes"
+    src_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", False) for i in range(1, 6)], "k int, val string, is_del boolean"
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"v{i}", False) for i in range(6, 11)], "k int, val string, is_del boolean"
+    )
+    b1.coalesce(1).write.parquet(str(src_dir / "f1.parquet"))
+    b2.coalesce(1).write.parquet(str(src_dir / "f2.parquet"))
+
+    target = str(tmp_path / "target")
+    stream = (
+        spark.readStream.schema("k int, val string, is_del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*/")
+    )
+    foreach_batch_upsert(
+        stream,
+        target,
+        ["k"],
+        "upsert_" + uuid.uuid4().hex[:8],
+        str(tmp_path / "ck1"),
+        delete_col="is_del",
+    )
+    got = {(r.k, r.val) for r in spark.read.parquet(target).collect()}
+    assert got == {(i, f"v{i}") for i in range(1, 11)}
+
+    # second stream: update half, delete two, insert one
+    b3 = spark.createDataFrame(
+        [(1, "V1", False), (2, "V2", False), (3, None, True), (9, None, True),
+         (42, "v42", False)],
+        "k int, val string, is_del boolean",
+    )
+    src2 = tmp_path / "changes2"
+    src2.mkdir()
+    b3.coalesce(1).write.parquet(str(src2 / "f3.parquet"))
+    snapshot_before = spark.read.parquet(target).localCheckpoint()
+    stream2 = (
+        spark.readStream.schema("k int, val string, is_del boolean")
+        .parquet(str(src2) + "/*/")
+    )
+    foreach_batch_upsert(
+        stream2,
+        target,
+        ["k"],
+        "upsert_" + uuid.uuid4().hex[:8],
+        str(tmp_path / "ck2"),
+        delete_col="is_del",
+    )
+    want = {
+        (r.k, r.val)
+        for r in merge_upsert(snapshot_before, b3, ["k"], "is_del").collect()
+    }
+    got2 = {(r.k, r.val) for r in spark.read.parquet(target).collect()}
+    assert got2 == want
+    assert (3, "v3") not in got2 and (42, "v42") in got2 and (1, "V1") in got2
