@@ -3111,7 +3111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_ascii_decode_pipeline": q_precip_ascii_decode,
         "precip_regnie_decode_pipeline": q_precip_regnie_decode,
         # events / streaming-shaped
-        "events_sessionize": q_events_sessions,
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_stream_dedup": q_events_stream_dedup,
         "events_hopping_window": q_events_hopping_window,
@@ -3120,9 +3119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_stream_join": q_events_stream_stream_join,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_scd2_type_history": q_events_scd2,
-        "events_stream_hourly": q_events_stream_hourly,
-        "events_asof_join": q_events_asof,
         "orders_range_join": q_orders_range_join,
+        # new since the round-2 verdict — never driver-checked
+        "corpus_curation_pipeline": q_corpus_curation,
+        "text_repetition_stats": q_text_repetition,
+        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
         # text analysis
         "text_stats": q_text_stats,
         "text_quality_filter": q_text_quality_filter,
@@ -3166,11 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo scalar kernels
         "crs_radolan_project": q_crs_radolan,
         # --- end of round-3 driver window ---
-        # deferred to a later rotation (adjacent families already checked):
-        "corpus_curation_pipeline": q_corpus_curation,
-        "text_repetition_stats": q_text_repetition,
-        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
-        "events_props_extract": q_events_props,
+        # deferred to the round-4 rotation (never driver-checked yet):
         "events_json_extract": q_events_json_extract,
         "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
         "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
@@ -3178,6 +3175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norms,
         "embedding_quantize_int8": q_embedding_quantize,
         "orders_pivot_native": q_orders_pivot_native,
+        # rotated out of the round-3 window (driver-green in r1/r2):
+        "events_sessionize": q_events_sessions,
+        "events_stream_hourly": q_events_stream_hourly,
+        "events_asof_join": q_events_asof,
+        "events_props_extract": q_events_props,
         # driver-green in round 2 (CORRECTNESS_r02.json):
         # core precipitation pipeline (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13)
         "precip_basin_timeseries": q_precip_timeseries,
