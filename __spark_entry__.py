@@ -54,33 +54,57 @@ TABLES = (
 ).split()
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver builds its own SparkSession without our session.py confs;
-    # nanosAsLong is runtime-settable, so set it here before every read or
-    # events.parquet (TIMESTAMP_NANOS) fails with PARQUET_TYPE_ILLEGAL.
-    # UTC likewise: DuckDB reads these timestamps naive/UTC, so a non-UTC
-    # session would shift every timestamp->string rendering.
+def _ingest_confs(spark: SparkSession) -> None:
+    """Parquet-timestamp ingest normalization, safe under ANY session.
+
+    The driver builds its own SparkSession without our session.py confs;
+    all three are runtime-settable, so set them before every read:
+
+    - nanosAsLong: INT64 TIMESTAMP(NANOS) files (round-1 testdata encoding)
+      otherwise throw PARQUET_TYPE_ILLEGAL.
+    - inferTimestampNTZ=false: ``timestamp[us]`` without UTC adjustment
+      (round-3 testdata encoding — also what plain pyarrow/pandas/DuckDB
+      writers emit) otherwise arrives as TIMESTAMP_NTZ, which breaks
+      ``withWatermark`` / ``unix_micros`` and shifts renderings.  With the
+      conf off it lands as session-tz TIMESTAMP; the UTC session pin below
+      makes that identical to DuckDB's naive reading.
+    - session UTC: DuckDB reads these timestamps naive/UTC, so a non-UTC
+      session would shift every timestamp->string rendering.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) parquet columns arrive as long under the
-    # nanosAsLong legacy conf; convert to microsecond timestamps (same
-    # truncation DuckDB applies when it reads the file)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize whatever encoding the ``ts`` column arrived in to a plain
+    microsecond TIMESTAMP (the engine-wide event-time type)."""
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer div: ns values exceed 2^53, float division would
-            # round the microsecond
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
+            # TIMESTAMP(NANOS) under nanosAsLong.  Integer div: ns values
+            # exceed 2^53, float division would round the microsecond.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            # Defensive: only reachable if inferTimestampNTZ was captured
+            # before _ingest_confs ran (e.g. a pinned schema).  Under the
+            # UTC session pin the naive->instant cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ingest_confs(spark)
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
 def _probe_schema(spark: SparkSession, sf_dir: str, name: str):
-    """Schema of a testdata parquet, safe under ANY session: sets the
-    nanosAsLong conf first (the driver's own SparkSession does not carry
-    our session.py confs — without this, TIMESTAMP(NANOS) files throw
-    PARQUET_TYPE_ILLEGAL, the round-1 failure mode)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Schema of a testdata parquet, safe under ANY session (see
+    _ingest_confs — without it, TIMESTAMP(NANOS) files throw
+    PARQUET_TYPE_ILLEGAL and NTZ files poison downstream watermarks)."""
+    _ingest_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
 
 
@@ -1034,8 +1058,7 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)  # nanos-bigint / NTZ testdata encodings
     sessions = sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
     name = "stream_sessions_" + uuid.uuid4().hex[:8]
     out = run_available_now(sessions, name, tempfile.mkdtemp(prefix="ck_"), "complete")
@@ -1068,9 +1091,7 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-        if dict(s.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
+        return _normalize_ts(s)  # nanos-bigint / NTZ testdata encodings
 
     doubled = src().unionByName(src())
     deduped = streaming_dedup(doubled, ["event_id"], ts_col="ts", watermark="1 hour")
@@ -1203,8 +1224,7 @@ def q_events_stream_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)  # nanos-bigint / NTZ testdata encodings
     totals = stateful_running_total(
         stream, key_col="user_id", ts_col="ts", value_col="value"
     )
@@ -1249,11 +1269,11 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-        if dict(s.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _normalize_ts(s)  # nanos-bigint / NTZ testdata encodings
         return s.filter(F.col("event_type") == kind).select(
             "user_id", "event_id", "ts"
         )
+
     joined = stream_stream_join(
         src("click"), src("purchase"), ["user_id"],
         watermark="1 hour", max_lag="30 minutes",
@@ -2209,7 +2229,11 @@ chars AS (
 )
 SELECT media_id,
 """ + ",\n".join(
-    f"       sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS b{i}" for i in range(16)
+    # CAST: DuckDB sums to HUGEINT, Spark to BIGINT — without the cast the
+    # driver's value-hash compares int128 vs int64 and flags a false
+    # mismatch (same artifact class as events_case_pivot, commit b4ce552)
+    f"       CAST(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+    for i in range(16)
 ) + """
 FROM chars GROUP BY media_id
 """
@@ -2445,8 +2469,7 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # INT64-nanos testdata encoding
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)  # nanos-bigint / NTZ testdata encodings
     agg = tumbling_agg(
         stream,
         "ts",

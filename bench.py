@@ -79,35 +79,44 @@ def main() -> None:
     # over repetitions reports steady-state (first run still pays codegen)
     from radohydro_spark.plans.pipeline import release_persisted
 
+    # Per-query error isolation: one broken query must never zero the whole
+    # round's perf record (round 3 lost its bench to a single ingest
+    # AnalysisException).  Failures land in "errors" and are excluded from
+    # the total; a partial record beats none.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        # precip queries persist pruned fact slices for intra-query reuse;
-        # release between queries so the session doesn't accumulate cached
-        # slices (repeat runs of the SAME query keep the warm cache —
-        # min-of-3 reports steady state)
-        release_persisted()
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        finally:
+            # precip queries persist pruned fact slices for intra-query
+            # reuse; release between queries so the session doesn't
+            # accumulate cached slices (repeat runs of the SAME query keep
+            # the warm cache — min-of-3 reports steady state)
+            release_persisted()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": 3,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": 3,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -51,6 +51,12 @@ def get_spark(
         # read INT64 TIMESTAMP(NANOS) parquet columns as long (Spark has no
         # nanosecond timestamp); sources convert ns -> timestamp_micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read timestamp-without-UTC-adjustment parquet (pyarrow/pandas/
+        # DuckDB writers' default) as session-tz TIMESTAMP, not
+        # TIMESTAMP_NTZ — NTZ breaks withWatermark/unix_micros and every
+        # event-time operator; with the UTC session pin the instant is the
+        # same naive value DuckDB reads
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -33,9 +33,16 @@ from tests.conftest import SF_DIR
 
 def _events_dir(spark, tmp_path):
     p = str(tmp_path / "events_in")
+    # normalize whatever ts encoding the testdata uses (int64-nanos in r1,
+    # timestamp-NTZ in r3) to plain TIMESTAMP before re-writing for the
+    # file-source stream
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":  # int64-nanos encoding in testdata
+    kind = dict(df.dtypes)["ts"]
+    if kind == "bigint":  # int64-nanos encoding
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif kind == "timestamp_ntz":  # pinned-schema fallback
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     df.repartition(4).write.parquet(p)
     return p
 
