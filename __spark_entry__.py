@@ -36,8 +36,10 @@ from radohydro_spark.operators.aggregate import resample
 from radohydro_spark.operators.spatial import rasterize, spatial_intersect
 from radohydro_spark.operators.weights import apply_nan_policy, basin_weights
 from radohydro_spark.plans.pipeline import precip_timeseries
+from radohydro_spark.sinks.sinks import write_basin_csvs
 from radohydro_spark.sources.synthetic import (
     GRID,
+    oracle_base_ctes,
     oracle_cellgrid_sql,
     oracle_daily_sql,
     oracle_fragments_sql,
@@ -3113,6 +3115,111 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# K1 sink round-trip + real-BMP media decode (round-5 additions)
+
+
+def q_precip_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 per-basin CSV sink, driver-verified end-to-end (reference
+    geotools/geotools.py:295-319): ``write_basin_csvs`` writes real files
+    (3 bespoke header lines, zero-padded basin ids, 3-decimal rounding) to
+    a scratch dir, and the query result is the READ-BACK of those files —
+    whatever survives the round-trip must hash-match the pipeline oracle."""
+    _utc(spark)
+    import tempfile
+
+    res = precip_timeseries(
+        synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
+    )
+    out_dir = tempfile.mkdtemp(prefix="radohydro_csv_rt_")
+    write_basin_csvs(res, synthetic_basins(spark), out_dir)
+    raw = spark.read.text(os.path.join(out_dir, "basin_*.csv"))
+    return (
+        raw.withColumn(
+            "basin_id",
+            F.regexp_extract(F.input_file_name(), r"basin_(\d+)\.csv", 1).cast("int"),
+        )
+        .filter(F.col("value").rlike(r"^\d{10},"))  # skip the 3 header lines
+        .select(
+            "basin_id",
+            F.split("value", ",")[0].alias("time"),
+            # NaN-policy rows serialize as an empty field; try_cast maps
+            # them back to NULL exactly as the oracle emits them
+            F.expr("try_cast(split(value, ',')[1] AS double)").alias("rainfall"),
+        )
+    )
+
+
+def _csv_roundtrip_oracle() -> str:
+    return (
+        oracle_base_ctes(GRID)
+        + f"""
+SELECT basin_id,
+       strftime(TIMESTAMP '{GRID.t0}' + h * INTERVAL 1 HOUR, '%y%m%d%H%M') AS time,
+       round(rainfall_mm, 3) AS rainfall
+FROM res
+"""
+    )
+
+
+def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real end-to-end image decode (no image library): deterministic
+    grayscale BMPs are ENCODED executor-side (sources/bmp.py encode_bmp)
+    then decoded back through the real, non-fake ``decode_media`` path —
+    header parse, gray-palette mapping, bottom-up row order, and 4-byte row
+    padding all exercised on genuine format bytes.  Closed-form content:
+    pixel(i) = (doc_id*31 + i*7) % 256 on a (6 + doc_id%7) x (8 + doc_id%5)
+    grid, so the oracle recomputes the expected dims and mean directly."""
+    import numpy as np
+    import pandas as pd
+
+    from radohydro_spark.sources.bmp import encode_bmp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + did % 5
+                h = 6 + did % 7
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((did * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w)
+                ids.append(did)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    bmp = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return MM.decode_media(bmp).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+ORACLE_MEDIA_DECODE_BMP = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 5 AS w,
+         6 + doc_id % 7 AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, unnest(range(0, w * h)) AS i FROM m
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       1 AS channels,
+       round(avg(CAST((media_id * 31 + i * 7) % 256 AS DOUBLE)), 4) AS mean_intensity
+FROM px
+GROUP BY media_id, w, h
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -3122,18 +3229,109 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the first 50 entries per round.
-    # Round-2 verified the relational/precip block (49 green); round 3
-    # front-loads everything the driver has NOT yet recorded — the fixed
-    # events_case_pivot, the new decode-path queries, and the LLM-pipeline /
-    # streaming / storage tail — and rotates the already-green block to the
-    # end for re-verification in a later round.
+    # Round-5 window, two tiers:
+    #   Tier 1 (positions 0-10): the 11 queries with NO driver-green on
+    #   record.  events_sessionize / events_stream_hourly / events_asof_join
+    #   / events_props_extract ERRORED in r1 (PARQUET_TYPE_ILLEGAL, before
+    #   the _ingest_confs fix) and were never re-windowed; the other 7 were
+    #   added later and never fell inside a 50-query window.  All 11
+    #   re-verified locally vs the DuckDB oracle at sf0.01 before this
+    #   rotation (scripts/check_correctness.py).
+    #   Tier 2: r2-cohort re-pins — last driver-verified in r2, and the
+    #   shared ingest path under them (_ingest_confs/_normalize_ts) changed
+    #   in r4, so they need a fresh green.
+    # The 50 r4-green queries (CORRECTNESS_r04: all hash-match) rotate to
+    # the tail; the leftover r2 relational block re-windows in r6.
     return {
-        # --- round-3 driver window (first 50) ---
-        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),  # r2 hash fix
-        # decode path: real tar/ASCII/REGNIE decoders, closed-form oracle
+        # --- round-5 driver window (first 50) ---
+        # Tier 1: never driver-verified
+        "events_sessionize": q_events_sessions,
+        "events_stream_hourly": q_events_stream_hourly,
+        "events_asof_join": q_events_asof,
+        "events_props_extract": q_events_props,
+        "events_json_extract": q_events_json_extract,
+        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
+        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
+        "dedup_minhash_signatures": q_minhash_sigs,
+        "embedding_norm_stats": q_embedding_norms,
+        "embedding_quantize_int8": q_embedding_quantize,
+        "orders_pivot_native": q_orders_pivot_native,
+        # new this round: K1 sink roundtrip + real-BMP media decode
+        "precip_csv_roundtrip": q_precip_csv_roundtrip,
+        "media_decode_bmp": q_media_decode_bmp,
+        # Tier 2: core precipitation pipeline re-pins
+        # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
+        "precip_basin_timeseries": q_precip_timeseries,
+        "precip_fragments": q_precip_fragments,
+        "precip_weights": q_precip_weights,
+        "precip_cellgrid": q_precip_cellgrid,
+        "precip_daily_resample": q_precip_daily,
+        "precip_rasterize": q_precip_rasterize,
+        "precip_radolan_scale": q_precip_radolan_scale,
+        # Tier 2: relational re-pins (SURVEY §2.2-2.8; last green r2)
+        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
+        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
+        "tpch_q5_regional_revenue": _sql(
+            SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"]
+        ),
+        "tpch_q2_min_cost_supplier": _sql(
+            SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"]
+        ),
+        "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
+        "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
+        "tpch_q7_volume_shipping": _sql(
+            SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"]
+        ),
+        "tpch_q8_market_share": _sql(
+            SQL_Q8,
+            ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+        ),
+        "tpch_q9_product_profit": _sql(
+            SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"]
+        ),
+        "tpch_q10_returned_items": _sql(
+            SQL_Q10, ["customer", "orders", "lineitem", "nation"]
+        ),
+        "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
+        "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
+        "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
+        "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
+        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
+        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
+        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
+        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
+        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
+        "tpch_q20_volume_suppliers": _sql(
+            SQL_Q20, ["supplier", "nation", "lineitem", "part"]
+        ),
+        "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
+        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
+        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
+        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
+        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
+        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
+        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
+        "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
+        "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
+        "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
+        # --- end of round-5 driver window ---
+        # r2-cohort remainder (re-window in r6)
+        "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
+        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
+        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
+        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
+        "listagg_top_customers": q_listagg_top_customers,
+        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
+        "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
+        "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
+        "scalar_funcs": q_scalar_funcs,
+        "date_sequence": q_date_sequence,
+        "filename_parse": q_filename_parse,
+        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
+        # r4-green cohort (CORRECTNESS_r04: 50/50 hash-match)
+        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
         "precip_ascii_decode_pipeline": q_precip_ascii_decode,
         "precip_regnie_decode_pipeline": q_precip_regnie_decode,
-        # events / streaming-shaped
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_stream_dedup": q_events_stream_dedup,
         "events_hopping_window": q_events_hopping_window,
@@ -3143,11 +3341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_scd2_type_history": q_events_scd2,
         "orders_range_join": q_orders_range_join,
-        # new since the round-2 verdict — never driver-checked
         "corpus_curation_pipeline": q_corpus_curation,
         "text_repetition_stats": q_text_repetition,
         "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
-        # text analysis
         "text_stats": q_text_stats,
         "text_quality_filter": q_text_quality_filter,
         "text_lang_id": q_lang_id,
@@ -3158,7 +3354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "text_sentence_chunks": q_text_sentence_chunks,
         "text_redact_pii": q_redact_pii,
-        # dedup
         "dedup_exact_groups": q_exact_dups,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_groups_cc": q_dedup_groups_cc,
@@ -3167,109 +3362,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_simhash_hamming_pairs": q_simhash_hamming,
         "dedup_embedding_cosine": q_embedding_near_dups,
-        # similarity search
         "similarity_cosine_topk": q_cosine_topk,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
         "similarity_ivf_topk": q_ivf_topk,
-        # sampling / skew / profiling / robust stats
         "skew_salted_revenue": q_skew_salted_revenue,
         "sample_split_assign": q_sample_split,
         "profile_orders_columns": q_profile_orders,
         "stats_approx_sketches": q_approx_sketches,
         "stats_trimmed_mean": q_stats_trimmed_mean,
-        # storage layout
         "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
         "events_partitioned_archive": q_events_partitioned_archive,
         "obs_zorder_archive": q_obs_zorder_archive,
-        # multimodal plumbing
         "media_decode_fake": q_media_decode,
         "media_frame_sample": q_media_frames,
         "media_byte_histogram": q_byte_histogram,
         "media_ahash": q_media_ahash,
         "media_resize_fake": q_media_resize,
-        # geo scalar kernels
         "crs_radolan_project": q_crs_radolan,
-        # --- end of round-3 driver window ---
-        # deferred to the round-4 rotation (never driver-checked yet):
-        "events_json_extract": q_events_json_extract,
-        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
-        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
-        "dedup_minhash_signatures": q_minhash_sigs,
-        "embedding_norm_stats": q_embedding_norms,
-        "embedding_quantize_int8": q_embedding_quantize,
-        "orders_pivot_native": q_orders_pivot_native,
-        # rotated out of the round-3 window (driver-green in r1/r2):
-        "events_sessionize": q_events_sessions,
-        "events_stream_hourly": q_events_stream_hourly,
-        "events_asof_join": q_events_asof,
-        "events_props_extract": q_events_props,
-        # driver-green in round 2 (CORRECTNESS_r02.json):
-        # core precipitation pipeline (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13)
-        "precip_basin_timeseries": q_precip_timeseries,
-        "precip_fragments": q_precip_fragments,
-        "precip_weights": q_precip_weights,
-        "precip_cellgrid": q_precip_cellgrid,
-        "precip_daily_resample": q_precip_daily,
-        "precip_rasterize": q_precip_rasterize,
-        "precip_radolan_scale": q_precip_radolan_scale,
-        # relational (SURVEY §2.2-2.8 generic operators)
-        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
-        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
-        "tpch_q5_regional_revenue": _sql(
-            SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"]
-        ),
-        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
-        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
-        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
-        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
-        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
-        "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
-        "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
-        "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
-        "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
-        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
-        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
-        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
-        "listagg_top_customers": q_listagg_top_customers,
-        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
-        "tpch_q7_volume_shipping": _sql(
-            SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"]
-        ),
-        "tpch_q10_returned_items": _sql(
-            SQL_Q10, ["customer", "orders", "lineitem", "nation"]
-        ),
-        "tpch_q2_min_cost_supplier": _sql(
-            SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"]
-        ),
-        "tpch_q20_volume_suppliers": _sql(
-            SQL_Q20, ["supplier", "nation", "lineitem", "part"]
-        ),
-        "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
-        "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
-        "tpch_q8_market_share": _sql(
-            SQL_Q8,
-            ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
-        ),
-        "tpch_q9_product_profit": _sql(
-            SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"]
-        ),
-        "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
-        "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
-        "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
-        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
-        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
-        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
-        "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
-        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
-        "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
-        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
-        "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
-        "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
-        "scalar_funcs": q_scalar_funcs,
-        "date_sequence": q_date_sequence,
-        "filename_parse": q_filename_parse,
-        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
     }
 
 
@@ -3298,6 +3407,8 @@ def oracle_sql() -> dict[str, str]:
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),
         "precip_regnie_decode_pipeline": _regnie_decode_oracle(),
         "precip_geotiff_decode_pipeline": oracle_pipeline_sql(GRID),
+        "precip_csv_roundtrip": _csv_roundtrip_oracle(),
+        "media_decode_bmp": ORACLE_MEDIA_DECODE_BMP,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

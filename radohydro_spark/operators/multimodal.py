@@ -2,11 +2,12 @@
 
 Images / audio / video ride as ``binary`` columns with a struct of metadata;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` kernels.  The actual codec step is STUBBED (no image/audio
-libraries in this container): ``decode_media`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic byte-derived fake is
-produced — the Spark-side plumbing (schema, partitioning, UDF signature,
-batch shape) is real and tested either way.
+``mapInPandas`` kernels.  ``decode_media`` decodes BMP payloads for REAL via
+the dependency-free codec in ``sources/bmp.py``; every other format is
+STUBBED (no image/audio libraries in this container) and raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+byte-derived fake is produced — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested either way.
 
 ``byte_histogram`` and ``chunk_frames`` are honest binary operators (no
 codec needed) usable at full scale as-is.
@@ -76,28 +77,41 @@ def decode_media(
 ) -> DataFrame:
     """Decode payloads into (width, height, channels, mean_intensity).
 
-    STUB: real decoding needs an image library not present in this
-    container.  ``fake=True`` produces a deterministic byte-derived result
-    (dims from payload length, intensity = mean byte value) so downstream
-    plumbing is exercisable end-to-end.
+    The real path (``fake=False``) decodes **BMP** payloads end-to-end via
+    the dependency-free codec in ``sources/bmp.py`` (8-bit palettized and
+    24-bit, bottom-up or top-down) — no image library needed.  Payloads in
+    any other format raise ``NotImplementedError`` (JPEG/PNG/audio/video
+    codecs are not present in this container).  ``fake=True`` keeps the
+    deterministic byte-derived twin (dims from payload length, intensity =
+    mean byte value) for exercising the plumbing with arbitrary payloads.
     """
+    from radohydro_spark.sources.bmp import decode_bmp
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass fake=True for the deterministic stub"
-                )
             rows = {"media_id": pdf["media_id"], "width": [], "height": [], "channels": [], "mean_intensity": []}
             for payload in pdf[payload_col]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = len(arr)
-                side = max(int(np.sqrt(max(n // 3, 1))), 1)
-                rows["width"].append(side)
-                rows["height"].append(side)
-                rows["channels"].append(3)
-                rows["mean_intensity"].append(float(arr.mean()) if n else 0.0)
+                blob = bytes(payload)
+                if fake:
+                    arr = np.frombuffer(blob, dtype=np.uint8)
+                    n = len(arr)
+                    side = max(int(np.sqrt(max(n // 3, 1))), 1)
+                    rows["width"].append(side)
+                    rows["height"].append(side)
+                    rows["channels"].append(3)
+                    rows["mean_intensity"].append(float(arr.mean()) if n else 0.0)
+                elif blob[:2] == b"BM":
+                    img, channels = decode_bmp(blob)
+                    rows["width"].append(int(img.shape[1]))
+                    rows["height"].append(int(img.shape[0]))
+                    rows["channels"].append(channels)
+                    rows["mean_intensity"].append(float(img.mean()))
+                else:
+                    raise NotImplementedError(
+                        "only BMP payloads decode natively (sources/bmp.py); "
+                        "other codecs unavailable in this environment — "
+                        "pass fake=True for the deterministic stub"
+                    )
             yield pd.DataFrame(rows)
 
     return df.select("media_id", payload_col).mapInPandas(
