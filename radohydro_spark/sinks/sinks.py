@@ -16,10 +16,11 @@ Engine mapping:
                           cliff, no 10-char field-name truncation.
 * K3  cell-grid sink    — same, over the cell dimension.
 * K4  raster sink       — ESRI-ASCII grid text (the same format sources/
-                          ascii_grid.py decodes, giving a lossless
-                          round-trip); the clip-window raster is small by
-                          construction so a driver-side render is correct
-                          at any corpus scale.
+                          ascii_grid.py decodes, lossless round-trip) and
+                          GeoTIFF.  Both render DISTRIBUTED: text lines /
+                          DEFLATE strips are produced executor-side and
+                          streamed into the single output file; peak
+                          driver memory is one strip, never the raster.
 """
 
 from __future__ import annotations
@@ -144,6 +145,18 @@ def write_cellgrid_geoparquet(cells: DataFrame, path: str) -> None:
     out.write.mode("overwrite").parquet(path)
 
 
+def _raster_dims(raster: DataFrame, value_col: str) -> tuple[DataFrame, int, int]:
+    vals = raster.select(
+        "cell_row", "cell_col", F.col(value_col).cast("double").alias("v")
+    )
+    dims = vals.agg(
+        F.max("cell_row").alias("mr"), F.max("cell_col").alias("mc")
+    ).first()
+    if dims["mr"] is None:
+        raise ValueError("empty raster")
+    return vals, int(dims["mr"]) + 1, int(dims["mc"]) + 1
+
+
 def write_ascii_grid(
     raster: DataFrame,
     path: str,
@@ -157,22 +170,46 @@ def write_ascii_grid(
     ASCII grid file (the GTiff writer's format-portable sibling; fill value
     matches the reference's rasterize fill, geotools/geotools.py:367).
 
-    Collects the clip-window raster to the driver: correct by construction
-    because rasters here are clip-window-sized (bbox of the basins), not
-    corpus-sized.  Row 0 is the TOP row, matching the decoder in
-    sources/ascii_grid.py.
+    Fully distributed render: each raster row becomes one text line inside
+    an Arrow-batched ``applyInPandas`` kernel (dense nodata fill + ``%g``
+    formatting executor-side), written row-sorted by a single WRITE task —
+    the driver never materializes a row, only splices the 6-line header
+    onto the part file with a streamed copy.  Row 0 is the TOP row,
+    matching the decoder in sources/ascii_grid.py.
     """
-    rows = raster.select(
-        "cell_row", "cell_col", F.col(value_col).cast("double").alias("v")
-    ).collect()
-    if not rows:
-        raise ValueError("empty raster")
-    n_rows = max(r["cell_row"] for r in rows) + 1
-    n_cols = max(r["cell_col"] for r in rows) + 1
-    grid = [[nodata] * n_cols for _ in range(n_rows)]
-    for r in rows:
-        if r["v"] is not None:
-            grid[r["cell_row"]][r["cell_col"]] = r["v"]
+    import pandas as pd
+
+    vals, n_rows, n_cols = _raster_dims(raster, value_col)
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        row = np.full(n_cols, nodata, dtype=np.float64)
+        ok = pdf["v"].notna()
+        row[pdf["cell_col"][ok].to_numpy()] = pdf["v"][ok].to_numpy()
+        line = " ".join(f"{v:g}" for v in row)
+        return pd.DataFrame({"cell_row": [int(pdf["cell_row"].iloc[0])], "line": [line]})
+
+    lines = vals.groupBy("cell_row").applyInPandas(render, "cell_row int, line string")
+    # raster rows with no cells at all still need a nodata line (the line
+    # itself is built JVM-side, never on the driver)
+    all_rows = vals.sparkSession.range(n_rows).select(
+        F.col("id").cast("int").alias("cell_row")
+    )
+    nodata_line = F.array_join(F.array_repeat(F.lit(f"{nodata:g}"), n_cols), " ")
+    lines = all_rows.join(lines, "cell_row", "left").select(
+        "cell_row", F.coalesce("line", nodata_line).alias("line")
+    )
+
+    staging = path + "._staging"
+    (
+        lines.repartition(1)
+        .sortWithinPartitions("cell_row")
+        .select("line")
+        .write.mode("overwrite")
+        .text(staging)
+    )
+    parts = sorted(p for p in os.listdir(staging) if p.startswith("part-"))
     with open(path, "w") as f:
         f.write(f"ncols {n_cols}\n")
         f.write(f"nrows {n_rows}\n")
@@ -180,8 +217,10 @@ def write_ascii_grid(
         f.write(f"yllcorner {yllcorner}\n")
         f.write(f"cellsize {cellsize}\n")
         f.write(f"NODATA_value {nodata}\n")
-        for row in grid:
-            f.write(" ".join(f"{v:g}" for v in row) + "\n")
+        for p in parts:
+            with open(os.path.join(staging, p)) as src:
+                shutil.copyfileobj(src, f)
+    shutil.rmtree(staging)
 
 
 def write_geotiff(
@@ -195,31 +234,86 @@ def write_geotiff(
     nodata: float = -9999.0,
     dtype: str = "float32",
     compress: bool = True,
+    rows_per_strip: int = 64,
 ) -> None:
     """K4 — render a (cell_row, cell_col, value) DataFrame to a GeoTIFF
     file (the reference's rasterio GTiff sink, geotools/geotools.py:369-381,
     via the dependency-free codec in sources/geotiff.py).
 
-    Same collect-to-driver contract as ``write_ascii_grid``: rasters here
-    are clip-window-sized, never corpus-sized.  Row 0 is the TOP row.
+    Distributed strip pipeline: executors densify + DEFLATE-compress each
+    ``rows_per_strip``-row strip (``applyInPandas`` keyed on
+    ``cell_row // rows_per_strip``); the driver streams the finished strip
+    blobs in order through ``toLocalIterator`` — peak driver memory is ONE
+    strip, never the raster.  Byte-identical to ``encode_geotiff`` on the
+    equivalent dense array (same header builder).  Row 0 is the TOP row.
     """
     import numpy as np
+    import pandas as pd
 
-    from radohydro_spark.sources.geotiff import encode_geotiff
+    from radohydro_spark.sources.geotiff import build_geotiff_header, encode_strips
 
-    rows = raster.select(
-        "cell_row", "cell_col", F.col(value_col).cast("double").alias("v")
-    ).collect()
-    if not rows:
-        raise ValueError("empty raster")
-    n_rows = max(r["cell_row"] for r in rows) + 1
-    n_cols = max(r["cell_col"] for r in rows) + 1
-    grid = np.full((n_rows, n_cols), nodata, dtype=dtype)
-    for r in rows:
-        if r["v"] is not None:
-            grid[r["cell_row"], r["cell_col"]] = r["v"]
-    blob = encode_geotiff(
-        grid, ulx, uly, xres, yres, nodata=nodata, compress=compress
+    vals, n_rows, n_cols = _raster_dims(raster, value_col)
+    np_dtype = np.dtype(dtype)
+
+    def make_strip(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        strip_idx = int(key[0])
+        r0 = strip_idx * rows_per_strip
+        h = min(rows_per_strip, n_rows - r0)
+        block = np.full((h, n_cols), nodata, dtype=np_dtype)
+        ok = pdf["v"].notna()
+        block[
+            pdf["cell_row"][ok].to_numpy() - r0, pdf["cell_col"][ok].to_numpy()
+        ] = pdf["v"][ok].to_numpy()
+        (blob,) = encode_strips(block, compress=compress, rows_per_strip=rows_per_strip)
+        return pd.DataFrame({"strip_idx": [strip_idx], "blob": [blob]})
+
+    n_strips = (n_rows + rows_per_strip - 1) // rows_per_strip
+    # every strip must exist even if no cell falls in it (all-nodata strip)
+    all_strips = vals.sparkSession.range(n_strips).select(
+        F.col("id").cast("int").alias("strip_idx")
+    )
+    present = (
+        vals.withColumn(
+            "strip_idx", (F.col("cell_row") / rows_per_strip).cast("int")
+        )
+        .groupBy("strip_idx")
+        .applyInPandas(make_strip, "strip_idx int, blob binary")
+    )
+    strips = all_strips.join(present, "strip_idx", "left")
+
+    # stream strips in order; driver holds one blob at a time
+    strip_lengths: list[int] = []
+    staging = path + "._strips"
+    with open(staging, "wb") as tmp:
+        for row in strips.orderBy("strip_idx").toLocalIterator():
+            blob = row["blob"]
+            if blob is None:
+                idx = row["strip_idx"]
+                h = min(rows_per_strip, n_rows - idx * rows_per_strip)
+                (blob,) = encode_strips(
+                    np.full((h, n_cols), nodata, dtype=np_dtype),
+                    compress=compress,
+                    rows_per_strip=rows_per_strip,
+                )
+            blob = bytes(blob)
+            strip_lengths.append(len(blob))
+            tmp.write(blob)
+
+    header = build_geotiff_header(
+        n_rows,
+        n_cols,
+        np_dtype,
+        strip_lengths,
+        ulx,
+        uly,
+        xres,
+        yres,
+        nodata=nodata,
+        compress=compress,
+        rows_per_strip=rows_per_strip,
     )
     with open(path, "wb") as f:
-        f.write(blob)
+        f.write(header)
+        with open(staging, "rb") as src:
+            shutil.copyfileobj(src, f)
+    os.remove(staging)

@@ -69,14 +69,58 @@ def encode_geotiff(
     if data.ndim != 2:
         raise ValueError("encode_geotiff wants a 2-D single-band array")
     n_rows, n_cols = data.shape
-    kind = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
-    bits = data.dtype.itemsize * 8
-    if (kind, bits) not in _DTYPES:
-        raise ValueError(f"unsupported dtype {data.dtype}")
+    strips = encode_strips(data, compress=compress, rows_per_strip=rows_per_strip)
+    header = build_geotiff_header(
+        n_rows,
+        n_cols,
+        data.dtype,
+        [len(s) for s in strips],
+        ulx,
+        uly,
+        xres,
+        yres,
+        nodata=nodata,
+        compress=compress,
+        rows_per_strip=rows_per_strip,
+    )
+    return header + b"".join(strips)
+
+
+def encode_strips(
+    data: np.ndarray, compress: bool = True, rows_per_strip: int = 64
+) -> list[bytes]:
+    """Encode a block of raster rows into TIFF strip payloads.  Callable
+    per-partition in executors: ``write_geotiff`` compresses strips
+    distributed and only streams the finished blobs through the driver."""
     strips = []
-    for r0 in range(0, n_rows, rows_per_strip):
+    for r0 in range(0, data.shape[0], rows_per_strip):
         raw = data[r0 : r0 + rows_per_strip].astype(data.dtype.newbyteorder("<")).tobytes()
         strips.append(zlib.compress(raw) if compress else raw)
+    return strips
+
+
+def build_geotiff_header(
+    n_rows: int,
+    n_cols: int,
+    dtype: np.dtype,
+    strip_lengths: list[int],
+    ulx: float,
+    uly: float,
+    xres: float,
+    yres: float,
+    nodata: float | None = None,
+    compress: bool = True,
+    rows_per_strip: int = 64,
+) -> bytes:
+    """Everything before the strip data: TIFF header + IFD + out-of-line
+    tag values, with StripOffsets computed from ``strip_lengths`` — so the
+    strips themselves can be streamed into the file afterwards without
+    ever materializing the whole raster in one process."""
+    dtype = np.dtype(dtype)
+    kind = {"u": 1, "i": 2, "f": 3}[dtype.kind]
+    bits = dtype.itemsize * 8
+    if (kind, bits) not in _DTYPES:
+        raise ValueError(f"unsupported dtype {dtype}")
 
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, packed values)
 
@@ -94,10 +138,10 @@ def encode_geotiff(
     short(_T_BITS, bits)
     short(_T_COMPRESSION, 8 if compress else 1)
     short(_T_PHOTOMETRIC, 1)
-    long_(_T_STRIP_OFFSETS, [0] * len(strips))  # patched below
+    long_(_T_STRIP_OFFSETS, [0] * len(strip_lengths))  # patched below
     short(_T_SAMPLES_PER_PX, 1)
     short(_T_ROWS_PER_STRIP, rows_per_strip)
-    long_(_T_STRIP_COUNTS, [len(s) for s in strips])
+    long_(_T_STRIP_COUNTS, list(strip_lengths))
     short(_T_PLANAR, 1)
     short(_T_SAMPLE_FORMAT, kind)
     dbl(_T_MODEL_PIXEL_SCALE, [xres, abs(yres), 0.0])
@@ -122,9 +166,9 @@ def encode_geotiff(
             pos += len(blob)
     data_at = pos
     offsets = []
-    for s in strips:
+    for n in strip_lengths:
         offsets.append(data_at)
-        data_at += len(s)
+        data_at += n
     # patch StripOffsets (always out-of-line unless 1 strip)
     for i, (tag, typ, count, val, oi) in enumerate(packed_entries):
         if tag == _T_STRIP_OFFSETS:
@@ -142,8 +186,6 @@ def encode_geotiff(
     out += struct.pack("<I", 0)  # no next IFD
     for blob in ooline:
         out += blob
-    for s in strips:
-        out += s
     return bytes(out)
 
 

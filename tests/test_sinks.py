@@ -110,3 +110,44 @@ def test_cells_wide_parity(spark):
     row = wide.filter((F.col("cell_row") == 1) & (F.col("cell_col") == 2)).first()
     # value = (r*31 + c*17 + h*13) % 120 / 10 at (1, 2, h=0) -> 65/10
     assert row["2401010000"] == 6.5
+
+
+def test_ascii_grid_empty_row_fill(spark, tmp_path):
+    # a raster row with no cells at all must still render as a nodata line
+    df = spark.createDataFrame(
+        [(0, 0, 1.5), (0, 2, 2.5), (2, 1, 3.5)],
+        "cell_row int, cell_col int, burn double",
+    )
+    path = str(tmp_path / "gap.asc")
+    write_ascii_grid(df, path, xllcorner=0.0, yllcorner=0.0, cellsize=1.0)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "ncols 3" and lines[1] == "nrows 3"
+    assert lines[6] == "1.5 -9999 2.5"
+    assert lines[7] == "-9999 -9999 -9999"  # the empty row 1
+    assert lines[8] == "-9999 3.5 -9999"
+
+
+def test_geotiff_sink_matches_dense_encoder(spark, tmp_path):
+    import numpy as np
+
+    from radohydro_spark.sinks import write_geotiff
+    from radohydro_spark.sources.geotiff import encode_geotiff, parse_geotiff
+
+    # 11 rows x 4 cols, rows_per_strip=3 -> 4 strips; strip 2 (rows 6-8)
+    # entirely empty; scattered values elsewhere
+    cells = [(0, 0, 1.0), (1, 3, 2.0), (4, 2, 7.0), (5, 1, -3.0), (9, 0, 4.5), (10, 3, 8.25)]
+    df = spark.createDataFrame(cells, "cell_row int, cell_col int, burn double")
+    path = str(tmp_path / "dist.tif")
+    write_geotiff(df, path, ulx=10.0, uly=20.0, xres=1.0, yres=-1.0, rows_per_strip=3)
+
+    dense = np.full((11, 4), -9999.0, dtype=np.float32)
+    for r, c, v in cells:
+        dense[r, c] = v
+    expected = encode_geotiff(dense, 10.0, 20.0, 1.0, -1.0, nodata=-9999.0, rows_per_strip=3)
+    got = open(path, "rb").read()
+    assert got == expected  # byte-identical to the driver-side dense encoder
+
+    meta, arr = parse_geotiff(got)
+    masked = dense.astype(np.float64)
+    masked[masked == -9999.0] = np.nan  # the decoder maps nodata -> NaN
+    np.testing.assert_array_equal(arr, masked)
