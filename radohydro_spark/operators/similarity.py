@@ -83,30 +83,28 @@ def lsh_bucket(
 ) -> Column:
     """Random-hyperplane LSH bucket id: bit_j = (v · plane_j) >= 0.
 
-    ``n_dims`` defaults to the array length at runtime; pass it explicitly
-    to keep the expression fully static (needed for the SQL twin).
+    ``n_dims`` is REQUIRED: the plane components become literal constants
+    folded into the expression (whole-stage-codegen friendly, and the SQL
+    twin embeds the identical numbers).  The former dynamic fallback that
+    re-hashed plane components per row via a transform(sequence(...))
+    chain was O(planes x dims) string-hash work per row — deleted; resolve
+    the dimensionality once from your schema/config and pass it.
     ``plane_offset`` selects an independent plane family (band b uses
     planes [offset, offset + n_planes)) so multi-band callers get
     uncorrelated bucketings from the same deterministic hash stream."""
+    if n_dims is None:
+        raise ValueError(
+            "lsh_bucket requires a static n_dims (embedding dimensionality); "
+            "per-row dynamic plane hashing is not supported"
+        )
     v = F.col(vec_col)
     bits = []
     for j_local in range(n_planes):
         j = j_local + plane_offset
-        if n_dims is None:
-            proj = F.aggregate(
-                F.zip_with(
-                    v,
-                    F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda d: d),
-                    lambda x, d: x * ((portable_hash(F.concat(F.lit(f"p{j}-d"), d.cast("string"))) % 1000).cast("double") / 500.0 - 1.0),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        else:
-            proj = None
-            for d in range(n_dims):
-                term = F.element_at(v, d + 1) * _hyperplane_component(j, d)
-                proj = term if proj is None else proj + term
+        proj = None
+        for d in range(n_dims):
+            term = F.element_at(v, d + 1) * _hyperplane_component(j, d)
+            proj = term if proj is None else proj + term
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**j_local))
     bucket = bits[0]
     for b in bits[1:]:

@@ -18,3 +18,9 @@ def spark():
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "network: live-endpoint tests (set RADOHYDRO_NET_TESTS=1 to run)"
+    )

@@ -8,6 +8,7 @@ behavior (listing, per-task fetch, retry-with-reconnect) by monkeypatching
 from __future__ import annotations
 
 import ftplib
+import os
 
 import pytest
 
@@ -117,3 +118,30 @@ def test_ftp_fetch_reconnects_on_drop(spark):
         for r in M.ftp_fetch_payloads(mf, ftp_factory=_worker_fake_factory(True)).collect()
     }
     assert got == FakeFTP.FILES
+
+
+@pytest.mark.network
+@pytest.mark.skipif(
+    not os.environ.get("RADOHYDRO_NET_TESTS"),
+    reason="live DWD endpoint; set RADOHYDRO_NET_TESTS=1 to run",
+)
+def test_live_dwd_ftp_listing_and_prune():
+    """S1 against the real opendata.dwd.de (reference radohydro.py:81-92,
+    181-204).  Offline environments skip via the env gate above; with the
+    gate set but the host unreachable, the bounded-retry ConnectionError
+    also maps to a skip (never a failure)."""
+    try:
+        names = M.ftp_list("recent", max_retries=1)
+    except (ConnectionError, OSError) as exc:  # sandboxed / flaky network
+        pytest.skip(f"DWD FTP unreachable: {exc}")
+    assert names, "recent radolan directory listed empty"
+    # the DWD origin serves RW-<yyyymmdd>.tar.gz day archives; mirrors may
+    # expose the extracted hourly RW-<yyyymmdd>-<hhmm>.asc members instead
+    import re
+
+    rw = [
+        n
+        for n in names
+        if re.fullmatch(r"RW-?\d{8}(-\d{4})?\.(asc|tar(\.gz)?)", n)
+    ]
+    assert rw, f"no RW products among {names[:5]}..."

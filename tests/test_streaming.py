@@ -35,8 +35,9 @@ def _events_dir(spark, tmp_path):
     p = str(tmp_path / "events_in")
     # normalize whatever ts encoding the testdata uses (int64-nanos in r1,
     # timestamp-NTZ in r3) to plain TIMESTAMP before re-writing for the
-    # file-source stream
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # file-source stream.  inferTimestampNTZ=false is already set by
+    # get_spark (session fixture); don't re-set it here — mutating the
+    # session-scoped fixture's confs would leak across tests.
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
     kind = dict(df.dtypes)["ts"]
     if kind == "bigint":  # int64-nanos encoding
