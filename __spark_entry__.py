@@ -3251,6 +3251,131 @@ GROUP BY media_id, w, h
 """
 
 
+def q_precip_wide_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 wide vector sink, driver-verified end-to-end (reference
+    geotools/geotools.py:321-330 semantics, parquet target so no 500-column
+    dBase cliff): ``write_wide_geoparquet`` pivots the long result to one
+    column per timestep (``%y%m%d%H%M`` names), joins basin geometry, and
+    writes parquet DISTRIBUTED; the query reads the files back and
+    un-pivots via ``stack`` — values must survive pivot→write→read→unpivot
+    bit-exactly (no rounding anywhere: parquet doubles are lossless)."""
+    _utc(spark)
+    import tempfile
+
+    from radohydro_spark.sinks.sinks import write_wide_geoparquet
+
+    res = precip_timeseries(
+        synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
+    )
+    out_dir = tempfile.mkdtemp(prefix="radohydro_wide_rt_")
+    write_wide_geoparquet(res, synthetic_basins(spark), out_dir)
+    back = spark.read.parquet(out_dir)
+    ts_cols = sorted(c for c in back.columns if c.isdigit())
+    stack = ", ".join(f"'{c}', `{c}`" for c in ts_cols)
+    return back.select(
+        "basin_id",
+        F.expr(f"stack({len(ts_cols)}, {stack}) AS (time, rainfall)"),
+    )
+
+
+def _wide_roundtrip_oracle() -> str:
+    return (
+        oracle_base_ctes(GRID)
+        + f"""
+SELECT basin_id,
+       strftime(TIMESTAMP '{GRID.t0}' + h * INTERVAL 1 HOUR, '%y%m%d%H%M') AS time,
+       rainfall_mm AS rainfall
+FROM res
+"""
+    )
+
+
+def q_precip_cellgrid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 cell-grid sink, driver-verified end-to-end (reference
+    geotools/geotools.py:178-184): ``write_cellgrid_geoparquet`` attaches a
+    WKB box polygon per cell and writes parquet; the query reads the files
+    back and re-derives the corner coordinates FROM THE GEOMETRY BYTES
+    (geometry/wkb.py parser) — so the emitted values prove the WKB encoding
+    round-trips, not merely that the plain columns survived."""
+    _utc(spark)
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    from radohydro_spark.sinks.sinks import write_cellgrid_geoparquet
+
+    out_dir = tempfile.mkdtemp(prefix="radohydro_cellgrid_rt_")
+    write_cellgrid_geoparquet(synthetic_cells(spark), out_dir)
+    back = spark.read.parquet(out_dir).select("cell_row", "cell_col", "geom")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from radohydro_spark.geometry.wkb import parse_wkb_polygons
+
+        for pdf in it:
+            xmin, ymin, xmax, ymax = [], [], [], []
+            for blob in pdf["geom"]:
+                ring = parse_wkb_polygons(bytes(blob))[0][0]
+                xs = [p[0] for p in ring]
+                ys = [p[1] for p in ring]
+                xmin.append(min(xs))
+                ymin.append(min(ys))
+                xmax.append(max(xs))
+                ymax.append(max(ys))
+            yield pd.DataFrame(
+                {
+                    "cell_row": pdf["cell_row"],
+                    "cell_col": pdf["cell_col"],
+                    "x_min": xmin,
+                    "y_min": ymin,
+                    "x_max": xmax,
+                    "y_max": ymax,
+                }
+            )
+
+    return back.mapInPandas(
+        gen,
+        schema="cell_row int, cell_col int, x_min double, y_min double, "
+        "x_max double, y_max double",
+    )
+
+
+def q_storage_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: lineitem written as partitioned ORC
+    (Spark-native columnar format beside parquet), read back, and
+    aggregated — totals must match aggregating the original parquet
+    directly (the DuckDB oracle, which cannot read ORC, pins exactly
+    that equivalence)."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem")
+    out_dir = tempfile.mkdtemp(prefix="radohydro_orc_rt_")
+    (
+        li.write.mode("overwrite")
+        .format("orc")
+        .partitionBy("l_returnflag")
+        .save(out_dir)
+    )
+    back = spark.read.orc(out_dir)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_price,
+       round(AVG(l_discount), 6) AS avg_disc
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: regional-revenue multi-join analytics on sf0.001."""
     return _sql(SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"])(
@@ -3287,9 +3412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norms,
         "embedding_quantize_int8": q_embedding_quantize,
         "orders_pivot_native": q_orders_pivot_native,
-        # new this round: K1 sink roundtrip + real-BMP media decode
+        # new this round: K1-K3 sink roundtrips, real-BMP media decode,
+        # ORC storage roundtrip
         "precip_csv_roundtrip": q_precip_csv_roundtrip,
         "media_decode_bmp": q_media_decode_bmp,
+        "precip_wide_roundtrip": q_precip_wide_roundtrip,
+        "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
+        "storage_orc_roundtrip": q_storage_orc_roundtrip,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3342,11 +3471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
         "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
         "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
+        # --- end of round-5 driver window (50 entries above) ---
+        # r2-cohort remainder (re-window in r6)
         "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
         "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
         "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
-        # --- end of round-5 driver window ---
-        # r2-cohort remainder (re-window in r6)
         "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -3440,6 +3569,9 @@ def oracle_sql() -> dict[str, str]:
         "precip_geotiff_decode_pipeline": oracle_pipeline_sql(GRID),
         "precip_csv_roundtrip": _csv_roundtrip_oracle(),
         "media_decode_bmp": ORACLE_MEDIA_DECODE_BMP,
+        "precip_wide_roundtrip": _wide_roundtrip_oracle(),
+        "precip_cellgrid_roundtrip": oracle_cellgrid_sql(GRID),
+        "storage_orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,
