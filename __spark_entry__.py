@@ -3251,6 +3251,75 @@ GROUP BY media_id, w, h
 """
 
 
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real end-to-end audio decode (no audio library): deterministic
+    16-bit PCM mono WAV clips are ENCODED executor-side (sources/wav.py
+    encode_wav) then decoded back through ``decode_audio`` — RIFF chunk
+    walk, PCM sample extraction, and amplitude features all exercised on
+    genuine format bytes.  Closed-form signal: sample(i) =
+    (doc_id*37 + i*11) % 2001 - 1000 over n = 200 + doc_id%37 samples at
+    rate 8000 + (doc_id%3)*4000, so the oracle recomputes every feature
+    exactly (int16 squares sum exactly in float64)."""
+    import numpy as np
+    import pandas as pd
+
+    from radohydro_spark.sources.wav import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 37
+                rate = 8000 + (did % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 37 + i * 11) % 2001 - 1000).astype(np.int16)
+                ids.append(did)
+                payloads.append(encode_wav(s, rate))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    wav = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return MM.decode_audio(wav).select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+        "zero_crossings",
+    )
+
+
+ORACLE_MEDIA_DECODE_WAV = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         200 + doc_id % 37 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents
+),
+s AS (SELECT media_id, n, rate, unnest(range(0, n)) AS i FROM m),
+v AS (
+  SELECT media_id, n, rate, i,
+         CAST((media_id * 37 + i * 11) % 2001 - 1000 AS DOUBLE) AS x
+  FROM s
+),
+w AS (SELECT *, lag(x) OVER (PARTITION BY media_id ORDER BY i) AS px FROM v)
+SELECT media_id,
+       CAST(rate AS INT) AS sample_rate,
+       1 AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       round(CAST(n AS DOUBLE) / rate, 6) AS duration_s,
+       round(sqrt(avg(x * x)), 4) AS rms,
+       CAST(max(abs(x)) AS INT) AS peak,
+       CAST(sum(CASE WHEN px IS NOT NULL AND px * x < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM w GROUP BY media_id, rate, n
+"""
+
+
 def q_precip_wide_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 wide vector sink, driver-verified end-to-end (reference
     geotools/geotools.py:321-330 semantics, parquet target so no 500-column
@@ -3419,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_wide_roundtrip": q_precip_wide_roundtrip,
         "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
         "storage_orc_roundtrip": q_storage_orc_roundtrip,
+        "media_decode_wav": q_media_decode_wav,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3470,9 +3540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_total": _sql(SQL_RUNNING, ["orders"]),
         "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
         "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
-        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
         "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
         "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
         "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
@@ -3572,6 +3642,7 @@ def oracle_sql() -> dict[str, str]:
         "precip_wide_roundtrip": _wide_roundtrip_oracle(),
         "precip_cellgrid_roundtrip": oracle_cellgrid_sql(GRID),
         "storage_orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
+        "media_decode_wav": ORACLE_MEDIA_DECODE_WAV,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,
