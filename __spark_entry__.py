@@ -3251,6 +3251,62 @@ GROUP BY media_id, w, h
 """
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: seeded codebooks (codeword c of subspace j
+    = subvector j of corpus vector c — deterministic, oracle-reproducible),
+    corpus PQ-encoded to m=8 codes, queries scored by asymmetric distance
+    (per-query LUT, m table lookups per corpus row).  The query path reads
+    ONLY the code column — at 100 TB the raw embedding store never enters
+    the scan.  Swap in pq_train's Lloyd-refined books for production
+    recall; the plan shape is identical (unit-tested in
+    tests/test_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    books = SIM.pq_codebooks(e, m=8, k=16)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_adc_topk(e, queries, books, k=5)
+
+
+ORACLE_PQ_ADC_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, j.range AS j, v[j.range*8+1 : j.range*8+8] AS sv
+  FROM e, range(8) j
+),
+cents AS (SELECT j, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < 16),
+dists AS (
+  SELECT s.vec_id, s.j, c.code,
+         list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+         - 2 * list_dot_product(s.sv, c.cv) AS d
+  FROM sub s JOIN cents c ON s.j = c.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM dists) t
+  WHERE rn = 1
+),
+adc AS (
+  SELECT qs.vec_id AS query_id, cd.vec_id AS vec_id,
+         sum(list_dot_product(qs.sv, qs.sv) + list_dot_product(ct.cv, ct.cv)
+             - 2 * list_dot_product(qs.sv, ct.cv)) AS adc
+  FROM codes cd
+  JOIN cents ct ON ct.j = cd.j AND ct.code = cd.code
+  JOIN sub qs ON qs.j = cd.j
+  WHERE qs.vec_id < 3
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, vec_id) AS rank
+      FROM adc) t
+WHERE rank <= 5
+"""
+
+
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real end-to-end audio decode (no audio library): deterministic
     16-bit PCM mono WAV clips are ENCODED executor-side (sources/wav.py
@@ -3489,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
         "storage_orc_roundtrip": q_storage_orc_roundtrip,
         "media_decode_wav": q_media_decode_wav,
+        "similarity_pq_adc_topk": q_pq_adc_topk,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3539,9 +3596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
         "window_running_total": _sql(SQL_RUNNING, ["orders"]),
         "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
-        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
         "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
         "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
         "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
@@ -3643,6 +3700,7 @@ def oracle_sql() -> dict[str, str]:
         "precip_cellgrid_roundtrip": oracle_cellgrid_sql(GRID),
         "storage_orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "media_decode_wav": ORACLE_MEDIA_DECODE_WAV,
+        "similarity_pq_adc_topk": ORACLE_PQ_ADC_TOPK,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

@@ -275,6 +275,212 @@ def ann_topk_lsh(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Seeded product-quantization codebooks as a numpy array (m, k, dim/m):
+    codeword c of subspace j = subvector j of the c-th corpus vector by id —
+    deterministic, so a SQL oracle reproduces the identical codebooks.
+    Codebooks are dimension-sized (m*k*sub_dim doubles); collecting them to
+    the driver is the PQ equivalent of broadcasting a dim table."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)  # (k, dim)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    # (k, m, ds) -> (m, k, ds)
+    return mat.reshape(k, m, ds).transpose(1, 0, 2).copy()
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd refinement of PQ codebooks, distributed: each iteration is ONE
+    broadcast-join assignment over the exploded (vector, subspace) rows —
+    all m subspaces train simultaneously (subspace is part of the join
+    key) — and one map-side-combinable mean update.  Only the (tiny)
+    codebook array rides the driver loop.  Returns (m, k, dim/m) numpy."""
+    import numpy as np
+
+    books = pq_codebooks(corpus, m, k, id_col, vec_col)
+    ds = books.shape[2]
+    sub = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.transform(
+                        F.slice(F.col(vec_col), j * ds + 1, ds),
+                        lambda x: x.cast("double"),
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.j").alias("j"), F.col("_s.sv").alias("sv"))
+    spark = corpus.sparkSession
+    for _ in range(iterations):
+        cent_rows = [
+            (int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(k)
+        ]
+        cents = spark.createDataFrame(
+            cent_rows, "j int, code int, cv array<double>"
+        )
+        d2 = (
+            F.aggregate(F.col("sv"), F.lit(0.0), lambda a, x: a + x * x)
+            + F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x)
+            - 2.0 * dot(F.col("sv"), F.col("cv"))
+        )
+        assigned = (
+            sub.join(F.broadcast(cents), "j")
+            .withColumn("_d", d2)
+            .groupBy(id_col, "j", "sv")
+            .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+        )
+        means = (
+            assigned.select("j", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("j", "code", "dim")
+            .agg(F.avg("x").alias("mx"))
+            .collect()
+        )
+        for r in means:  # empty codes keep their previous codeword
+            books[r["j"], r["code"], r["dim"]] = r["mx"]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode each vector: codes[j] = argmin_c ||subvec_j - books[j,c]||²
+    (first-min tie-break, matching ORDER BY (dist, code)).
+
+    Arrow-batched ``mapInPandas`` with the (m, k, ds) codebook array in the
+    kernel closure — vectorized matmul argmin per batch, a pure narrow
+    stage: at 100 TB this pipelines over the scan with NO shuffle, emitting
+    m bytes per vector (the 128x compression that makes exabyte-scale ANN
+    storable).  Returns (id, codes array<int>)."""
+    import numpy as np
+
+    b = np.asarray(books, dtype=np.float64)
+    m, k, ds = b.shape
+    cn = (b * b).sum(axis=2)  # (m, k)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(vecs) == 0:
+                yield pd.DataFrame({id_col: [], "codes": []})
+                continue
+            sub = vecs.reshape(len(vecs), m, ds)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                x = sub[:, j, :]  # (n, ds)
+                # ||x-c||^2 = |x|^2 + |c|^2 - 2 x.c ; |x|^2 constant per row
+                d = cn[j][None, :] - 2.0 * (x @ b[j].T)  # (n, k)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [list(map(int, c)) for c in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query builds an
+    (m x n_codes) lookup table of exact subspace distances to every
+    codeword; a corpus row's approximate distance is m table lookups summed
+    — never a full d-dim computation against raw vectors.
+
+    The LUTs ride the kernel closure (|queries| * m * k doubles — query
+    sets are small); the corpus side is ONE narrow pass over its codes plus
+    the per-query top-k window.  At 100 TB the scan reads only the code
+    column (m bytes/vector), the raw embedding store never enters the
+    query path."""
+    import numpy as np
+
+    b = np.asarray(books, dtype=np.float64)
+    m, n_codes, ds = b.shape
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).collect()
+    q_ids = [int(r["query_id"]) for r in q_rows]
+    luts = {}
+    for r in q_rows:
+        qsub = np.asarray(r["qv"], dtype=np.float64).reshape(m, ds)
+        # lut[j, c] = |q_j|^2 + |c|^2 - 2 q_j.c  (same formula as the oracle)
+        luts[int(r["query_id"])] = (
+            (qsub * qsub).sum(axis=1)[:, None]
+            + (b * b).sum(axis=2)
+            - 2.0 * np.einsum("jd,jcd->jc", qsub, b)
+        )
+
+    codes = pq_encode(corpus, b, id_col, vec_col)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array([np.asarray(c) for c in pdf["codes"]])  # (n, m)
+            out_q, out_v, out_d = [], [], []
+            jj = np.arange(m)
+            for qid in q_ids:
+                adc = luts[qid][jj, cmat].sum(axis=1)  # (n,)
+                out_q.extend([qid] * len(pdf))
+                out_v.extend(pdf[id_col])
+                out_d.extend(adc)
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "adc": out_d}
+            )
+
+    scored = codes.mapInPandas(
+        gen, schema="query_id long, vec_id long, adc double"
+    ).withColumn("adc_dist", F.round("adc", 6))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def quantize_int8_stats(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

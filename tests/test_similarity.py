@@ -68,3 +68,70 @@ def test_ivf_train_converges_shape(spark):
     ).first()
     for r in rows:
         assert all(stats.lo - 1e-9 <= x <= stats.hi + 1e-9 for x in r.embedding)
+
+
+def test_pq_encode_matches_bruteforce(spark):
+    import numpy as np
+
+    e = _embeddings(spark).limit(100)
+    books = SIM.pq_codebooks(e, m=8, k=16)
+    assert books.shape == (8, 16, 8)
+    codes = {r.vec_id: r.codes for r in SIM.pq_encode(e, books).collect()}
+    rows = e.select("vec_id", "embedding").collect()
+    for r in rows[:20]:
+        v = np.asarray(r.embedding, dtype=np.float64).reshape(8, 8)
+        for j in range(8):
+            d = ((v[j][None, :] - books[j]) ** 2).sum(axis=1)
+            assert codes[r.vec_id][j] == int(d.argmin())
+
+
+def test_pq_train_reduces_error(spark):
+    import numpy as np
+
+    e = _embeddings(spark).limit(200)
+    seeded = SIM.pq_codebooks(e, m=4, k=8)
+    trained = SIM.pq_train(e, m=4, k=8, iterations=2)
+    vecs = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in e.collect()]
+    ).reshape(-1, 4, 16)
+
+    def qerr(books):
+        tot = 0.0
+        for j in range(4):
+            d = (
+                (vecs[:, j, :, None] - books[j].T[None, :, :]) ** 2
+            ).sum(axis=1)  # (n, k)
+            tot += d.min(axis=1).sum()
+        return tot
+
+    assert qerr(trained) <= qerr(seeded) + 1e-9
+
+
+def test_pq_adc_approximates_exact_distance(spark):
+    import numpy as np
+
+    e = _embeddings(spark).limit(100)
+    books = SIM.pq_codebooks(e, m=8, k=16)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = SIM.pq_adc_topk(e, q, books, k=100).collect()
+    codes = {r.vec_id: r.codes for r in SIM.pq_encode(e, books).collect()}
+    qvecs = {
+        r.query_id: np.asarray(r.embedding, dtype=np.float64).reshape(8, 8)
+        for r in q.collect()
+    }
+    # ADC distance == sum_j ||q_j - books[j, code_j]||^2, recomputed directly
+    for r in res[:50]:
+        expect = sum(
+            ((qvecs[r.query_id][j] - books[j][codes[r.vec_id][j]]) ** 2).sum()
+            for j in range(8)
+        )
+        assert abs(r.adc_dist - expect) < 1e-4
+    # a vector encodes to its own codes -> seeds rank themselves first
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: (r.adc_dist, r.vec_id))
+        assert best.vec_id == qid or best.adc_dist <= 1e-9
