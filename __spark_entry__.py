@@ -3251,6 +3251,75 @@ GROUP BY media_id, w, h
 """
 
 
+def q_sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sampling (operators/sampling.py stratified_cap):
+    at most 10 documents per source, survivors a pure function of doc ids
+    via (portable_hash, id) rank — the per-source cap pass of corpus
+    curation, deterministic across engines/runs/corpus growth."""
+    from radohydro_spark.operators.sampling import stratified_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_cap(d, "doc_id", "source", 10).select("doc_id", "source")
+
+
+ORACLE_STRATIFIED_CAP = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_ph_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 10
+"""
+
+
+# unicode salt exercising every normalize_clean rule: NFD sequence
+# (e + combining acute -> é under NFC), NBSP, tab/newline collapse, a
+# stripped control char, and a trailing space for the trim.
+_NORM_SALT = " Cafe\u0301\u00a0tab\tnew\nnull\x01end "
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization pass (functions/text.py normalize_clean):
+    every document is salted with an NFD sequence + NBSP + control chars so
+    the NFC / strip / collapse / trim rules all fire on every row; the
+    oracle re-runs the identical rules via nfc_normalize + RE2 and the
+    md5 of the cleaned text must hash-match."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NORM_SALT)).alias("text")
+    )
+    cleaned = TX.normalize_clean(d)
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_md5"),
+        F.length("text").alias("n_chars_clean"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' Cafe' || chr(769) || chr(160) || 'tab' || chr(9) ||
+         'new' || chr(10) || 'null' || chr(1) || 'end' || ' ' AS t
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         trim(
+           regexp_replace(
+             replace(
+               regexp_replace(nfc_normalize(t),
+                              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               chr(160), ' '),
+             '[ \t\r\n]+', ' ', 'g'),
+           ' ') AS t
+  FROM salted
+)
+SELECT doc_id, md5(t) AS clean_md5, CAST(length(t) AS BIGINT) AS n_chars_clean
+FROM cleaned
+"""
+
+
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: seeded codebooks (codeword c of subspace j
     = subvector j of corpus vector c — deterministic, oracle-reproducible),
@@ -3546,6 +3615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_orc_roundtrip": q_storage_orc_roundtrip,
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
+        "sample_stratified_cap": q_sample_stratified_cap,
+        "text_normalize_clean": q_text_normalize,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3594,10 +3665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
         "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
         "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
-        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
-        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
+        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
         "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
         "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
         "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
@@ -3701,6 +3772,8 @@ def oracle_sql() -> dict[str, str]:
         "storage_orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "media_decode_wav": ORACLE_MEDIA_DECODE_WAV,
         "similarity_pq_adc_topk": ORACLE_PQ_ADC_TOPK,
+        "sample_stratified_cap": ORACLE_STRATIFIED_CAP,
+        "text_normalize_clean": ORACLE_TEXT_NORMALIZE,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

@@ -254,6 +254,54 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+# cleaning rules shared by normalize_clean and its SQL oracle twin:
+# (1) Unicode NFC  (2) strip C0/C1-ish control chars except \t \r \n
+# (3) NBSP -> space  (4) collapse [ \t\r\n]+ to one space  (5) trim spaces.
+# Explicit char classes only — no \s — so Java regex, Python re, and RE2
+# (DuckDB) agree byte-for-byte.
+_CTRL_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_CLASS = "[ \t\r\n]+"
+
+
+def normalize_clean(
+    df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+):
+    """Unicode text canonicalization — the first pass of every corpus
+    pipeline: NFC normalization (é as one codepoint, not e+combining
+    accent — dedup/fingerprinting break without it), control-char strip,
+    NBSP unification, whitespace collapse, trim.
+
+    Spark has no built-in NFC, so this is an Arrow ``mapInPandas`` kernel
+    (pandas ``.str.normalize`` — ICU-free C-speed path); everything else
+    stays in the same vectorized pass.  Narrow stage, no shuffle; emits
+    (id_cols..., <text_col> cleaned).  The DuckDB twin is
+    ``nfc_normalize`` + the same explicit-char-class regexes.
+    """
+    import pandas as pd  # noqa: F401 (doc pointer; imported in kernel)
+
+    cols = [*id_cols, text_col]
+
+    def gen(it):
+        for pdf in it:
+            s = (
+                pdf[text_col]
+                .str.normalize("NFC")
+                .str.replace(_CTRL_CLASS, "", regex=True)
+                .str.replace("\u00a0", " ", regex=False)
+                .str.replace(_WS_CLASS, " ", regex=True)
+                .str.strip(" ")
+            )
+            out = pdf[list(id_cols)].copy()
+            out[text_col] = s
+            yield out
+
+    src = df.select(*cols)
+    schema = ", ".join(
+        f"{c} {dict(src.dtypes)[c]}" for c in id_cols
+    ) + f", {text_col} string"
+    return src.mapInPandas(gen, schema=schema)
+
+
 def tfidf_top_terms(
     df,
     text_col: str = "text",

@@ -15,7 +15,7 @@ no shuffle; sampling composes with any downstream plan as a plain filter
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from radohydro_spark.functions.text import portable_hash
@@ -54,6 +54,30 @@ def split_assign(
         F.when(b < val_pct, F.lit("val"))
         .when(b < val_pct + test_pct, F.lit("test"))
         .otherwise(F.lit("train")),
+    )
+
+
+def stratified_cap(
+    df: DataFrame, id_col: str, strata_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the per-source/per-language
+    quota pass of corpus curation (downsample the over-represented crawl,
+    keep every row of rare strata).
+
+    Survivors are a pure function of the ids: rank within the stratum by
+    ``(portable_hash(id), id)`` and keep rank <= cap, so reruns, engine
+    swaps, and corpus growth never churn the kept set beyond what the
+    hash order implies.  An exact cap requires a per-stratum ordering —
+    ONE shuffle on the stratum key; at 100 TB pre-filter cheap strata
+    first (``hash_sample``) so only near-cap strata pay the sort, and a
+    skewed mega-stratum can be pre-thinned the same way."""
+    w = W.partitionBy(strata_col).orderBy(
+        portable_hash(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_cap_rank", F.row_number().over(w))
+        .filter(F.col("_cap_rank") <= cap)
+        .drop("_cap_rank")
     )
 
 

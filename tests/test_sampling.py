@@ -72,3 +72,33 @@ def test_redact_pii_tokens(spark):
     assert got[1] == "mail <EMAIL> now"
     assert got[2] == "server at <IP>, call <PHONE> ok"
     assert got[3] == "no pii here"
+
+
+def test_stratified_cap_exact_quota_and_determinism(spark):
+    from radohydro_spark.operators.sampling import stratified_cap
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("src")
+    )
+    capped = stratified_cap(df, "doc_id", "src", 20)
+    sizes = {r["src"]: r["n"] for r in capped.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 20 for n in sizes.values())  # every stratum has > 20 rows
+    # pure function of ids: repeat run keeps the identical set
+    a = {r.doc_id for r in capped.collect()}
+    b = {r.doc_id for r in stratified_cap(df, "doc_id", "src", 20).collect()}
+    assert a == b
+    # small strata survive whole
+    tiny = df.filter(F.col("doc_id") < 3)
+    assert stratified_cap(tiny, "doc_id", "src", 20).count() == 3
+
+
+def test_normalize_clean_rules(spark):
+    from radohydro_spark.functions.text import normalize_clean
+
+    raw = "á  b\tc\nd\x01e f  "  # NFD, ws runs, ctrl, NBSP, trail
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    out = normalize_clean(df).collect()[0]["text"]
+    assert out == "\u00e1 b c de f"
+    # idempotent: cleaning cleaned text is a no-op
+    df2 = spark.createDataFrame([(1, out)], "doc_id long, text string")
+    assert normalize_clean(df2).collect()[0]["text"] == out
