@@ -3251,6 +3251,80 @@ GROUP BY media_id, w, h
 """
 
 
+def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (operators/graph.py
+    pagerank): edges = distinct consecutive event-type transitions per
+    user (lead over (ts, event_id) — deterministic tie-break), 5 fixed
+    power iterations, damping 0.85, dangling mass redistributed
+    uniformly.  The oracle unrolls the identical iterations as chained
+    CTEs — rank values match to 6 decimals because every per-node sum is
+    over a handful of ~0.1-scale doubles."""
+    from radohydro_spark.operators.graph import pagerank
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    edges = (
+        seq.filter(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    pr = pagerank(edges, nodes, damping=0.85, iterations=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 5) -> str:
+    """Unrolled power-iteration twin: one (contribution + dangling) CTE
+    pair per round — recursive CTEs can't aggregate in the recursive
+    member, so fixed unrolling IS the portable form."""
+    d = damping
+    ctes = [
+        """seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT event_type AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""dang{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS m
+  FROM r{p} r LEFT JOIN outdeg o ON o.src = r.node
+  WHERE o.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib
+  FROM edges e
+  JOIN r{p} r ON r.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.contrib, 0) + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
 def q_sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum quota sampling (operators/sampling.py stratified_cap):
     at most 10 documents per source, survivors a pure function of doc ids
@@ -3617,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_adc_topk": q_pq_adc_topk,
         "sample_stratified_cap": q_sample_stratified_cap,
         "text_normalize_clean": q_text_normalize,
+        "events_pagerank": q_events_pagerank,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3664,9 +3739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
         "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
-        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
         "window_running_total": _sql(SQL_RUNNING, ["orders"]),
         "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
         "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
@@ -3774,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_pq_adc_topk": ORACLE_PQ_ADC_TOPK,
         "sample_stratified_cap": ORACLE_STRATIFIED_CAP,
         "text_normalize_clean": ORACLE_TEXT_NORMALIZE,
+        "events_pagerank": _pagerank_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

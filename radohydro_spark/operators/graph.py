@@ -94,3 +94,73 @@ def dedup_canonical(
     ).withColumn(
         "is_canonical", F.col(id_col) == F.coalesce("component", F.col(id_col))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list — the canonical
+    iterative-algorithm shape (Brin & Page '98; Pregel/GraphX formulation)
+    expressed relationally: each iteration is one broadcast-free
+    contribution join (edges x ranks, shuffle on the node key, map-side
+    combinable sum) plus a tiny 1-row aggregate for the dangling-node
+    mass, crossJoined back so the loop stays fully declarative.
+
+    rank'(v) = (1-d)/n + d * (sum_{u->v} rank(u)/outdeg(u) + dangling/n)
+
+    Dangling mass (nodes with no out-edges) redistributes uniformly, so
+    sum(rank) == 1 every iteration (asserted in tests).  Fixed iteration
+    count rather than convergence-test: deterministic, oracle-friendly,
+    and the per-round plan is identical — at 100 TB the edge list is
+    pre-partitioned on ``src`` once and every round reuses that layout.
+    ``localCheckpoint`` truncates lineage per round (same rationale as
+    ``connected_components``).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if nodes is None:
+        universe = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    universe = universe.localCheckpoint(eager=True)
+    n_nodes = universe.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    ranks = universe.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            universe.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

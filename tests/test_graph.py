@@ -38,3 +38,42 @@ def test_dedup_canonical(spark):
     assert rows[1]["is_canonical"] and not rows[3]["is_canonical"] and not rows[9]["is_canonical"]
     assert rows[2]["is_canonical"] and rows[7]["is_canonical"]
     assert rows[3]["component"] == 1 and rows[9]["component"] == 1
+
+
+def test_pagerank_mass_conservation_and_golden(spark):
+    from radohydro_spark.operators.graph import pagerank
+    from pyspark.sql import functions as F
+
+    # a -> b, a -> c, b -> c ; c dangling
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    pr = pagerank(edges, damping=0.85, iterations=5)
+    ranks = {r["node"]: r["rank"] for r in pr.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # dangling mass conserved
+    # python twin of the same fixed iteration
+    d, n = 0.85, 3
+    r = {k: 1 / n for k in "abc"}
+    out = {"a": ["b", "c"], "b": ["c"], "c": []}
+    for _ in range(5):
+        dang = sum(r[k] for k in r if not out[k])
+        contrib = {k: 0.0 for k in r}
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += r[u] / len(vs)
+        r = {k: (1 - d) / n + d * (contrib[k] + dang / n) for k in r}
+    for k in "abc":
+        assert abs(ranks[k] - r[k]) < 1e-9
+    # c is everyone's sink -> highest rank
+    assert max(ranks, key=ranks.get) == "c"
+
+
+def test_pagerank_isolated_nodes_via_universe(spark):
+    from radohydro_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("z",)], "node string")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, nodes, iterations=3).collect()}
+    assert set(ranks) == {"a", "b", "z"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["b"] > ranks["z"]  # z only receives dangling/teleport mass
