@@ -39,6 +39,10 @@ HEADLINE = [
     # regressions in those paths are visible in the bench record
     "events_stream_hourly",
     "obs_zorder_archive",
+    # round-5 additions: the PQ code-scan ANN path and the iterative
+    # (localCheckpoint-per-round) PageRank workload
+    "similarity_pq_adc_topk",
+    "events_pagerank",
 ]
 
 
