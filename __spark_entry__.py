@@ -3251,6 +3251,67 @@ GROUP BY media_id, w, h
 """
 
 
+def q_precip_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill of the A5 NaN-policy NULLs (operators/aggregate.py
+    gap_fill_linear): all-dirty timesteps interpolate between their
+    nearest non-NULL neighbors per basin (epoch-seconds abscissa, no
+    extrapolation at the series edges), with a was_interpolated
+    provenance flag.  The oracle mirrors the frame-bounded
+    last_value(IGNORE NULLS) windows over the closed-form pipeline CTEs."""
+    _utc(spark)
+    from radohydro_spark.operators.aggregate import gap_fill_linear
+
+    res = precip_timeseries(
+        synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
+    )
+    filled = gap_fill_linear(res)
+    return filled.select(
+        "basin_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("rainfall_mm", 6).alias("rainfall_mm"),
+        "was_interpolated",
+    )
+
+
+def _gap_fill_oracle() -> str:
+    return (
+        oracle_base_ctes(GRID)
+        + f"""
+, tsr AS (
+  SELECT basin_id, h,
+         epoch(TIMESTAMP '{GRID.t0}' + h * INTERVAL 1 HOUR) AS t,
+         rainfall_mm AS v
+  FROM res
+),
+anch AS (
+  SELECT basin_id, h, t, v,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY basin_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+      PARTITION BY basin_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY basin_id ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+      PARTITION BY basin_id ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+  FROM tsr
+)
+SELECT basin_id,
+       strftime(TIMESTAMP '{GRID.t0}' + h * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+             END, 6) AS rainfall_mm,
+       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS was_interpolated
+FROM anch
+"""
+    )
+
+
 def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (operators/graph.py
     pagerank): edges = distinct consecutive event-type transitions per
@@ -3692,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_cap": q_sample_stratified_cap,
         "text_normalize_clean": q_text_normalize,
         "events_pagerank": q_events_pagerank,
+        "precip_gap_fill": q_precip_gap_fill,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3738,9 +3800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SQL_Q20, ["supplier", "nation", "lineitem", "part"]
         ),
         "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
-        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
         "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
         "window_running_total": _sql(SQL_RUNNING, ["orders"]),
         "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
@@ -3850,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified_cap": ORACLE_STRATIFIED_CAP,
         "text_normalize_clean": ORACLE_TEXT_NORMALIZE,
         "events_pagerank": _pagerank_oracle(),
+        "precip_gap_fill": _gap_fill_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

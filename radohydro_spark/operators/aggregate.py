@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -109,6 +109,50 @@ def resample(
         result.groupBy("basin_id", F.window("ts", every).alias("win"))
         .agg(agg_fn(value_col).alias(value_col))
         .select("basin_id", F.col("win.start").alias("ts"), value_col)
+    )
+
+
+def gap_fill_linear(
+    result: DataFrame,
+    key_col: str = "basin_id",
+    ts_col: str = "ts",
+    value_col: str = "rainfall_mm",
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a per-key time series — the
+    repair pass downstream of the A5 NaN policy (an all-dirty timestep
+    yields NULL; consumers often want a physically-plausible estimate with
+    provenance instead of a hole).
+
+    prev/next anchors via frame-bounded ``last(..., ignorenulls)`` windows
+    (forward + reverse ordering) — both windows share ONE partitioning on
+    the key, so Catalyst plans a single Exchange + two in-partition sorts;
+    per-key series fit comfortably in a partition at any corpus scale
+    (keys x timesteps is the fact table itself).  Leading/trailing NULLs
+    have only one anchor and stay NULL (no extrapolation).
+
+    Returns the input columns with ``value_col`` gap-filled plus
+    ``was_interpolated``.
+    """
+    w_fwd = W.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_rev = W.partitionBy(key_col).orderBy(F.desc(ts_col)).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    v = F.col(value_col)
+    t = F.col(ts_col).cast("double")  # epoch seconds
+    prev_v = F.last(v, ignorenulls=True).over(w_fwd)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_fwd)
+    next_v = F.last(v, ignorenulls=True).over(w_rev)
+    next_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_rev)
+    interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+    )
+    return result.select(
+        *[c for c in result.columns if c != value_col],
+        filled.alias(value_col),
+        (v.isNull() & filled.isNotNull()).alias("was_interpolated"),
     )
 
 

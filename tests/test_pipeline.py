@@ -190,3 +190,30 @@ class TestSyntheticOracle:
             by_basin[f["basin_id"]] += 1
         assert by_basin[1] == 1  # inside one cell
         assert by_basin[2] == 2  # straddles two cells
+
+
+def test_gap_fill_linear_hand_computed(spark):
+    from radohydro_spark.operators.aggregate import gap_fill_linear
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", None),   # leading NULL: no extrapolation
+        (1, "2024-01-01 01:00:00", 2.0),
+        (1, "2024-01-01 02:00:00", None),   # interp 2.0 -> 8.0 at 1/3
+        (1, "2024-01-01 04:00:00", 8.0),    # uneven spacing: 3h gap
+        (1, "2024-01-01 05:00:00", None),   # trailing NULL
+        (2, "2024-01-01 00:00:00", 5.0),    # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "basin_id int, ts string, rainfall_mm double").select(
+        "basin_id", F.to_timestamp("ts").alias("ts"), "rainfall_mm"
+    )
+    got = {
+        (r.basin_id, str(r.ts)): (r.rainfall_mm, r.was_interpolated)
+        for r in gap_fill_linear(df).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (None, False)
+    assert got[(1, "2024-01-01 01:00:00")] == (2.0, False)
+    v, flag = got[(1, "2024-01-01 02:00:00")]
+    assert abs(v - 4.0) < 1e-9 and flag  # 2 + (8-2) * 1h/3h
+    assert got[(1, "2024-01-01 05:00:00")] == (None, False)
+    assert got[(2, "2024-01-01 00:00:00")] == (5.0, False)
