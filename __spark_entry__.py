@@ -3251,6 +3251,81 @@ GROUP BY media_id, w, h
 """
 
 
+def q_storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved parquet read: batch 1 is written with the original
+    column set, batch 2 adds ``o_orderpriority``; ``mergeSchema=true``
+    reconciles the footers and back-fills the missing column with NULL —
+    the standard long-lived-dataset evolution path (schema widening
+    without rewriting history).  The oracle synthesizes the same NULL
+    back-fill with a CASE on the batch predicate."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    out_dir = tempfile.mkdtemp(prefix="radohydro_schema_ev_")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    evolved = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base.write.mode("overwrite").parquet(f"{out_dir}/batch=1")
+    evolved.write.mode("overwrite").parquet(f"{out_dir}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/batch=1", f"{out_dir}/batch=2"
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
+       COUNT(*) AS n,
+       round(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/merge.py merge_rollup):
+    the standing hourly-by-type rollup over the first 80% of events is
+    folded together with the partial rollup of the late-arriving 20% —
+    no history rescan, shuffle carries group rows only.  The oracle is
+    the FULL recompute: merged partial states must be value-identical
+    (the associativity contract Spark's own map-side combine relies on)."""
+    from radohydro_spark.operators.merge import merge_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    grp = [F.col("event_type"), F.date_trunc("hour", "ts").alias("h")]
+
+    def rollup(df):
+        return df.groupBy(*grp).agg(
+            F.sum("value").alias("sum_value"), F.count("*").alias("n")
+        )
+
+    base = rollup(ev.filter(F.col("event_id") % 5 != 0))
+    delta = rollup(ev.filter(F.col("event_id") % 5 == 0))
+    merged = merge_rollup(base, delta, ["event_type", "h"], ["sum_value", "n"])
+    return merged.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+        F.round("sum_value", 4).alias("sum_value"),
+        "n",
+    )
+
+
+ORACLE_INCREMENTAL_ROLLUP = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+       round(SUM(value), 4) AS sum_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_precip_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear gap-fill of the A5 NaN-policy NULLs (operators/aggregate.py
     gap_fill_linear): all-dirty timesteps interpolate between their
@@ -3754,6 +3829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_clean": q_text_normalize,
         "events_pagerank": q_events_pagerank,
         "precip_gap_fill": q_precip_gap_fill,
+        "storage_schema_evolution": q_storage_schema_evolution,
+        "events_incremental_rollup": q_events_incremental_rollup,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3796,12 +3873,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
         "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
         "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
+        # --- end of round-5 driver window (50 entries above) ---
+        # r2-cohort remainder (re-window in r6)
         "tpch_q20_volume_suppliers": _sql(
             SQL_Q20, ["supplier", "nation", "lineitem", "part"]
         ),
         "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
-        # --- end of round-5 driver window (50 entries above) ---
-        # r2-cohort remainder (re-window in r6)
         "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
         "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
         "window_running_total": _sql(SQL_RUNNING, ["orders"]),
@@ -3913,6 +3990,8 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize_clean": ORACLE_TEXT_NORMALIZE,
         "events_pagerank": _pagerank_oracle(),
         "precip_gap_fill": _gap_fill_oracle(),
+        "storage_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
+        "events_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

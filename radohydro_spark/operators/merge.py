@@ -72,3 +72,29 @@ def merge_upsert(
                 .alias(c)
             )
     return j.select(*out_cols)
+
+
+def merge_rollup(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta batch's partial
+    rollup into an existing rollup WITHOUT rescanning history.
+
+    Works for any decomposable aggregate carried as sums (counts are
+    sums of 1s; avg = sum/count at read time): ``unionByName`` the two
+    partial states and re-sum per key — associativity of the partial
+    aggregate is exactly what Spark's own map-side combine relies on, so
+    the merged result is bit-identical to a full recompute (asserted by
+    the driver oracle).  Cost is O(|rollup| + |delta rollup|), never
+    O(history); both inputs arrive pre-aggregated so the shuffle carries
+    group rows, not events.
+    """
+    return (
+        base.select(*keys, *sum_cols)
+        .unionByName(delta.select(*keys, *sum_cols))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )

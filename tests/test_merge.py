@@ -46,3 +46,29 @@ def test_merge_idempotent_on_empty_source(spark):
     source = spark.createDataFrame([], "k int, v double")
     out = merge_upsert(target, source, ["k"]).collect()
     assert sorted((r["k"], r["v"]) for r in out) == [(1, 1.0), (2, 2.0)]
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.merge import merge_rollup
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 0.37).alias("v")
+    )
+
+    def roll(d):
+        return d.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+
+    merged = merge_rollup(
+        roll(df.filter(F.col("k") != 3).filter(F.col("v") < 200)),
+        roll(df.filter((F.col("k") == 3) | (F.col("v") >= 200))),
+        ["k"],
+        ["s", "n"],
+    )
+    full = {r.k: (r.s, r.n) for r in roll(df).collect()}
+    got = {r.k: (r.s, r.n) for r in merged.collect()}
+    assert set(got) == set(full)
+    for k in full:
+        assert got[k][1] == full[k][1]
+        assert abs(got[k][0] - full[k][0]) < 1e-9
