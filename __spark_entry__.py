@@ -2728,6 +2728,41 @@ FROM events
 """
 
 
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured path (Spark 4): a nested JSON document is
+    composed per event (object nesting + the original props object embedded
+    verbatim), parsed once into a VARIANT, and fields pulled out with typed
+    ``try_variant_get`` paths — the open-schema ingestion pattern that
+    replaces rigid from_json schemas for evolving telemetry.  The oracle
+    recomputes every extracted value closed-form from the raw columns, so
+    the whole compose→parse→extract loop must be value-exact."""
+    e = _t(spark, sf_dir, "events")
+    js = F.format_string(
+        '{"meta":{"type":"%s","uid":%d},"payload":%s}',
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("props"),
+    )
+    v = e.withColumn("v", F.parse_json(js))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.try_variant_get("v", "$.meta.uid", "bigint").alias("uid"),
+        F.try_variant_get("v", "$.payload.k", "int").alias("k"),
+        F.try_variant_get("v", "$.meta.missing", "int").alias("absent"),
+    )
+
+
+ORACLE_EVENTS_VARIANT = """
+SELECT event_id,
+       event_type AS vtype,
+       user_id AS uid,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(NULL AS INT) AS absent
+FROM events
+"""
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-counting trio for corpus budgeting: whitespace words, BPE-ish
     pre-token count (letter runs / digits / punct), chars/4 estimate."""
@@ -3831,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_gap_fill": q_precip_gap_fill,
         "storage_schema_evolution": q_storage_schema_evolution,
         "events_incremental_rollup": q_events_incremental_rollup,
+        "events_variant_extract": q_events_variant_extract,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3872,9 +3908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
         "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
         "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
-        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
         "tpch_q20_volume_suppliers": _sql(
             SQL_Q20, ["supplier", "nation", "lineitem", "part"]
         ),
@@ -3992,6 +4028,7 @@ def oracle_sql() -> dict[str, str]:
         "precip_gap_fill": _gap_fill_oracle(),
         "storage_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "events_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
+        "events_variant_extract": ORACLE_EVENTS_VARIANT,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,
