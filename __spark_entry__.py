@@ -3286,6 +3286,64 @@ GROUP BY media_id, w, h
 """
 
 
+def q_precip_nearest_basin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial 1-NN join (operators/spatial.py nearest_neighbor_join):
+    every grid cell's centroid is assigned its nearest basin centroid
+    (squared Euclidean argmin, basin-id tie-break) — the station-
+    assignment / Voronoi-labeling primitive.  Basin centroids derive from
+    the WKB geometry via the bbox kernel, so the geometry path is
+    exercised; the oracle recomputes both centroid sets closed-form."""
+    _utc(spark)
+    from radohydro_spark.operators.spatial import (
+        nearest_neighbor_join,
+        with_bbox,
+    )
+
+    cells = synthetic_cells(spark)
+    pts = cells.select(
+        "cell_row",
+        "cell_col",
+        ((F.col("left") + F.col("right")) / 2).alias("cx"),
+        ((F.col("bottom") + F.col("top")) / 2).alias("cy"),
+    )
+    bc = with_bbox(synthetic_basins(spark)).select(
+        "basin_id",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("bx"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("by"),
+    )
+    nn = nearest_neighbor_join(pts, bc, ["cell_row", "cell_col"])
+    return nn.select(
+        "cell_row",
+        "cell_col",
+        F.col("basin_id").alias("nearest_basin"),
+        F.round("dist2", 6).alias("dist2"),
+    )
+
+
+def _nearest_basin_oracle() -> str:
+    return (
+        oracle_base_ctes(GRID)
+        + """
+, cpts AS (
+  SELECT cell_row, cell_col, (l + rr) / 2 AS cx, (b + t) / 2 AS cy FROM cells
+),
+bpts AS (
+  SELECT basin_id, (bl + br) / 2 AS bx, (bb + bt) / 2 AS by FROM basins
+),
+scored AS (
+  SELECT cell_row, cell_col, basin_id,
+         (cx - bx) * (cx - bx) + (cy - by) * (cy - by) AS d2
+  FROM cpts, bpts
+)
+SELECT cell_row, cell_col, basin_id AS nearest_basin, round(d2, 6) AS dist2
+FROM (SELECT *, row_number() OVER (PARTITION BY cell_row, cell_col
+                                   ORDER BY d2, basin_id) AS rn
+      FROM scored) t
+WHERE rn = 1
+"""
+    )
+
+
 def q_storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolved parquet read: batch 1 is written with the original
     column set, batch 2 adds ``o_orderpriority``; ``mergeSchema=true``
@@ -3867,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_schema_evolution": q_storage_schema_evolution,
         "events_incremental_rollup": q_events_incremental_rollup,
         "events_variant_extract": q_events_variant_extract,
+        "precip_nearest_basin": q_precip_nearest_basin,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3907,9 +3966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
         "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
         "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
-        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
         "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
         "tpch_q20_volume_suppliers": _sql(
             SQL_Q20, ["supplier", "nation", "lineitem", "part"]
@@ -4029,6 +4088,7 @@ def oracle_sql() -> dict[str, str]:
         "storage_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
         "events_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
         "events_variant_extract": ORACLE_EVENTS_VARIANT,
+        "precip_nearest_basin": _nearest_basin_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

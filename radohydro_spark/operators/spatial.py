@@ -303,3 +303,47 @@ def rasterize(
     if fill is not None:
         out = out.withColumn("burn", F.coalesce(F.col("burn"), F.lit(fill)))
     return out
+
+
+def nearest_neighbor_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    left_xy: tuple[str, str] = ("cx", "cy"),
+    right_xy: tuple[str, str] = ("bx", "by"),
+    right_id: str = "basin_id",
+) -> DataFrame:
+    """1-NN point join: every left point gets its nearest right point by
+    squared Euclidean distance (lowest ``right_id`` breaks exact ties).
+
+    The right side is broadcast — correct for dimension-sized candidate
+    sets (basin seats, station networks, centroid tables); argmin is a
+    map-side-combinable ``min_by`` aggregate, so the only shuffle carries
+    one pre-reduced row per left key.  For corpus-scale right sides use
+    the LSH/IVF bucketing in operators/similarity.py instead of this
+    broadcast form.
+
+    Returns ``left_keys + (right_id, dist2)``.
+    """
+    lx, ly = left_xy
+    rx, ry = right_xy
+    r = right.select(
+        F.col(right_id).alias("_nn_id"),
+        F.col(rx).alias("_nn_x"),
+        F.col(ry).alias("_nn_y"),
+    )
+    # explicit products, not pow(x, 2): bit-identical to the SQL twin
+    dx = F.col(lx) - F.col("_nn_x")
+    dy = F.col(ly) - F.col("_nn_y")
+    d2 = dx * dx + dy * dy
+    scored = left.crossJoin(F.broadcast(r)).withColumn("_nn_d2", d2)
+    return (
+        scored.groupBy(*left_keys)
+        .agg(
+            F.min_by(
+                F.struct(F.col("_nn_id"), F.col("_nn_d2")),
+                F.struct(F.col("_nn_d2"), F.col("_nn_id")),
+            ).alias("_nn")
+        )
+        .select(*left_keys, F.col("_nn._nn_id").alias(right_id), F.col("_nn._nn_d2").alias("dist2"))
+    )

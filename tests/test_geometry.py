@@ -177,3 +177,25 @@ def test_spatial_intersect_grid_meta_north_up(spark):
     equi = spatial_intersect(cells, basins, grid_meta=(0.0, 500.0, 100.0, -100.0)).orderBy(*key).collect()
     assert [tuple(r) for r in theta] == [tuple(r) for r in equi]
     assert len(theta) > 0
+
+
+def test_nearest_neighbor_join_golden(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.spatial import nearest_neighbor_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 5.0, 0.0)],
+        "pid int, cx double, cy double",
+    )
+    anchors = spark.createDataFrame(
+        [(100, 1.0, 0.0), (200, 9.0, 0.0)], "basin_id int, bx double, by double"
+    )
+    got = {
+        r.pid: (r.basin_id, r.dist2)
+        for r in nearest_neighbor_join(pts, anchors, ["pid"]).collect()
+    }
+    assert got[1] == (100, 1.0)
+    assert got[2] == (200, 1.0)
+    # exact tie at distance 16 both sides -> lowest id wins
+    assert got[3] == (100, 16.0)
