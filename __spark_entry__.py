@@ -3286,6 +3286,96 @@ GROUP BY media_id, w, h
 """
 
 
+def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/profile.py
+    check_constraints): not-null + row rules fold into one scan,
+    uniqueness is a keyed count, referential integrity a broadcast
+    anti-join against customer — the promotion contract a pipeline runs
+    on every new drop.  The oracle recomputes each rule's violation
+    count independently and UNION ALLs the report."""
+    from radohydro_spark.operators.profile import check_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return check_constraints(
+        o,
+        not_null=["o_custkey", "o_orderdate"],
+        unique=[["o_orderkey"]],
+        row_rules={
+            "nonneg_price": F.col("o_totalprice") < 0,
+            "known_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+        foreign_keys=[("o_custkey", c, "c_custkey")],
+    )
+
+
+ORACLE_DQ_CONSTRAINTS = """
+SELECT 'not_null:o_custkey' AS rule,
+       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations FROM orders
+UNION ALL
+SELECT 'not_null:o_orderdate',
+       COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) FROM orders
+UNION ALL
+SELECT 'rule:nonneg_price',
+       COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) FROM orders
+UNION ALL
+SELECT 'rule:known_status',
+       COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'fk:o_custkey',
+       COUNT(*)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/merge.py snapshot_diff): two
+    deterministic snapshots carved from orders — v1 drops keys %10==3,
+    v2 drops %10==0 and reprices keys %7==0 — diffed by one full-outer
+    key join into insert/delete/update rows (unchanged filtered out,
+    delta-sized result).  The oracle derives each change class directly
+    from the membership/reprice predicates."""
+    from radohydro_spark.operators.merge import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 10 != 3)
+    v2 = o.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = snapshot_diff(
+        v1, v2, ["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    return d.select(
+        "o_orderkey", "change_type", "o_totalprice", "o_orderstatus"
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+SELECT o_orderkey, 'insert' AS change_type,
+       CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2)
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus
+FROM orders WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, 'delete', NULL, NULL
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, 'update', round(o_totalprice * 1.1, 2), o_orderstatus
+FROM orders
+WHERE o_orderkey % 10 NOT IN (0, 3) AND o_orderkey % 7 = 0
+  AND round(o_totalprice * 1.1, 2) <> o_totalprice
+"""
+
+
 def q_precip_nearest_basin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial 1-NN join (operators/spatial.py nearest_neighbor_join):
     every grid cell's centroid is assigned its nearest basin centroid
@@ -3926,6 +4016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incremental_rollup": q_events_incremental_rollup,
         "events_variant_extract": q_events_variant_extract,
         "precip_nearest_basin": q_precip_nearest_basin,
+        "dq_orders_constraints": q_dq_orders_constraints,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -3964,10 +4056,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
         "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
-        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
-        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
+        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
         "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
         "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
         "tpch_q20_volume_suppliers": _sql(
@@ -4089,6 +4181,8 @@ def oracle_sql() -> dict[str, str]:
         "events_incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
         "events_variant_extract": ORACLE_EVENTS_VARIANT,
         "precip_nearest_basin": _nearest_basin_oracle(),
+        "dq_orders_constraints": ORACLE_DQ_CONSTRAINTS,
+        "orders_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

@@ -98,3 +98,54 @@ def merge_rollup(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one full-outer
+    join on the key emits ``insert`` (key only in new), ``delete`` (key
+    only in old), and ``update`` (any compared column differs,
+    NULL-safely); unchanged rows are filtered out so the result is
+    delta-sized.  The single key-shuffle is the whole cost — this is the
+    diff that feeds ``merge_upsert`` when a source system only ships full
+    snapshots.
+
+    Returns ``keys + change_type`` plus the NEW values of
+    ``compare_cols`` (NULL for deletes).
+    """
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in keys
+    ]
+    # literal presence markers survive all-NULL payload columns
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_old_present"),
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_new_present"),
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~(F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}")))
+        changed = ne if changed is None else (changed | ne)
+    change_type = (
+        F.when(F.col("_old_present").isNull(), F.lit("insert"))
+        .when(F.col("_new_present").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out = j.withColumn("change_type", change_type).filter(
+        F.col("change_type").isNotNull()
+    )
+    return out.select(
+        *keys,
+        "change_type",
+        *[F.col(f"_new_{c}").alias(c) for c in compare_cols],
+    )

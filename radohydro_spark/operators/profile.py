@@ -53,3 +53,73 @@ def profile_columns(
         ]
     )
     return one.select(F.inline(entries))
+
+
+def check_constraints(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    row_rules: dict[str, "F.Column"] | None = None,
+    foreign_keys: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality gate: evaluate constraint rules and emit a
+    ``(rule, n_violations)`` report — the contract check a pipeline runs
+    before promoting a new data drop.
+
+    * ``not_null`` columns and ``row_rules`` (name → boolean Column that
+      flags a VIOLATION) fold into ONE conditional-sum aggregation — a
+      single scan regardless of rule count.
+    * each ``unique`` key set is a groupBy counting keys seen more than
+      once (violations = extra rows beyond the first per key).
+    * each ``foreign_keys`` (col, ref_df, ref_col) is a left-anti join
+      against the (broadcastable, dimension-sized) reference keys.
+
+    Every rule is map-side combinable; the report is rule-count rows.
+    """
+    spark_rules: list[tuple[str, "F.Column"]] = []
+    for c in not_null or []:
+        spark_rules.append((f"not_null:{c}", F.col(c).isNull()))
+    for name, cond in (row_rules or {}).items():
+        spark_rules.append((f"rule:{name}", cond))
+
+    parts: list[DataFrame] = []
+    if spark_rules:
+        aggs = [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in spark_rules
+        ]
+        wide = df.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(F.lit(name).alias("rule"), F.col(name).alias("n_violations"))
+                for name, _ in spark_rules
+            ]
+        )
+        parts.append(wide.select(F.inline(pairs)))
+    for keys in unique or []:
+        parts.append(
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("_n"))
+            .agg(
+                F.lit("unique:" + ",".join(keys)).alias("rule"),
+                F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).cast("long").alias(
+                    "n_violations"
+                ),
+            )
+        )
+    for col, ref, ref_col in foreign_keys or []:
+        missing = df.select(F.col(col)).filter(F.col(col).isNotNull()).join(
+            F.broadcast(ref.select(F.col(ref_col).alias(col)).distinct()),
+            col,
+            "left_anti",
+        )
+        parts.append(
+            missing.agg(
+                F.lit(f"fk:{col}").alias("rule"),
+                F.count("*").cast("long").alias("n_violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -72,3 +72,22 @@ def test_merge_rollup_equals_full_recompute(spark):
     for k in full:
         assert got[k][1] == full[k][1]
         assert abs(got[k][0] - full[k][0]) < 1e-9
+
+
+def test_snapshot_diff_classes(spark):
+    from radohydro_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z"), (4, None, "w")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, "y"), (3, 31.0, "z"), (4, None, "w"), (5, 50.0, "q")],
+        "k long, v double, s string",
+    )
+    got = {r.k: (r.change_type, r.v, r.s) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got[1][0] == "delete"
+    assert got[3] == ("update", 31.0, "z")
+    assert got[5] == ("insert", 50.0, "q")
+    assert 2 not in got  # unchanged filtered
+    assert 4 not in got  # NULL == NULL is unchanged (null-safe compare)
