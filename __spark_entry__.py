@@ -3973,18 +3973,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver verifies the first 50 entries per round.
     # Round-5 window, two tiers:
-    #   Tier 1 (positions 0-10): the 11 queries with NO driver-green on
-    #   record.  events_sessionize / events_stream_hourly / events_asof_join
-    #   / events_props_extract ERRORED in r1 (PARQUET_TYPE_ILLEGAL, before
-    #   the _ingest_confs fix) and were never re-windowed; the other 7 were
-    #   added later and never fell inside a 50-query window.  All 11
-    #   re-verified locally vs the DuckDB oracle at sf0.01 before this
-    #   rotation (scripts/check_correctness.py).
+    #   Tier 1 (positions 0-27): every query with NO driver-green on
+    #   record — the 11 from earlier rounds (4 ERRORED in r1 on
+    #   PARQUET_TYPE_ILLEGAL before the _ingest_confs fix and were never
+    #   re-windowed; 7 never fell inside a window) plus the 17 queries
+    #   NEW in round 5 (sink roundtrips, BMP/WAV codecs, ORC, PQ,
+    #   PageRank, gap-fill, schema evolution, incremental rollup,
+    #   VARIANT, 1-NN join, DQ gate, CDC diff, stratified cap, NFC).
+    #   All verified locally vs the DuckDB oracle at sf0.01 before this
+    #   rotation (scripts/check_correctness.py — full 127-query sweep,
+    #   0 failures).
     #   Tier 2: r2-cohort re-pins — last driver-verified in r2, and the
-    #   shared ingest path under them (_ingest_confs/_normalize_ts) changed
-    #   in r4, so they need a fresh green.
-    # The 50 r4-green queries (CORRECTNESS_r04: all hash-match) rotate to
-    # the tail; the leftover r2 relational block re-windows in r6.
+    #   shared ingest path under them (_ingest_confs/_normalize_ts)
+    #   changed in r4, so they need a fresh green: the 7 core precip
+    #   queries + TPC-H q1-q15.
+    # The r4-green cohort (CORRECTNESS_r04: all hash-match) stays at the
+    # tail; remaining r2 relational re-pins re-window in r6.
     return {
         # --- round-5 driver window (first 50) ---
         # Tier 1: never driver-verified
