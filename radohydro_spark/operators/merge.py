@@ -132,10 +132,10 @@ def snapshot_diff(
         *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
     )
     j = o.join(n, keys, "full_outer")
-    changed = None
+    changed = F.lit(False)  # key-only tables: membership changes only
     for c in compare_cols:
         ne = ~(F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}")))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ne
     change_type = (
         F.when(F.col("_old_present").isNull(), F.lit("insert"))
         .when(F.col("_new_present").isNull(), F.lit("delete"))

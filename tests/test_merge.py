@@ -91,3 +91,12 @@ def test_snapshot_diff_classes(spark):
     assert got[5] == ("insert", 50.0, "q")
     assert 2 not in got  # unchanged filtered
     assert 4 not in got  # NULL == NULL is unchanged (null-safe compare)
+
+
+def test_snapshot_diff_key_only_tables(spark):
+    from radohydro_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "delete", 3: "insert"}
