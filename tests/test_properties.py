@@ -151,3 +151,70 @@ def test_wide_to_long_digit_column_shim(spark):
     a = sorted(tuple(r) for r in long0.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+# ---- codec property tests (round 5): WAV and BMP round-trips, PQ argmin ----
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    ch=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    import numpy as np
+
+    from radohydro_spark.sources.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32767, size=(n, ch)).astype(np.int16)
+    back, r = decode_wav(encode_wav(s, rate))
+    assert r == rate
+    assert back.shape == (n, ch)
+    assert (back == s).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from radohydro_spark.sources.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    back, channels = decode_bmp(encode_bmp(img))
+    assert channels == 1
+    assert (back == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_pq_lut_scoring_matches_direct(seed):
+    """ADC via LUT lookups == direct codeword-distance sums (numpy-only
+    twin of the Spark kernel's math)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    m, k, ds, n = 4, 8, 4, 30
+    books = rng.randn(m, k, ds)
+    vecs = rng.randn(n, m, ds)
+    q = rng.randn(m, ds)
+    codes = np.stack(
+        [((vecs[:, j, :, None] - books[j].T[None]) ** 2).sum(1).argmin(1) for j in range(m)],
+        axis=1,
+    )
+    lut = (q * q).sum(1)[:, None] + (books * books).sum(2) - 2.0 * np.einsum(
+        "jd,jcd->jc", q, books
+    )
+    adc = lut[np.arange(m), codes].sum(1)
+    direct = np.array(
+        [sum(((q[j] - books[j][codes[i, j]]) ** 2).sum() for j in range(m)) for i in range(n)]
+    )
+    assert np.allclose(adc, direct, atol=1e-9)
