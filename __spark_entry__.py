@@ -3286,6 +3286,38 @@ GROUP BY media_id, w, h
 """
 
 
+def q_sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample, Efraimidis-Spirakis): 50 documents drawn
+    proportionally to document length (n_chars) via deterministic
+    ln(u)/w keys from the portable hash — the quality-weighted corpus
+    draw, reproducible with no RNG.  The oracle computes the identical
+    keys and ranking in SQL."""
+    from radohydro_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = weighted_sample(d, "doc_id", "n_chars", 50)
+    return s.select(
+        "doc_id", "source", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, source, round(k, 6) AS sample_key
+FROM (
+  SELECT doc_id, source, k,
+         row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id, source,
+           ln(({_ph_sql("CAST(doc_id AS VARCHAR)")} + 0.5) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS k
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+  )
+) WHERE rn <= 50
+"""
+
+
 def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate (operators/profile.py
     check_constraints): not-null + row rules fold into one scan,
@@ -4022,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_nearest_basin": q_precip_nearest_basin,
         "dq_orders_constraints": q_dq_orders_constraints,
         "orders_snapshot_diff": q_orders_snapshot_diff,
+        "sample_weighted_docs": q_sample_weighted_docs,
         # Tier 2: core precipitation pipeline re-pins
         # (SURVEY §2: J1-J3, A1-A7, W1, F3-F6, C9-C11, C13; last green r2)
         "precip_basin_timeseries": q_precip_timeseries,
@@ -4059,9 +4092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
         # --- end of round-5 driver window (50 entries above) ---
         # r2-cohort remainder (re-window in r6)
+        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
         "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
         "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
         "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
@@ -4187,6 +4220,7 @@ def oracle_sql() -> dict[str, str]:
         "precip_nearest_basin": _nearest_basin_oracle(),
         "dq_orders_constraints": ORACLE_DQ_CONSTRAINTS,
         "orders_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "sample_weighted_docs": ORACLE_WEIGHTED_SAMPLE,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

@@ -96,3 +96,35 @@ def stratified_hash_sample(
         keep_pct.isNotNull()
         & (hash_bucket(id_col, mod) < F.round(keep_pct * mod / 100.0).cast("int"))
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis '06): key_i = ln(u_i) / w_i with u_i uniform from the
+    portable hash of the id; the top-n keys are a weight-proportional
+    sample.  Quality-weighted corpus draws ("prefer long/high-quality
+    docs but keep diversity") become reproducible across engines, runs,
+    and partition layouts — no RNG.
+
+    Weights must be > 0 (rows with NULL/non-positive weight are dropped).
+    The top-n window has no partition key, but WindowGroupLimit reduces
+    it map-side: each task forwards at most n rows, so the single-task
+    tail sees tasks*n rows, not the corpus.
+
+    Returns the input columns plus ``sample_key`` (for auditability) —
+    filter/project downstream as needed.
+    """
+    u = (portable_hash(F.col(id_col).cast("string")).cast("double") + 0.5) / F.lit(
+        4294967296.0
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = W.orderBy(F.desc("sample_key"), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", key)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .drop("_r")
+    )

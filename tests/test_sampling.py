@@ -102,3 +102,27 @@ def test_normalize_clean_rules(spark):
     # idempotent: cleaning cleaned text is a no-op
     df2 = spark.createDataFrame([(1, out)], "doc_id long, text string")
     assert normalize_clean(df2).collect()[0]["text"] == out
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from radohydro_spark.operators.sampling import weighted_sample
+
+    # two weight classes: heavy (w=100) vs light (w=1); heavy ids should
+    # dominate a 100-of-1000 draw by a wide margin
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 100.0).otherwise(1.0).alias("w"),
+    )
+    s = weighted_sample(df, "doc_id", "w", 100)
+    rows = s.collect()
+    assert len(rows) == 100
+    heavy = sum(1 for r in rows if r.doc_id % 2 == 0)
+    assert heavy > 80  # weight-proportional, not uniform (would be ~50)
+    # deterministic across runs
+    again = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 100).collect()}
+    assert {r.doc_id for r in rows} == again
+    # non-positive / NULL weights dropped
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "doc_id long, w double"
+    )
+    assert [r.doc_id for r in weighted_sample(bad, "doc_id", "w", 10).collect()] == [4]
