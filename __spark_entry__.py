@@ -3286,6 +3286,136 @@ GROUP BY media_id, w, h
 """
 
 
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal (functions/text.py html_to_text): every
+    document is wrapped in deterministic HTML — title/script/style
+    boilerplate, heading, entity-encoded punctuation — and the extractor
+    must recover exactly the visible text (script/style CONTENT dropped,
+    tags stripped, entities single-decoded).  All JVM-side
+    regexp_replace; the oracle chains the identical RE2 patterns."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>ignored</title><style>p{color:red}</style>"
+            "<script>var x = '<p>not text</p>';</script></head><body><h1>"
+        ),
+        F.col("source"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit(" &amp;amp; x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(TX.html_to_text(html)).alias("clean_md5"),
+        F.length(TX.html_to_text(html)).alias("n_chars_clean"),
+    )
+
+
+ORACLE_HTML_EXTRACT = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><head><title>ignored</title><style>p{color:red}</style>'
+         || '<script>var x = ''<p>not text</p>'';</script></head><body><h1>'
+         || source || '</h1>' || chr(10) || '<p>' || text
+         || ' &amp;amp; x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>' AS h
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           '<[^>]*>', ' ', 'g') AS h
+  FROM wrapped
+),
+decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(h,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&') AS h
+  FROM stripped
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(h, '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'))) AS clean_md5,
+       CAST(length(trim(regexp_replace(h, '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'))) AS INT) AS n_chars_clean
+FROM decoded
+"""
+
+
+def q_events_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD-2 dimension (composition of
+    scd2_from_changes + an interval-membership join): every probe event
+    (event_id % 97 == 0) is enriched with the dimension version valid at
+    its timestamp — valid_from <= ts < valid_to, open tail NULL.  The
+    join is equi on user_id with a residual range predicate (hash join +
+    filter, no nested loop); the oracle rebuilds the identical history
+    CTEs and applies the same predicate."""
+    from radohydro_spark.operators.scd import scd2_from_changes
+
+    e = _t(spark, sf_dir, "events")
+    hist = scd2_from_changes(
+        e, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("dim_event_type"),
+        "valid_from",
+        "valid_to",
+    )
+    probe = e.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    j = probe.join(hist, "user_id").filter(
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "version",
+        "dim_event_type",
+    )
+
+
+ORACLE_SCD2_POINTINTIME = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ROW_NUMBER() OVER w = 1
+                OR LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+versioned AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS version
+  FROM flagged
+),
+hist AS (
+  SELECT user_id, version,
+         MIN(event_type) AS dim_event_type,
+         MIN(ts) AS valid_from
+  FROM versioned GROUP BY user_id, version
+),
+intervals AS (
+  SELECT user_id, version, dim_event_type, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC) AS valid_to
+  FROM hist
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       i.version, i.dim_event_type
+FROM events p
+JOIN intervals i
+  ON i.user_id = p.user_id
+ AND i.valid_from <= p.ts
+ AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+WHERE p.event_id % 97 = 0
+"""
+
+
 def q_sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py
     weighted_sample, Efraimidis-Spirakis): 50 documents drawn
@@ -4175,6 +4305,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ahash": q_media_ahash,
         "media_resize_fake": q_media_resize,
         "crs_radolan_project": q_crs_radolan,
+        # NEW in round-5 tail (added after the r5 window was finalized):
+        # NEVER driver-verified — MUST be front-loaded into the r6 window
+        # alongside the r2-cohort remainder above.  Both verified locally
+        # at sf0.01 AND sf0.1 (scripts/check_correctness.py).
+        "text_html_extract": q_text_html_extract,
+        "events_scd2_pointintime": q_events_scd2_pointintime,
     }
 
 
@@ -4221,6 +4357,8 @@ def oracle_sql() -> dict[str, str]:
         "dq_orders_constraints": ORACLE_DQ_CONSTRAINTS,
         "orders_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "sample_weighted_docs": ORACLE_WEIGHTED_SAMPLE,
+        "text_html_extract": ORACLE_HTML_EXTRACT,
+        "events_scd2_pointintime": ORACLE_SCD2_POINTINTIME,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

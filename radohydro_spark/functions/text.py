@@ -254,6 +254,34 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+def html_to_text(text: Column | str) -> Column:
+    """HTML → text boilerplate removal, entirely JVM-side (chained
+    ``regexp_replace`` — no UDF in the 100 TB scan path): script/style
+    blocks dropped with their CONTENT (two passes — RE2, the oracle's
+    engine, has no backreferences so ``</(script|style)>`` can't be one
+    pattern), remaining tags stripped to spaces, the five ubiquitous
+    entities decoded in single-decode order (&amp; LAST, so "&amp;lt;"
+    yields "&lt;" not "<"), whitespace collapsed, trimmed.
+
+    A real crawl pipeline swaps in a DOM parser for fidelity; this is the
+    regex fast path whose behavior is pinned cross-engine.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?s)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, "[ \t\r\n]+", " "))
+
+
 # cleaning rules shared by normalize_clean and its SQL oracle twin:
 # (1) Unicode NFC  (2) strip C0/C1-ish control chars except \t \r \n
 # (3) NBSP -> space  (4) collapse [ \t\r\n]+ to one space  (5) trim spaces.

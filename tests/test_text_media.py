@@ -117,3 +117,19 @@ def test_repetition_stats_hand_computed(spark):
     assert got[2].n_ngrams == 3
     assert got[2].top_ngram_share == round(1 / 3, 6)
     assert got[2].dup_ngram_frac == 0.0
+
+
+def test_html_to_text_golden(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.functions.text import html_to_text
+
+    html = (
+        "<html><head><style>p{}</style><script>var a='<b>x</b>';</script></head>"
+        "<body><h1>Title</h1><p>Hello &amp; &lt;world&gt;</p>"
+        "<p>&amp;amp; stays encoded once</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id int, h string")
+    out = df.select(html_to_text("h").alias("t")).collect()[0]["t"]
+    # script/style content dropped, tags stripped, single-decode entities
+    assert out == "Title Hello & <world> &amp; stays encoded once"
