@@ -3286,6 +3286,66 @@ GROUP BY media_id, w, h
 """
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (operators/similarity.py
+    ann_topk_lsh_multiprobe): each query probes its own bucket plus two
+    single-bit-flip neighbors — the standard recall knob that reuses the
+    SAME bucketed corpus layout; only the small query side explodes.
+    Deterministic planes ⇒ the oracle enumerates the identical probe set
+    and candidates."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ann_topk_lsh_multiprobe(
+        e, queries, k=5, n_planes=4, n_dims=64, n_probes=3
+    )
+
+
+def _ann_multiprobe_oracle(
+    n_planes: int = 4, n_dims: int = 64, k: int = 5, n_probes: int = 3
+) -> str:
+    planes = [
+        "[" + ", ".join(repr(_hyperplane_const(j, d)) for d in range(n_dims)) + "]"
+        for j in range(n_planes)
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[j]}) >= 0 THEN {2**j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(n_probes - 1)]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bucket_expr} AS BIGINT) AS bucket FROM e),
+q AS (
+  SELECT vec_id AS query_id, unnest([{probe_list}]) AS bucket
+  FROM b WHERE vec_id < 3
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM q JOIN b USING (bucket)
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored) t
+WHERE rank <= {k}
+"""
+
+
 def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate removal (functions/text.py html_to_text): every
     document is wrapped in deterministic HTML — title/script/style
@@ -4311,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at sf0.01 AND sf0.1 (scripts/check_correctness.py).
         "text_html_extract": q_text_html_extract,
         "events_scd2_pointintime": q_events_scd2_pointintime,
+        "similarity_ann_multiprobe": q_ann_lsh_multiprobe,
     }
 
 
@@ -4359,6 +4420,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted_docs": ORACLE_WEIGHTED_SAMPLE,
         "text_html_extract": ORACLE_HTML_EXTRACT,
         "events_scd2_pointintime": ORACLE_SCD2_POINTINTIME,
+        "similarity_ann_multiprobe": _ann_multiprobe_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

@@ -101,10 +101,18 @@ def lsh_bucket(
     bits = []
     for j_local in range(n_planes):
         j = j_local + plane_offset
-        proj = None
-        for d in range(n_dims):
-            term = F.element_at(v, d + 1) * _hyperplane_component(j, d)
-            proj = term if proj is None else proj + term
+        # plane as ONE literal array + a zip_with/aggregate dot product:
+        # same sequential fold order as an unrolled sum (bit-identical
+        # result), but compact generated code — 64-dim unrolled terms
+        # overflow the JVM 64KB method limit and kill whole-stage codegen
+        plane = F.array(
+            *[_hyperplane_component(j, d) for d in range(n_dims)]
+        )
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda x, p: x * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**j_local))
     bucket = bits[0]
     for b in bits[1:]:
@@ -478,6 +486,60 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def ann_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_dims: int = 16,
+    n_probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k: the query probes its own bucket PLUS the
+    ``n_probes - 1`` single-bit-flip neighbor buckets (the nearest
+    Hamming-1 perturbations — where boundary-adjacent true neighbors
+    land), recovering most of the recall lost to bucket quantization for
+    ~n_probes× the candidate cost and the SAME corpus layout (one
+    bucketed write serves every probe count).
+
+    The corpus side is untouched — probes explode only the (small) query
+    side before the bucket equi-join; candidate duplicates from multiple
+    probes are collapsed with ``dropDuplicates`` before scoring.
+    Deterministic planes ⇒ exact SQL oracle."""
+    if n_probes < 1 or n_probes > n_planes + 1:
+        raise ValueError(f"n_probes must be in [1, {n_planes + 1}]")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(corpus, vec_col, n_planes, n_dims).alias("bucket"),
+    )
+    base = lsh_bucket(queries, vec_col, n_planes, n_dims)
+    probes = F.array(
+        base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(n_probes - 1)]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes).alias("bucket"),
+    )
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .select("query_id", "vec_id", "qv", "cv")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
     )
 
 

@@ -135,3 +135,23 @@ def test_pq_adc_approximates_exact_distance(spark):
     for qid, rows in by_q.items():
         best = min(rows, key=lambda r: (r.adc_dist, r.vec_id))
         assert best.vec_id == qid or best.adc_dist <= 1e-9
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark):
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    single = SIM.ann_topk_lsh(e, q, k=200, n_planes=4, n_dims=64)
+    multi = SIM.ann_topk_lsh_multiprobe(
+        e, q, k=200, n_planes=4, n_dims=64, n_probes=3
+    )
+    s = {(r.query_id, r.vec_id) for r in single.collect()}
+    m = {(r.query_id, r.vec_id) for r in multi.collect()}
+    assert s <= m          # every single-probe candidate survives
+    assert len(m) > len(s)  # extra probes surface extra candidates
+    # n_probes=1 degenerates to single-probe exactly
+    one = SIM.ann_topk_lsh_multiprobe(e, q, k=200, n_planes=4, n_dims=64, n_probes=1)
+    assert {(r.query_id, r.vec_id, r.cosine) for r in one.collect()} == {
+        (r.query_id, r.vec_id, r.cosine) for r in single.collect()
+    }
