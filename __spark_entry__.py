@@ -3286,6 +3286,46 @@ GROUP BY media_id, w, h
 """
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (functions/text.py unigram_logprob):
+    the corpus's own token frequencies become the model; each document
+    scores by mean token log-probability with an OOV floor — the
+    perplexity-proxy filter that flags gibberish without any external
+    model.  Deterministic top-k vocab cut ⇒ exact SQL oracle."""
+    d = _docs(spark, sf_dir)
+    return TX.unigram_logprob(d, "text", "doc_id", top_k=5000, min_count=2)
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS tok
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+),
+counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok HAVING COUNT(*) >= 2
+),
+vocab AS (
+  SELECT tok, cnt FROM (
+    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+    FROM counts) t
+  WHERE r <= 5000
+),
+total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tt FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         COALESCE(ln(CAST(v.cnt AS DOUBLE) / (SELECT tt FROM total)),
+                  ln(0.5 / (SELECT tt FROM total))) AS lp
+  FROM toks t LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       round(SUM(lp), 4) AS sum_logprob,
+       round(AVG(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (operators/similarity.py
     ann_topk_lsh_multiprobe): each query probes its own bucket plus two
@@ -4372,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_extract": q_text_html_extract,
         "events_scd2_pointintime": q_events_scd2_pointintime,
         "similarity_ann_multiprobe": q_ann_lsh_multiprobe,
+        "text_unigram_logprob": q_text_unigram_logprob,
     }
 
 
@@ -4421,6 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         "text_html_extract": ORACLE_HTML_EXTRACT,
         "events_scd2_pointintime": ORACLE_SCD2_POINTINTIME,
         "similarity_ann_multiprobe": _ann_multiprobe_oracle(),
+        "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

@@ -254,6 +254,63 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
+def unigram_logprob(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50000,
+    min_count: int = 1,
+):
+    """Corpus-trained unigram LM scoring — the perplexity-proxy quality
+    signal (gibberish and off-distribution text score far below fluent
+    prose) computed without any external model: the corpus itself is the
+    training set.
+
+    Plan: ONE token explode feeds both sides — (a) the vocabulary
+    (token counts, ``min_count`` floor, deterministic ``top_k`` cut by
+    (count DESC, token) so the capped vocab broadcasts safely at any
+    corpus size) and (b) per-document scoring, a broadcast left join of
+    tokens against the vocab with out-of-vocabulary tokens floored at
+    ln(0.5 / total).  Two map-side-combinable aggregates, no UDF.
+
+    Returns ``(id, n_tokens, sum_logprob, avg_logprob)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= min_count
+    )
+    from pyspark.sql import Window as W
+
+    vocab = (
+        counts.withColumn(
+            "_r",
+            F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok"))),
+        )
+        .filter(F.col("_r") <= top_k)
+        .drop("_r")
+    )
+    total = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.coalesce(
+                F.log(F.col("cnt").cast("double") / F.col("_total")),
+                F.log(F.lit(0.5) / F.col("_total")),
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("_lp"), 4).alias("sum_logprob"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+
+
 def html_to_text(text: Column | str) -> Column:
     """HTML → text boilerplate removal, entirely JVM-side (chained
     ``regexp_replace`` — no UDF in the 100 TB scan path): script/style

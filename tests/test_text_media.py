@@ -133,3 +133,19 @@ def test_html_to_text_golden(spark):
     out = df.select(html_to_text("h").alias("t")).collect()[0]["t"]
     # script/style content dropped, tags stripped, single-decode entities
     assert out == "Title Hello & <world> &amp; stays encoded once"
+
+
+def test_unigram_logprob_orders_quality(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.functions.text import unigram_logprob
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "zxqj vvkw qqqpp zzyyx wwoo"))  # gibberish: all OOV-ish
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob(df, min_count=2).collect()}
+    # fluent docs share every token -> much higher avg logprob than gibberish
+    assert out[0].avg_logprob > out[100].avg_logprob + 1.0
+    assert out[0].n_tokens == 9
+    # all fluent copies score identically
+    assert out[0].avg_logprob == out[7].avg_logprob
