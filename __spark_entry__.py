@@ -3286,6 +3286,56 @@ GROUP BY media_id, w, h
 """
 
 
+def q_corpus_jsonl_badlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input resilience: a JSONL drop is synthesized with every
+    third line corrupted (truncated JSON), read back PERMISSIVE with an
+    explicit schema + ``_corrupt_record`` — the production ingestion
+    contract (bad lines quarantined, never a job abort).  Aggregates
+    parsed vs corrupt counts and a checksum over the surviving rows; the
+    oracle recomputes all three closed-form from the membership
+    predicate."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(", oops")),
+        )
+        .otherwise(
+            F.format_string(
+                '{"doc_id": %d, "n_chars": %d}', F.col("doc_id"), F.col("n_chars")
+            )
+        )
+        .alias("value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="radohydro_jsonl_bad_")
+    lines.coalesce(4).write.mode("overwrite").text(out_dir)
+    back = (
+        spark.read.schema(
+            "doc_id long, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out_dir)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt_record")).alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).alias(
+            "sum_chars_good"
+        ),
+    )
+
+
+ORACLE_JSONL_BADLINES = """
+SELECT COUNT(CASE WHEN doc_id % 3 <> 0 THEN 1 END) AS n_good,
+       COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_bad,
+       SUM(CASE WHEN doc_id % 3 <> 0 THEN n_chars END) AS sum_chars_good
+FROM documents
+"""
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality scoring (functions/text.py unigram_logprob):
     the corpus's own token frequencies become the model; each document
@@ -4413,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_pointintime": q_events_scd2_pointintime,
         "similarity_ann_multiprobe": q_ann_lsh_multiprobe,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
     }
 
 
@@ -4463,6 +4514,7 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2_pointintime": ORACLE_SCD2_POINTINTIME,
         "similarity_ann_multiprobe": _ann_multiprobe_oracle(),
         "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+        "corpus_jsonl_badlines": ORACLE_JSONL_BADLINES,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,
