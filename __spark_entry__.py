@@ -3286,6 +3286,52 @@ GROUP BY media_id, w, h
 """
 
 
+def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped two-sided Arrow kernel (operators/cogroup.py): events
+    and orders cogrouped per user/customer key, the kernel counting
+    cross-side pairs within 24h by a sorted two-pointer sweep (never the
+    O(n·m) matrix).  Semantics chosen relational on purpose: the DuckDB
+    oracle is an exact integer band-join aggregate, so the driver check
+    pins the cogroup plumbing — key alignment, one-sided groups, Arrow
+    batches — with zero float tolerance."""
+    from radohydro_spark.operators.cogroup import cogroup_pair_counts
+
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    out = cogroup_pair_counts(
+        e, o, "user_id", "o_custkey", "ts", "o_orderdate", max_gap_s=86400.0
+    )
+    return out.select(
+        F.col("key").alias("user_id"), "n_left", "n_right", "n_pairs"
+    )
+
+
+ORACLE_EVENTS_ORDERS_COGROUP = """
+WITH u AS (
+  SELECT user_id AS key FROM events
+  UNION
+  SELECT o_custkey FROM orders
+),
+le AS (SELECT user_id AS key, COUNT(*) AS n_left FROM events GROUP BY 1),
+ro AS (SELECT o_custkey AS key, COUNT(*) AS n_right FROM orders GROUP BY 1),
+pairs AS (
+  SELECT e.user_id AS key, COUNT(*) AS n_pairs
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id
+   AND abs(epoch(e.ts) - epoch(o.o_orderdate)) <= 86400
+  GROUP BY 1
+)
+SELECT u.key AS user_id,
+       COALESCE(le.n_left, 0) AS n_left,
+       COALESCE(ro.n_right, 0) AS n_right,
+       COALESCE(pairs.n_pairs, 0) AS n_pairs
+FROM u
+LEFT JOIN le ON le.key = u.key
+LEFT JOIN ro ON ro.key = u.key
+LEFT JOIN pairs ON pairs.key = u.key
+"""
+
+
 def q_corpus_jsonl_badlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-input resilience: a JSONL drop is synthesized with every
     third line corrupted (truncated JSON), read back PERMISSIVE with an
@@ -4464,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_multiprobe": q_ann_lsh_multiprobe,
         "text_unigram_logprob": q_text_unigram_logprob,
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
+        "events_orders_cogroup": q_events_orders_cogroup,
     }
 
 
@@ -4515,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_multiprobe": _ann_multiprobe_oracle(),
         "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
         "corpus_jsonl_badlines": ORACLE_JSONL_BADLINES,
+        "events_orders_cogroup": ORACLE_EVENTS_ORDERS_COGROUP,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

@@ -69,3 +69,25 @@ def test_range_join_matches_naive_and_avoids_bnlj(spark):
     )
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_cogroup_pair_counts_golden(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.cogroup import cogroup_pair_counts
+
+    left = spark.createDataFrame(
+        [(1, 0.0), (1, 100.0), (2, 50.0), (4, 10.0)], "k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0), (1, 250.0), (3, 7.0)], "k long, t double"
+    )
+    got = {
+        r.key: (r.n_left, r.n_right, r.n_pairs)
+        for r in cogroup_pair_counts(left, right, "k", "k", "t", "t", max_gap_s=10.0).collect()
+    }
+    # key 1: pairs (0,5) gap 5 ok; (100,5) no; (0,250)/(100,250) no -> 1
+    assert got[1] == (2, 2, 1)
+    assert got[2] == (1, 0, 0)   # right side empty
+    assert got[3] == (0, 1, 0)   # left side empty
+    assert got[4] == (1, 0, 0)
