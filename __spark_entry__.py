@@ -3286,6 +3286,49 @@ GROUP BY media_id, w, h
 """
 
 
+def q_pyds_grid_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (sources/pyds.py, Spark 4 DataSource
+    API): the synthetic grid mounted as ``spark.read.format(
+    "radohydro_grid")`` with real partition planning (one InputPartition
+    per row band) — the extensibility surface for mounting the DWD
+    archive as a catalog format.  Hourly aggregate over the source must
+    match the closed-form obs law the oracle evaluates in SQL."""
+    _utc(spark)
+    from radohydro_spark.sources.pyds import RadohydroGridDataSource
+
+    spark.dataSource.register(RadohydroGridDataSource)
+    obs = (
+        spark.read.format("radohydro_grid")
+        .option("n_rows", GRID.n_rows)
+        .option("n_cols", GRID.n_cols)
+        .option("n_ts", GRID.n_ts)
+        .option("t0", GRID.t0)
+        .option("n_bands", 4)
+        .load()
+    )
+    return obs.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts")
+    ).agg(
+        F.count("*").alias("n_obs"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+    )
+
+
+def _pyds_grid_oracle() -> str:
+    return (
+        oracle_base_ctes(GRID)
+        + f"""
+SELECT strftime(TIMESTAMP '{GRID.t0}' + h * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       COUNT(*) AS n_obs,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_null
+FROM obs GROUP BY 1
+"""
+    )
+
+
 def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped two-sided Arrow kernel (operators/cogroup.py): events
     and orders cogrouped per user/customer key, the kernel counting
@@ -4511,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "events_orders_cogroup": q_events_orders_cogroup,
+        "pyds_grid_source": q_pyds_grid_source,
     }
 
 
@@ -4563,6 +4607,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
         "corpus_jsonl_badlines": ORACLE_JSONL_BADLINES,
         "events_orders_cogroup": ORACLE_EVENTS_ORDERS_COGROUP,
+        "pyds_grid_source": _pyds_grid_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,
