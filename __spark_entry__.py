@@ -3329,6 +3329,58 @@ FROM obs GROUP BY 1
     )
 
 
+def q_pyds_grid_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python Data Source (sources/pyds.py
+    RadohydroGridStreamReader): offset-managed hour-by-hour micro-batches
+    from the same registered format — the live-mirror-poll shape with
+    readBetweenOffsets exactly-once replay.  Python stream sources do not
+    support Trigger.AvailableNow (probed; Spark falls back to one batch),
+    so the bounded drain polls the sink until the full horizon (n_ts
+    hours x grid cells) is committed, then stops.  Aggregate equals the
+    batch source / closed-form obs oracle."""
+    import tempfile
+    import time
+    import uuid
+
+    _utc(spark)
+    from radohydro_spark.sources.pyds import RadohydroGridDataSource
+
+    spark.dataSource.register(RadohydroGridDataSource)
+    stream = (
+        spark.readStream.format("radohydro_grid")
+        .option("n_rows", GRID.n_rows)
+        .option("n_cols", GRID.n_cols)
+        .option("n_ts", GRID.n_ts)
+        .option("t0", GRID.t0)
+        .load()
+    )
+    name = "pyds_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_pyds_"))
+        .start()
+    )
+    expected = GRID.n_rows * GRID.n_cols * GRID.n_ts
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table(name).count() >= expected:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    return (
+        spark.table(name)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("value").cast("bigint").alias("sum_value"),
+            F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+        )
+    )
+
+
 def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped two-sided Arrow kernel (operators/cogroup.py): events
     and orders cogrouped per user/customer key, the kernel counting
@@ -4555,6 +4607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "events_orders_cogroup": q_events_orders_cogroup,
         "pyds_grid_source": q_pyds_grid_source,
+        "pyds_grid_stream": q_pyds_grid_stream,
     }
 
 
@@ -4608,6 +4661,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_jsonl_badlines": ORACLE_JSONL_BADLINES,
         "events_orders_cogroup": ORACLE_EVENTS_ORDERS_COGROUP,
         "pyds_grid_source": _pyds_grid_oracle(),
+        "pyds_grid_stream": _pyds_grid_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

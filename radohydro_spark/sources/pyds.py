@@ -19,12 +19,21 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class RadohydroGridDataSource(DataSource):
     """Options: n_rows, n_cols, n_ts (ints), t0 ('YYYY-MM-DD HH:MM:SS'),
-    n_bands (partition count, default 4)."""
+    n_bands (partition count, default 4).  Doubles as a STREAMING source
+    (``spark.readStream.format("radohydro_grid")``): offset = hour
+    index, one micro-batch per hour — the shape of a live DWD mirror
+    poll, with ``readBetweenOffsets`` giving exactly-once replay after
+    failure."""
 
     @classmethod
     def name(cls) -> str:
@@ -35,6 +44,9 @@ class RadohydroGridDataSource(DataSource):
 
     def reader(self, schema) -> "RadohydroGridReader":
         return RadohydroGridReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "RadohydroGridStreamReader":
+        return RadohydroGridStreamReader(self.options)
 
 
 class _Band(InputPartition):
@@ -70,3 +82,52 @@ class RadohydroGridReader(DataSourceReader):
                     else:
                         value = float((cell_row * 31 + cell_col * 17 + h * 13) % 120)
                     yield (t0 + timedelta(hours=h), cell_row, cell_col, value)
+
+
+def _hour_rows(n_rows: int, n_cols: int, t0: datetime, h: int):
+    ts = t0 + timedelta(hours=h)
+    for cell_row in range(n_rows):
+        for cell_col in range(n_cols):
+            if ((cell_row * 13 + cell_col * 7) % 5 == 0) and (
+                (h + cell_row + cell_col) % 8 == 0
+            ):
+                value = None
+            else:
+                value = float((cell_row * 31 + cell_col * 17 + h * 13) % 120)
+            yield (ts, cell_row, cell_col, value)
+
+
+class RadohydroGridStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed micro-batch reader: ``{"h": k}`` means hours
+    [0, k) are committed.  ``read`` emits one hour per trigger until the
+    bounded horizon (``n_ts``) is reached, then reports no progress;
+    ``readBetweenOffsets`` regenerates any committed span for replay
+    (the exactly-once contract after a failed batch)."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 6))
+        self.n_cols = int(options.get("n_cols", 8))
+        self.n_ts = int(options.get("n_ts", 24))
+        self.t0 = datetime.strptime(
+            options.get("t0", "2024-01-01 00:00:00"), "%Y-%m-%d %H:%M:%S"
+        )
+
+    def initialOffset(self):
+        return {"h": 0}
+
+    def read(self, start):
+        # LIST-backed iterators: Spark's prefetch cache copy.copy()s the
+        # returned iterator, which fails on raw generators
+        h = start["h"]
+        if h >= self.n_ts:
+            return iter([]), {"h": h}
+        rows = list(_hour_rows(self.n_rows, self.n_cols, self.t0, h))
+        return iter(rows), {"h": h + 1}
+
+    def readBetweenOffsets(self, start, end):
+        rows = [
+            row
+            for h in range(start["h"], end["h"])
+            for row in _hour_rows(self.n_rows, self.n_cols, self.t0, h)
+        ]
+        return iter(rows)

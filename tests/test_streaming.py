@@ -260,3 +260,27 @@ def test_foreach_batch_upsert_multi_batch(spark, tmp_path):
     got2 = {(r.k, r.val) for r in spark.read.parquet(target).collect()}
     assert got2 == want
     assert (3, "v3") not in got2 and (42, "v42") in got2 and (1, "V1") in got2
+
+
+def test_pyds_stream_replay_between_offsets(spark):
+    """readBetweenOffsets regenerates exactly the committed span — the
+    exactly-once replay contract of the custom streaming source."""
+    from radohydro_spark.sources.pyds import RadohydroGridStreamReader
+
+    r = RadohydroGridStreamReader(
+        {"n_rows": "3", "n_cols": "4", "n_ts": "6", "t0": "2024-01-01 00:00:00"}
+    )
+    # walk read() across the horizon
+    all_rows, off = [], r.initialOffset()
+    for _ in range(10):
+        it, nxt = r.read(off)
+        all_rows.extend(it)
+        if nxt == off:
+            break
+        off = nxt
+    assert off == {"h": 6}
+    assert len(all_rows) == 3 * 4 * 6
+    # replay any span == the original slice
+    replay = list(r.readBetweenOffsets({"h": 2}, {"h": 5}))
+    direct = [row for row in all_rows if 2 <= (row[0].hour) < 5]
+    assert replay == direct
