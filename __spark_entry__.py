@@ -3381,6 +3381,50 @@ def q_pyds_grid_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pyds_shard_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source WRITER (sources/pyds.py
+    ShardStoreDataSource): documents written through
+    ``format("radohydro_shards")`` as content-addressed JSONL shards with
+    a driver-committed _MANIFEST.json — the two-phase lakehouse commit in
+    minimal form.  The query reads the committed shards back and
+    aggregates per language; read-back must match aggregating the source
+    table directly (the oracle)."""
+    import tempfile
+
+    from radohydro_spark.sources.pyds import ShardStoreDataSource
+
+    spark.dataSource.register(ShardStoreDataSource)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out_dir = tempfile.mkdtemp(prefix="radohydro_shards_") + "/store"
+    (
+        d.repartition(4, "doc_id")
+        .write.format("radohydro_shards")
+        .option("path", out_dir)
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.schema("doc_id long, lang string, n_chars long")
+        .option("pathGlobFilter", "shard-*.jsonl")
+        .json(out_dir)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct("doc_id").alias("n_distinct_ids"),
+    )
+
+
+ORACLE_PYDS_SHARD_SINK = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       COUNT(DISTINCT doc_id) AS n_distinct_ids
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_events_orders_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped two-sided Arrow kernel (operators/cogroup.py): events
     and orders cogrouped per user/customer key, the kernel counting
@@ -4608,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orders_cogroup": q_events_orders_cogroup,
         "pyds_grid_source": q_pyds_grid_source,
         "pyds_grid_stream": q_pyds_grid_stream,
+        "pyds_shard_sink": q_pyds_shard_sink,
     }
 
 
@@ -4662,6 +4707,7 @@ def oracle_sql() -> dict[str, str]:
         "events_orders_cogroup": ORACLE_EVENTS_ORDERS_COGROUP,
         "pyds_grid_source": _pyds_grid_oracle(),
         "pyds_grid_stream": _pyds_grid_oracle(),
+        "pyds_shard_sink": ORACLE_PYDS_SHARD_SINK,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

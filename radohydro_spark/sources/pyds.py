@@ -22,8 +22,10 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -131,3 +133,80 @@ class RadohydroGridStreamReader(SimpleDataSourceStreamReader):
             for row in _hour_rows(self.n_rows, self.n_cols, self.t0, h)
         ]
         return iter(rows)
+
+
+class ShardStoreDataSource(DataSource):
+    """Custom WRITE path (DataSourceWriter): ``df.write.format(
+    "radohydro_shards").option("path", ...)`` stores each partition as a
+    content-addressed JSONL shard (file name = md5 of the shard bytes)
+    and the driver-side ``commit`` publishes a ``_MANIFEST.json`` naming
+    every committed shard — the two-phase commit protocol of a real
+    lakehouse sink, in its minimal honest form.  Content addressing
+    makes speculative/retried task attempts idempotent: identical input
+    produces the identical file name and bytes.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "radohydro_shards"
+
+    def writer(self, schema, overwrite: bool):
+        return ShardStoreWriter(self.options, [f.name for f in schema.fields])
+
+
+class _ShardCommit(WriterCommitMessage):
+    """Picklable commit message: (file name, row count)."""
+
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class ShardStoreWriter(DataSourceWriter):
+    def __init__(self, options: dict, columns: list[str]):
+        self.path = options["path"]
+        self.columns = columns
+
+    def write(self, iterator):
+        import hashlib
+        import json
+        import os
+
+        lines = []
+        for row in iterator:
+            rec = {c: row[i] for i, c in enumerate(self.columns)}
+            lines.append(json.dumps(rec, sort_keys=True, default=str))
+        payload = ("\n".join(lines) + "\n").encode() if lines else b""
+        if not payload:
+            return _ShardCommit("", 0)
+        digest = hashlib.md5(payload).hexdigest()
+        fname = f"shard-{digest}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, fname), "wb") as f:
+            f.write(payload)
+        return _ShardCommit(fname, len(lines))
+
+    def commit(self, messages):
+        import json
+        import os
+
+        shards = sorted(
+            (
+                {"file": m.filename, "rows": m.n_rows}
+                for m in messages
+                if m is not None and m.n_rows
+            ),
+            key=lambda s: s["file"],
+        )
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump({"shards": shards, "n_rows": sum(s["rows"] for s in shards)}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and m.n_rows:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass

@@ -223,3 +223,36 @@ def test_pyds_grid_source_matches_synthetic_obs(spark):
     assert a == b  # row-for-row identical to the expression-built twin
     # partition planning: bands are real splits
     assert src.rdd.getNumPartitions() == 3
+
+
+def test_pyds_shard_sink_manifest_and_idempotence(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.sources.pyds import ShardStoreDataSource
+
+    spark.dataSource.register(ShardStoreDataSource)
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("grp")
+    )
+    store = str(tmp_path / "store")
+    df.repartition(4, "doc_id").write.format("radohydro_shards").option(
+        "path", store
+    ).mode("append").save()
+    manifest = json.loads((tmp_path / "store" / "_MANIFEST.json").read_text())
+    assert manifest["n_rows"] == 100
+    files = sorted(p.name for p in (tmp_path / "store").glob("shard-*.jsonl"))
+    assert files == sorted(s["file"] for s in manifest["shards"])
+    # content addressing: rewriting the identical data adds NO new shards
+    df.repartition(4, "doc_id").write.format("radohydro_shards").option(
+        "path", store
+    ).mode("append").save()
+    files2 = sorted(p.name for p in (tmp_path / "store").glob("shard-*.jsonl"))
+    assert files2 == files
+    # read-back equals source
+    back = spark.read.schema("doc_id long, grp long").option(
+        "pathGlobFilter", "shard-*.jsonl"
+    ).json(store)
+    assert back.count() == 100
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
