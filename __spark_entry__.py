@@ -871,6 +871,19 @@ FROM (
 WHERE rnk <= 3
 """
 
+# LATERAL correlated subquery (Spark 4 + DuckDB share the syntax): the
+# per-row-parameterized derived table — Catalyst decorrelates it to a
+# ranked join, so the declarative form costs the same as SQL_WINDOW_TOP.
+SQL_LATERAL_TOPN = """
+SELECT d.c_nationkey, top.c_custkey, top.c_acctbal
+FROM (SELECT DISTINCT c_nationkey FROM customer) AS d,
+LATERAL (SELECT c_custkey, c_acctbal
+         FROM customer c
+         WHERE c.c_nationkey = d.c_nationkey
+         ORDER BY c_acctbal DESC, c_custkey ASC
+         LIMIT 2) AS top
+"""
+
 SQL_RUNNING = """
 SELECT o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -4653,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyds_grid_source": q_pyds_grid_source,
         "pyds_grid_stream": q_pyds_grid_stream,
         "pyds_shard_sink": q_pyds_shard_sink,
+        "join_lateral_topn": _sql(SQL_LATERAL_TOPN, ["customer"]),
     }
 
 
@@ -4708,6 +4722,7 @@ def oracle_sql() -> dict[str, str]:
         "pyds_grid_source": _pyds_grid_oracle(),
         "pyds_grid_stream": _pyds_grid_oracle(),
         "pyds_shard_sink": ORACLE_PYDS_SHARD_SINK,
+        "join_lateral_topn": SQL_LATERAL_TOPN,
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,
