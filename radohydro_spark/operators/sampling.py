@@ -109,9 +109,12 @@ def weighted_sample(
     and partition layouts — no RNG.
 
     Weights must be > 0 (rows with NULL/non-positive weight are dropped).
-    The top-n window has no partition key, but WindowGroupLimit reduces
-    it map-side: each task forwards at most n rows, so the single-task
-    tail sees tasks*n rows, not the corpus.
+    The top-n is ``orderBy(...).limit(n)`` — Spark plans it as
+    TakeOrderedAndProject: each task keeps a local n-row heap and the
+    driver merges tasks*n candidates, so nothing ever concentrates the
+    corpus on one partition.  (A global row_number window is the wrong
+    shape here: with no partition key, WindowExec moves ALL rows to a
+    single task — measured in the plan, not guessed.)
 
     Returns the input columns plus ``sample_key`` (for auditability) —
     filter/project downstream as needed.
@@ -120,11 +123,9 @@ def weighted_sample(
         4294967296.0
     )
     key = F.log(u) / F.col(weight_col).cast("double")
-    w = W.orderBy(F.desc("sample_key"), F.col(id_col))
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("sample_key", key)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n)
-        .drop("_r")
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(n)
     )

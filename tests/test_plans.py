@@ -176,3 +176,86 @@ def test_corpus_curation_no_cartesian(spark):
     df = entrymod.q_corpus_curation(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+# ---- round-5 operator plan shapes ----
+
+
+def test_stratified_cap_windowgrouplimit_pushdown(spark):
+    from radohydro_spark.operators.sampling import stratified_cap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(stratified_cap(docs, "doc_id", "source", 10))
+    # partial top-N must run BEFORE the exchange (map-side reduction)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_take_ordered_not_global_window(spark):
+    from radohydro_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(weighted_sample(docs, "doc_id", "n_chars", 50))
+    # distributed per-task heap + driver merge; a global row_number
+    # window here would single-task the corpus (WindowExec warning)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_snapshot_diff_single_join(spark):
+    from radohydro_spark.operators.merge import snapshot_diff
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    old = o.filter(F.col("o_orderkey") % 10 != 3)
+    new = o.filter(F.col("o_orderkey") % 10 != 0)
+    plan = _plan(snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"]))
+    # exactly ONE join, full-outer, no nested loop
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) == 1
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_nearest_neighbor_join_broadcast_and_partial_agg(spark):
+    from radohydro_spark.operators.spatial import nearest_neighbor_join
+
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        F.col("id").cast("double").alias("cx"),
+        F.lit(0.0).alias("cy"),
+    )
+    anchors = spark.range(5).select(
+        F.col("id").alias("basin_id"),
+        (F.col("id") * 20.0).alias("bx"),
+        F.lit(0.0).alias("by"),
+    )
+    plan = _plan(nearest_neighbor_join(pts, anchors, ["pid"]))
+    assert "BroadcastNestedLoopJoin" in plan  # tiny-side cross join broadcast
+    assert "CartesianProduct" not in plan
+    # min_by argmin is a real aggregate with a map-side partial pair
+    # (struct-typed min_by plans as SortAggregate)
+    assert "partial_min_by" in plan
+    assert len(re.findall(r"SortAggregate|HashAggregate", plan)) >= 2
+
+
+def test_lsh_bucket_compact_expression(spark):
+    from radohydro_spark.operators.similarity import lsh_bucket
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    df = e.select("vec_id", lsh_bucket(e, "embedding", 4, 64).alias("bucket"))
+    plan = _final_plan(df)
+    # array-literal zip_with/aggregate form: 4 folds, not 256 unrolled
+    # multiply terms (which overflowed the JVM 64KB codegen method limit
+    # and crashed compilation to a hard interpreted fallback)
+    assert plan.count("zip_with") == 4
+    # scan stays pruned to the two needed columns
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_html_to_text_no_python_udf(spark):
+    from radohydro_spark.functions.text import html_to_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(docs.select(html_to_text("text").alias("t")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
