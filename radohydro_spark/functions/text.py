@@ -282,16 +282,10 @@ def unigram_logprob(
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt")).filter(
         F.col("cnt") >= min_count
     )
-    from pyspark.sql import Window as W
-
-    vocab = (
-        counts.withColumn(
-            "_r",
-            F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok"))),
-        )
-        .filter(F.col("_r") <= top_k)
-        .drop("_r")
-    )
+    # top-k via orderBy().limit(): TakeOrderedAndProject (per-task heaps +
+    # driver merge) — a global row_number window would single-task the
+    # entire distinct-token table, which at corpus scale is enormous
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_k)
     total = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
     scored = (
         toks.join(F.broadcast(vocab), "tok", "left")

@@ -259,3 +259,12 @@ def test_html_to_text_no_python_udf(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(docs.select(html_to_text("text").alias("t")))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_vocab_cut_take_ordered(spark):
+    from radohydro_spark.functions.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(unigram_logprob(docs, top_k=100, min_count=2))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # no global-window single-tasking anywhere
