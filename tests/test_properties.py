@@ -218,3 +218,80 @@ def test_pq_lut_scoring_matches_direct(seed):
         [sum(((q[j] - books[j][codes[i, j]]) ** 2).sum() for j in range(m)) for i in range(n)]
     )
     assert np.allclose(adc, direct, atol=1e-9)
+
+
+def test_snapshot_diff_reconstruction_law(spark):
+    """old + diff == new: applying the CDC classes to the old snapshot
+    reconstructs the new one exactly."""
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.merge import snapshot_diff
+
+    base = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.7).alias("v"),
+        (F.col("id") % 5).cast("string").alias("s"),
+    )
+    old = base.filter(F.col("k") % 7 != 0)
+    new = base.filter(F.col("k") % 11 != 0).withColumn(
+        "v", F.when(F.col("k") % 3 == 0, F.col("v") + 100).otherwise(F.col("v"))
+    )
+    d = snapshot_diff(old, new, ["k"])
+    upserts = d.filter(F.col("change_type") != "delete").select("k", "v", "s")
+    gone = d.filter(F.col("change_type") == "delete").select("k")
+    rebuilt = old.join(
+        d.select("k"), "k", "left_anti"  # untouched rows
+    ).unionByName(upserts).join(gone, "k", "left_anti")
+    assert {tuple(r) for r in rebuilt.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+    # diff of identical snapshots is empty
+    assert snapshot_diff(new, new, ["k"]).count() == 0
+
+
+def test_gap_fill_bounded_by_anchors(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.aggregate import gap_fill_linear
+
+    df = spark.range(200).select(
+        (F.col("id") % 4).cast("int").alias("basin_id"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-01 "), F.format_string("%02d", (F.col("id") / 4).cast("int") % 24), F.lit(":00:00"))
+        ).alias("ts"),
+        F.when((F.col("id") * 37 % 11) < 3, None)
+        .otherwise((F.col("id") * 13 % 100).cast("double"))
+        .alias("rainfall_mm"),
+    ).dropDuplicates(["basin_id", "ts"])
+    out = gap_fill_linear(df).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.basin_id, []).append(r)
+    orig = {(r.basin_id, str(r.ts)): r.rainfall_mm for r in df.collect()}
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: str(r.ts))
+        series = [orig[(k, str(r.ts))] for r in rows]
+        for i, r in enumerate(rows):
+            if not r.was_interpolated:
+                assert r.rainfall_mm == series[i]
+                continue
+            prevs = [v for v in series[:i] if v is not None]
+            nexts = [v for v in series[i + 1 :] if v is not None]
+            lo, hi = sorted((prevs[-1], nexts[0]))
+            assert lo - 1e-9 <= r.rainfall_mm <= hi + 1e-9
+
+
+def test_stratified_cap_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.sampling import stratified_cap
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9).alias("src")
+    )
+    a = {r.doc_id for r in stratified_cap(df, "doc_id", "src", 13).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_cap(df.repartition(17), "doc_id", "src", 13).collect()
+    }
+    assert a == b  # survivors are a pure function of ids, not layout
