@@ -4976,6 +4976,7 @@ QUERY_NOTES: dict[str, str] = {
     "grouping_sets_pricing": "GROUPING SETS aggregate with grouping-id disambiguation (shared ANSI).",
     "join_anti_customers": "Left-anti join: customers with no orders (shared ANSI NOT EXISTS shape).",
     "join_outer_nations": "Left-outer join preserving empty nations, NULL-safe aggregates after (shared ANSI).",
+    "join_lateral_topn": "LATERAL correlated derived table: per-nation top-2 customers, one SQL string in both engines (Catalyst decorrelates to a ranked join).",
     "join_semi_customers": "Left-semi join: customers having at least one order, no row multiplication (shared ANSI).",
     "media_byte_histogram": "Per-payload 16-bucket byte histogram via mapInPandas — corruption screen usable at any scale.",
     "media_decode_fake": "Deterministic stub decode: dims from payload length, mean intensity from bytes (codec-free plumbing check).",
