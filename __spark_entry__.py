@@ -2788,7 +2788,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOKEN_BUDGET = f"""
+ORACLE_TOKEN_BUDGET = rf"""
 SELECT doc_id,
        len({_SQL_TOKS}) AS n_words,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_ish,
