@@ -3299,6 +3299,45 @@ GROUP BY media_id, w, h
 """
 
 
+def q_precip_api_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antecedent precipitation index (operators/aggregate.py
+    antecedent_precipitation_index): API_t = 0.9·API_{t-1} + P_t over the
+    basin time series, computed exactly via the closed form
+    k^t · running-sum(P_i·k^-i) — one window per key, no recursion, no
+    UDF.  NaN-policy NULL hours decay the state without contributing.
+    The oracle evaluates the identical closed form over the pipeline
+    CTEs."""
+    _utc(spark)
+    from radohydro_spark.operators.aggregate import antecedent_precipitation_index
+
+    res = precip_timeseries(
+        synthetic_obs(spark), synthetic_cells(spark), synthetic_basins(spark)
+    )
+    out = antecedent_precipitation_index(res, k=0.9)
+    return out.select(
+        "basin_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("api", 6).alias("api"),
+    )
+
+
+def _api_index_oracle(k: float = 0.9) -> str:
+    return (
+        oracle_base_ctes(GRID)
+        + f"""
+SELECT basin_id,
+       strftime(TIMESTAMP '{GRID.t0}' + h * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       round(
+         pow({k}, h) * SUM(COALESCE(rainfall_mm, 0) * pow({k}, -h)) OVER (
+           PARTITION BY basin_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         6) AS api
+FROM res
+"""
+    )
+
+
 def q_pyds_grid_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source (sources/pyds.py, Spark 4 DataSource
     API): the synthetic grid mounted as ``spark.read.format(
@@ -4667,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyds_grid_stream": q_pyds_grid_stream,
         "pyds_shard_sink": q_pyds_shard_sink,
         "join_lateral_topn": _sql(SQL_LATERAL_TOPN, ["customer"]),
+        "precip_api_index": q_precip_api_index,
     }
 
 
@@ -4723,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
         "pyds_grid_stream": _pyds_grid_oracle(),
         "pyds_shard_sink": ORACLE_PYDS_SHARD_SINK,
         "join_lateral_topn": SQL_LATERAL_TOPN,
+        "precip_api_index": _api_index_oracle(),
         "tpch_q1_pricing": SQL_Q1,
         "tpch_q3_top_orders": SQL_Q3,
         "tpch_q5_regional_revenue": SQL_Q5,

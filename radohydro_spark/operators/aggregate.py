@@ -156,6 +156,44 @@ def gap_fill_linear(
     )
 
 
+def antecedent_precipitation_index(
+    result: DataFrame,
+    k: float = 0.9,
+    key_col: str = "basin_id",
+    ts_col: str = "ts",
+    value_col: str = "rainfall_mm",
+    hour0: str | None = None,
+) -> DataFrame:
+    """Antecedent precipitation index: API_t = k·API_{t-1} + P_t — the
+    classic soil-moisture proxy (Kohler & Linsley '51) driving runoff
+    models downstream of exactly this pipeline.
+
+    The recursion is closed-form: API_t = k^t · Σ_{i<=t} P_i · k^(-i),
+    so ONE running-sum window per key computes it exactly — no iterative
+    loop, no UDF; NULL timesteps (A5 NaN policy) contribute nothing but
+    keep decaying the state, matching the hydrological reading of a
+    data-gap hour.  ``k^(-i)`` grows without bound, so ``i`` is hours
+    since the series start (``hour0`` defaults to each key's MIN ts) —
+    exact for bounded replay horizons; for unbounded streams use the
+    stateful form (streaming/streams.py stateful_running_total pattern)
+    which carries API directly.
+
+    Adds ``api`` to the input columns.
+    """
+    t = F.col(ts_col).cast("double")
+    if hour0 is None:
+        t0 = F.min(t).over(W.partitionBy(key_col))
+    else:
+        t0 = F.lit(hour0).cast("timestamp").cast("double")
+    hours = (t - t0) / 3600.0
+    term = F.coalesce(F.col(value_col), F.lit(0.0)) * F.pow(F.lit(k), -hours)
+    w = W.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    api = F.pow(F.lit(k), hours) * F.sum(term).over(w)
+    return result.select("*", api.alias("api"))
+
+
 def wide_to_long(
     wide: DataFrame,
     key_cols: list[str],

@@ -217,3 +217,33 @@ def test_gap_fill_linear_hand_computed(spark):
     assert abs(v - 4.0) < 1e-9 and flag  # 2 + (8-2) * 1h/3h
     assert got[(1, "2024-01-01 05:00:00")] == (None, False)
     assert got[(2, "2024-01-01 00:00:00")] == (5.0, False)
+
+
+def test_api_index_matches_recursion(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.aggregate import antecedent_precipitation_index
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 01:00:00", 0.0),
+        (1, "2024-01-01 02:00:00", None),   # gap hour: decay only
+        (1, "2024-01-01 03:00:00", 5.0),
+        (2, "2024-01-01 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "basin_id int, ts string, rainfall_mm double").select(
+        "basin_id", F.to_timestamp("ts").alias("ts"), "rainfall_mm"
+    )
+    got = {
+        (r.basin_id, str(r.ts)): r.api
+        for r in antecedent_precipitation_index(df, k=0.9).collect()
+    }
+    # direct recursion twin
+    api = 0.0
+    expect = {}
+    for ts, p in [(r[1], r[2]) for r in rows if r[0] == 1]:
+        api = 0.9 * api + (p or 0.0)
+        expect[ts] = api
+    for ts, v in expect.items():
+        assert abs(got[(1, ts)] - v) < 1e-9
+    assert abs(got[(2, "2024-01-01 00:00:00")] - 7.0) < 1e-9  # keys independent
