@@ -163,35 +163,130 @@ def antecedent_precipitation_index(
     ts_col: str = "ts",
     value_col: str = "rainfall_mm",
     hour0: str | None = None,
+    segment_hours: int = 2048,
 ) -> DataFrame:
     """Antecedent precipitation index: API_t = k·API_{t-1} + P_t — the
     classic soil-moisture proxy (Kohler & Linsley '51) driving runoff
     models downstream of exactly this pipeline.
 
-    The recursion is closed-form: API_t = k^t · Σ_{i<=t} P_i · k^(-i),
-    so ONE running-sum window per key computes it exactly — no iterative
-    loop, no UDF; NULL timesteps (A5 NaN policy) contribute nothing but
-    keep decaying the state, matching the hydrological reading of a
-    data-gap hour.  ``k^(-i)`` grows without bound, so ``i`` is hours
-    since the series start (``hour0`` defaults to each key's MIN ts) —
-    exact for bounded replay horizons; for unbounded streams use the
-    stateful form (streaming/streams.py stateful_running_total pattern)
-    which carries API directly.
+    The recursion is closed-form — API_t = k^t · Σ_{i<=t} P_i · k^(-i) —
+    but the naive form overflows float64 once ``hours·ln(1/k)`` passes
+    ~709 (k=0.9: ~6,700 hours, nine months of hourly data).  So the
+    exponent is REBASED PER SEGMENT of ``segment_hours`` (r6 fix):
 
-    Adds ``api`` to the input columns.
+      seg  = floor(hours / L),  r = hours - seg·L       (0 ≤ r < L)
+      API_t = k^r · (carry_in(seg) + Σ_{i in seg, ≤t} P_i · k^(-r_i))
+
+    with the cross-segment state carried by
+
+      carry_in(s) = (carry_in(s') + T_{s'}) · k^((s - s')·L)
+
+    over the *present* segments s' < s (gaps decay through the exponent).
+    The per-row work is unchanged — one running-sum window per
+    (key, segment), all JVM; the carry recursion runs over the
+    keys×segments aggregate (thousands of rows where obs has billions)
+    as a single JVM ``aggregate`` higher-order function over each key's
+    sorted segment list — no UDF, no driver loop, one extra broadcast
+    join back.  ``k^(-r)`` is bounded by ``k^(-L)`` (k=0.9, L=2048 →
+    ~1e93, comfortably finite), so the horizon is unbounded: a
+    100-year hourly series stays finite, with contributions older than
+    float64's ~e^-745 underflow floor decaying to exactly 0.
+
+    NULL timesteps (A5 NaN policy) contribute nothing but keep decaying
+    the state, matching the hydrological reading of a data-gap hour.
+    ``hour0`` defaults to each key's MIN ts.  Adds ``api`` to the input
+    columns.
     """
+    L = float(segment_hours)
     t = F.col(ts_col).cast("double")
     if hour0 is None:
         t0 = F.min(t).over(W.partitionBy(key_col))
     else:
         t0 = F.lit(hour0).cast("timestamp").cast("double")
     hours = (t - t0) / 3600.0
-    term = F.coalesce(F.col(value_col), F.lit(0.0)) * F.pow(F.lit(k), -hours)
-    w = W.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+    seg = F.floor(hours / F.lit(L))
+    r = hours - seg.cast("double") * F.lit(L)
+    term = F.coalesce(F.col(value_col), F.lit(0.0)) * F.pow(F.lit(k), -r)
+    w = W.partitionBy(key_col, "_api_seg").orderBy(ts_col).rowsBetween(
         W.unboundedPreceding, 0
     )
-    api = F.pow(F.lit(k), hours) * F.sum(term).over(w)
-    return result.select("*", api.alias("api"))
+    staged = result.select(
+        "*", seg.alias("_api_seg"), r.alias("_api_r"), term.alias("_api_term")
+    )
+    inseg = F.sum("_api_term").over(w)
+
+    # keys×segments totals — dimension-sized even at 100 TB obs
+    seg_tot = staged.groupBy(key_col, "_api_seg").agg(
+        F.sum("_api_term").alias("_api_T")
+    )
+    # carry recursion as one JVM higher-order aggregate per key: fold the
+    # sorted (seg, T) list, emitting carry_in for each present segment
+    acc0 = F.expr(
+        "named_struct("
+        "'out', cast(array() as array<struct<seg:bigint,carry:double>>), "
+        "'c', cast(0.0 as double), 'prev_seg', cast(null as bigint), "
+        "'prev_T', cast(0.0 as double))"
+    )
+    step = (
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["seg"].alias("seg"),
+                        F.when(acc["prev_seg"].isNull(), F.lit(0.0))
+                        .otherwise(
+                            (acc["c"] + acc["prev_T"])
+                            * F.pow(
+                                F.lit(k),
+                                (x["seg"] - acc["prev_seg"]).cast("double")
+                                * F.lit(L),
+                            )
+                        )
+                        .alias("carry"),
+                    )
+                ),
+            ).alias("out"),
+            F.when(acc["prev_seg"].isNull(), F.lit(0.0))
+            .otherwise(
+                (acc["c"] + acc["prev_T"])
+                * F.pow(
+                    F.lit(k),
+                    (x["seg"] - acc["prev_seg"]).cast("double") * F.lit(L),
+                )
+            )
+            .alias("c"),
+            x["seg"].alias("prev_seg"),
+            x["T"].alias("prev_T"),
+        )
+    )
+    carries = (
+        seg_tot.groupBy(key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_api_seg").alias("seg"), F.col("_api_T").alias("T")
+                    )
+                )
+            ).alias("_sts")
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.aggregate("_sts", acc0, step, lambda acc: acc["out"])
+            ).alias("_sc"),
+        )
+        .select(
+            key_col,
+            F.col("_sc.seg").alias("_api_seg"),
+            F.col("_sc.carry").alias("_api_carry"),
+        )
+    )
+    out = staged.join(F.broadcast(carries), [key_col, "_api_seg"], "inner")
+    api = F.pow(F.lit(k), F.col("_api_r")) * (F.col("_api_carry") + inseg)
+    keep = [c for c in result.columns]
+    return out.select(*keep, api.alias("api"))
 
 
 def wide_to_long(

@@ -119,6 +119,11 @@ def check_constraints(
                 F.count("*").cast("long").alias("n_violations"),
             )
         )
+    if not parts:
+        raise ValueError(
+            "check_constraints called with no rules: pass at least one of "
+            "not_null / unique / row_rules / foreign_keys"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

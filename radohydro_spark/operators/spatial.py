@@ -332,6 +332,11 @@ def nearest_neighbor_join(
         F.col(rx).alias("_nn_x"),
         F.col(ry).alias("_nn_y"),
     )
+    # crossJoin+groupBy would silently drop EVERY left row if the right
+    # side were empty; the right side is dimension-sized (broadcast) by
+    # contract, so an emptiness probe costs one tiny job — fail loudly.
+    if r.isEmpty():
+        raise ValueError("nearest_neighbor_join: right side has no rows")
     # explicit products, not pow(x, 2): bit-identical to the SQL twin
     dx = F.col(lx) - F.col("_nn_x")
     dy = F.col(ly) - F.col("_nn_y")

@@ -5,7 +5,12 @@ matching ``oracle_sql()`` through DuckDB over the same parquet tables, and
 compares row count, column-name set, and (column-name-sorted, row-sorted)
 values. Floats compare with rel tol 1e-9; everything else exact.
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+With ``--strict``, floats are NOT rounded and compare by exact repr —
+mirroring the driver's exact value-hash, which the default tolerant mode
+cannot emulate (it masked the r5 ``orders_snapshot_diff`` one-cent
+divergence).  Run the driver window through --strict before each round.
+
+Usage: python scripts/check_correctness.py [--strict] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -14,6 +19,8 @@ import math
 import sys
 
 import duckdb
+
+STRICT = "--strict" in sys.argv
 
 sys.path.insert(0, "/root/repo")
 
@@ -29,6 +36,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
+        if STRICT:
+            # exact: -0.0 == 0.0 canonicalised, everything else bit-exact
+            return repr(v + 0.0)
         return round(v, 9)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
@@ -42,6 +52,8 @@ def norm_cell(v):
         import decimal
 
         if isinstance(v, decimal.Decimal):
+            if STRICT:
+                return repr(float(v) + 0.0)
             return round(float(v), 9)
     except Exception:
         pass
@@ -76,8 +88,9 @@ def values_match(a, b):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
+    only = [a for a in argv if "/" not in a]
     spark = get_spark("correctness")
     con = duckdb.connect()
     for t in TABLES:

@@ -247,3 +247,48 @@ def test_api_index_matches_recursion(spark):
     for ts, v in expect.items():
         assert abs(got[(1, ts)] - v) < 1e-9
     assert abs(got[(2, "2024-01-01 00:00:00")] - 7.0) < 1e-9  # keys independent
+
+
+def test_api_index_long_horizon_finite(spark):
+    """r6 regression: the naive closed form computed k^(-hours) and
+    overflowed float64 past ~6,700 hours at k=0.9 (silent inf/NaN).  The
+    segmented-exponent rebase must stay finite AND exact at a 9,000-hour
+    (>1-year hourly) horizon, including across a multi-segment data gap."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.aggregate import antecedent_precipitation_index
+
+    n = 9_000
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(0.0, 5.0, n)
+    vals[rng.rand(n) < 0.1] = np.nan
+    ts = pd.date_range("2020-01-01", periods=n, freq="h")
+    pdf = pd.DataFrame({"basin_id": 1, "ts": ts, "rainfall_mm": vals})
+    gap = pdf[(pdf.index < 100) | (pdf.index > 8_000)].assign(basin_id=2)
+    df = spark.createDataFrame(pd.concat([pdf, gap]))
+    out = (
+        antecedent_precipitation_index(df, k=0.9)
+        .orderBy("basin_id", "ts")
+        .toPandas()
+    )
+
+    def seq_api(sub):
+        api, vals_out, prev = 0.0, [], None
+        for t, p in zip(sub["ts"], sub["rainfall_mm"]):
+            if prev is not None:
+                api *= 0.9 ** ((t - prev).total_seconds() / 3600.0)
+            api += 0.0 if pd.isna(p) else p
+            vals_out.append(api)
+            prev = t
+        return np.array(vals_out)
+
+    for key, src in ((1, pdf), (2, gap)):
+        got = out[out.basin_id == key]["api"].to_numpy()
+        ref = seq_api(src)
+        assert len(got) == len(ref)
+        assert np.isfinite(got).all(), f"key {key}: non-finite api"
+        rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-12)
+        assert rel.max() < 1e-9, f"key {key}: max rel err {rel.max()}"
