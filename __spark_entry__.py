@@ -3299,6 +3299,68 @@ GROUP BY media_id, w, h
 """
 
 
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real end-to-end JPEG decode (no image library, r6): deterministic
+    grayscale baseline JPEGs are ENCODED executor-side (sources/jpeg.py
+    encode_jpeg_gray — DCT, zigzag, Annex-K Huffman, byte stuffing) then
+    decoded back through the real ``decode_media`` path (marker walk,
+    stream-defined DQT/DHT, Huffman decode, dequantize, IDCT).  Fixture
+    law: each image is (2 + doc_id%2) x (2 + doc_id%3) BLOCKS of 8x8
+    constant pixels, block b valued (doc_id*31 + b*7) % 256 — with the
+    all-ones quant table a block-constant image carries only exact-integer
+    DC coefficients, so the lossy format round-trips BIT-EXACTLY and the
+    oracle recomputes dims and mean in closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from radohydro_spark.sources.jpeg import encode_jpeg_gray
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw = 2 + did % 3
+                bh = 2 + did % 2
+                b = np.arange(bw * bh, dtype=np.int64)
+                blocks = ((did * 31 + b * 7) % 256).astype(np.uint8).reshape(bh, bw)
+                px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                ids.append(did)
+                payloads.append(encode_jpeg_gray(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    jpg = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return MM.decode_media(jpg).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+ORACLE_MEDIA_DECODE_JPEG = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         2 + doc_id % 3 AS bw,
+         2 + doc_id % 2 AS bh
+  FROM documents
+),
+blk AS (
+  SELECT media_id, bw, bh, unnest(range(0, bw * bh)) AS b FROM m
+)
+SELECT media_id,
+       CAST(bw * 8 AS INT) AS width,
+       CAST(bh * 8 AS INT) AS height,
+       1 AS channels,
+       round(avg(CAST((media_id * 31 + b * 7) % 256 AS DOUBLE)), 4) AS mean_intensity
+FROM blk
+GROUP BY media_id, bw, bh
+"""
+
+
 def q_precip_api_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Antecedent precipitation index (operators/aggregate.py
     antecedent_precipitation_index): API_t = 0.9·API_{t-1} + P_t over the
@@ -4615,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filename_parse": q_filename_parse,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # Positions 40-49: NEW in round 6 (inserted as they land)
+        "media_decode_jpeg": q_media_decode_jpeg,
         # --- end of round-6 driver window ---
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -4760,6 +4823,7 @@ def oracle_sql() -> dict[str, str]:
         "precip_geotiff_decode_pipeline": oracle_pipeline_sql(GRID),
         "precip_csv_roundtrip": _csv_roundtrip_oracle(),
         "media_decode_bmp": ORACLE_MEDIA_DECODE_BMP,
+        "media_decode_jpeg": ORACLE_MEDIA_DECODE_JPEG,
         "precip_wide_roundtrip": _wide_roundtrip_oracle(),
         "precip_cellgrid_roundtrip": oracle_cellgrid_sql(GRID),
         "storage_orc_roundtrip": ORACLE_ORC_ROUNDTRIP,

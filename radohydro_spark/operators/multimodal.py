@@ -79,13 +79,16 @@ def decode_media(
 
     The real path (``fake=False``) decodes **BMP** payloads end-to-end via
     the dependency-free codec in ``sources/bmp.py`` (8-bit palettized and
-    24-bit, bottom-up or top-down) — no image library needed.  Payloads in
-    any other format raise ``NotImplementedError`` (JPEG/PNG/audio/video
-    codecs are not present in this container).  ``fake=True`` keeps the
-    deterministic byte-derived twin (dims from payload length, intensity =
-    mean byte value) for exercising the plumbing with arbitrary payloads.
+    24-bit, bottom-up or top-down) and **baseline JPEG** payloads via
+    ``sources/jpeg.py`` (grayscale SOF0: stream-defined DQT/DHT, Huffman,
+    zigzag, IDCT) — no image library needed.  Payloads in any other
+    format raise ``NotImplementedError`` (PNG/video codecs are not
+    present in this container).  ``fake=True`` keeps the deterministic
+    byte-derived twin (dims from payload length, intensity = mean byte
+    value) for exercising the plumbing with arbitrary payloads.
     """
     from radohydro_spark.sources.bmp import decode_bmp
+    from radohydro_spark.sources.jpeg import decode_jpeg_gray
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -106,11 +109,18 @@ def decode_media(
                     rows["height"].append(int(img.shape[0]))
                     rows["channels"].append(channels)
                     rows["mean_intensity"].append(float(img.mean()))
+                elif blob[:2] == b"\xff\xd8":
+                    img = decode_jpeg_gray(blob)
+                    rows["width"].append(int(img.shape[1]))
+                    rows["height"].append(int(img.shape[0]))
+                    rows["channels"].append(1)
+                    rows["mean_intensity"].append(float(img.mean()))
                 else:
                     raise NotImplementedError(
-                        "only BMP payloads decode natively (sources/bmp.py); "
-                        "other codecs unavailable in this environment — "
-                        "pass fake=True for the deterministic stub"
+                        "only BMP and baseline JPEG payloads decode natively "
+                        "(sources/bmp.py, sources/jpeg.py); other codecs "
+                        "unavailable in this environment — pass fake=True "
+                        "for the deterministic stub"
                     )
             yield pd.DataFrame(rows)
 
