@@ -3361,6 +3361,539 @@ GROUP BY media_id, bw, bh
 """
 
 
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real end-to-end PNG decode (stdlib zlib + numpy, r6): deterministic
+    RGB PNGs are ENCODED executor-side (sources/png.py — chunk framing,
+    CRCs, filter-0 scanlines, DEFLATE) then decoded back through the real
+    ``decode_media`` path (signature check, IHDR parse, inflate,
+    unfilter).  PNG is lossless, so the fixture law round-trips
+    bit-exactly: channel value = (doc_id*31 + i*7 + c*11) % 256 on a
+    (4 + doc_id%5) x (5 + doc_id%6) x 3 grid; the oracle recomputes dims
+    and mean in closed form.  Third real image codec (BMP gray/RGB, JPEG
+    gray, PNG RGB) — this one covers the 3-channel path."""
+    import numpy as np
+    import pandas as pd
+
+    from radohydro_spark.sources.png import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 5 + did % 6
+                h = 4 + did % 5
+                i = np.arange(h * w, dtype=np.int64)
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                for c in range(3):
+                    px[:, :, c] = (
+                        ((did * 31 + i * 7 + c * 11) % 256)
+                        .astype(np.uint8)
+                        .reshape(h, w)
+                    )
+                ids.append(did)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    png = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return MM.decode_media(png).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+ORACLE_MEDIA_DECODE_PNG = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         5 + doc_id % 6 AS w,
+         4 + doc_id % 5 AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h,
+         unnest(range(0, w * h)) AS i
+  FROM m
+),
+ch AS (
+  SELECT media_id, w, h, i, unnest(range(0, 3)) AS c FROM px
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       round(avg(CAST((media_id * 31 + i * 7 + c * 11) % 256 AS DOUBLE)), 4)
+         AS mean_intensity
+FROM ch
+GROUP BY media_id, w, h
+"""
+
+
+# shared between the CDC diff and CDC apply queries: the integer-exact
+# reprice (see q_orders_snapshot_diff docstring for why cents)
+_REPRICE_SPARK = (
+    "((CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) DIV 10) / 100.0"
+)
+
+
+def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay (operators/merge.py apply_changes, r6): the inverse of
+    snapshot_diff — apply the diff's insert/delete/update feed back onto
+    v1 and the result must BE v2, row for row.  One key-shuffle join of
+    the snapshot against the delta-sized feed plus a union of inserts;
+    the oracle constructs v2 directly from the membership/reprice
+    predicates, so any replay defect (dropped delete, stale update,
+    double-applied insert) breaks the hash."""
+    from radohydro_spark.operators.merge import apply_changes, snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 10 != 3)
+    v2 = o.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.expr(_REPRICE_SPARK)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    d = snapshot_diff(v1, v2, ["o_orderkey"])
+    return apply_changes(v1, d, ["o_orderkey"])
+
+
+ORACLE_CDC_APPLY = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0
+            THEN ((CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10) / 100.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus
+FROM orders
+WHERE o_orderkey % 10 <> 0
+"""
+
+
+def q_events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency via sweep-line (operators/intervals.py, r6):
+    every event opens a 300-second half-open interval; peak simultaneous
+    intervals per event_type plus the earliest instant the peak is hit.
+    The O(n²) interval self-join is re-expressed as union(+1/-1 deltas) +
+    ONE running-sum window + one map-side-combinable max_by — no join.
+    Tie policy: ends sort before starts at the same instant (half-open
+    semantics), identical ORDER BY (t, delta) in the oracle."""
+    _utc(spark)
+    from radohydro_spark.operators.intervals import peak_concurrency
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end_ts"),
+    )
+    out = peak_concurrency(e, "start_ts", "end_ts", ["event_type"])
+    return out.select(
+        "event_type",
+        F.col("peak").cast("long").alias("peak"),
+        F.date_format("peak_at", "yyyy-MM-dd HH:mm:ss").alias("peak_at"),
+    )
+
+
+ORACLE_CONCURRENCY_SWEEP = """
+WITH sweep AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 300 SECOND, -1 FROM events
+),
+run AS (
+  SELECT event_type, t,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM sweep
+)
+SELECT event_type, CAST(c AS BIGINT) AS peak,
+       strftime(t, '%Y-%m-%d %H:%M:%S') AS peak_at
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY c DESC, t ASC) AS rn
+      FROM run) z
+WHERE rn = 1
+"""
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (operators/similarity.py
+    random_projection_int, r6): 64 float dims -> 16 ±1 hyperplanes with
+    EXACT integer arithmetic — inputs quantize to round(x·1000) BIGINTs,
+    the matrix cell sign is the closed-form hash ((i·2654435761 +
+    j·40503) % 97) % 2, so every projection is an order-independent
+    integer dot product both engines reproduce bit-exactly.  Emits the
+    first 4 components + the exact squared norm of all 16."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = SIM.random_projection_int(e, out_dims=16, scale=1000)
+    return out.select("vec_id", "y0", "y1", "y2", "y3", "l2q")
+
+
+ORACLE_RANDOM_PROJECTION = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, j.range AS j,
+         CAST(list_sum(list_transform(range(len(qv)),
+              i -> qv[i + 1] * (CASE WHEN ((i * 2654435761 + j.range * 40503)
+                                           % 97) % 2 = 0
+                                     THEN 1 ELSE -1 END))) AS BIGINT) AS y
+  FROM q, range(16) j
+)
+SELECT vec_id,
+       MAX(CASE WHEN j = 0 THEN y END) AS y0,
+       MAX(CASE WHEN j = 1 THEN y END) AS y1,
+       MAX(CASE WHEN j = 2 THEN y END) AS y2,
+       MAX(CASE WHEN j = 3 THEN y END) AS y3,
+       CAST(SUM(y * y) AS BIGINT) AS l2q
+FROM proj
+GROUP BY vec_id
+"""
+
+
+def q_stats_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (r6): 20 buckets between the
+    global min/max — the profiling primitive behind every distribution
+    dashboard.  The global extrema are a 1-row aggregate crossJoined
+    (broadcast) onto the scan, then one groupBy(bucket) — two narrow
+    shuffles total, map-side combinable.  Bucket arithmetic uses the
+    identical expression order on both engines so edge values land in the
+    same bucket bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = (
+        o.crossJoin(F.broadcast(ext))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(20.0))
+                ),
+                F.lit(19),
+            ).cast("long"),
+        )
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+    )
+
+
+ORACLE_HISTOGRAM_ORDERS = """
+WITH ext AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+b AS (
+  SELECT o_totalprice,
+         CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+              AS BIGINT) AS bucket
+  FROM orders, ext
+)
+SELECT bucket, COUNT(*) AS n,
+       round(min(o_totalprice), 2) AS bucket_min,
+       round(max(o_totalprice), 2) AS bucket_max
+FROM b
+GROUP BY bucket
+"""
+
+
+def q_text_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing for web-corpus curation (r6): deterministic URLs are
+    derived from each document (host = source + lang zone, path carries
+    the doc id), then decomposed with Spark's native ``parse_url``
+    (HOST/PATH/QUERY) — the registrable-domain grouping every crawl
+    pipeline does before per-site caps.  Aggregates per host: page count,
+    distinct languages, total chars.  The oracle builds the same URLs and
+    splits them with string functions."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("."),
+        F.col("lang"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl"),
+    )
+    u = d.withColumn("url", url).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )
+    return (
+        u.filter(F.col("query") == "ref=crawl")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min(
+                F.regexp_extract("path", r"/docs/(\d+)", 1).cast("long")
+            ).alias("min_doc_id"),
+        )
+    )
+
+
+ORACLE_URL_PARSE = """
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         source || '.' || lang || '.example.com' AS host,
+         '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+         'ref=crawl' AS query
+  FROM documents
+)
+SELECT host, COUNT(*) AS n_pages,
+       COUNT(DISTINCT lang) AS n_langs,
+       SUM(n_chars) AS total_chars,
+       MIN(CAST(regexp_extract(path, '/docs/(\\d+)', 1) AS BIGINT))
+         AS min_doc_id
+FROM u
+WHERE query = 'ref=crawl'
+GROUP BY host
+"""
+
+
+def q_udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.10, r6): a real Spark 4
+    ``@udtf`` table function — ``word_chunks(text)`` lateral-explodes
+    each document into fixed 10-word chunks with index and word count
+    (the context-window pre-chunking step of a training pipeline).
+    Registered and invoked through SQL ``LATERAL``, so the UDTF protocol
+    (analyze-less static schema, per-row yield, lateral correlation) is
+    exercised end-to-end; the oracle re-chunks with list functions.  The
+    hot-path chunkers in functions/text.py stay JVM-side — this query
+    covers the extension API, not a replacement."""
+    from radohydro_spark.functions.udtfs import WordChunks
+
+    spark.udtf.register("word_chunks", WordChunks)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM _udtf_docs d, LATERAL word_chunks(d.text) c
+        """
+    )
+
+
+ORACLE_UDTF_WORD_CHUNKS = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i // 10 AS INT) AS chunk_idx,
+       string_agg(word, ' ' ORDER BY i) AS chunk,
+       CAST(COUNT(*) AS INT) AS n_words
+FROM w
+GROUP BY doc_id, i // 10
+"""
+
+
+def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (r6): the streaming events feed
+    joined against a STATIC customer dimension (the canonical "enrich the
+    stream with a slowly-changing dim" shape) — stateless, so no
+    watermark state; Spark broadcasts the dim into every micro-batch.
+    Drained availableNow replay then aggregates per (segment, type);
+    stream == batch is the oracle."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import run_available_now
+
+    raw_schema = _probe_schema(spark, sf_dir, "events")
+    s = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    s = _normalize_ts(s)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = s.join(F.broadcast(dim), "user_id", "inner").select(
+        "event_id", "c_mktsegment", "event_type", "value"
+    )
+    name = "stream_static_" + uuid.uuid4().hex[:8]
+    out = run_available_now(
+        joined, name, tempfile.mkdtemp(prefix="ck_ss_"), "append"
+    )
+    # exact-cents sum: value is 2-decimal by generation law; integer sums
+    # are order-independent, so the hash can't drift with plan order
+    return out.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
+        ).alias("total_value"),
+    )
+
+
+ORACLE_STREAM_STATIC_JOIN = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+def q_similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (r6): recall@5 of the multi-probe LSH index
+    against the exact brute-force top-k for each query — the measurement
+    loop that decides plane/probe counts before a 100 TB index build.
+    Both sides reuse the production operators; the join is a left-semi on
+    (query, neighbor).  The oracle recomputes exact AND approximate top-k
+    in SQL and takes the same intersection."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(e, queries, k=5)
+    approx = SIM.ann_topk_lsh_multiprobe(
+        e, queries, k=5, n_planes=4, n_dims=64, n_probes=3
+    )
+    hit = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    n_hit = hit.groupBy("query_id").agg(F.count("*").alias("n_matched"))
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _recall_eval_oracle(
+    n_planes: int = 4, n_dims: int = 64, k: int = 5, n_probes: int = 3
+) -> str:
+    planes = [
+        "[" + ", ".join(repr(_hyperplane_const(j, d)) for d in range(n_dims)) + "]"
+        for j in range(n_planes)
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[j]}) >= 0 THEN {2**j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(n_probes - 1)]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, c.v)
+                            / (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM (SELECT * FROM e WHERE vec_id < 3) q, e c) t
+  WHERE rank <= {k}
+),
+b AS (SELECT vec_id, v, CAST({bucket_expr} AS BIGINT) AS bucket FROM e),
+probes AS (
+  SELECT vec_id AS query_id, unnest([{probe_list}]) AS bucket
+  FROM b WHERE vec_id < 3
+),
+cand AS (SELECT DISTINCT p.query_id, b.vec_id FROM probes p JOIN b USING (bucket)),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY round(list_dot_product(qe.v, ce.v)
+                            / (sqrt(list_dot_product(qe.v, qe.v))
+                               * sqrt(list_dot_product(ce.v, ce.v))), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM cand c
+    JOIN e qe ON qe.vec_id = c.query_id
+    JOIN e ce ON ce.vec_id = c.vec_id) t
+  WHERE rank <= {k}
+)
+SELECT x.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(a.vec_id) AS n_matched,
+       round(COUNT(a.vec_id) / COUNT(*), 6) AS recall
+FROM exact x
+LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id
+"""
+
+
+def q_storage_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (sinks/skipping.py, r6): orders are
+    range-clustered on o_orderdate into 8 value-disjoint parquet files, a
+    per-file (min, max) manifest is derived, and a one-quarter range
+    predicate reads ONLY the intersecting files (asserted: strictly fewer
+    than total).  The pruned read's monthly rollup must equal the
+    full-scan filter (the oracle) — proving the skip loses no rows.  At
+    100 TB the manifest is the zone-map dimension table; the scan is
+    O(matching files)."""
+    import tempfile
+
+    from radohydro_spark.sinks.skipping import read_pruned, write_clustered
+
+    from datetime import datetime
+
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="skip_") + "/orders"
+    write_clustered(o, path, "o_orderdate", n_files=8)
+    lo, hi = datetime(1995, 1, 1), datetime(1995, 3, 31)
+    pruned, n_read, n_total = read_pruned(spark, path, "o_orderdate", lo, hi)
+    if not (0 < n_read < n_total):
+        raise RuntimeError(
+            f"file skipping ineffective: read {n_read}/{n_total} files"
+        )
+    return pruned.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+ORACLE_FILE_SKIPPING = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       round(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-03-31'
+GROUP BY 1
+"""
+
+
 def q_precip_api_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Antecedent precipitation index (operators/aggregate.py
     antecedent_precipitation_index): API_t = 0.9·API_{t-1} + P_t over the
@@ -4675,10 +5208,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": q_scalar_funcs,
         "date_sequence": q_date_sequence,
         "filename_parse": q_filename_parse,
-        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
-        # Positions 40-49: NEW in round 6 (inserted as they land)
+        # Positions 39-49: NEW in round 6 (never driver-checked > r2
+        # re-pin, so events_hourly yields its slot to the PNG codec and
+        # re-windows in r7)
         "media_decode_jpeg": q_media_decode_jpeg,
+        "media_decode_png": q_media_decode_png,
+        "orders_cdc_apply": q_orders_cdc_apply,
+        "events_concurrency_sweep": q_events_concurrency_sweep,
+        "embedding_random_projection": q_embedding_random_projection,
+        "stats_histogram_orders": q_stats_histogram_orders,
+        "text_url_parse": q_text_url_parse,
+        "udtf_word_chunks": q_udtf_word_chunks,
+        "events_stream_static_join": q_events_stream_static_join,
+        "similarity_recall_eval": q_similarity_recall_eval,
+        "storage_file_skipping": q_storage_file_skipping,
         # --- end of round-6 driver window ---
+        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
         "events_stream_hourly": q_events_stream_hourly,
@@ -4824,6 +5369,16 @@ def oracle_sql() -> dict[str, str]:
         "precip_csv_roundtrip": _csv_roundtrip_oracle(),
         "media_decode_bmp": ORACLE_MEDIA_DECODE_BMP,
         "media_decode_jpeg": ORACLE_MEDIA_DECODE_JPEG,
+        "media_decode_png": ORACLE_MEDIA_DECODE_PNG,
+        "orders_cdc_apply": ORACLE_CDC_APPLY,
+        "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
+        "embedding_random_projection": ORACLE_RANDOM_PROJECTION,
+        "stats_histogram_orders": ORACLE_HISTOGRAM_ORDERS,
+        "text_url_parse": ORACLE_URL_PARSE,
+        "udtf_word_chunks": ORACLE_UDTF_WORD_CHUNKS,
+        "events_stream_static_join": ORACLE_STREAM_STATIC_JOIN,
+        "similarity_recall_eval": _recall_eval_oracle(),
+        "storage_file_skipping": ORACLE_FILE_SKIPPING,
         "precip_wide_roundtrip": _wide_roundtrip_oracle(),
         "precip_cellgrid_roundtrip": oracle_cellgrid_sql(GRID),
         "storage_orc_roundtrip": ORACLE_ORC_ROUNDTRIP,

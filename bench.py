@@ -43,6 +43,10 @@ HEADLINE = [
     # (localCheckpoint-per-round) PageRank workload
     "similarity_pq_adc_topk",
     "events_pagerank",
+    # round-6 additions: the real JPEG codec (encode+decode over every
+    # document) and the sweep-line interval concurrency window
+    "media_decode_jpeg",
+    "events_concurrency_sweep",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Interval analytics: sweep-line concurrency over event intervals.
+
+The classic "how many intervals overlap each instant" primitive (peak
+concurrent sessions, simultaneous downloads, ward occupancy).  The naive
+form is an interval self-join — O(n²) and a scale-killer; the sweep-line
+form is two narrow projections, one union, and ONE window per partition
+key: every interval becomes a +1 event at its start and a -1 event at its
+end, and the running sum of deltas in time order IS the concurrency.
+
+Scale shape: the union doubles the row count but keeps rows tiny
+(key, t, delta); the only shuffle is the window's partition-by-key
+exchange, identical to any per-key rollup.  No join at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def concurrency_sweep(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-instant concurrency of ``[start, end)`` intervals.
+
+    Returns one row per sweep event: ``partition_cols + (t, delta,
+    concurrency)`` where ``concurrency`` is the number of intervals
+    covering ``[t, next_t)``.  Half-open semantics: an interval ending at
+    the exact instant another starts does NOT overlap it — ends sort
+    before starts at the same ``t`` (delta ascending), so the running sum
+    dips before it rises.
+    """
+    keys = partition_cols or []
+    starts = df.select(
+        *keys, F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    )
+    ends = df.select(*keys, F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
+    sweep = starts.unionByName(ends)
+    w = (
+        W.partitionBy(*keys).orderBy("t", "delta")
+        if keys
+        else W.orderBy("t", "delta")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    return sweep.withColumn("concurrency", F.sum("delta").over(w))
+
+
+def peak_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Peak concurrency per partition key: the max of the sweep plus the
+    EARLIEST instant it is reached — one extra map-side-combinable
+    aggregate over the sweep (``max_by`` on (concurrency, -epoch), so no
+    second shuffle and no self-join).  ``start_col``/``end_col`` must be
+    timestamps."""
+    keys = partition_cols or []
+    sweep = concurrency_sweep(df, start_col, end_col, keys)
+    return sweep.groupBy(*keys).agg(
+        F.max("concurrency").alias("peak"),
+        F.max_by(
+            "t",
+            F.struct(
+                F.col("concurrency").alias("c"),
+                (-F.unix_micros(F.col("t"))).alias("nt"),
+            ),
+        ).alias("peak_at"),
+    )

@@ -149,3 +149,59 @@ def snapshot_diff(
         "change_type",
         *[F.col(f"_new_{c}").alias(c) for c in compare_cols],
     )
+
+
+def apply_changes(
+    old: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC change feed (``keys + change_type + new payload
+    values``, the exact shape ``snapshot_diff`` emits) onto a snapshot —
+    the replay half of snapshot-based CDC: ``apply_changes(v1,
+    snapshot_diff(v1, v2, keys), keys) == v2``.
+
+    * ``delete`` rows drop the key, ``update`` rows overwrite the payload
+      columns, ``insert`` rows append (payload columns only — any extra
+      snapshot columns outside ``keys + payload_cols`` surface as NULL on
+      inserted rows, since a diff feed doesn't carry them).
+    * Cost model: ONE key-shuffle join of the snapshot against the
+      delta-sized feed (AQE broadcasts the feed side at runtime when it
+      fits) plus a union of the feed's inserts — the snapshot is never
+      shuffled twice.
+    """
+    payload_cols = payload_cols or [
+        c for c in changes.columns if c not in keys + ["change_type"]
+    ]
+    ch = changes.select(
+        *keys,
+        "change_type",
+        *[F.col(c).alias(f"_ch_{c}") for c in payload_cols],
+    )
+    j = old.join(ch, keys, "left_outer")
+    survivors = j.filter(
+        F.col("change_type").isNull() | (F.col("change_type") != "delete")
+    ).select(
+        *keys,
+        *[
+            (
+                F.when(
+                    F.col("change_type") == "update", F.col(f"_ch_{c}")
+                ).otherwise(F.col(c))
+                if c in payload_cols
+                else F.col(c)
+            ).alias(c)
+            for c in old.columns
+            if c not in keys
+        ],
+    )
+    inserts = changes.filter(F.col("change_type") == "insert").select(
+        *keys,
+        *[
+            (F.col(c) if c in payload_cols else F.lit(None)).alias(c)
+            for c in old.columns
+            if c not in keys
+        ],
+    )
+    return survivors.unionByName(inserts)

@@ -89,6 +89,7 @@ def decode_media(
     """
     from radohydro_spark.sources.bmp import decode_bmp
     from radohydro_spark.sources.jpeg import decode_jpeg_gray
+    from radohydro_spark.sources.png import decode_png
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -115,12 +116,18 @@ def decode_media(
                     rows["height"].append(int(img.shape[0]))
                     rows["channels"].append(1)
                     rows["mean_intensity"].append(float(img.mean()))
+                elif blob[:8] == b"\x89PNG\r\n\x1a\n":
+                    img, channels = decode_png(blob)
+                    rows["width"].append(int(img.shape[1]))
+                    rows["height"].append(int(img.shape[0]))
+                    rows["channels"].append(channels)
+                    rows["mean_intensity"].append(float(img.mean()))
                 else:
                     raise NotImplementedError(
-                        "only BMP and baseline JPEG payloads decode natively "
-                        "(sources/bmp.py, sources/jpeg.py); other codecs "
-                        "unavailable in this environment — pass fake=True "
-                        "for the deterministic stub"
+                        "only BMP, baseline JPEG, and PNG payloads decode "
+                        "natively (sources/bmp.py, jpeg.py, png.py); other "
+                        "codecs unavailable in this environment — pass "
+                        "fake=True for the deterministic stub"
                     )
             yield pd.DataFrame(rows)
 

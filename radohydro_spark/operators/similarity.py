@@ -583,3 +583,51 @@ def quantize_int8_stats(
         F.round(max_err, 9).alias("max_abs_err"),
         F.round(sq_sum / F.size(F.col(vec_col)), 12).alias("mse"),
     )
+
+
+def random_projection_int(
+    df: DataFrame,
+    out_dims: int = 16,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection with EXACT integer
+    arithmetic (r6) — the dimensionality-reduction pass in front of ANN
+    indexing: project ``dim`` float dims onto ``out_dims`` ±1 hyperplanes.
+
+    Two scale/exactness tricks:
+
+    * The projection matrix is never materialized: the sign of cell
+      ``(i, j)`` is a closed-form hash ``((i·2654435761 + j·40503) % 97)
+      % 2`` — Knuth multiplicative constant, any engine reproduces it.
+    * Inputs quantize to integers first (``round(x·scale)``), so every
+      projection is a BIGINT dot product — exact in any summation order,
+      immune to the float-reassociation divergence that makes cross-engine
+      float dot products hash-unstable.
+
+    Pure per-row JVM array expressions (``aggregate`` over an index
+    sequence): no UDF, no shuffle, pipelines into the scan.  Emits
+    ``(id, y0..y{out_dims-1}, l2q)`` with ``l2q = Σ y_j²`` (exact BIGINT;
+    by J-L, ``l2q/(scale²·out_dims)`` concentrates around ``‖x‖²/dim``).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    staged = df.select(F.col(id_col), q.alias("_q"))
+
+    def proj(j: int):
+        return F.expr(
+            f"aggregate(sequence(0, size(_q) - 1), 0L, (acc, i) -> acc + "
+            f"element_at(_q, i + 1) * (CASE WHEN ((i * 2654435761L + "
+            f"{j} * 40503L) % 97) % 2 = 0 THEN 1L ELSE -1L END))"
+        )
+
+    ys = [proj(j).alias(f"y{j}") for j in range(out_dims)]
+    out = staged.select(id_col, *ys)
+    l2q = sum(
+        (F.col(f"y{j}") * F.col(f"y{j}") for j in range(out_dims)),
+        F.lit(0).cast("long"),
+    )
+    return out.select(id_col, *[f"y{j}" for j in range(out_dims)], l2q.alias("l2q"))
