@@ -3433,6 +3433,84 @@ GROUP BY media_id, w, h
 """
 
 
+def q_media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real end-to-end VIDEO decode (r6, no video library): deterministic
+    AVI/MJPEG clips are built executor-side — each frame a block-constant
+    baseline JPEG (sources/jpeg.py), wrapped in a real RIFF/AVI container
+    with headers and idx1 (sources/avi.py) — then decoded back through
+    ``decode_video``: container walk, header/chunk-count cross-check,
+    every-2nd-frame sampling, per-frame JPEG decode.  Fixture law:
+    n = 3 + doc_id%4 frames of 16x8 (two 8x8 blocks), block value
+    (doc_id*31 + f*13 + b*7) % 256 — block-constant frames round-trip
+    bit-exactly, so the oracle recomputes every output in closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from radohydro_spark.sources.avi import encode_avi_mjpeg
+    from radohydro_spark.sources.jpeg import encode_jpeg_gray
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 4
+                frames = []
+                for f in range(n):
+                    blocks = np.array(
+                        [
+                            [
+                                (did * 31 + f * 13) % 256,
+                                (did * 31 + f * 13 + 7) % 256,
+                            ]
+                        ],
+                        dtype=np.uint8,
+                    )
+                    px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                    frames.append(encode_jpeg_gray(px))
+                ids.append(did)
+                payloads.append(encode_avi_mjpeg(frames, 16, 8, fps=25))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    avi = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    out = MM.decode_video(avi, sample_every=2)
+    return out.select(
+        "media_id",
+        "n_frames",
+        "width",
+        "height",
+        "fps",
+        "n_sampled",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+ORACLE_MEDIA_VIDEO_MJPEG = """
+WITH m AS (
+  SELECT doc_id AS media_id, 3 + doc_id % 4 AS n FROM documents
+),
+fr AS (
+  SELECT media_id, n, unnest(range(0, n)) AS f FROM m
+),
+blk AS (
+  SELECT media_id, n, f, unnest(range(0, 2)) AS b
+  FROM fr WHERE f % 2 = 0
+)
+SELECT media_id,
+       CAST(n AS INT) AS n_frames,
+       16 AS width,
+       8 AS height,
+       25 AS fps,
+       CAST((n + 1) // 2 AS INT) AS n_sampled,
+       round(avg(CAST((media_id * 31 + f * 13 + b * 7) % 256 AS DOUBLE)), 4)
+         AS mean_intensity
+FROM blk
+GROUP BY media_id, n
+"""
+
+
 # shared between the CDC diff and CDC apply queries: the integer-exact
 # reprice (see q_orders_snapshot_diff docstring for why cents)
 _REPRICE_SPARK = (
@@ -5223,6 +5301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
         # --- end of round-6 driver window ---
+        # round-6 tail (strict-green locally; front-load into r7 window)
+        "media_video_mjpeg": q_media_video_mjpeg,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -5370,6 +5450,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_bmp": ORACLE_MEDIA_DECODE_BMP,
         "media_decode_jpeg": ORACLE_MEDIA_DECODE_JPEG,
         "media_decode_png": ORACLE_MEDIA_DECODE_PNG,
+        "media_video_mjpeg": ORACLE_MEDIA_VIDEO_MJPEG,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,
