@@ -3511,6 +3511,100 @@ GROUP BY media_id, n
 """
 
 
+def q_dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (operators/profile.py
+    psi_drift, r6): order totals before vs after 1997-01-01, bucketed on
+    the OLD snapshot's equi-width grid with edge clamping and eps-floored
+    proportions — the retrain-gate drift report.  Two map-side-combinable
+    groupBys + a 10-row full-outer join; the oracle mirrors every
+    expression including the ln contribution."""
+    _utc(spark)
+    from radohydro_spark.operators.profile import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < "1997-01-01")
+    new = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    return psi_drift(old, new, "o_totalprice", n_buckets=10)
+
+
+ORACLE_PSI_DRIFT = """
+WITH ext AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+ob AS (
+  SELECT CAST(greatest(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)),
+                             9), 0) AS BIGINT) AS bucket,
+         COUNT(*) AS n_old
+  FROM orders, ext WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1
+),
+nb AS (
+  SELECT CAST(greatest(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)),
+                             9), 0) AS BIGINT) AS bucket,
+         COUNT(*) AS n_new
+  FROM orders, ext WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ob.bucket, nb.bucket) AS bucket,
+         COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket
+),
+t AS (
+  SELECT *, SUM(n_old) OVER () AS tot_o, SUM(n_new) OVER () AS tot_n FROM j
+)
+SELECT bucket, n_old, n_new,
+       round(greatest(n_old / tot_o, 1e-6), 9) AS p_old,
+       round(greatest(n_new / tot_n, 1e-6), 9) AS p_new,
+       round((greatest(n_old / tot_o, 1e-6) - greatest(n_new / tot_n, 1e-6))
+             * ln(greatest(n_old / tot_o, 1e-6)
+                  / greatest(n_new / tot_n, 1e-6)), 9) AS psi_contrib
+FROM t
+"""
+
+
+def q_dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly gate (operators/profile.py
+    zscore_outliers, r6): order totals > 3σ from their priority-group
+    mean.  Mean/σ derive from EXACT wide-integer sums (Spark
+    decimal(38,0) / DuckDB HUGEINT — order-independent, overflow-free for
+    Σcents²), cast to double once AFTER summing, so the flag threshold is
+    bit-identical across engines — the float-discipline pattern the r5
+    snapshot-diff bug mandated."""
+    from radohydro_spark.operators.profile import zscore_outliers
+
+    o = _t(spark, sf_dir, "orders")
+    return zscore_outliers(o, "o_totalprice", ["o_orderpriority"], z=3.0)
+
+
+ORACLE_ZSCORE_OUTLIERS = """
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS s1,
+         SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)) AS s2
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT o_orderpriority, n,
+         CAST(s1 AS DOUBLE) / n AS mean_c,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       0.0)) AS sd_c
+  FROM s
+)
+SELECT o.o_orderpriority,
+       m.n AS n,
+       CAST(SUM(CASE WHEN abs(round(o.o_totalprice * 100) - m.mean_c)
+                          > 3.0 * m.sd_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(m.mean_c / 100, 6) AS mean_value,
+       round(m.sd_c / 100, 6) AS stddev_value
+FROM orders o JOIN m USING (o_orderpriority)
+GROUP BY o.o_orderpriority, m.n, m.mean_c, m.sd_c
+"""
+
+
 # shared between the CDC diff and CDC apply queries: the integer-exact
 # reprice (see q_orders_snapshot_diff docstring for why cents)
 _REPRICE_SPARK = (
@@ -5303,6 +5397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- end of round-6 driver window ---
         # round-6 tail (strict-green locally; front-load into r7 window)
         "media_video_mjpeg": q_media_video_mjpeg,
+        "dq_psi_drift": q_dq_psi_drift,
+        "dq_zscore_outliers": q_dq_zscore_outliers,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -5451,6 +5547,8 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_jpeg": ORACLE_MEDIA_DECODE_JPEG,
         "media_decode_png": ORACLE_MEDIA_DECODE_PNG,
         "media_video_mjpeg": ORACLE_MEDIA_VIDEO_MJPEG,
+        "dq_psi_drift": ORACLE_PSI_DRIFT,
+        "dq_zscore_outliers": ORACLE_ZSCORE_OUTLIERS,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

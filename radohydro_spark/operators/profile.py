@@ -18,7 +18,7 @@ error) — the ``exact=False`` flag does exactly that and drops the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -128,3 +128,131 @@ def check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column (r6) — the standard drift monitor run before retraining on a
+    new data drop: PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 act.
+
+    Equi-width buckets span the OLD snapshot's [min, max] (the reference
+    distribution defines the grid); NEW values outside the range clamp
+    into the edge buckets, so drift beyond the old support is visible in
+    bucket 0 / n-1 rather than silently dropped.  Proportions are floored
+    at ``eps`` (the standard zero-bucket smoothing) before the
+    ``(p_old - p_new)·ln(p_old/p_new)`` contribution.
+
+    Plan shape: one 1-row aggregate on old (bucket edges, broadcast by
+    crossJoin), one groupBy(bucket) per snapshot — each map-side
+    combinable — and a full-outer join of two ≤ n_buckets-row results.
+    Nothing driver-side scales with the data.  Emits one row per bucket
+    (``bucket, n_old, n_new, p_old, p_new, psi_contrib``); callers sum
+    ``psi_contrib`` for the scalar PSI.
+    """
+    ext = old.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        b = F.greatest(
+            F.least(
+                F.floor(
+                    (F.col(col) - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets)))
+                ),
+                F.lit(n_buckets - 1),
+            ),
+            F.lit(0),
+        ).cast("long")
+        return (
+            df.crossJoin(F.broadcast(ext))
+            .filter(F.col(col).isNotNull())
+            .withColumn("bucket", b)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    o = bucketize(old).select("bucket", F.col("n").alias("n_old"))
+    n = bucketize(new).select("bucket", F.col("n").alias("n_new"))
+    j = (
+        o.join(n, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot_o = F.sum("n_old").over(W.partitionBy())
+    tot_n = F.sum("n_new").over(W.partitionBy())
+    p_old = F.greatest(F.col("n_old") / tot_o, F.lit(eps))
+    p_new = F.greatest(F.col("n_new") / tot_n, F.lit(eps))
+    return j.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round(p_old, 9).alias("p_old"),
+        F.round(p_new, 9).alias("p_new"),
+        F.round((p_old - p_new) * F.log(p_old / p_new), 9).alias("psi_contrib"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    z: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group z-score outlier report (r6): rows whose value deviates
+    more than ``z`` standard deviations from their group mean — the
+    anomaly gate run on each new drop's numeric columns.
+
+    Exactness across engines: float sums are order-dependent, so mean and
+    variance are computed from EXACT integer sums — values quantize to
+    ``round(x·scale)`` and both Σx and Σx² accumulate in wide decimal
+    (Spark ``decimal(38,0)``, DuckDB HUGEINT), which cannot lose a unit
+    regardless of partial-aggregation order; the single cast to double
+    AFTER summing is correctly rounded in both engines, so downstream
+    mean/σ/threshold comparisons are bit-identical.  Requires values with
+    ≤ ``log10(scale)`` decimals (prices, counts, rates).
+
+    One groupBy over the facts + one broadcast join of the per-group
+    stats back — the standard two-pass shape; emits per-group
+    ``(group_cols..., n, n_outliers, mean_value, stddev_value)``.
+    """
+    cd = F.round(F.col(col) * scale).cast("decimal(38,0)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum(cd).alias("_s"),
+        F.sum(cd * cd).alias("_s2"),
+    )
+    mean_c = F.col("_s").cast("double") / F.col("_n")
+    var_c = F.col("_s2").cast("double") / F.col("_n") - mean_c * mean_c
+    stats = stats.select(
+        *group_cols,
+        "_n",
+        mean_c.alias("_mean_c"),
+        F.sqrt(F.greatest(var_c, F.lit(0.0))).alias("_sd_c"),
+    )
+    x_c = F.round(F.col(col) * scale)
+    flagged = (
+        df.join(F.broadcast(stats), group_cols)
+        .withColumn(
+            "_is_out",
+            (F.abs(x_c - F.col("_mean_c")) > F.lit(z) * F.col("_sd_c")).cast(
+                "int"
+            ),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_is_out").cast("long").alias("n_outliers"),
+            F.round(F.max("_mean_c") / scale, 6).alias("mean_value"),
+            F.round(F.max("_sd_c") / scale, 6).alias("stddev_value"),
+        )
+    )
+    return flagged
