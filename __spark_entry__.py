@@ -3605,6 +3605,172 @@ GROUP BY o.o_orderpriority, m.n, m.mean_c, m.sd_c
 """
 
 
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting (operators/graph.py triangle_count,
+    r6): a deterministic hash-graph over customer keys — edges
+    (c, (c·7+3) mod N) and (c, (c·13+5) mod N) — counted with the
+    degree-ORIENTED wedge join (each undirected edge directed toward its
+    higher-(degree, id) endpoint, so Σ out-deg² is O(E^1.5) even under
+    power-law skew).  The oracle enumerates a<b<c triangles with plain
+    self-joins — mathematically the same multiset, so integer counts must
+    match exactly."""
+    from radohydro_spark.operators.graph import triangle_count
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    nn = c.agg((F.max("c_custkey") + 1).alias("nn"))
+    base = c.crossJoin(F.broadcast(nn))
+    edges = (
+        base.select(
+            F.col("c_custkey").alias("src"),
+            ((F.col("c_custkey") * 7 + 3) % F.col("nn")).alias("dst"),
+        )
+        .unionAll(
+            base.select(
+                F.col("c_custkey"),
+                ((F.col("c_custkey") * 13 + 5) % F.col("nn")),
+            )
+        )
+        # third family closes each wedge into a guaranteed triangle
+        .unionAll(
+            base.select(
+                ((F.col("c_custkey") * 7 + 3) % F.col("nn")),
+                ((F.col("c_custkey") * 13 + 5) % F.col("nn")),
+            )
+        )
+    )
+    return triangle_count(edges)
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH nmax AS (SELECT max(c_custkey) + 1 AS nn FROM customer),
+raw AS (
+  SELECT c_custkey AS s, (c_custkey * 7 + 3) % nn AS d FROM customer, nmax
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 13 + 5) % nn FROM customer, nmax
+  UNION ALL
+  SELECT (c_custkey * 7 + 3) % nn, (c_custkey * 13 + 5) % nn
+  FROM customer, nmax
+),
+e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE s <> d
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri) t
+GROUP BY node
+"""
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types (r6): the
+    behavioural model behind next-action prediction and funnel synthesis.
+    Consecutive pairs per user (lead over (ts, event_id)), counted per
+    (src, dst), normalized per src row — counts are exact integers and
+    the probability is one deterministic division, so the matrix is
+    hash-exact.  One window + one groupBy + one per-src window sum."""
+    _utc(spark)
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy("src"))
+    return trans.select(
+        "src", "dst", "n", F.round(F.col("n") / tot, 9).alias("p")
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+),
+trans AS (
+  SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n,
+       round(n / SUM(n) OVER (PARTITION BY src), 9) AS p
+FROM trans
+"""
+
+
+def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with EXACT integer moment sums (r6):
+    corr(quantity, extendedprice) per return flag over lineitem.  All
+    five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate in wide decimal
+    (Spark decimal(38,0) / DuckDB HUGEINT) on integer-quantized values —
+    order-independent and overflow-free — with ONE cast to double after
+    summing, so the final r is bit-identical across engines (same
+    discipline as dq_zscore_outliers; a float ``corr()`` aggregate would
+    hash-drift with partial-aggregation order)."""
+    l = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    d1 = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    d2 = (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num / F.sqrt(d1 * d2), 9).alias("corr_qty_price"),
+    )
+
+
+ORACLE_CORRELATION = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+         SUM(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+         SUM(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+         AS corr_qty_price
+FROM s
+"""
+
+
 # shared between the CDC diff and CDC apply queries: the integer-exact
 # reprice (see q_orders_snapshot_diff docstring for why cents)
 _REPRICE_SPARK = (
@@ -5399,6 +5565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_mjpeg": q_media_video_mjpeg,
         "dq_psi_drift": q_dq_psi_drift,
         "dq_zscore_outliers": q_dq_zscore_outliers,
+        "graph_triangle_count": q_graph_triangle_count,
+        "events_markov_transitions": q_events_markov_transitions,
+        "stats_correlation": q_stats_correlation,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -5549,6 +5718,9 @@ def oracle_sql() -> dict[str, str]:
         "media_video_mjpeg": ORACLE_MEDIA_VIDEO_MJPEG,
         "dq_psi_drift": ORACLE_PSI_DRIFT,
         "dq_zscore_outliers": ORACLE_ZSCORE_OUTLIERS,
+        "graph_triangle_count": ORACLE_TRIANGLE_COUNT,
+        "events_markov_transitions": ORACLE_MARKOV_TRANSITIONS,
+        "stats_correlation": ORACLE_CORRELATION,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

@@ -171,3 +171,64 @@ def pagerank(
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts with degree orientation (r6) — the
+    clustering-coefficient / community-density primitive.
+
+    The naive three-way self-join enumerates every wedge at every
+    vertex — a hub of degree d contributes O(d²) wedges, the classic
+    power-law scale-killer.  Degree ORIENTATION fixes it: direct each
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one; every triangle then has exactly ONE vertex with two out-edges,
+    and Σ out-deg² is O(E^1.5) regardless of skew (Suri-Vassilvitskii
+    "MapReduce triangle counting").  Plan: degree aggregate (broadcast
+    back), one self-join on the wedge apex, one equi-join probing the
+    closing edge — no joins on raw degree-unbounded adjacency.
+
+    Input edges may be directed/duplicated either way; they canonicalize
+    to undirected-distinct first.  Self-loops are dropped.  Returns
+    ``(node, n_triangles)`` for every node that closes ≥ 1 triangle.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient: keep (a -> b) iff (deg_a, a) < (deg_b, b)
+    d = e.join(
+        F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))),
+        "v",
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    directed = d.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    # wedges at apex a: pairs of out-neighbours (b, c); close with edge b->c
+    w1 = directed.select(F.col("a"), F.col("b"))
+    w2 = directed.select(F.col("a"), F.col("b").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    closing = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.select(
+        "a", F.least("b", "c").alias("b"), F.greatest("b", "c").alias("c")
+    ).join(closing, ["b", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_node

@@ -77,3 +77,60 @@ def test_pagerank_isolated_nodes_via_universe(spark):
     assert set(ranks) == {"a", "b", "z"}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks["b"] > ranks["z"]  # z only receives dangling/teleport mass
+
+
+def test_triangle_count_known_graph(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles, 4 total
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # adding a pendant vertex changes nothing
+    df2 = spark.createDataFrame(edges + [(4, 5)], "src int, dst int")
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_count(df2).collect()}
+    assert got2 == got
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    from radohydro_spark.operators.graph import triangle_count
+
+    # duplicates, reversed directions, and self-loops must not inflate
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3), (2, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+
+    import numpy as np
+
+    from radohydro_spark.operators.graph import triangle_count
+
+    rng = np.random.RandomState(13)
+    n = 30
+    edges = set()
+    for _ in range(120):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src int, dst int"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == expect
