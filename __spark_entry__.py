@@ -3771,6 +3771,42 @@ FROM s
 """
 
 
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index (functions/text.py inverted_index, r6):
+    term → (df, first 10 doc ids) over the corpus — the retrieval
+    structure behind contamination lookups.  Postings cap via
+    row_number BEFORE collect_list (a universal stop-word costs k array
+    slots, not an OOM).  Exact-integer df and sorted integer postings ⇒
+    hash-exact oracle."""
+    from radohydro_spark.functions.text import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(d, max_postings=10)
+
+
+ORACLE_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) t
+  WHERE term <> ''
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY 1),
+capped AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM tok) z
+  WHERE rn <= 10
+),
+p AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS postings FROM capped GROUP BY 1
+)
+SELECT d.term, d.df, p.postings
+FROM dfc d JOIN p USING (term)
+"""
+
+
 # shared between the CDC diff and CDC apply queries: the integer-exact
 # reprice (see q_orders_snapshot_diff docstring for why cents)
 _REPRICE_SPARK = (
@@ -5568,6 +5604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_count": q_graph_triangle_count,
         "events_markov_transitions": q_events_markov_transitions,
         "stats_correlation": q_stats_correlation,
+        "text_inverted_index": q_text_inverted_index,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -5721,6 +5758,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangle_count": ORACLE_TRIANGLE_COUNT,
         "events_markov_transitions": ORACLE_MARKOV_TRANSITIONS,
         "stats_correlation": ORACLE_CORRELATION,
+        "text_inverted_index": ORACLE_INVERTED_INDEX,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

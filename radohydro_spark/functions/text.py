@@ -15,7 +15,7 @@ cross-engine:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -538,3 +538,44 @@ def sentence_chunks(
             "chunk_text",
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 10,
+) -> DataFrame:
+    """Capped inverted index (r6): term → (document frequency, first
+    ``max_postings`` doc ids) — the retrieval-side structure behind
+    contamination lookups and BM25-style candidate generation over a
+    training corpus.
+
+    Scale shape: postings are capped BEFORE collection — a
+    ``row_number() <= k`` window per term bounds every ``collect_list``
+    at ``max_postings`` elements, so a stop-word appearing in every one
+    of 10¹⁰ documents costs k array slots, not an OOM (the cap-then-
+    collect pattern, not collect-then-slice).  One explode + distinct,
+    one window, two map-side-combinable aggregates joined on term.
+
+    Returns ``(term, df, postings)`` with postings sorted ascending.
+    """
+    from pyspark.sql import Window as W
+
+    tok = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    dfc = tok.groupBy("term").agg(F.count("*").alias("df"))
+    w = W.partitionBy("term").orderBy("_doc")
+    capped = (
+        tok.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_postings)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("_doc")).alias("postings"))
+    )
+    return dfc.join(capped, "term").select("term", "df", "postings")

@@ -149,3 +149,19 @@ def test_unigram_logprob_orders_quality(spark):
     assert out[0].n_tokens == 9
     # all fluent copies score identically
     assert out[0].avg_logprob == out[7].avg_logprob
+
+
+def test_inverted_index_caps_postings(spark):
+    from radohydro_spark.functions.text import inverted_index
+
+    rows = [(i, "common unique%d" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in inverted_index(df, max_postings=5).collect()}
+    # 'common' appears in all 20 docs: df exact, postings capped at 5
+    assert got["common"]["df"] == 20
+    assert got["common"]["postings"] == [0, 1, 2, 3, 4]
+    assert got["unique7"]["df"] == 1 and got["unique7"]["postings"] == [7]
+    # duplicate occurrences within one doc count once
+    df2 = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    got2 = {r["term"]: r["df"] for r in inverted_index(df2).collect()}
+    assert got2 == {"a": 1, "b": 1}
