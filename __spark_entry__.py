@@ -3771,6 +3771,72 @@ FROM s
 """
 
 
+def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (operators/multimodal.py resize_media fake=False,
+    r6): BMP fixtures (same law as media_decode_bmp) decode → nearest-
+    neighbor resample to 4x3 (out[y,x] = in[y·h//3, x·w//4], exact
+    integer index map) → lossless PNG re-encode → chained back through
+    ``decode_media``.  Retires the resize fake twin: every stage is a
+    real codec; the oracle recomputes the resampled pixel law in closed
+    form."""
+    import numpy as np
+    import pandas as pd
+
+    from radohydro_spark.sources.bmp import encode_bmp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + did % 5
+                h = 6 + did % 7
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((did * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w)
+                ids.append(did)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    bmp = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    resized = MM.resize_media(bmp, 4, 3, fake=False)
+    return MM.decode_media(resized).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+ORACLE_MEDIA_RESIZE_REAL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 5 AS w,
+         6 + doc_id % 7 AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, unnest(range(0, 12)) AS k FROM m
+),
+mapped AS (
+  SELECT media_id, w, h,
+         ((k // 4) * h) // 3 AS sy,
+         ((k % 4) * w) // 4 AS sx
+  FROM px
+)
+SELECT media_id,
+       4 AS width,
+       3 AS height,
+       1 AS channels,
+       round(avg(CAST((media_id * 31 + (sy * w + sx) * 7) % 256 AS DOUBLE)), 4)
+         AS mean_intensity
+FROM mapped
+GROUP BY media_id
+"""
+
+
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index (functions/text.py inverted_index, r6):
     term → (df, first 10 doc ids) over the corpus — the retrieval
@@ -5605,6 +5671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": q_events_markov_transitions,
         "stats_correlation": q_stats_correlation,
         "text_inverted_index": q_text_inverted_index,
+        "media_resize_real": q_media_resize_real,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -5759,6 +5826,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": ORACLE_MARKOV_TRANSITIONS,
         "stats_correlation": ORACLE_CORRELATION,
         "text_inverted_index": ORACLE_INVERTED_INDEX,
+        "media_resize_real": ORACLE_MEDIA_RESIZE_REAL,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

@@ -206,13 +206,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .agg(F.count("*").alias("deg"))
     )
     # orient: keep (a -> b) iff (deg_a, a) < (deg_b, b)
+    # no broadcast hint: the degree table is node-count-sized, which can
+    # be billions — equi-join and let AQE downgrade to broadcast when it
+    # actually fits
     d = e.join(
-        F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))),
-        "u",
-    ).join(
-        F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))),
-        "v",
-    )
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
     fwd = F.struct("du", "u") < F.struct("dv", "v")
     directed = d.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),

@@ -266,40 +266,63 @@ def resize_media(
     payload_col: str = "payload",
     fake: bool = False,
 ) -> DataFrame:
-    """Resize payloads to ``width x height`` (single channel).
+    """Resize payloads to ``width x height``.
 
-    STUB for the codec step (no image library in this container): with
-    ``fake=True`` the kernel nearest-neighbor-samples the RAW BYTE STREAM
-    down to ``width*height`` bytes (index i ↦ byte ⌊i*n/(w*h)⌋) — the same
-    batch shape, output schema, and deterministic-downsampling structure a
-    real decoder+resampler produces on a luma plane, so partitioning and
-    downstream consumers are exercisable end-to-end.  Without ``fake`` it
-    raises NotImplementedError at execution, documenting the signature.
+    REAL path (r6, ``fake=False``): decode through the codec dispatch
+    (BMP / baseline JPEG / PNG, all from-scratch), nearest-neighbor
+    resample the pixel grid — ``out[y, x] = in[y·h_in // h_out,
+    x·w_in // w_out]``, the deterministic integer mapping every engine
+    reproduces — and re-encode LOSSLESSLY as PNG (stdlib zlib), so
+    resized payloads chain back into ``decode_media`` with bit-exact
+    content.  RGB inputs stay 3-channel; grayscale stays 1.
 
-    Returns (media_id, width, height, payload) with len(payload) == w*h
-    (short inputs zero-pad — real resizers upsample; byte-space analog).
+    ``fake=True`` keeps the legacy byte-stream twin (nearest-neighbor
+    over the RAW BYTES, zero-padded) for exercising the plumbing with
+    arbitrary payloads.
+
+    Returns (media_id, width, height, payload).
     """
+    from radohydro_spark.sources.bmp import decode_bmp
+    from radohydro_spark.sources.jpeg import decode_jpeg_gray
+    from radohydro_spark.sources.png import decode_png, encode_png
 
     n_out = width * height
 
+    def _resample(img: np.ndarray) -> np.ndarray:
+        h_in, w_in = img.shape[:2]
+        ys = (np.arange(height) * h_in) // height
+        xs = (np.arange(width) * w_in) // width
+        return img[np.ix_(ys, xs)]
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass fake=True for the deterministic stub"
-                )
             ids, payloads = [], []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = len(arr)
-                if n == 0:
-                    out = np.zeros(n_out, dtype=np.uint8)
+                blob = bytes(payload)
+                if fake:
+                    arr = np.frombuffer(blob, dtype=np.uint8)
+                    n = len(arr)
+                    if n == 0:
+                        out = np.zeros(n_out, dtype=np.uint8)
+                    else:
+                        idx = (np.arange(n_out) * n) // n_out
+                        out = arr[idx]
+                    payloads.append(out.tobytes())
                 else:
-                    idx = (np.arange(n_out) * n) // n_out
-                    out = arr[idx]
+                    if blob[:2] == b"BM":
+                        img, _ = decode_bmp(blob)
+                    elif blob[:2] == b"\xff\xd8":
+                        img = decode_jpeg_gray(blob)
+                    elif blob[:8] == b"\x89PNG\r\n\x1a\n":
+                        img, _ = decode_png(blob)
+                    else:
+                        raise NotImplementedError(
+                            "resize decodes BMP/JPEG/PNG natively; other "
+                            "codecs unavailable — pass fake=True for the "
+                            "byte-stream stub"
+                        )
+                    payloads.append(encode_png(_resample(img)))
                 ids.append(mid)
-                payloads.append(out.tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -165,3 +165,29 @@ def test_inverted_index_caps_postings(spark):
     df2 = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
     got2 = {r["term"]: r["df"] for r in inverted_index(df2).collect()}
     assert got2 == {"a": 1, "b": 1}
+
+
+def test_resize_media_real_roundtrip(spark):
+    import numpy as np
+
+    from radohydro_spark.operators.multimodal import decode_media, resize_media
+    from radohydro_spark.sources.bmp import encode_bmp
+    from radohydro_spark.sources.png import decode_png
+
+    px = np.arange(120, dtype=np.uint8).reshape(10, 12)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px)))], "media_id long, payload binary"
+    )
+    row = resize_media(df, 4, 5, fake=False).collect()[0]
+    img, ch = decode_png(bytes(row["payload"]))
+    assert ch == 1 and img.shape == (5, 4)
+    ys = (np.arange(5) * 10) // 5
+    xs = (np.arange(4) * 12) // 4
+    np.testing.assert_array_equal(img, px[np.ix_(ys, xs)])
+    # resized payload chains back through decode_media
+    out = decode_media(
+        spark.createDataFrame(
+            [(1, bytearray(row["payload"]))], "media_id long, payload binary"
+        )
+    ).collect()[0]
+    assert (out.width, out.height, out.channels) == (4, 5, 1)
