@@ -3837,6 +3837,66 @@ GROUP BY media_id
 """
 
 
+def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (operators/fuzzy.py blocked_fuzzy_join, r6):
+    customer names are corrupted deterministically (digit at position 12
+    replaced with 'X') and re-matched against the clean roster by edit
+    distance — blocked on the UNCHANGED last-4-chars substring, so the
+    cross product collapses to an equi-join whose cost tracks block
+    size.  ``levenshtein`` is a built-in on both engines with identical
+    semantics; every true match scores distance 1 and argmin ties break
+    on the lower key.  The oracle mirrors block, distance, and argmin."""
+    from radohydro_spark.operators.fuzzy import blocked_fuzzy_join
+
+    c = _t(spark, sf_dir, "customer")
+    blk = F.substring(F.col("c_name"), -4, 4)
+    corrupted = c.select(
+        F.col("c_custkey").alias("cid"),
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("X"),
+            F.expr("substring(c_name, 13)"),
+        ).alias("dirty_name"),
+        blk.alias("blk"),
+    )
+    clean = c.select("c_custkey", "c_name", blk.alias("blk"))
+    return blocked_fuzzy_join(
+        corrupted,
+        clean,
+        block_col="blk",
+        left_key="cid",
+        right_key="c_custkey",
+        left_name="dirty_name",
+        right_name="c_name",
+        max_distance=2,
+    )
+
+
+ORACLE_FUZZY_BLOCKED = """
+WITH corrupted AS (
+  SELECT c_custkey AS cid,
+         substring(c_name, 1, 11) || 'X' || substring(c_name, 13)
+           AS dirty_name,
+         substring(c_name, length(c_name) - 3, 4) AS blk
+  FROM customer
+),
+clean AS (
+  SELECT c_custkey, c_name,
+         substring(c_name, length(c_name) - 3, 4) AS blk
+  FROM customer
+),
+scored AS (
+  SELECT l.cid, r.c_custkey, levenshtein(l.dirty_name, r.c_name) AS d
+  FROM corrupted l JOIN clean r USING (blk)
+)
+SELECT cid, c_custkey, CAST(d AS INT) AS distance
+FROM (SELECT *, row_number() OVER (PARTITION BY cid ORDER BY d, c_custkey)
+        AS rn
+      FROM scored WHERE d <= 2) t
+WHERE rn = 1
+"""
+
+
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index (functions/text.py inverted_index, r6):
     term → (df, first 10 doc ids) over the corpus — the retrieval
@@ -5672,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_correlation": q_stats_correlation,
         "text_inverted_index": q_text_inverted_index,
         "media_resize_real": q_media_resize_real,
+        "join_fuzzy_blocked": q_join_fuzzy_blocked,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -5827,6 +5888,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_correlation": ORACLE_CORRELATION,
         "text_inverted_index": ORACLE_INVERTED_INDEX,
         "media_resize_real": ORACLE_MEDIA_RESIZE_REAL,
+        "join_fuzzy_blocked": ORACLE_FUZZY_BLOCKED,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

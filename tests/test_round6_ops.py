@@ -192,3 +192,53 @@ def test_word_chunks_udtf(spark):
     assert got[(1, 1)] == ("k l", 2)
     assert got[(2, 0)] == ("solo", 1)
     assert got[(3, 0)] == ("", 1)  # empty text = one empty token, same as SQL
+
+
+# --------------------------------------------------------------- fuzzy join
+
+
+def test_blocked_fuzzy_join_matches_and_thresholds(spark):
+    from radohydro_spark.operators.fuzzy import blocked_fuzzy_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "jonathan", "b1"),
+            (2, "jXnathan", "b1"),
+            (3, "zzzzzzzz", "b1"),   # nothing within distance 2
+            (4, "maria", "b2"),
+            (5, "marla", "b9"),      # right block, wrong key: no candidates
+        ],
+        "lk int, lname string, blk string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "jonathan", "b1"),
+            (11, "jonatan", "b1"),
+            (20, "mario", "b2"),
+            (21, "maria", "b2"),
+        ],
+        "rk int, rname string, blk string",
+    )
+    got = {
+        r["lk"]: (r["rk"], r["distance"])
+        for r in blocked_fuzzy_join(
+            left, right, "blk", "lk", "rk", "lname", "rname", max_distance=2
+        ).collect()
+    }
+    assert got[1] == (10, 0)   # exact beats close
+    assert got[2] == (10, 1)   # one substitution
+    assert got[4] == (21, 0)
+    assert 3 not in got and 5 not in got
+
+
+def test_blocked_fuzzy_join_tie_breaks_on_key(spark):
+    from radohydro_spark.operators.fuzzy import blocked_fuzzy_join
+
+    left = spark.createDataFrame([(1, "abc", "b")], "lk int, lname string, blk string")
+    right = spark.createDataFrame(
+        [(7, "abd", "b"), (3, "abe", "b")], "rk int, rname string, blk string"
+    )
+    row = blocked_fuzzy_join(
+        left, right, "blk", "lk", "rk", "lname", "rname"
+    ).collect()[0]
+    assert (row["rk"], row["distance"]) == (3, 1)
