@@ -3897,6 +3897,135 @@ WHERE rn = 1
 """
 
 
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (r6): recency (days since last order at
+    the corpus max date), frequency (order count), monetary (exact-cents
+    total) → ntile(4) scores on each axis → 64-cell segment rollup.  The
+    classic marketing/value segmentation, all windows + one aggregate.
+    Every ntile orders by (metric, custkey) so tile assignment is total-
+    order deterministic; monetary sums in exact cents.  The global-order
+    ntile windows run on the CUSTOMER DIMENSION (one row per customer,
+    post-aggregation), never on the fact table — the single-partition
+    sort is dimension-sized by construction."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    r = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.col("anchor"), F.col("last_order")).cast("long"),
+    )
+    scored = r.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(W.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(
+            W.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
+        )
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum("monetary_cents") / F.lit(100.0)).alias("segment_revenue"),
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+r AS (
+  SELECT p.*, date_diff('day', CAST(last_order AS DATE), CAST(anchor AS DATE))
+           AS recency_days
+  FROM per_cust p, anchor
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+  FROM r
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       SUM(monetary_cents) / 100.0 AS segment_revenue
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
+def q_stats_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto front (r6): orders minimizing price while
+    maximizing... the dominance query behind multi-criteria candidate
+    selection.  The naive form is an O(n²) dominance self-join; in 2-D
+    ONE window does it exactly: sort by (price asc, qty desc) and keep a
+    row iff its qty strictly exceeds the running max over all preceding
+    rows — preceding rows have ≤ price, so any with ≥ qty dominates.
+    Exact integers throughout ⇒ hash-exact oracle.  Input: distinct
+    (price-cents, quantity) pairs — value-domain-sized, so the global
+    window sort is bounded; at fact scale run per-partition local
+    skylines first (dominance is transitive, local fronts union to a
+    small merge set) and finish with this same window."""
+    from pyspark.sql import Window as W
+
+    l = _t(spark, sf_dir, "lineitem")
+    pts = l.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    ).distinct()
+    w = W.orderBy(F.col("price_c").asc(), F.col("qty").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    sky = (
+        pts.withColumn("_prevmax", F.max("qty").over(w))
+        .filter(F.col("_prevmax").isNull() | (F.col("qty") > F.col("_prevmax")))
+        .select(
+            (F.col("price_c") / F.lit(100.0)).alias("price"),
+            "qty",
+        )
+    )
+    return sky
+
+
+ORACLE_SKYLINE_2D = """
+WITH pts AS (
+  SELECT DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+),
+runs AS (
+  SELECT price_c, qty,
+         max(qty) OVER (ORDER BY price_c ASC, qty DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prevmax
+  FROM pts
+)
+SELECT price_c / 100.0 AS price, qty
+FROM runs
+WHERE prevmax IS NULL OR qty > prevmax
+"""
+
+
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index (functions/text.py inverted_index, r6):
     term → (df, first 10 doc ids) over the corpus — the retrieval
@@ -5723,7 +5852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
         # --- end of round-6 driver window ---
-        # round-6 tail (strict-green locally; front-load into r7 window)
+        # round-6 tail: NEVER driver-verified — MUST be front-loaded into
+        # the r7 window (all strict-green locally at sf0.01 AND sf0.1,
+        # scripts/check_correctness.py --strict), together with the
+        # events_hourly r2 re-pin that ceded its slot to the PNG codec.
         "media_video_mjpeg": q_media_video_mjpeg,
         "dq_psi_drift": q_dq_psi_drift,
         "dq_zscore_outliers": q_dq_zscore_outliers,
@@ -5733,6 +5865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "media_resize_real": q_media_resize_real,
         "join_fuzzy_blocked": q_join_fuzzy_blocked,
+        "orders_rfm_segments": q_orders_rfm_segments,
+        "stats_skyline_2d": q_stats_skyline_2d,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -5889,6 +6023,8 @@ def oracle_sql() -> dict[str, str]:
         "text_inverted_index": ORACLE_INVERTED_INDEX,
         "media_resize_real": ORACLE_MEDIA_RESIZE_REAL,
         "join_fuzzy_blocked": ORACLE_FUZZY_BLOCKED,
+        "orders_rfm_segments": ORACLE_RFM_SEGMENTS,
+        "stats_skyline_2d": ORACLE_SKYLINE_2D,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,
