@@ -4026,6 +4026,58 @@ WHERE prevmax IS NULL OR qty > prevmax
 """
 
 
+def q_orders_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via foreachBatch (streaming/streams.py
+    foreach_batch_upsert, r6): the orders change feed — upserts plus
+    is_del tombstones for keys %10==0 — replayed as three micro-batches
+    (maxFilesPerTrigger=1), each batch MERGEd into a parquet-backed
+    target with the atomic staging-swap write protocol.  Keys are
+    globally unique so the final table is batch-order independent; the
+    oracle is simply the surviving membership.  Covers the foreachBatch
+    API surface the availableNow queries don't."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import foreach_batch_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        (F.col("o_orderkey") % 10 == 0).alias("is_del"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    src = work + "/changes"
+    o.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_totalprice double, o_orderstatus string, "
+            "is_del boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = work + "/target"
+    foreach_batch_upsert(
+        stream,
+        target,
+        ["o_orderkey"],
+        "upsert_" + uuid.uuid4().hex[:8],
+        work + "/ck",
+        delete_col="is_del",
+    )
+    return spark.read.parquet(target).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+ORACLE_STREAM_UPSERT = """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_orderkey % 10 <> 0
+"""
+
+
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index (functions/text.py inverted_index, r6):
     term → (df, first 10 doc ids) over the corpus — the retrieval
@@ -5867,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fuzzy_blocked": q_join_fuzzy_blocked,
         "orders_rfm_segments": q_orders_rfm_segments,
         "stats_skyline_2d": q_stats_skyline_2d,
+        "orders_stream_upsert": q_orders_stream_upsert,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6025,6 +6078,7 @@ def oracle_sql() -> dict[str, str]:
         "join_fuzzy_blocked": ORACLE_FUZZY_BLOCKED,
         "orders_rfm_segments": ORACLE_RFM_SEGMENTS,
         "stats_skyline_2d": ORACLE_SKYLINE_2D,
+        "orders_stream_upsert": ORACLE_STREAM_UPSERT,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,
