@@ -4078,6 +4078,51 @@ WHERE o_orderkey % 10 <> 0
 """
 
 
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM scoring (functions/text.py
+    bigram_logprob, r6): add-0.5-smoothed p(w₂|w₁) over the corpus's own
+    bigram counts — the word-order-sensitive perplexity proxy above the
+    unigram signal.  One posexplode + lead window for adjacency, two
+    count aggregates, one bigram equi-join; the oracle mirrors the
+    tokenization (shared _SQL_TOKS), the history-count smoothing, and
+    the per-doc rollup."""
+    from radohydro_spark.functions.text import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d, alpha=0.5)
+
+
+ORACLE_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, i, lower(tok) AS tok
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+               generate_subscripts({_SQL_TOKS}, 1) AS i
+        FROM documents) t
+  WHERE tok <> ''
+),
+pairs AS (
+  SELECT doc_id, tok, nxt FROM (
+    SELECT doc_id, tok,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+    FROM toks) z
+  WHERE nxt IS NOT NULL
+),
+c2 AS (SELECT tok, nxt, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT tok, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vv FROM toks),
+scored AS (
+  SELECT p.doc_id,
+         ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * (SELECT vv FROM v))) AS lp
+  FROM pairs p JOIN c2 USING (tok, nxt) JOIN c1 USING (tok)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(SUM(lp), 4) AS sum_logprob,
+       round(AVG(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index (functions/text.py inverted_index, r6):
     term → (df, first 10 doc ids) over the corpus — the retrieval
@@ -5920,6 +5965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm_segments": q_orders_rfm_segments,
         "stats_skyline_2d": q_stats_skyline_2d,
         "orders_stream_upsert": q_orders_stream_upsert,
+        "text_bigram_logprob": q_text_bigram_logprob,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6079,6 +6125,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rfm_segments": ORACLE_RFM_SEGMENTS,
         "stats_skyline_2d": ORACLE_SKYLINE_2D,
         "orders_stream_upsert": ORACLE_STREAM_UPSERT,
+        "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

@@ -579,3 +579,58 @@ def inverted_index(
         .agg(F.sort_array(F.collect_list("_doc")).alias("postings"))
     )
     return dfc.join(capped, "term").select("term", "df", "postings")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained BIGRAM LM scoring (r6) — the sharper perplexity
+    proxy above [[unigram_logprob]]: word-order violations (shuffled or
+    templated text) score low even when every individual token is common.
+
+    p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V), add-α smoothed over the
+    corpus's own bigram counts; history count c(w₁·) is the number of
+    bigrams STARTING with w₁ (so probabilities per history sum to 1 over
+    the smoothed vocabulary).
+
+    Plan: one posexplode feeds adjacency (lead over (doc, pos) — one
+    window), then two map-side-combinable count aggregates and one
+    equi-join of pairs against the bigram counts; V is a 1-row broadcast.
+    No UDF, no collect.  Returns ``(id, n_bigrams, sum_logprob,
+    avg_logprob)``.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(tokens(text_col), F.lower)).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    w = W.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    c2 = pairs.groupBy("tok", "nxt").agg(F.count("*").alias("_c2"))
+    c1 = pairs.groupBy("tok").agg(F.count("*").alias("_c1"))
+    v = toks.agg(F.countDistinct("tok").cast("double").alias("_v"))
+    scored = (
+        pairs.join(c2, ["tok", "nxt"])
+        .join(c1, "tok")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            F.log(
+                (F.col("_c2") + F.lit(alpha))
+                / (F.col("_c1") + F.lit(alpha) * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("_lp"), 4).alias("sum_logprob"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )

@@ -245,3 +245,35 @@ def test_blocked_fuzzy_join_tie_breaks_on_key(spark):
         left, right, "blk", "lk", "rk", "lname", "rname"
     ).collect()[0]
     assert (row["rk"], row["distance"]) == (3, 1)
+
+
+# ---------------------------------------------------- CDC inverse property
+
+
+def test_apply_changes_inverts_diff_property(spark):
+    """Property: for ANY pair of snapshots over the same key space,
+    apply_changes(v1, snapshot_diff(v1, v2)) == v2 — membership changes,
+    value updates, NULLs, and empty diffs all covered by randomization."""
+    import random
+
+    from radohydro_spark.operators.merge import apply_changes, snapshot_diff
+
+    rng = random.Random(42)
+    for trial in range(8):
+        keys = range(1, 30)
+        def snap():
+            rows = []
+            for k in keys:
+                if rng.random() < 0.7:
+                    price = rng.choice([None, round(rng.uniform(1, 100), 2)])
+                    status = rng.choice([None, "O", "F", "P"])
+                    rows.append((k, price, status))
+            return spark.createDataFrame(
+                rows, "k int, price double, status string"
+            )
+
+        v1, v2 = snap(), snap()
+        d = snapshot_diff(v1, v2, ["k"])
+        got = {tuple(r) for r in apply_changes(v1, d, ["k"]).collect()}
+        want = {tuple(r) for r in v2.collect()}
+        assert got == want, f"trial {trial}: {got ^ want}"
