@@ -268,3 +268,71 @@ def test_unigram_vocab_cut_take_ordered(spark):
     plan = _plan(unigram_logprob(docs, top_k=100, min_count=2))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan  # no global-window single-tasking anywhere
+
+
+def test_concurrency_sweep_single_exchange_no_join(spark):
+    """r6: the sweep-line form must stay join-free — one union, one
+    window exchange.  A regression to an interval self-join would show a
+    Join node and O(n²) cost."""
+    from radohydro_spark.operators.intervals import concurrency_sweep
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 3, 8), ("b", 0, 2)], "k string, s long, e long"
+    )
+    plan = _plan(concurrency_sweep(df, "s", "e", ["k"]))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_triangle_count_no_cartesian(spark):
+    from radohydro_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    plan = _plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # wedge join is equi-join
+
+
+def test_random_projection_no_shuffle_no_udf(spark):
+    """The J-L projection is a pure per-row expression: no Exchange, no
+    Python evaluation in the plan."""
+    from radohydro_spark.operators.similarity import random_projection_int
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id long, embedding array<float>"
+    )
+    plan = _plan(random_projection_int(df, out_dims=4))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_inverted_index_caps_before_collect(spark):
+    """The postings collect_list must sit ABOVE a WindowGroupLimit/rank
+    filter, never collecting uncapped lists; plan shows the window filter
+    below the final aggregate."""
+    from radohydro_spark.functions.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    plan = _plan(inverted_index(df, max_postings=3))
+    assert "CartesianProduct" not in plan
+    assert "collect_list" in plan and "row_number" in plan
+    # the rn filter must appear below (later in the printed tree than)
+    # the collect_list aggregate
+    assert plan.index("collect_list") < plan.rindex("row_number")
+
+
+def test_fuzzy_join_blocks_via_equijoin(spark):
+    from radohydro_spark.operators.fuzzy import blocked_fuzzy_join
+
+    left = spark.createDataFrame([(1, "ab", "b")], "lk int, ln string, blk string")
+    right = spark.createDataFrame([(2, "ac", "b")], "rk int, rn string, blk string")
+    plan = _plan(
+        blocked_fuzzy_join(left, right, "blk", "lk", "rk", "ln", "rn")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
