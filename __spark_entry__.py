@@ -4166,6 +4166,64 @@ _REPRICE_SPARK = (
 )
 
 
+def q_media_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YCbCr COLOR JPEG decode (sources/jpeg.py r6 color extension):
+    4:2:0-subsampled three-component JPEGs — 16x16 MCU interleave, two
+    quant tables, four Huffman tables, chroma upsampling, BT.601 color
+    transform — built and decoded entirely by the from-scratch codec.
+    Fixture law: gray content (R=G=B) in constant 16x16 MCUs, value
+    (doc_id*37 + m*11) % 256 on a (1 + doc_id%2)-MCU row — gray constant
+    MCUs give Y==v and Cb==Cr==128 EXACTLY, so the lossy color path
+    round-trips bit-exactly and the oracle is closed-form."""
+    import numpy as np
+    import pandas as pd
+
+    from radohydro_spark.sources.jpeg import encode_jpeg_color
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mw = 1 + did % 2
+                m = np.arange(mw, dtype=np.int64)
+                vals = ((did * 37 + m * 11) % 256).astype(np.uint8).reshape(1, mw)
+                gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+                rgb = np.stack([gray] * 3, axis=2)
+                ids.append(did)
+                payloads.append(encode_jpeg_color(rgb))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    jpg = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return MM.decode_media(jpg).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+ORACLE_MEDIA_DECODE_JPEG_COLOR = """
+WITH m AS (
+  SELECT doc_id AS media_id, 1 + doc_id % 2 AS mw FROM documents
+),
+mcu AS (
+  SELECT media_id, mw, unnest(range(0, mw)) AS b FROM m
+)
+SELECT media_id,
+       CAST(mw * 16 AS INT) AS width,
+       16 AS height,
+       3 AS channels,
+       round(avg(CAST((media_id * 37 + b * 11) % 256 AS DOUBLE)), 4)
+         AS mean_intensity
+FROM mcu
+GROUP BY media_id, mw
+"""
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay (operators/merge.py apply_changes, r6): the inverse of
     snapshot_diff — apply the diff's insert/delete/update feed back onto
@@ -5966,6 +6024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_skyline_2d": q_stats_skyline_2d,
         "orders_stream_upsert": q_orders_stream_upsert,
         "text_bigram_logprob": q_text_bigram_logprob,
+        "media_decode_jpeg_color": q_media_decode_jpeg_color,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6126,6 +6185,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_skyline_2d": ORACLE_SKYLINE_2D,
         "orders_stream_upsert": ORACLE_STREAM_UPSERT,
         "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
+        "media_decode_jpeg_color": ORACLE_MEDIA_DECODE_JPEG_COLOR,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

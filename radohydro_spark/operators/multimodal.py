@@ -2,12 +2,14 @@
 
 Images / audio / video ride as ``binary`` columns with a struct of metadata;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` kernels.  ``decode_media`` decodes BMP payloads for REAL via
-the dependency-free codec in ``sources/bmp.py``; every other format is
-STUBBED (no image/audio libraries in this container) and raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-byte-derived fake is produced — the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested either way.
+``mapInPandas`` kernels.  As of round 6 the decode paths are REAL and
+dependency-free: BMP (sources/bmp.py), baseline JPEG incl. YCbCr 4:2:0
+color (sources/jpeg.py), PNG via stdlib zlib (sources/png.py), WAV/PCM
+audio (sources/wav.py), and AVI/MJPEG video (sources/avi.py +
+``decode_video``).  Formats outside that set raise
+``NotImplementedError`` unless ``fake=True``, which produces the
+deterministic byte-derived twin — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is identical either way.
 
 ``byte_histogram`` and ``chunk_frames`` are honest binary operators (no
 codec needed) usable at full scale as-is.
@@ -80,15 +82,15 @@ def decode_media(
     The real path (``fake=False``) decodes **BMP** payloads end-to-end via
     the dependency-free codec in ``sources/bmp.py`` (8-bit palettized and
     24-bit, bottom-up or top-down) and **baseline JPEG** payloads via
-    ``sources/jpeg.py`` (grayscale SOF0: stream-defined DQT/DHT, Huffman,
-    zigzag, IDCT) — no image library needed.  Payloads in any other
-    format raise ``NotImplementedError`` (PNG/video codecs are not
-    present in this container).  ``fake=True`` keeps the deterministic
+    ``sources/jpeg.py`` (grayscale AND YCbCr color SOF0 — 4:4:4 / 4:2:0
+    MCU interleave; stream-defined DQT/DHT, Huffman, zigzag, IDCT) and **PNG** payloads via ``sources/png.py`` — no image library
+    needed.  Payloads in any other format raise ``NotImplementedError``.
+    ``fake=True`` keeps the deterministic
     byte-derived twin (dims from payload length, intensity = mean byte
     value) for exercising the plumbing with arbitrary payloads.
     """
     from radohydro_spark.sources.bmp import decode_bmp
-    from radohydro_spark.sources.jpeg import decode_jpeg_gray
+    from radohydro_spark.sources.jpeg import decode_jpeg
     from radohydro_spark.sources.png import decode_png
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,10 +113,10 @@ def decode_media(
                     rows["channels"].append(channels)
                     rows["mean_intensity"].append(float(img.mean()))
                 elif blob[:2] == b"\xff\xd8":
-                    img = decode_jpeg_gray(blob)
+                    img, channels = decode_jpeg(blob)
                     rows["width"].append(int(img.shape[1]))
                     rows["height"].append(int(img.shape[0]))
-                    rows["channels"].append(1)
+                    rows["channels"].append(channels)
                     rows["mean_intensity"].append(float(img.mean()))
                 elif blob[:8] == b"\x89PNG\r\n\x1a\n":
                     img, channels = decode_png(blob)
@@ -283,7 +285,7 @@ def resize_media(
     Returns (media_id, width, height, payload).
     """
     from radohydro_spark.sources.bmp import decode_bmp
-    from radohydro_spark.sources.jpeg import decode_jpeg_gray
+    from radohydro_spark.sources.jpeg import decode_jpeg
     from radohydro_spark.sources.png import decode_png, encode_png
 
     n_out = width * height
@@ -312,7 +314,7 @@ def resize_media(
                     if blob[:2] == b"BM":
                         img, _ = decode_bmp(blob)
                     elif blob[:2] == b"\xff\xd8":
-                        img = decode_jpeg_gray(blob)
+                        img, _jc = decode_jpeg(blob)
                     elif blob[:8] == b"\x89PNG\r\n\x1a\n":
                         img, _ = decode_png(blob)
                     else:

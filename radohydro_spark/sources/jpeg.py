@@ -292,13 +292,43 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg_gray(blob: bytes) -> np.ndarray:
-    """Decode a baseline single-component JPEG → ``(h, w)`` uint8.
+def _decode_block(br: _BitReader, dc_tbl, ac_tbl, pred: int):
+    """One entropy-coded block: returns (zigzag coefficient vector,
+    updated DC predictor)."""
+    zz = np.zeros(64, dtype=np.float64)
+    cat = _read_symbol(br, dc_tbl)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, ac_tbl)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        s = rs & 15
+        zz[k] = _extend(br.bits(s), s)
+        k += 1
+    return zz, pred
 
-    Builds quantization and Huffman state from the stream's own DQT/DHT
-    segments; handles APPn/COM skips, 16-bit DQT precision, DRI/RSTn.
-    Refuses progressive (SOF2), arithmetic (SOF9+), and multi-component
-    images with a ``ValueError`` naming the marker.
+
+def decode_jpeg(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a baseline JPEG → ``(array, channels)``: grayscale yields
+    ``((h, w), 1)``, YCbCr color yields ``((h, w, 3) RGB, 3)``.
+
+    Handles (r6 color extension): 1- or 3-component SOF0/1 with
+    per-component sampling factors — 4:4:4 (1x1 everywhere) and 4:2:0
+    (luma 2x2, chroma 1x1) MCU interleave — stream-defined DQT/DHT,
+    16-bit DQT precision, APPn/COM skips, DRI/RSTn with per-component DC
+    predictor reset (restart interval counts MCUs).  Chroma planes
+    upsample by sample repetition; color transform is BT.601 full-range
+    YCbCr→RGB.  Refuses progressive (SOF2), arithmetic, hierarchical,
+    and other sampling layouts with a ``ValueError`` naming the cause.
     """
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -306,7 +336,7 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[dict] = []  # {cid, hs, vs, tq, td, ta}
     restart_interval = 0
     data_pos = -1
 
@@ -345,13 +375,14 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
-            if nf != 1:
-                raise ValueError(
-                    f"only single-component (grayscale) supported, got {nf}"
+            if nf not in (1, 3):
+                raise ValueError(f"unsupported component count {nf}")
+            comps = []
+            for ci in range(nf):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"cid": cid, "hs": sampling >> 4, "vs": sampling & 15, "tq": tq}
                 )
-            _cid, sampling, comp_q = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError(f"subsampling {sampling:#x} unsupported")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported SOF marker 0xFF{marker:02X} (progressive/"
@@ -361,9 +392,16 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise ValueError(f"multi-component scan unsupported (Ns={ns})")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 15
+            if ns != len(comps) or not comps:
+                raise ValueError(
+                    f"scan/SOF component mismatch (Ns={ns}, Nf={len(comps)})"
+                )
+            by_id = {c["cid"]: c for c in comps}
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si], body[2 + 2 * si]
+                if cs not in by_id:
+                    raise ValueError(f"scan references unknown component {cs}")
+                by_id[cs]["td"], by_id[cs]["ta"] = tda >> 4, tda & 15
             data_pos = pos + 2 + length
             break
         # APPn / COM / anything else: skip
@@ -371,47 +409,215 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
 
     if data_pos < 0 or not h or not w:
         raise ValueError("truncated JPEG: no SOS/SOF before end")
-    if comp_q not in qtables:
-        raise ValueError(f"missing quantization table {comp_q}")
-    dc_tbl = htables.get((0, comp_dc))
-    ac_tbl = htables.get((1, comp_ac))
-    if dc_tbl is None or ac_tbl is None:
-        raise ValueError("missing Huffman table(s) for scan")
-    q = qtables[comp_q]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    if len(comps) == 1:
+        if (comps[0]["hs"], comps[0]["vs"]) != (1, 1):
+            raise ValueError("grayscale must be 1x1 sampled")
+    else:
+        layouts = tuple((c["hs"], c["vs"]) for c in comps)
+        if layouts not in (((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))):
+            raise ValueError(f"unsupported sampling layout {layouts}")
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        c["q"] = qtables[c["tq"]]
+        c["dc_tbl"] = htables.get((0, c.get("td", 0)))
+        c["ac_tbl"] = htables.get((1, c.get("ta", 0)))
+        if c["dc_tbl"] is None or c["ac_tbl"] is None:
+            raise ValueError("missing Huffman table(s) for scan")
 
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    for c in comps:
+        c["plane"] = np.zeros(
+            (mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8), dtype=np.float64
+        )
+        c["pred"] = 0
+
     br = _BitReader(blob, data_pos)
-    pred = 0
-    for bi in range(bh * bw_):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mi in range(mcus_y * mcus_x):
+        if restart_interval and mi and mi % restart_interval == 0:
             if not br.at_restart():
                 raise ValueError("expected restart marker")
             br.sync_restart()
-            pred = 0
-        zz = np.zeros(64, dtype=np.float64)
-        cat = _read_symbol(br, dc_tbl)
-        diff = _extend(br.bits(cat), cat) if cat else 0
-        pred += diff
-        zz[0] = pred
-        k = 1
-        while k < 64:
-            rs = _read_symbol(br, ac_tbl)
-            if rs == 0x00:  # EOB
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(mi, mcus_x)
+        for c in comps:
+            for byi in range(c["vs"]):
+                for bxi in range(c["hs"]):
+                    zz, c["pred"] = _decode_block(
+                        br, c["dc_tbl"], c["ac_tbl"], c["pred"]
+                    )
+                    coef = np.zeros(64)
+                    coef[_ZZ_IDX] = zz
+                    block = _A.T @ (coef.reshape(8, 8) * c["q"]) @ _A
+                    py = (my * c["vs"] + byi) * 8
+                    px = (mx * c["hs"] + bxi) * 8
+                    c["plane"][py : py + 8, px : px + 8] = block
+
+    planes = []
+    for c in comps:
+        p = c["plane"] + 128.0
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8), 1
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=2
+    ).astype(np.uint8)
+    return rgb, 3
+
+
+def decode_jpeg_gray(blob: bytes) -> np.ndarray:
+    """Decode a baseline single-component JPEG → ``(h, w)`` uint8 (thin
+    wrapper over the general ``decode_jpeg``; refuses color payloads)."""
+    img, channels = decode_jpeg(blob)
+    if channels != 1:
+        raise ValueError("decode_jpeg_gray: payload is color, use decode_jpeg")
+    return img
+
+
+def encode_jpeg_color(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "4:2:0",
+) -> bytes:
+    """Encode an ``(h, w, 3)`` RGB uint8 array as a baseline YCbCr JPEG
+    (r6 color extension).
+
+    ``4:2:0``: luma 2x2 / chroma 1x1 sampling, 16x16 MCUs (dims must be
+    multiples of 16); ``4:4:4``: all 1x1, 8x8 MCUs (multiples of 8).
+    BT.601 full-range RGB→YCbCr; chroma subsampling is 2x2 block
+    averaging.  One quant table serves both luma and chroma (all-ones
+    default — block-constant GRAY content round-trips bit-exactly
+    through the full color path, since Y==v and Cb==Cr==128 exactly);
+    the Annex-K luma Huffman tables are registered for both table ids —
+    legal JPEG, self-consistent with the stream-driven decoder.
+    """
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    if subsampling == "4:2:0":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        mcu = 16
+    elif subsampling == "4:4:4":
+        samp = [(1, 1), (1, 1), (1, 1)]
+        mcu = 8
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if h % mcu or w % mcu or h == 0 or w == 0:
+        raise ValueError(
+            f"dims must be non-zero multiples of {mcu} for {subsampling}, "
+            f"got {w}x{h}"
+        )
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
+
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsampling == "4:2:0":
+        cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = w // (8 * hmax), h // (8 * vmax)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+
+    def emit_block(plane, py, px, ci):
+        nonlocal preds
+        block = plane[py : py + 8, px : px + 8]
+        coef = np.rint((_A @ block @ _A.T) / q).astype(np.int64)
+        zz = coef.ravel()[_ZZ_IDX]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        cat = _category(diff)
+        c, ln = _DC_ENC[cat]
+        bw.write(c, ln)
+        if cat:
+            bw.write(_amplitude(diff, cat), cat)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            if k > last_nz:
                 break
-            if rs == 0xF0:  # ZRL
-                k += 16
+            v = int(zz[k])
+            if v == 0:
+                run += 1
                 continue
-            k += rs >> 4
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            s = rs & 15
-            zz[k] = _extend(br.bits(s), s)
-            k += 1
-        coef = np.zeros(64)
-        coef[_ZZ_IDX] = zz
-        block = _A.T @ (coef.reshape(8, 8) * q) @ _A
-        by, bx = divmod(bi, bw_)
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    pixels = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
-    return pixels[:h, :w].copy()
+            while run > 15:
+                c, ln = _AC_ENC[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            cat = _category(v)
+            c, ln = _AC_ENC[(run << 4) | cat]
+            bw.write(c, ln)
+            bw.write(_amplitude(v, cat), cat)
+            run = 0
+        if last_nz < 63:
+            c, ln = _AC_ENC[0x00]
+            bw.write(c, ln)
+
+    for mi in range(mcus_y * mcus_x):
+        my, mx = divmod(mi, mcus_x)
+        for ci, (hs, vs) in enumerate(samp):
+            for byi in range(vs):
+                for bxi in range(hs):
+                    emit_block(
+                        planes[ci],
+                        (my * vs + byi) * 8,
+                        (mx * hs + bxi) * 8,
+                        ci,
+                    )
+    entropy = bw.flush()
+
+    qzz = np.rint(q).astype(np.int64).ravel()[_ZZ_IDX]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    sof_comps = b"".join(
+        bytes([cid, (hs << 4) | vs, tq])
+        for cid, (hs, vs), tq in zip((1, 2, 3), samp, (0, 1, 1))
+    )
+    sos_comps = b"".join(
+        bytes([cid, (td << 4) | ta])
+        for cid, td, ta in zip((1, 2, 3), (0, 1, 1), (0, 1, 1))
+    )
+    huff = bytes(_DC_BITS) + bytes(_DC_VALS)
+    huff_ac = bytes(_AC_BITS) + bytes(_AC_VALS)
+    return b"".join(
+        (
+            b"\xff\xd8",
+            seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            seg(
+                0xFFDB,
+                bytes([0x00]) + bytes(int(v) for v in qzz)
+                + bytes([0x01]) + bytes(int(v) for v in qzz),
+            ),
+            seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps),
+            seg(
+                0xFFC4,
+                bytes([0x00]) + huff + bytes([0x10]) + huff_ac
+                + bytes([0x01]) + huff + bytes([0x11]) + huff_ac,
+            ),
+            seg(0xFFDA, bytes([3]) + sos_comps + bytes([0, 63, 0])),
+            entropy,
+            b"\xff\xd9",
+        )
+    )

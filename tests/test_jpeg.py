@@ -126,3 +126,70 @@ def test_decode_media_dispatches_jpeg(spark):
     row = decode_media(df).collect()[0]
     assert (row.width, row.height, row.channels) == (16, 8, 1)
     assert abs(row.mean_intensity - 75.0) < 1e-12
+
+
+def test_color_420_gray_content_exact():
+    # gray constant 16x16 MCUs through the FULL color path (YCbCr forward,
+    # chroma subsample, MCU interleave, upsample, inverse transform):
+    # Y == v and Cb == Cr == 128 exactly, so round-trip is bit-exact
+    from radohydro_spark.sources.jpeg import decode_jpeg, encode_jpeg_color
+
+    rng = np.random.RandomState(3)
+    for _ in range(6):
+        mh, mw = int(rng.randint(1, 4)), int(rng.randint(1, 4))
+        vals = rng.randint(0, 256, (mh, mw)).astype(np.uint8)
+        gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+        rgb = np.stack([gray] * 3, axis=2)
+        img, ch = decode_jpeg(encode_jpeg_color(rgb))
+        assert ch == 3
+        np.testing.assert_array_equal(img, rgb)
+
+
+def test_color_444_near_lossless():
+    from radohydro_spark.sources.jpeg import decode_jpeg, encode_jpeg_color
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    img, ch = decode_jpeg(encode_jpeg_color(px, subsampling="4:4:4"))
+    assert ch == 3 and img.shape == px.shape
+    # only color-transform rounding: tight error bound
+    assert np.abs(img.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_color_420_chroma_subsampling_loss_bounded():
+    from radohydro_spark.sources.jpeg import decode_jpeg, encode_jpeg_color
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    px = np.stack(
+        [(yy * 4) % 256, (xx * 4) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    img, _ = decode_jpeg(encode_jpeg_color(px))
+    err = np.abs(img.astype(int) - px.astype(int))
+    assert err.mean() < 8
+
+
+def test_color_refusals():
+    from radohydro_spark.sources.jpeg import encode_jpeg_color
+
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_jpeg_color(np.zeros((8, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="RGB"):
+        encode_jpeg_color(np.zeros((16, 16), dtype=np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_color(np.zeros((16, 16, 3), dtype=np.uint8), subsampling="4:2:2")
+
+
+def test_decode_media_dispatches_color_jpeg(spark):
+    from radohydro_spark.operators.multimodal import decode_media
+    from radohydro_spark.sources.jpeg import encode_jpeg_color
+
+    gray = np.kron(
+        np.array([[100, 200]], dtype=np.uint8), np.ones((16, 16), np.uint8)
+    )
+    rgb = np.stack([gray] * 3, axis=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_color(rgb)))], "media_id long, payload binary"
+    )
+    row = decode_media(df).collect()[0]
+    assert (row.width, row.height, row.channels) == (32, 16, 3)
+    assert abs(row.mean_intensity - 150.0) < 1e-12
