@@ -4224,6 +4224,66 @@ GROUP BY media_id, mw
 """
 
 
+def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real end-to-end GIF decode (sources/gif.py, r6): deterministic
+    grayscale GIF87a payloads — gray global palette, sub-block framing,
+    uncompressed-variant LZW with CLEAR-every-250 — decoded back through
+    ``decode_media``'s real variable-width LZW decoder (dictionary
+    rebuild, KwKwK case, 12-bit cap; unit-tested against a giflib-style
+    growing-dictionary encoder too).  GIF is lossless, so the fixture
+    law round-trips bit-exactly: pixel(i) = (doc_id*41 + i*13) % 256 on
+    a (5 + doc_id%4) x (7 + doc_id%6) grid; closed-form oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from radohydro_spark.sources.gif import encode_gif
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 7 + did % 6
+                h = 5 + did % 4
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((did * 41 + i * 13) % 256).astype(np.uint8).reshape(h, w)
+                ids.append(did)
+                payloads.append(encode_gif(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    gif = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return MM.decode_media(gif).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+ORACLE_MEDIA_DECODE_GIF = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         7 + doc_id % 6 AS w,
+         5 + doc_id % 4 AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, unnest(range(0, w * h)) AS i FROM m
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       1 AS channels,
+       round(avg(CAST((media_id * 41 + i * 13) % 256 AS DOUBLE)), 4)
+         AS mean_intensity
+FROM px
+GROUP BY media_id, w, h
+"""
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay (operators/merge.py apply_changes, r6): the inverse of
     snapshot_diff — apply the diff's insert/delete/update feed back onto
@@ -6025,6 +6085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_stream_upsert": q_orders_stream_upsert,
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_decode_jpeg_color": q_media_decode_jpeg_color,
+        "media_decode_gif": q_media_decode_gif,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6186,6 +6247,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_stream_upsert": ORACLE_STREAM_UPSERT,
         "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
         "media_decode_jpeg_color": ORACLE_MEDIA_DECODE_JPEG_COLOR,
+        "media_decode_gif": ORACLE_MEDIA_DECODE_GIF,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

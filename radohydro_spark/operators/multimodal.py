@@ -4,7 +4,8 @@ Images / audio / video ride as ``binary`` columns with a struct of metadata;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` kernels.  As of round 6 the decode paths are REAL and
 dependency-free: BMP (sources/bmp.py), baseline JPEG incl. YCbCr 4:2:0
-color (sources/jpeg.py), PNG via stdlib zlib (sources/png.py), WAV/PCM
+color (sources/jpeg.py), PNG via stdlib zlib (sources/png.py), GIF with a
+real variable-width LZW decoder (sources/gif.py), WAV/PCM
 audio (sources/wav.py), and AVI/MJPEG video (sources/avi.py +
 ``decode_video``).  Formats outside that set raise
 ``NotImplementedError`` unless ``fake=True``, which produces the
@@ -90,6 +91,7 @@ def decode_media(
     value) for exercising the plumbing with arbitrary payloads.
     """
     from radohydro_spark.sources.bmp import decode_bmp
+    from radohydro_spark.sources.gif import decode_gif
     from radohydro_spark.sources.jpeg import decode_jpeg
     from radohydro_spark.sources.png import decode_png
 
@@ -124,10 +126,16 @@ def decode_media(
                     rows["height"].append(int(img.shape[0]))
                     rows["channels"].append(channels)
                     rows["mean_intensity"].append(float(img.mean()))
+                elif blob[:6] in (b"GIF87a", b"GIF89a"):
+                    img, channels = decode_gif(blob)
+                    rows["width"].append(int(img.shape[1]))
+                    rows["height"].append(int(img.shape[0]))
+                    rows["channels"].append(channels)
+                    rows["mean_intensity"].append(float(img.mean()))
                 else:
                     raise NotImplementedError(
-                        "only BMP, baseline JPEG, and PNG payloads decode "
-                        "natively (sources/bmp.py, jpeg.py, png.py); other "
+                        "only BMP, baseline JPEG, PNG, and GIF payloads decode "
+                        "natively (sources/bmp.py, jpeg.py, png.py, gif.py); other "
                         "codecs unavailable in this environment — pass "
                         "fake=True for the deterministic stub"
                     )
@@ -285,6 +293,7 @@ def resize_media(
     Returns (media_id, width, height, payload).
     """
     from radohydro_spark.sources.bmp import decode_bmp
+    from radohydro_spark.sources.gif import decode_gif
     from radohydro_spark.sources.jpeg import decode_jpeg
     from radohydro_spark.sources.png import decode_png, encode_png
 
@@ -317,9 +326,11 @@ def resize_media(
                         img, _jc = decode_jpeg(blob)
                     elif blob[:8] == b"\x89PNG\r\n\x1a\n":
                         img, _ = decode_png(blob)
+                    elif blob[:6] in (b"GIF87a", b"GIF89a"):
+                        img, _ = decode_gif(blob)
                     else:
                         raise NotImplementedError(
-                            "resize decodes BMP/JPEG/PNG natively; other "
+                            "resize decodes BMP/JPEG/PNG/GIF natively; other "
                             "codecs unavailable — pass fake=True for the "
                             "byte-stream stub"
                         )
