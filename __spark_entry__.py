@@ -4284,6 +4284,67 @@ GROUP BY media_id, w, h
 """
 
 
+def q_stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise OLS trend fit (r6): slope/intercept of order value over
+    time per priority class — the "is this segment growing" regression
+    every dashboard runs, computed distributively from the five exact
+    integer moment sums (x = days since 1995-01-01, y = price cents;
+    decimal(38,0)/HUGEINT accumulation, one cast to double after
+    summing — the same cross-engine float discipline as
+    stats_correlation).  slope = (nΣxy - ΣxΣy)/(nΣx² - (Σx)²),
+    intercept = (Σy - slope·Σx)/n, identical expression order both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast(
+        "decimal(38,0)"
+    )
+    y = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")) / F.col("n")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round((slope / 100).alias("s"), 9).alias("slope_per_day"),
+        F.round(intercept / 100, 4).alias("intercept_price"),
+    )
+
+
+ORACLE_GROUPWISE_OLS = """
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS HUGEINT)) AS sx,
+         SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS sy,
+         SUM(CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)) AS sxy,
+         SUM(CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS HUGEINT)
+             * CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS HUGEINT)) AS sxx
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100, 9) AS slope_per_day,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)) / n / 100, 4) AS intercept_price
+FROM s
+"""
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay (operators/merge.py apply_changes, r6): the inverse of
     snapshot_diff — apply the diff's insert/delete/update feed back onto
@@ -6086,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_decode_jpeg_color": q_media_decode_jpeg_color,
         "media_decode_gif": q_media_decode_gif,
+        "stats_groupwise_ols": q_stats_groupwise_ols,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6248,6 +6310,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_logprob": ORACLE_BIGRAM_LOGPROB,
         "media_decode_jpeg_color": ORACLE_MEDIA_DECODE_JPEG_COLOR,
         "media_decode_gif": ORACLE_MEDIA_DECODE_GIF,
+        "stats_groupwise_ols": ORACLE_GROUPWISE_OLS,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,
