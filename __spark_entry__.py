@@ -4313,7 +4313,7 @@ def q_stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_orderpriority",
         "n",
-        F.round((slope / 100).alias("s"), 9).alias("slope_per_day"),
+        F.round(slope / 100, 9).alias("slope_per_day"),
         F.round(intercept / 100, 4).alias("intercept_price"),
     )
 
