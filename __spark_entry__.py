@@ -4345,6 +4345,175 @@ FROM s
 """
 
 
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest hops (operators/graph.py bfs_hops, r6)
+    over the deterministic customer hash-graph (same construction as
+    graph_triangle_count), source node 1 — per-level frontier equi-join +
+    visited anti-join, localCheckpoint lineage truncation.  The oracle is
+    a DuckDB recursive CTE taking min(hops) per node under the same
+    20-hop cap; integer distances must match exactly."""
+    from radohydro_spark.operators.graph import bfs_hops
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    nn = c.agg((F.max("c_custkey") + 1).alias("nn"))
+    base = c.crossJoin(F.broadcast(nn))
+    edges = base.select(
+        F.col("c_custkey").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % F.col("nn")).alias("dst"),
+    ).unionAll(
+        base.select(
+            F.col("c_custkey"), ((F.col("c_custkey") * 13 + 5) % F.col("nn"))
+        )
+    )
+    return bfs_hops(edges, 1, max_hops=20)
+
+
+ORACLE_BFS_HOPS = """
+WITH RECURSIVE nmax AS (SELECT max(c_custkey) + 1 AS nn FROM customer),
+raw AS (
+  SELECT c_custkey AS s, (c_custkey * 7 + 3) % nn AS d FROM customer, nmax
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 13 + 5) % nn FROM customer, nmax
+),
+e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM raw WHERE s <> d
+),
+und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+r AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+  UNION
+  SELECT und.b, r.hops + 1
+  FROM r JOIN und ON und.a = r.node
+  WHERE r.hops < 20
+)
+SELECT node, CAST(min(hops) AS INT) AS hops
+FROM r GROUP BY node
+"""
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys (r6): each user's first four events (ordered by
+    (ts, event_id) — total-order deterministic) joined into a path
+    string, counted, top-20 by frequency with path tie-break — the
+    funnel-discovery rollup behind "what do users actually do first".
+    One window + two map-side-combinable aggregates +
+    TakeOrderedAndProject; path assembly via array_sort over (rn, type)
+    structs, no ordered-aggregation dependency."""
+    _utc(spark)
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 4)
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
+
+
+ORACLE_TOP_PATHS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM seq WHERE rn <= 4 GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT 20
+"""
+
+
+def q_corpus_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP corpus interchange (sources/manifest.py expand_zips, r6):
+    documents are sharded into four DEFLATE zip archives executor-side
+    (one JSONL member each, sorted for determinism), expanded back
+    through the manifest layer's zip walker, line-split, parsed with
+    ``from_json`` (JVM-side), and aggregated per language — the
+    most common public-corpus drop format riding the same
+    manifest→expand→decode shape as the reference's tar path (S4)."""
+    import io
+    import json
+    import zipfile
+
+    import pandas as pd
+
+    from radohydro_spark.sources.manifest import expand_zips
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def build(key, pdf):
+        g = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        lines = "\n".join(
+            json.dumps(
+                {
+                    "doc_id": int(r.doc_id),
+                    "lang": r.lang,
+                    "n_chars": int(r.n_chars),
+                },
+                sort_keys=True,
+            )
+            for r in pdf.itertuples()
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr(f"shard-{g}.jsonl", lines)
+        return pd.DataFrame(
+            {"fname": [f"corpus-{g}.zip"], "payload": [buf.getvalue()]}
+        )
+
+    zips = (
+        d.withColumn("g", F.col("doc_id") % 4)
+        .groupBy("g")
+        .applyInPandas(build, "fname string, payload binary")
+    )
+    members = expand_zips(zips)
+    parsed = (
+        members.select(
+            F.explode(F.split(F.col("payload").cast("string"), "\n")).alias(
+                "line"
+            )
+        )
+        .select(
+            F.from_json(
+                "line", "doc_id long, lang string, n_chars long"
+            ).alias("j")
+        )
+        .select("j.*")
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_ZIP_ROUNDTRIP = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay (operators/merge.py apply_changes, r6): the inverse of
     snapshot_diff — apply the diff's insert/delete/update feed back onto
@@ -6148,6 +6317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg_color": q_media_decode_jpeg_color,
         "media_decode_gif": q_media_decode_gif,
         "stats_groupwise_ols": q_stats_groupwise_ols,
+        "graph_bfs_hops": q_graph_bfs_hops,
+        "events_top_paths": q_events_top_paths,
+        "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6311,6 +6483,9 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_jpeg_color": ORACLE_MEDIA_DECODE_JPEG_COLOR,
         "media_decode_gif": ORACLE_MEDIA_DECODE_GIF,
         "stats_groupwise_ols": ORACLE_GROUPWISE_OLS,
+        "graph_bfs_hops": ORACLE_BFS_HOPS,
+        "events_top_paths": ORACLE_TOP_PATHS,
+        "corpus_zip_roundtrip": ORACLE_ZIP_ROUNDTRIP,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

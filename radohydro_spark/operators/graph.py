@@ -231,3 +231,52 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return per_node
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Single-source shortest HOP distances by frontier BFS (r6) — the
+    reachability/diameter primitive next to PageRank and connected
+    components.  Treats edges as undirected.
+
+    Per level: one equi-join of the (shrinking) frontier against the
+    adjacency list, one anti-join against visited — the standard
+    distributed BFS with work proportional to touched edges, not
+    V·iterations.  Lineage is ``localCheckpoint``-truncated every
+    ``checkpoint_interval`` levels (same cadence discipline as
+    ``pagerank``); terminates when the frontier drains or at
+    ``max_hops`` (documented cap — an unreachable-diameter guard, not a
+    silent truncation: unreached nodes are simply absent from the
+    result).
+
+    Returns ``(node, hops)`` for every node reachable within
+    ``max_hops``.
+    """
+    spark = edges.sparkSession
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    visited = spark.createDataFrame([(source, 0)], schema="node long, hops int")
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hops"))
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+        if hop % checkpoint_interval == 0:
+            visited = visited.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return visited

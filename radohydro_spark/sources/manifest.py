@@ -109,6 +109,34 @@ def expand_tars(manifest: DataFrame, nested: bool = False) -> DataFrame:
     )
 
 
+def expand_zips(manifest: DataFrame) -> DataFrame:
+    """ZIP expansion (r6 corpus-interchange extension, sibling of S4's
+    ``expand_tars``): each archive row yields one manifest row per stored
+    member — the layout most public text-corpus drops ship in.  Stdlib
+    ``zipfile`` over in-memory BytesIO per executor task (stored and
+    DEFLATE members both); directories are skipped.
+    """
+    import io
+    import zipfile
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for payload in pdf["payload"]:
+                names, blobs = [], []
+                with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        names.append(info.filename)
+                        blobs.append(zf.read(info))
+                if names:
+                    yield pd.DataFrame({"fname": names, "payload": blobs})
+
+    return manifest.select("fname", "payload").mapInPandas(
+        gen, schema="fname string, payload binary"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Optional live DWD-FTP provider (S1/S2).  Network-dependent: the mirrored /
 # local path is the tested one (SURVEY.md §7.2 step 7).

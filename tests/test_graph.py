@@ -134,3 +134,25 @@ def test_triangle_count_matches_bruteforce_random(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == expect
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    from radohydro_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4, triangle 2-5-6(-2), island 9-10
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (6, 2), (9, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, 1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 5: 2, 6: 2, 4: 3}
+    # undirected: search from the far end works too
+    got4 = {r["node"]: r["hops"] for r in bfs_hops(df, 4).collect()}
+    assert got4[1] == 3 and got4[6] == 3 and 9 not in got4
+
+
+def test_bfs_hops_cap(spark):
+    from radohydro_spark.operators.graph import bfs_hops
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, 0, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}

@@ -256,3 +256,27 @@ def test_pyds_shard_sink_manifest_and_idempotence(spark, tmp_path):
     ).json(store)
     assert back.count() == 100
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_expand_zips_members(spark):
+    import io
+    import zipfile
+
+    from radohydro_spark.sources.manifest import expand_zips
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a.txt", b"alpha")
+        zf.writestr("dir/", b"")          # directory entry: skipped
+        zf.writestr("dir/b.txt", b"beta")
+    stored = io.BytesIO()
+    with zipfile.ZipFile(stored, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("c.txt", b"gamma")
+    df = spark.createDataFrame(
+        [("one.zip", bytearray(buf.getvalue())), ("two.zip", bytearray(stored.getvalue()))],
+        "fname string, payload binary",
+    )
+    got = {
+        r["fname"]: bytes(r["payload"]) for r in expand_zips(df).collect()
+    }
+    assert got == {"a.txt": b"alpha", "dir/b.txt": b"beta", "c.txt": b"gamma"}
