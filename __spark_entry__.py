@@ -4514,6 +4514,123 @@ GROUP BY lang
 """
 
 
+def q_geo_geohash_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial binning (geometry/geohash.py, r6): deterministic
+    lat/lon per customer (closed-form law), 6-char geohash as ONE folded
+    integer expression (30-bit interleave, base32) — the hierarchical
+    spatial GROUP BY key; rolled up on the 3-char prefix (~156 km
+    cells).  Verified against published geohash test vectors in unit
+    tests; the oracle renders the identical bit arithmetic in SQL."""
+    from radohydro_spark.geometry.geohash import geohash
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        (-90.0 + (F.col("c_custkey") * 7919 % 18000) / 100.0).alias("lat"),
+        (-180.0 + (F.col("c_custkey") * 104729 % 36000) / 100.0).alias("lon"),
+    )
+    g = pts.withColumn("gh", geohash("lat", "lon", 6))
+    return (
+        g.groupBy(F.substring("gh", 1, 3).alias("cell"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("gh").alias("first_hash"),
+            F.min("c_custkey").alias("min_key"),
+        )
+        .orderBy(F.desc("n_points"), F.asc("cell"))
+        .limit(25)
+    )
+
+
+def _geohash_bins_oracle() -> str:
+    from radohydro_spark.geometry.geohash import geohash_sql
+
+    gh = geohash_sql("lat", "lon", 6)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         -90.0 + (c_custkey * 7919 % 18000) / 100.0 AS lat,
+         -180.0 + (c_custkey * 104729 % 36000) / 100.0 AS lon
+  FROM customer
+),
+g AS (SELECT c_custkey, {gh} AS gh FROM pts)
+SELECT substring(gh, 1, 3) AS cell,
+       COUNT(*) AS n_points,
+       MIN(gh) AS first_hash,
+       MIN(c_custkey) AS min_key
+FROM g
+GROUP BY 1
+ORDER BY n_points DESC, cell ASC
+LIMIT 25
+"""
+
+
+def q_geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle 1-NN (geometry/geohash.py haversine_m, r6): the first
+    25 customer points find their nearest neighbor among ALL points by
+    haversine meters — broadcast the small query side, map-side min_by
+    argmin with key tie-break, identical expression order both engines
+    so the float distances (and hence the argmin) are bit-stable."""
+    from radohydro_spark.geometry.geohash import haversine_m
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        "c_custkey",
+        (-90.0 + (F.col("c_custkey") * 7919 % 18000) / 100.0).alias("lat"),
+        (-180.0 + (F.col("c_custkey") * 104729 % 36000) / 100.0).alias("lon"),
+    )
+    q = pts.filter(F.col("c_custkey") < 25).select(
+        F.col("c_custkey").alias("qid"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    )
+    d = haversine_m(
+        F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(q))
+        .filter(F.col("c_custkey") != F.col("qid"))
+        .withColumn("dist_m", d)
+    )
+    best = scored.groupBy("qid").agg(
+        F.min_by(
+            F.struct("c_custkey", "dist_m"),
+            F.struct("dist_m", "c_custkey"),
+        ).alias("nn")
+    )
+    return best.select(
+        "qid",
+        F.col("nn.c_custkey").alias("nearest"),
+        F.round(F.col("nn.dist_m"), 3).alias("dist_m"),
+    )
+
+
+def _haversine_nearest_oracle() -> str:
+    from radohydro_spark.geometry.geohash import HAVERSINE_SQL
+
+    hs = HAVERSINE_SQL.format(
+        lat1="q.lat", lon1="q.lon", lat2="p.lat", lon2="p.lon"
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         -90.0 + (c_custkey * 7919 % 18000) / 100.0 AS lat,
+         -180.0 + (c_custkey * 104729 % 36000) / 100.0 AS lon
+  FROM customer
+),
+scored AS (
+  SELECT q.c_custkey AS qid, p.c_custkey AS pid, {hs} AS dist_m
+  FROM (SELECT * FROM pts WHERE c_custkey < 25) q
+  JOIN pts p ON p.c_custkey <> q.c_custkey
+)
+SELECT qid, pid AS nearest, round(dist_m, 3) AS dist_m
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY dist_m, pid) AS rn
+      FROM scored) t
+WHERE rn = 1
+"""
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay (operators/merge.py apply_changes, r6): the inverse of
     snapshot_diff — apply the diff's insert/delete/update feed back onto
@@ -6320,6 +6437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_hops": q_graph_bfs_hops,
         "events_top_paths": q_events_top_paths,
         "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
+        "geo_geohash_bins": q_geo_geohash_bins,
+        "geo_haversine_nearest": q_geo_haversine_nearest,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6486,6 +6605,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_hops": ORACLE_BFS_HOPS,
         "events_top_paths": ORACLE_TOP_PATHS,
         "corpus_zip_roundtrip": ORACLE_ZIP_ROUNDTRIP,
+        "geo_geohash_bins": _geohash_bins_oracle(),
+        "geo_haversine_nearest": _haversine_nearest_oracle(),
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

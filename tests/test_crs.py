@@ -81,3 +81,49 @@ def test_transform_crs_dataframe_op(spark):
     ).collect()
     for r in back:
         assert abs(r.lon2 - r.lon) < 1e-9 and abs(r.lat2 - r.lat) < 1e-9
+
+
+def test_geohash_known_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.geometry.geohash import geohash
+
+    df = spark.createDataFrame(
+        [
+            (57.64911, 10.40744, "u4pruy"),
+            (48.669, -4.329, "gbsuv7"),
+            (0.0, 0.0, "s00000"),
+            (-25.382708, -49.265506, "6gkzwg"),
+            (90.0, 180.0, "zzzzzz"),  # right-edge clamp
+            (-90.0, -180.0, "000000"),
+        ],
+        "lat double, lon double, want string",
+    )
+    rows = df.select("want", geohash("lat", "lon", 6).alias("gh")).collect()
+    for r in rows:
+        assert r["gh"] == r["want"], (r["want"], r["gh"])
+    # 9-char precision vector (Curitiba)
+    r9 = (
+        df.limit(1)
+        .select(geohash(F.lit(-25.382708), F.lit(-49.265506), 9).alias("g"))
+        .collect()[0]["g"]
+    )
+    assert r9 == "6gkzwgjzn"
+
+
+def test_haversine_known_distances(spark):
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.geometry.geohash import haversine_m
+
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double"
+    )
+    m = df.select(
+        haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).collect()[0]["m"]
+    assert 340_000 < m < 348_000  # Paris-London great-circle ~343.5 km
+    z = df.select(
+        haversine_m(F.col("a"), F.col("b"), F.col("a"), F.col("b")).alias("m")
+    ).collect()[0]["m"]
+    assert z == 0.0
