@@ -767,6 +767,47 @@ FROM (
 GROUP BY c_nationkey, quartile
 """
 
+# r6 window-function completions: percent_rank / cume_dist emit exact
+# rationals (rank arithmetic, no float accumulation), nth_value/first/
+# last exercise explicit frame clauses — both shared-ANSI, one string
+# for Catalyst and DuckDB.
+SQL_PERCENT_RANK = """
+SELECT c_custkey,
+       c_nationkey,
+       round(percent_rank() OVER w, 9) AS pr,
+       round(cume_dist() OVER w, 9) AS cd
+FROM customer
+WHERE c_custkey < 200
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+SQL_NTH_VALUE = """
+SELECT o_custkey,
+       o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING)
+         AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+SQL_NULL_SEMANTICS = """
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'O') AS status_or_null,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       CASE WHEN o_orderstatus IS DISTINCT FROM 'F' THEN 1 ELSE 0 END
+         AS not_finished,
+       CASE WHEN NULLIF(o_orderkey % 3, 0) IS NULL THEN -1
+            ELSE o_orderkey % 3 END AS mod_or_sentinel
+FROM orders
+WHERE o_orderkey < 500
+"""
+
 
 def q_listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (listagg WITHIN GROUP): top-3 customer
@@ -6439,6 +6480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
         "geo_geohash_bins": q_geo_geohash_bins,
         "geo_haversine_nearest": q_geo_haversine_nearest,
+        "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
+        "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
+        "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6607,6 +6651,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_zip_roundtrip": ORACLE_ZIP_ROUNDTRIP,
         "geo_geohash_bins": _geohash_bins_oracle(),
         "geo_haversine_nearest": _haversine_nearest_oracle(),
+        "window_percent_rank": SQL_PERCENT_RANK,
+        "window_nth_value": SQL_NTH_VALUE,
+        "scalar_null_semantics": SQL_NULL_SEMANTICS,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,
