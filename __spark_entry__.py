@@ -4672,6 +4672,56 @@ WHERE rn = 1
 """
 
 
+def q_events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/rangejoin.py
+    interval_overlap_join, r6): each event's 300-second activity span
+    against 12 one-hour analysis windows laid every two hours from the
+    corpus start — bucketized to an hash equi-join (bucket fan-out +
+    residual predicate), NO BroadcastNestedLoopJoin.  The oracle runs
+    the plain inequality join; per-window match counts must agree
+    exactly."""
+    _utc(spark)
+    from radohydro_spark.operators.rangejoin import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.min(F.col("ts").cast("double")).alias("t0"))
+    spans = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_id",
+        (F.col("ts").cast("double")).alias("l_lo"),
+        (F.col("ts").cast("double") + 300.0).alias("l_hi"),
+    )
+    k = spark.range(0, 12).select(F.col("id").alias("window_id"))
+    windows = k.crossJoin(F.broadcast(anchor)).select(
+        "window_id",
+        (F.col("t0") + F.col("window_id") * 7200.0).alias("r_lo"),
+        (F.col("t0") + F.col("window_id") * 7200.0 + 3600.0).alias("r_hi"),
+    )
+    pairs = interval_overlap_join(spans, windows, bucket_width=3600.0)
+    return pairs.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = """
+WITH anchor AS (SELECT min(epoch(ts)) AS t0 FROM events),
+spans AS (
+  SELECT event_id, epoch(ts) AS l_lo, epoch(ts) + 300.0 AS l_hi FROM events
+),
+win AS (
+  SELECT w.range AS window_id,
+         t0 + w.range * 7200.0 AS r_lo,
+         t0 + w.range * 7200.0 + 3600.0 AS r_hi
+  FROM range(12) w, anchor
+)
+SELECT window_id, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM spans s JOIN win ON s.l_lo < win.r_hi AND win.r_lo < s.l_hi
+GROUP BY window_id
+"""
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay (operators/merge.py apply_changes, r6): the inverse of
     snapshot_diff — apply the diff's insert/delete/update feed back onto
@@ -6483,6 +6533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
         "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
         "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
+        "events_interval_overlap": q_events_interval_overlap,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6654,6 +6705,7 @@ def oracle_sql() -> dict[str, str]:
         "window_percent_rank": SQL_PERCENT_RANK,
         "window_nth_value": SQL_NTH_VALUE,
         "scalar_null_semantics": SQL_NULL_SEMANTICS,
+        "events_interval_overlap": ORACLE_INTERVAL_OVERLAP,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

@@ -53,3 +53,48 @@ def range_join(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str] = ("l_lo", "l_hi"),
+    right_cols: tuple[str, str] = ("r_lo", "r_hi"),
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (r6): pair every left interval
+    with every right interval satisfying ``l_lo < r_hi AND r_lo < l_hi``
+    (half-open overlap) — scheduling conflicts, downtime attribution,
+    campaign windows over session spans.
+
+    Same scale discipline as :func:`range_join`: both sides explode into
+    the buckets they cover, the join is a bucket equi-join with the exact
+    overlap predicate as residual, and pairs spanning several shared
+    buckets dedupe on the natural key of both intervals' bounds.  Work is
+    O(Σ bucket fan-out + matches) with an ordinary hash-shuffle profile —
+    no BroadcastNestedLoopJoin, no cartesian.
+    """
+    llo, lhi = left_cols
+    rlo, rhi = right_cols
+
+    def explode_buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(float(bucket_width))).cast("long"),
+                    F.floor(
+                        (F.col(hi) - F.lit(1e-12)) / F.lit(float(bucket_width))
+                    ).cast("long"),
+                )
+            ),
+        )
+
+    lb = explode_buckets(left, llo, lhi)
+    rb = explode_buckets(right, rlo, rhi)
+    joined = lb.join(rb, "_bucket").filter(
+        (F.col(llo) < F.col(rhi)) & (F.col(rlo) < F.col(lhi))
+    )
+    return joined.drop("_bucket").dropDuplicates(
+        [c for c in joined.columns if c != "_bucket"]
+    )

@@ -91,3 +91,38 @@ def test_cogroup_pair_counts_golden(spark):
     assert got[2] == (1, 0, 0)   # right side empty
     assert got[3] == (0, 1, 0)   # left side empty
     assert got[4] == (1, 0, 0)
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    import numpy as np
+
+    from radohydro_spark.operators.rangejoin import interval_overlap_join
+
+    rng = np.random.RandomState(5)
+    L = [(i, float(s), float(s + l)) for i, (s, l) in enumerate(
+        zip(rng.randint(0, 500, 80), rng.randint(1, 40, 80)))]
+    R = [(j, float(s), float(s + l)) for j, (s, l) in enumerate(
+        zip(rng.randint(0, 500, 30), rng.randint(5, 80, 30)))]
+    ldf = spark.createDataFrame(L, "lid int, l_lo double, l_hi double")
+    rdf = spark.createDataFrame(R, "rid int, r_lo double, r_hi double")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(ldf, rdf, bucket_width=16.0).collect()
+    }
+    want = {
+        (i, j)
+        for i, llo, lhi in L
+        for j, rlo, rhi in R
+        if llo < rhi and rlo < lhi
+    }
+    assert got == want
+
+
+def test_interval_overlap_join_no_nested_loop_plan(spark):
+    from radohydro_spark.operators.rangejoin import interval_overlap_join
+
+    ldf = spark.createDataFrame([(1, 0.0, 5.0)], "lid int, l_lo double, l_hi double")
+    rdf = spark.createDataFrame([(2, 3.0, 9.0)], "rid int, r_lo double, r_hi double")
+    plan = interval_overlap_join(ldf, rdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
