@@ -4722,6 +4722,64 @@ GROUP BY window_id
 """
 
 
+def q_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (sinks/versioned.py, r6): three versions of
+    an orders extract are committed — v1 base, v2 integer-exact reprice
+    of keys %7==0, v3 drops keys %10==0 — each an immutable ``v=<n>``
+    snapshot behind an atomically-replaced manifest.  The query reads
+    ``AS OF`` v2 and diffs v3 against v2 through ``snapshot_diff``,
+    emitting version row counts plus the change-class breakdown; the
+    oracle derives every number from the membership/reprice laws."""
+    import tempfile
+
+    from radohydro_spark.operators.merge import snapshot_diff
+    from radohydro_spark.sinks.versioned import read_as_of, write_version
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2_df = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.expr(_REPRICE_SPARK)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    v3_df = v2_df.filter(F.col("o_orderkey") % 10 != 0)
+    path = tempfile.mkdtemp(prefix="ttravel_") + "/orders_versions"
+    write_version(o, path, "base")
+    write_version(v2_df, path, "reprice")
+    write_version(v3_df, path, "purge")
+
+    as_of_2 = read_as_of(spark, path, 2)
+    latest = read_as_of(spark, path)
+    d = snapshot_diff(as_of_2, latest, ["o_orderkey"])
+    counts = d.groupBy("change_type").agg(F.count("*").alias("n"))
+    meta = spark.createDataFrame(
+        [
+            ("rows_v2", 0),
+            ("rows_latest", 1),
+        ],
+        "change_type string, _ord int",
+    ).select(
+        "change_type",
+        F.when(F.col("_ord") == 0, F.lit(as_of_2.count()))
+        .otherwise(F.lit(latest.count()))
+        .cast("long")
+        .alias("n"),
+    )
+    return counts.unionByName(meta)
+
+
+ORACLE_TIME_TRAVEL = """
+SELECT 'delete' AS change_type, COUNT(*) AS n
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT 'rows_v2', COUNT(*) FROM orders
+UNION ALL
+SELECT 'rows_latest', COUNT(*) FROM orders WHERE o_orderkey % 10 <> 0
+"""
+
+
 def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay (operators/merge.py apply_changes, r6): the inverse of
     snapshot_diff — apply the diff's insert/delete/update feed back onto
@@ -6534,6 +6592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
         "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
         "events_interval_overlap": q_events_interval_overlap,
+        "storage_time_travel": q_storage_time_travel,
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
         "events_sessionize": q_events_sessions,
@@ -6706,6 +6765,7 @@ def oracle_sql() -> dict[str, str]:
         "window_nth_value": SQL_NTH_VALUE,
         "scalar_null_semantics": SQL_NULL_SEMANTICS,
         "events_interval_overlap": ORACLE_INTERVAL_OVERLAP,
+        "storage_time_travel": ORACLE_TIME_TRAVEL,
         "orders_cdc_apply": ORACLE_CDC_APPLY,
         "events_concurrency_sweep": ORACLE_CONCURRENCY_SWEEP,
         "embedding_random_projection": ORACLE_RANDOM_PROJECTION,

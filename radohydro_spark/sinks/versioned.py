@@ -1,0 +1,78 @@
+"""Versioned parquet tables: minimal snapshot time travel.
+
+The lakehouse time-travel primitive (Delta/Iceberg ``VERSION AS OF``) in
+its smallest honest form: every commit writes a full snapshot into an
+immutable ``v=<n>`` directory and then atomically publishes it by
+rewriting a tiny ``_VERSIONS.json`` manifest (write-temp + ``os.replace``
+— readers either see the old manifest or the new one, never a torn
+file).  Reads resolve a version (or latest) through the manifest only,
+so concurrent writers can stage new snapshots without disturbing
+readers.
+
+Scale notes: snapshots are copy-on-write full rewrites — right for
+dimension/result tables and bounded-size curated sets; fact-scale tables
+want partition-level manifests (the same pattern one level down).  The
+manifest is O(versions) and driver-side by design, like any catalog
+pointer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_path: str) -> str:
+    return os.path.join(table_path, "_VERSIONS.json")
+
+
+def _load_manifest(table_path: str) -> dict:
+    p = _manifest_path(table_path)
+    if not os.path.exists(p):
+        return {"versions": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_version(df: DataFrame, table_path: str, note: str = "") -> int:
+    """Commit ``df`` as the next version of the table; returns the new
+    version number (1-based)."""
+    os.makedirs(table_path, exist_ok=True)
+    man = _load_manifest(table_path)
+    version = (man["versions"][-1]["version"] + 1) if man["versions"] else 1
+    vdir = os.path.join(table_path, f"v={version}")
+    df.write.mode("errorifexists").parquet(vdir)
+    man["versions"].append(
+        {"version": version, "dir": f"v={version}", "note": note,
+         "committed_at": time.time()}
+    )
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=2)
+    os.replace(tmp, _manifest_path(table_path))  # atomic publish
+    return version
+
+
+def list_versions(table_path: str) -> list[dict]:
+    return _load_manifest(table_path)["versions"]
+
+
+def read_as_of(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (or the latest when ``None``)."""
+    man = _load_manifest(table_path)
+    if not man["versions"]:
+        raise ValueError(f"no committed versions under {table_path}")
+    if version is None:
+        entry = man["versions"][-1]
+    else:
+        matches = [v for v in man["versions"] if v["version"] == version]
+        if not matches:
+            known = [v["version"] for v in man["versions"]]
+            raise ValueError(f"version {version} not found (have {known})")
+        entry = matches[0]
+    return spark.read.parquet(os.path.join(table_path, entry["dir"]))

@@ -169,3 +169,30 @@ def test_compact_parquet_dir(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 20000
     assert back.select(F.sum("id")).first()[0] == sum(range(20000))
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    from radohydro_spark.sinks.versioned import (
+        list_versions,
+        read_as_of,
+        write_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    df2 = spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")], "k int, v string")
+    assert write_version(df1, path, "base") == 1
+    assert write_version(df2, path, "update") == 2
+    assert [e["version"] for e in list_versions(path)] == [1, 2]
+    assert {tuple(r) for r in read_as_of(spark, path, 1).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    assert {tuple(r) for r in read_as_of(spark, path).collect()} == {
+        (1, "a2"), (2, "b"), (3, "c"),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="version 9 not found"):
+        read_as_of(spark, path, 9)
+    with pytest.raises(ValueError, match="no committed versions"):
+        read_as_of(spark, str(tmp_path / "empty"))
