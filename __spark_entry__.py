@@ -7038,6 +7038,9 @@ if __name__ == "__main__":  # pragma: no cover
 # scripts/dump_queries.py to build QUERIES.md, the judge-facing index.
 QUERY_NOTES: dict[str, str] = {
     "cube_order_status": "GROUP BY CUBE over (priority, status): all 2^2 grouping combinations in one pass (shared ANSI).",
+    "window_percent_rank": "percent_rank + cume_dist per nation over account balance (r6): exact rank rationals, named WINDOW clause (shared ANSI).",
+    "window_nth_value": "first_value / nth_value(2) / last_value with an explicit unbounded ROWS frame per customer order history (r6, shared ANSI).",
+    "scalar_null_semantics": "NULLIF / IS DISTINCT FROM / COALESCE null-semantics showcase over order status (r6, shared ANSI).",
     "date_sequence": "F1 date-range generation: sequence+explode of day steps (reference daterange, radohydro.py:39-46).",
     "dedup_embedding_cosine": "Embedding near-dup pairs: banded hyperplane-LSH (band,bucket) equi-join candidates + exact cosine filter — no cartesian.",
     "dedup_exact_groups": "Exact dedup groups: md5(text) hash-groupBy, lowest id canonical, one shuffle on the digest.",
