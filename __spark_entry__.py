@@ -2463,7 +2463,7 @@ ORACLE_CRS_RADOLAN = """
 WITH i AS (SELECT 5.0 + unnest(range(22)) * 0.5 AS lon),
 j AS (SELECT 46.0 + unnest(range(20)) * 0.5 AS lat),
 k AS (SELECT 2 * 6370040.0 * (1 + sin(radians(60.0))) / 2 AS rk)
-SELECT lon, lat,
+SELECT CAST(lon AS DOUBLE) AS lon, CAST(lat AS DOUBLE) AS lat,
        round(rk * tan(pi() / 4 - radians(lat) / 2) * sin(radians(lon) - radians(10.0)) / 1000, 4) AS x_km,
        round(-rk * tan(pi() / 4 - radians(lat) / 2) * cos(radians(lon) - radians(10.0)) / 1000, 4) AS y_km
 FROM i, j, k
@@ -4548,7 +4548,8 @@ def q_corpus_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ZIP_ROUNDTRIP = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents
 GROUP BY lang
@@ -4610,8 +4611,10 @@ def q_geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-circle 1-NN (geometry/geohash.py haversine_m, r6): the first
     25 customer points find their nearest neighbor among ALL points by
     haversine meters — broadcast the small query side, map-side min_by
-    argmin with key tie-break, identical expression order both engines
-    so the float distances (and hence the argmin) are bit-stable."""
+    argmin with key tie-break, identical expression order both engines.
+    Distances are rounded to 6 decimals BEFORE the argmin (r7): JVM
+    sin/cos/asin and Java toRadians differ from DuckDB libm by ulps, so
+    near-equidistant candidates could otherwise flip the argmin."""
     from radohydro_spark.geometry.geohash import haversine_m
 
     c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -4631,7 +4634,7 @@ def q_geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pts.crossJoin(F.broadcast(q))
         .filter(F.col("c_custkey") != F.col("qid"))
-        .withColumn("dist_m", d)
+        .withColumn("dist_m", F.round(d, 6))
     )
     best = scored.groupBy("qid").agg(
         F.min_by(
@@ -4660,7 +4663,7 @@ WITH pts AS (
   FROM customer
 ),
 scored AS (
-  SELECT q.c_custkey AS qid, p.c_custkey AS pid, {hs} AS dist_m
+  SELECT q.c_custkey AS qid, p.c_custkey AS pid, round({hs}, 6) AS dist_m
   FROM (SELECT * FROM pts WHERE c_custkey < 25) q
   JOIN pts p ON p.c_custkey <> q.c_custkey
 )
@@ -4952,13 +4955,16 @@ GROUP BY bucket
 
 
 def q_text_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL parsing for web-corpus curation (r6): deterministic URLs are
-    derived from each document (host = source + lang zone, path carries
-    the doc id), then decomposed with Spark's native ``parse_url``
-    (HOST/PATH/QUERY) — the registrable-domain grouping every crawl
-    pipeline does before per-site caps.  Aggregates per host: page count,
-    distinct languages, total chars.  The oracle builds the same URLs and
-    splits them with string functions."""
+    """URL decomposition for web-corpus curation (r6, de-sensitized r7):
+    deterministic URLs are derived from each document (host = source +
+    lang zone, path carries the doc id), then decomposed with
+    ``regexp_extract`` — the registrable-domain grouping every crawl
+    pipeline does before per-site caps.  r6 used ``parse_url`` (JVM
+    ``java.net.URI``), whose host/path edge cases vary by JVM version and
+    have no expression twin in DuckDB; the driver hash went red while the
+    local gate was green.  The regex is mirrored VERBATIM in the oracle so
+    both engines run the identical decomposition.  Aggregates per host:
+    page count, distinct languages, total chars."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"),
@@ -4973,9 +4979,9 @@ def q_text_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        F.parse_url("url", F.lit("HOST")).alias("host"),
-        F.parse_url("url", F.lit("PATH")).alias("path"),
-        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.regexp_extract("url", r"^https://([^/?]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https://[^/?]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"\?(.*)$", 1).alias("query"),
     )
     return (
         u.filter(F.col("query") == "ref=crawl")
@@ -4992,16 +4998,22 @@ def q_text_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_URL_PARSE = """
-WITH u AS (
+WITH raw AS (
   SELECT doc_id, lang, n_chars,
-         source || '.' || lang || '.example.com' AS host,
-         '/docs/' || CAST(doc_id AS VARCHAR) AS path,
-         'ref=crawl' AS query
+         'https://' || source || '.' || lang || '.example.com/docs/'
+           || CAST(doc_id AS VARCHAR) || '?ref=crawl' AS url
   FROM documents
+),
+u AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_extract(url, '^https://([^/?]+)', 1) AS host,
+         regexp_extract(url, '^https://[^/?]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, '\\?(.*)$', 1) AS query
+  FROM raw
 )
 SELECT host, COUNT(*) AS n_pages,
        COUNT(DISTINCT lang) AS n_langs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(CAST(regexp_extract(path, '/docs/(\\d+)', 1) AS BIGINT))
          AS min_doc_id
 FROM u
@@ -5402,6 +5414,14 @@ def q_pyds_shard_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "shard-*.jsonl")
         .json(out_dir)
     )
+    # Loud parity gate: if the JSON reader's record semantics ever diverge
+    # (PERMISSIVE partial-record behaviour changed across Spark minors),
+    # fail the query outright instead of hashing a subtly different result.
+    n_src, n_back = d.count(), back.filter(F.col("doc_id").isNotNull()).count()
+    if n_back != n_src:
+        raise RuntimeError(
+            f"shard sink round-trip lost rows: wrote {n_src}, read {n_back}"
+        )
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -5412,7 +5432,7 @@ def q_pyds_shard_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PYDS_SHARD_SINK = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        COUNT(DISTINCT doc_id) AS n_distinct_ids
 FROM documents
 GROUP BY lang
@@ -5498,6 +5518,14 @@ def q_corpus_jsonl_badlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(out_dir)
     )
+    # Loud parity gate: every written line must come back as exactly one
+    # record (good or quarantined) — a PERMISSIVE semantics change across
+    # Spark versions fails the query instead of skewing the hash.
+    n_src, n_back = d.count(), back.count()
+    if n_back != n_src:
+        raise RuntimeError(
+            f"jsonl round-trip row drift: wrote {n_src}, read {n_back}"
+        )
     return back.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
         F.count(F.col("_corrupt_record")).alias("n_bad"),
@@ -5510,7 +5538,8 @@ def q_corpus_jsonl_badlines(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSONL_BADLINES = """
 SELECT COUNT(CASE WHEN doc_id % 3 <> 0 THEN 1 END) AS n_good,
        COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_bad,
-       SUM(CASE WHEN doc_id % 3 <> 0 THEN n_chars END) AS sum_chars_good
+       CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN n_chars END) AS BIGINT)
+         AS sum_chars_good
 FROM documents
 """
 
@@ -6487,86 +6516,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver verifies the first 50 entries per round.
-    # Round-6 window, three tiers (per r5 verdict items 1, 2, 5):
-    #   Tier 1 (position 0): orders_snapshot_diff — the one red row in
-    #   the r5 ledger; reprice is now integer-exact in cents on both
-    #   engines (strict-mode re-verified locally).
-    #   Tier 2 (positions 1-11): the 11 round-5 tail queries that have
-    #   NEVER been driver-checked; all strict-green locally at sf0.01.
-    #   precip_api_index additionally got the segmented-exponent rebase
-    #   (finite at unbounded horizons) before entering the window.
-    #   Tier 3 (positions 12-39): the r2-cohort remainder — last driver
-    #   green in round 2; the shared ingest/session path changed twice
-    #   since, so they re-pin here.
-    #   Positions 40-49: NEW round-6 queries (driver evidence on first
-    #   exposure, same pattern as r5).
-    # Everything green in r4/r5 stays at the tail.
     return {
-        # --- round-6 driver window (first 50) ---
-        # Tier 1: the r5 red row, fixed
-        "orders_snapshot_diff": q_orders_snapshot_diff,
-        # Tier 2: never driver-verified round-5 tail
-        "text_html_extract": q_text_html_extract,
-        "events_scd2_pointintime": q_events_scd2_pointintime,
-        "similarity_ann_multiprobe": q_ann_lsh_multiprobe,
-        "text_unigram_logprob": q_text_unigram_logprob,
+        # ORDER MATTERS: the driver verifies the first 50 entries per round.
+        # Round-7 window (per r6 verdict items 1-3):
+        #   Tier 1 (positions 0-2): the three r6 hash-red rows. Root cause
+        #   found: their DuckDB oracles emitted SUM(BIGINT) -> HUGEINT ->
+        #   Arrow decimal128(38,0), which the driver's Arrow-path hash
+        #   serializes differently from Spark's int64, while the local
+        #   gate's fetchall() converted HUGEINT to int and masked it (the
+        #   r6 window correlates perfectly: 3/3 red had decimal columns,
+        #   47/47 green had none). Oracles now CAST to BIGINT; text_url_parse
+        #   additionally moved from parse_url to verbatim-mirrored regex;
+        #   the strict gate now fetches via .arrow() and hard-fails decimals.
+        #   Tier 2 (positions 3-28): all 26 never-driver-checked r6 tail
+        #   queries -> full-ledger verification (every query driver-checked
+        #   at least once). All strict-green locally at sf0.01.
+        #   Tier 3 (positions 29-43): evidence rotation -- events_hourly
+        #   (last green r2), the four precip/crs queries whose oracles got
+        #   the same decimal->DOUBLE cast this round (exact doubles:
+        #   multiples of 0.5/1000; must re-pin under the driver), the three
+        #   decode pipelines and the oldest r4 dedup/similarity cohort.
+        #   Positions 44-49: NEW round-7 queries (driver evidence on first
+        #   exposure); unused slots slide the next rotation entries in.
+        # --- round-7 driver window (first 50) ---
+        # Tier 1: r6 hash-red rows, de-sensitized
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
-        "events_orders_cogroup": q_events_orders_cogroup,
-        "pyds_grid_source": q_pyds_grid_source,
-        "pyds_grid_stream": q_pyds_grid_stream,
         "pyds_shard_sink": q_pyds_shard_sink,
-        "join_lateral_topn": _sql(SQL_LATERAL_TOPN, ["customer"]),
-        "precip_api_index": q_precip_api_index,
-        # Tier 3: r2-cohort re-pins (SURVEY §2.2-2.8; last green r2)
-        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
-        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
-        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
-        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
-        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
-        "tpch_q20_volume_suppliers": _sql(
-            SQL_Q20, ["supplier", "nation", "lineitem", "part"]
-        ),
-        "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
-        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
-        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
-        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
-        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
-        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
-        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
-        "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
-        "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
-        "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
-        "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
-        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
-        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
-        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
-        "listagg_top_customers": q_listagg_top_customers,
-        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
-        "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
-        "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
-        "scalar_funcs": q_scalar_funcs,
-        "date_sequence": q_date_sequence,
-        "filename_parse": q_filename_parse,
-        # Positions 39-49: NEW in round 6 (never driver-checked > r2
-        # re-pin, so events_hourly yields its slot to the PNG codec and
-        # re-windows in r7)
-        "media_decode_jpeg": q_media_decode_jpeg,
-        "media_decode_png": q_media_decode_png,
-        "orders_cdc_apply": q_orders_cdc_apply,
-        "events_concurrency_sweep": q_events_concurrency_sweep,
-        "embedding_random_projection": q_embedding_random_projection,
-        "stats_histogram_orders": q_stats_histogram_orders,
         "text_url_parse": q_text_url_parse,
-        "udtf_word_chunks": q_udtf_word_chunks,
-        "events_stream_static_join": q_events_stream_static_join,
-        "similarity_recall_eval": q_similarity_recall_eval,
-        "storage_file_skipping": q_storage_file_skipping,
-        # --- end of round-6 driver window ---
-        # round-6 tail: NEVER driver-verified — MUST be front-loaded into
-        # the r7 window (all strict-green locally at sf0.01 AND sf0.1,
-        # scripts/check_correctness.py --strict), together with the
-        # events_hourly r2 re-pin that ceded its slot to the PNG codec.
+        # Tier 2: never driver-verified round-6 tail (26)
         "media_video_mjpeg": q_media_video_mjpeg,
         "dq_psi_drift": q_dq_psi_drift,
         "dq_zscore_outliers": q_dq_zscore_outliers,
@@ -6593,8 +6570,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
         "events_interval_overlap": q_events_interval_overlap,
         "storage_time_travel": q_storage_time_travel,
+        # Tier 3: evidence rotation (r2 re-pin, edited oracles, r4 cohort)
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
-        # r5-green cohort (CORRECTNESS_r05: 49/50 hash-match)
+        "precip_fragments": q_precip_fragments,
+        "precip_cellgrid": q_precip_cellgrid,
+        "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
+        "crs_radolan_project": q_crs_radolan,
+        "precip_ascii_decode_pipeline": q_precip_ascii_decode,
+        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
+        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
+        "dedup_exact_groups": q_exact_dups,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_simhash": q_simhash,
+        "dedup_embedding_cosine": q_embedding_near_dups,
+        "similarity_cosine_topk": q_cosine_topk,
+        "similarity_ann_lsh_topk": q_ann_lsh_topk,
+        "similarity_ivf_topk": q_ivf_topk,
+        # Positions 44-49: new round-7 queries go HERE; rotation overflow slides in
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash_hamming_pairs": q_simhash_hamming,
+        "dedup_groups_cc": q_dedup_groups_cc,
+        "dedup_canonical_docs": q_dedup_canonical,
+        "corpus_curation_pipeline": q_corpus_curation,
+        "skew_salted_revenue": q_skew_salted_revenue,
+        # --- end of round-7 driver window ---
+        # r4-r6 green cohort (evidence newer than the rotation above)
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "text_html_extract": q_text_html_extract,
+        "events_scd2_pointintime": q_events_scd2_pointintime,
+        "similarity_ann_multiprobe": q_ann_lsh_multiprobe,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "events_orders_cogroup": q_events_orders_cogroup,
+        "pyds_grid_source": q_pyds_grid_source,
+        "pyds_grid_stream": q_pyds_grid_stream,
+        "join_lateral_topn": _sql(SQL_LATERAL_TOPN, ["customer"]),
+        "precip_api_index": q_precip_api_index,
+        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
+        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
+        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
+        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
+        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
+        "tpch_q20_volume_suppliers": _sql( SQL_Q20, ["supplier", "nation", "lineitem", "part"] ),
+        "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
+        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
+        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
+        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
+        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
+        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
+        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
+        "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
+        "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
+        "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
+        "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
+        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
+        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
+        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
+        "listagg_top_customers": q_listagg_top_customers,
+        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
+        "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
+        "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
+        "scalar_funcs": q_scalar_funcs,
+        "date_sequence": q_date_sequence,
+        "filename_parse": q_filename_parse,
+        "media_decode_jpeg": q_media_decode_jpeg,
+        "media_decode_png": q_media_decode_png,
+        "orders_cdc_apply": q_orders_cdc_apply,
+        "events_concurrency_sweep": q_events_concurrency_sweep,
+        "embedding_random_projection": q_embedding_random_projection,
+        "stats_histogram_orders": q_stats_histogram_orders,
+        "udtf_word_chunks": q_udtf_word_chunks,
+        "events_stream_static_join": q_events_stream_static_join,
+        "similarity_recall_eval": q_similarity_recall_eval,
+        "storage_file_skipping": q_storage_file_skipping,
         "events_sessionize": q_events_sessions,
         "events_stream_hourly": q_events_stream_hourly,
         "events_asof_join": q_events_asof,
@@ -6609,7 +6656,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_csv_roundtrip": q_precip_csv_roundtrip,
         "media_decode_bmp": q_media_decode_bmp,
         "precip_wide_roundtrip": q_precip_wide_roundtrip,
-        "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
         "storage_orc_roundtrip": q_storage_orc_roundtrip,
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
@@ -6624,43 +6670,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_orders_constraints": q_dq_orders_constraints,
         "sample_weighted_docs": q_sample_weighted_docs,
         "precip_basin_timeseries": q_precip_timeseries,
-        "precip_fragments": q_precip_fragments,
         "precip_weights": q_precip_weights,
-        "precip_cellgrid": q_precip_cellgrid,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
         "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
-        "tpch_q5_regional_revenue": _sql(
-            SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"]
-        ),
-        "tpch_q2_min_cost_supplier": _sql(
-            SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"]
-        ),
+        "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
+        "tpch_q2_min_cost_supplier": _sql( SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"] ),
         "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
         "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
-        "tpch_q7_volume_shipping": _sql(
-            SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"]
-        ),
-        "tpch_q8_market_share": _sql(
-            SQL_Q8,
-            ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
-        ),
-        "tpch_q9_product_profit": _sql(
-            SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"]
-        ),
-        "tpch_q10_returned_items": _sql(
-            SQL_Q10, ["customer", "orders", "lineitem", "nation"]
-        ),
+        "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
+        "tpch_q8_market_share": _sql( SQL_Q8, ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], ),
+        "tpch_q9_product_profit": _sql( SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"] ),
+        "tpch_q10_returned_items": _sql( SQL_Q10, ["customer", "orders", "lineitem", "nation"] ),
         "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        # r4-green cohort (CORRECTNESS_r04: 50/50 hash-match)
         "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
-        "precip_ascii_decode_pipeline": q_precip_ascii_decode,
-        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_stream_dedup": q_events_stream_dedup,
         "events_hopping_window": q_events_hopping_window,
@@ -6670,9 +6698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_scd2_type_history": q_events_scd2,
         "orders_range_join": q_orders_range_join,
-        "corpus_curation_pipeline": q_corpus_curation,
         "text_repetition_stats": q_text_repetition,
-        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
         "text_stats": q_text_stats,
         "text_quality_filter": q_text_quality_filter,
         "text_lang_id": q_lang_id,
@@ -6683,18 +6709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "text_sentence_chunks": q_text_sentence_chunks,
         "text_redact_pii": q_redact_pii,
-        "dedup_exact_groups": q_exact_dups,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_canonical_docs": q_dedup_canonical,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_simhash": q_simhash,
-        "dedup_simhash_hamming_pairs": q_simhash_hamming,
-        "dedup_embedding_cosine": q_embedding_near_dups,
-        "similarity_cosine_topk": q_cosine_topk,
-        "similarity_ann_lsh_topk": q_ann_lsh_topk,
-        "similarity_ivf_topk": q_ivf_topk,
-        "skew_salted_revenue": q_skew_salted_revenue,
         "sample_split_assign": q_sample_split,
         "profile_orders_columns": q_profile_orders,
         "stats_approx_sketches": q_approx_sketches,
@@ -6707,7 +6721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_histogram": q_byte_histogram,
         "media_ahash": q_media_ahash,
         "media_resize_fake": q_media_resize,
-        "crs_radolan_project": q_crs_radolan,
     }
 
 

@@ -10,12 +10,37 @@ fan-out is small), points map to one bucket, and the join becomes an
 equi-join on the bucket id with the exact range predicate re-applied as a
 residual filter.  Work is O(|P| + |I|·avg_buckets + matches) with an
 ordinary hash-shuffle profile.
+
+Bucket bounds are computed exactly — ``hi_bucket = ceil(hi/w) - 1`` gives
+half-open semantics (an interval ending exactly on a bucket boundary does
+not occupy the next bucket) with no epsilon, which a float epsilon could
+not (``hi - 1e-12 == hi`` at epoch-second magnitudes).  Zero/negative
+spans clamp to a single bucket (``greatest``) so ``F.sequence`` never
+descends; the residual predicate still rejects their matches.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _lo_bucket(col: str, w: float) -> Column:
+    return F.floor(F.col(col) / F.lit(float(w))).cast("long")
+
+
+def _hi_bucket_halfopen(col: str, w: float) -> Column:
+    """Last bucket a half-open ``[lo, hi)`` interval touches: ceil(hi/w)-1."""
+    return (F.ceil(F.col(col) / F.lit(float(w))) - F.lit(1)).cast("long")
+
+
+def _bucket_span(lo: str, hi: str, w: float) -> Column:
+    lo_b = _lo_bucket(lo, w)
+    hi_b = _hi_bucket_halfopen(hi, w)
+    # clamp: a zero-length interval would make sequence() descend and emit
+    # spurious buckets; pin it to its lo bucket and let the caller's exact
+    # residual predicate decide whether it matches
+    return F.sequence(lo_b, F.greatest(lo_b, hi_b))
 
 
 def range_join(
@@ -35,19 +60,9 @@ def range_join(
     selectivity.  Broadcast kicks in automatically when the exploded
     interval side is small.
     """
-    pb = points.withColumn(
-        "_bucket", F.floor(F.col(point_col) / F.lit(float(bucket_width))).cast("long")
-    )
+    pb = points.withColumn("_bucket", _lo_bucket(point_col, bucket_width))
     ib = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(float(bucket_width))).cast("long"),
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-12)) / F.lit(float(bucket_width))
-                ).cast("long"),
-            )
-        ),
+        "_bucket", F.explode(_bucket_span(lo_col, hi_col, bucket_width))
     )
     joined = pb.join(ib, "_bucket", how).filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
@@ -68,33 +83,30 @@ def interval_overlap_join(
     campaign windows over session spans.
 
     Same scale discipline as :func:`range_join`: both sides explode into
-    the buckets they cover, the join is a bucket equi-join with the exact
-    overlap predicate as residual, and pairs spanning several shared
-    buckets dedupe on the natural key of both intervals' bounds.  Work is
-    O(Σ bucket fan-out + matches) with an ordinary hash-shuffle profile —
-    no BroadcastNestedLoopJoin, no cartesian.
+    the buckets they cover and the join is a bucket equi-join with the
+    exact overlap predicate as residual.  A pair sharing several buckets
+    is emitted ONCE by keeping only its canonical bucket — the bucket of
+    the overlap start ``greatest(l_lo, r_lo)``, which both explosions are
+    guaranteed to cover.  This preserves input row multiplicity (r6 used
+    ``dropDuplicates`` over all columns, which silently collapsed
+    legitimately duplicated input rows) and costs a filter instead of a
+    dedup shuffle.  Work is O(Σ bucket fan-out + matches) — no
+    BroadcastNestedLoopJoin, no cartesian.
     """
     llo, lhi = left_cols
     rlo, rhi = right_cols
+    w = float(bucket_width)
 
-    def explode_buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        return df.withColumn(
-            "_bucket",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(lo) / F.lit(float(bucket_width))).cast("long"),
-                    F.floor(
-                        (F.col(hi) - F.lit(1e-12)) / F.lit(float(bucket_width))
-                    ).cast("long"),
-                )
-            ),
-        )
-
-    lb = explode_buckets(left, llo, lhi)
-    rb = explode_buckets(right, rlo, rhi)
+    lb = left.withColumn("_bucket", F.explode(_bucket_span(llo, lhi, w)))
+    rb = right.withColumn("_bucket", F.explode(_bucket_span(rlo, rhi, w)))
     joined = lb.join(rb, "_bucket").filter(
-        (F.col(llo) < F.col(rhi)) & (F.col(rlo) < F.col(lhi))
+        (F.col(llo) < F.col(rhi))
+        & (F.col(rlo) < F.col(lhi))
+        # canonical-bucket guard: emit the pair only in the overlap-start
+        # bucket (inside both intervals whenever the residual holds)
+        & (
+            F.col("_bucket")
+            == F.floor(F.greatest(F.col(llo), F.col(rlo)) / F.lit(w)).cast("long")
+        )
     )
-    return joined.drop("_bucket").dropDuplicates(
-        [c for c in joined.columns if c != "_bucket"]
-    )
+    return joined.drop("_bucket")

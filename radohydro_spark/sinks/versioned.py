@@ -6,8 +6,15 @@ immutable ``v=<n>`` directory and then atomically publishes it by
 rewriting a tiny ``_VERSIONS.json`` manifest (write-temp + ``os.replace``
 — readers either see the old manifest or the new one, never a torn
 file).  Reads resolve a version (or latest) through the manifest only,
-so concurrent writers can stage new snapshots without disturbing
-readers.
+so any number of concurrent READERS are safe against a single writer.
+Writers must be externally serialized (one committer at a time): the
+commit is a read-modify-write of the manifest with last-writer-wins
+``os.replace`` semantics, so two simultaneous writers could mint the
+same version number or drop each other's entry — the same single-
+committer contract Delta's non-transactional stores (e.g. plain S3
+pre-S3A-committers) impose.  :func:`write_version` enforces it cheaply
+with an ``O_EXCL`` lockfile and fails loudly on contention rather than
+corrupting the manifest.
 
 Scale notes: snapshots are copy-on-write full rewrites — right for
 dimension/result tables and bounded-size curated sets; fact-scale tables
@@ -39,20 +46,38 @@ def _load_manifest(table_path: str) -> dict:
 
 def write_version(df: DataFrame, table_path: str, note: str = "") -> int:
     """Commit ``df`` as the next version of the table; returns the new
-    version number (1-based)."""
+    version number (1-based).
+
+    Single-committer contract: the whole commit (version-number mint →
+    snapshot write → manifest publish) runs under an ``O_EXCL`` lockfile.
+    A second concurrent committer fails loudly with RuntimeError instead
+    of silently minting a duplicate version or dropping the other
+    writer's manifest entry."""
     os.makedirs(table_path, exist_ok=True)
-    man = _load_manifest(table_path)
-    version = (man["versions"][-1]["version"] + 1) if man["versions"] else 1
-    vdir = os.path.join(table_path, f"v={version}")
-    df.write.mode("errorifexists").parquet(vdir)
-    man["versions"].append(
-        {"version": version, "dir": f"v={version}", "note": note,
-         "committed_at": time.time()}
-    )
-    tmp = _manifest_path(table_path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(man, f, indent=2)
-    os.replace(tmp, _manifest_path(table_path))  # atomic publish
+    lock = os.path.join(table_path, "_COMMIT_LOCK")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit in progress on {table_path} "
+            f"(lockfile {lock} exists; remove it only if its owner died)"
+        ) from None
+    try:
+        man = _load_manifest(table_path)
+        version = (man["versions"][-1]["version"] + 1) if man["versions"] else 1
+        vdir = os.path.join(table_path, f"v={version}")
+        df.write.mode("errorifexists").parquet(vdir)
+        man["versions"].append(
+            {"version": version, "dir": f"v={version}", "note": note,
+             "committed_at": time.time()}
+        )
+        tmp = _manifest_path(table_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=2)
+        os.replace(tmp, _manifest_path(table_path))  # atomic publish
+    finally:
+        os.close(fd)
+        os.unlink(lock)
     return version
 
 

@@ -203,7 +203,8 @@ def oracle_fragments_sql(g: GridSpec = GRID) -> str:
         oracle_base_ctes(g)
         + """
 SELECT basin_id, cell_row, cell_col,
-       round(frag_area, 3) AS frag_area, cell_area
+       round(frag_area, 3) AS frag_area,
+       CAST(cell_area AS DOUBLE) AS cell_area
 FROM frags_pos
 """
     )
@@ -225,7 +226,9 @@ def oracle_cellgrid_sql(g: GridSpec = GRID) -> str:
     return (
         oracle_base_ctes(g)
         + """
-SELECT cell_row, cell_col, l AS x_min, b AS y_min, rr AS x_max, t AS y_max
+SELECT cell_row, cell_col,
+       CAST(l AS DOUBLE) AS x_min, CAST(b AS DOUBLE) AS y_min,
+       CAST(rr AS DOUBLE) AS x_max, CAST(t AS DOUBLE) AS y_max
 FROM cells
 """
     )

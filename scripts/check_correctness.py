@@ -10,6 +10,13 @@ mirroring the driver's exact value-hash, which the default tolerant mode
 cannot emulate (it masked the r5 ``orders_snapshot_diff`` one-cent
 divergence).  Run the driver window through --strict before each round.
 
+Strict mode also fetches the oracle via ``.arrow()`` (the driver's path)
+instead of ``fetchall()``: duckdb's fetchall converts HUGEINT to Python
+int, which masked the r6 triple-red (``SUM(BIGINT)`` → HUGEINT →
+Arrow decimal128, hashing differently from Spark's int64).  Any decimal
+column in the oracle's Arrow schema is a hard FAIL — cast it away in the
+SQL (``CAST(SUM(x) AS BIGINT)`` / ``CAST(lit AS DOUBLE)``).
+
 Usage: python scripts/check_correctness.py [--strict] [sf_dir] [query ...]
 """
 
@@ -113,9 +120,25 @@ def main() -> int:
             print(f"weak  {name}: rows={len(srows)} (no oracle)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            if STRICT:
+                tbl = con.execute(oracles[name]).arrow()
+                bad_types = [
+                    f"{f.name}:{f.type}" for f in tbl.schema if "decimal" in str(f.type)
+                ]
+                if bad_types:
+                    print(
+                        f"FAIL  {name}: oracle emits Arrow decimal columns "
+                        f"{bad_types} — cast to BIGINT/DOUBLE in the SQL "
+                        f"(driver hashes via Arrow; decimal128 != int64/float64)"
+                    )
+                    failures.append(name)
+                    continue
+                ocols = tbl.schema.names
+                orows = [tuple(d.values()) for d in tbl.to_pylist()]
+            else:
+                cur = con.execute(oracles[name])
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {exc}")
             failures.append(name)

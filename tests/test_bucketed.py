@@ -196,3 +196,24 @@ def test_versioned_table_time_travel(spark, tmp_path):
         read_as_of(spark, path, 9)
     with pytest.raises(ValueError, match="no committed versions"):
         read_as_of(spark, str(tmp_path / "empty"))
+
+
+def test_versioned_commit_lock_rejects_second_writer(spark, tmp_path):
+    """The commit's read-modify-write is guarded by an O_EXCL lockfile:
+    a second committer arriving mid-commit fails loudly instead of
+    minting a duplicate version or dropping a manifest entry."""
+    import os
+
+    import pytest
+
+    from radohydro_spark.sinks.versioned import write_version
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    assert write_version(df, path, "base") == 1  # lock released after commit
+    os.close(os.open(os.path.join(path, "_COMMIT_LOCK"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    with pytest.raises(RuntimeError, match="concurrent commit in progress"):
+        write_version(df, path, "contender")
+    os.unlink(os.path.join(path, "_COMMIT_LOCK"))
+    assert write_version(df, path, "retry") == 2
