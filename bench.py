@@ -47,6 +47,11 @@ HEADLINE = [
     # document) and the sweep-line interval concurrency window
     "media_decode_jpeg",
     "events_concurrency_sweep",
+    # round-7 addition: the reference's second workload shape — a full
+    # REGNIE month (971x611x31, ~18.4M obs) INCLUDING the gzip +
+    # fixed-width decode, so both precip shapes carry per-cell wall-time
+    # evidence (decode is the cost RADOLAN-scale doesn't pay)
+    "precip_regnie_scale",
 ]
 
 

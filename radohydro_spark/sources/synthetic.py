@@ -282,6 +282,20 @@ RADOLAN_SCALE = GridSpec(
     n_ts=24,
 )
 
+# REGNIE-true-scale (bench): the reference's OTHER workload shape — the
+# 971x611 daily grid (regnie sources, reference radohydro.py:95,392-395).
+# One month = 31 day files = ~18.4M obs rows, within 6% of the RADOLAN
+# day's 19.4M, so the two headline precip benches are directly comparable
+# per-cell.  n_ts counts DAYS here (day-stepped timestamps).
+REGNIE_SCALE = GridSpec(
+    n_rows=971,
+    n_cols=611,
+    x0=400000.0,
+    y0=5000000.0,
+    cell=1000.0,
+    n_ts=31,
+)
+
 
 def radolan_scale_cells(spark: SparkSession, g: GridSpec = RADOLAN_SCALE) -> DataFrame:
     return synthetic_cells(spark, g)

@@ -121,6 +121,30 @@ class TestRegnie:
         assert math.isnan(data[0, 1])
         assert data[1, 2] == 60.0
 
+    def test_decode_day_vectorized_matches_per_line(self):
+        """The whole-file frombuffer fast path must be byte-equivalent to
+        the per-line authoritative parse, and ragged input (short last
+        line) must fall back to it rather than mis-reshape."""
+        import numpy as np
+
+        from radohydro_spark.sources.regnie import parse_regnie_line_fixed
+
+        vals = [[(r * 31 + c * 17) % 120 if (r + c) % 7 else -999
+                 for c in range(11)] for r in range(9)]
+        lines = [self._line(row) for row in vals] + ["meta"]
+        payload = gzip.compress("\n".join(lines).encode())
+        fast = decode_regnie_day(payload, no_per_line=11)
+        slow = np.vstack([parse_regnie_line_fixed(l, 11) for l in lines[:-1]])
+        slow = np.where(slow == -999.0, np.nan, slow)
+        assert fast.shape == (9, 11)
+        np.testing.assert_array_equal(fast, slow)
+
+        ragged = lines[:3] + [lines[3][:-4]] + lines[4:]  # short line 3
+        data = decode_regnie_day(gzip.compress("\n".join(ragged).encode()),
+                                 no_per_line=11)
+        assert data.shape == (9, 11)
+        assert math.isnan(data[3, 10])  # missing trailing field -> NaN
+
 
 class TestManifest:
     def _tar_bytes(self, members: dict[str, bytes]) -> bytes:
