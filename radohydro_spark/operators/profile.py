@@ -256,3 +256,50 @@ def zscore_outliers(
         )
     )
     return flagged
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier gate: median / MAD (median absolute
+    deviation) instead of mean / stddev, so a few extreme rows cannot
+    drag the fence toward themselves the way they inflate a z-score's
+    sigma — the standard robust screen for heavy-tailed value columns.
+
+    Exactness contract: feed an INTEGER value column (e.g. money in
+    cents).  ``percentile`` interpolation on integers lands on .0/.5 —
+    exactly representable doubles that DuckDB's ``median`` reproduces
+    bit-for-bit, so the oracle hash-compares with zero tolerance.
+
+    Scale shape: two grouped exact percentiles (each ONE shuffle on the
+    group key, partial-aggregated map-side) plus a final row pass for the
+    fence count; per-group medians/MADs are dimension-sized and broadcast
+    back — the row side never collects, never self-joins.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med"),
+        F.count("*").alias("n_rows"),
+    )
+    dev = df.join(F.broadcast(med.select(group_col, "med")), group_col).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile("_absdev", F.lit(0.5)).alias("mad")
+    )
+    counted = (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn(
+            "_is_out",
+            (F.col("_absdev") > F.lit(float(k)) * F.col("mad")).cast("int"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("_is_out").cast("long").alias("n_outliers"))
+    )
+    return (
+        med.join(F.broadcast(mad), group_col)
+        .join(counted, group_col)
+        .select(group_col, "n_rows", "med", "mad", "n_outliers")
+    )

@@ -1,0 +1,92 @@
+"""Round-7 operators: market-basket pair lift, table_changes CDF,
+MAD robust outliers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pair_lift_counts_and_lift(spark):
+    from radohydro_spark.operators.basket import pair_lift
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (3, "c"),  # duplicate (basket,item) must collapse
+        (4, "d"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in pair_lift(df, "basket", "item").collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 2 and ab["count_a"] == 3 and ab["count_b"] == 2
+    # lift(a,b) = N*c_ab/(c_a*c_b) = 4*2/(3*2)
+    assert ab["lift"] == round(4 * 2 / (3 * 2), 6)
+    assert out[("a", "c")]["pair_count"] == 2
+    assert ("b", "c") in out and out[("b", "c")]["pair_count"] == 1
+    # d co-occurs with nothing
+    assert not any("d" in k for k in out)
+
+
+def test_pair_lift_basket_size_guard(spark):
+    from radohydro_spark.operators.basket import pair_lift
+
+    big = [(1, f"i{j}") for j in range(10)] + [(2, "x"), (2, "y")]
+    df = spark.createDataFrame(big, "basket int, item string")
+    out = pair_lift(df, "basket", "item", max_basket_size=5).collect()
+    # the 10-item basket is dropped entirely; only (x,y) survives
+    assert len(out) == 1
+    assert (out[0]["item_a"], out[0]["item_b"]) == ("x", "y")
+    # guarded basket also leaves N (denominator base) = 1
+    assert out[0]["lift"] == 1.0
+
+
+def test_table_changes_classification(spark, tmp_path):
+    from radohydro_spark.sinks.versioned import table_changes, write_version
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)], "k int, s string, v int"
+    )
+    write_version(v1, path)
+    write_version(v2, path)
+    ch = {
+        r["k"]: r["change_type"]
+        for r in table_changes(spark, path, 1, 2, ["k"]).collect()
+    }
+    assert ch == {1: "delete", 2: "unchanged", 3: "update", 4: "insert"}
+
+
+def test_table_changes_schema_evolution_counts_as_update(spark, tmp_path):
+    from radohydro_spark.sinks.versioned import table_changes, write_version
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, s string"), path)
+    write_version(
+        spark.createDataFrame([(1, "a", 5)], "k int, s string, extra int"), path
+    )
+    rows = table_changes(spark, path, 1, 2, ["k"]).collect()
+    assert rows[0]["change_type"] == "update"  # new column present
+    assert rows[0]["new"]["extra"] == 5
+
+
+def test_mad_outliers_exact_small_case(spark):
+    from radohydro_spark.operators.profile import mad_outliers
+
+    # group g: values 1..9 plus one wild point; med=5.5 over 10 values?
+    # use odd count for a clean median: 1..9 -> med 5, MAD median(|x-5|)=2
+    vals = [("g", v) for v in range(1, 10)]
+    df = spark.createDataFrame(vals, "grp string, x int")
+    r = mad_outliers(df, "grp", "x", k=1.0).collect()[0]
+    assert r["n_rows"] == 9 and r["med"] == 5.0 and r["mad"] == 2.0
+    # |x-5| > 2  -> x in {1,2,8,9}
+    assert r["n_outliers"] == 4
+    # even count interpolates to .5 exactly
+    df2 = spark.createDataFrame([("g", v) for v in [1, 2, 3, 4]], "grp string, x int")
+    r2 = mad_outliers(df2, "grp", "x", k=3.0).collect()[0]
+    assert r2["med"] == 2.5 and r2["mad"] == 1.0 and r2["n_outliers"] == 0
