@@ -6824,6 +6824,50 @@ WHERE o_custkey < 150
 """
 
 
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter (operators/bloom.py): lineitem
+    rows restricted to suppliers of one nation — the dim key set folds
+    into a 2048-word bitmap (xxhash64 probes + bit_or aggregate, all
+    JVM column arithmetic), the fact stream filters against it BEFORE the
+    exact semi-join, so at cluster scale the join exchange moves only
+    ~selectivity·|fact| rows.  False positives cost shuffle rows, never
+    correctness: the oracle is the plain semi-join aggregate."""
+    from radohydro_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dim = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_9")),
+        s["s_nationkey"] == n["n_nationkey"],
+    ).select("s_suppkey")
+    out = bloom_semi_join(li, dim, "l_suppkey", "s_suppkey")
+    return out.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
+ORACLE_BLOOM_PREFILTER = """
+WITH dim AS (
+  SELECT s_suppkey FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_9'
+)
+SELECT l_returnflag, COUNT(*) AS n_lines,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / CAST(100.0 AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM dim)
+GROUP BY l_returnflag
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -6894,14 +6938,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_embedding_near_dups,
         "similarity_cosine_topk": q_cosine_topk,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
-        "similarity_ivf_topk": q_ivf_topk,
-        # Positions 44-49: new round-7 queries go HERE; rotation overflow slides in
+        # Positions 43-49: new round-7 queries go HERE; rotation overflow slides in
         "precip_regnie_scale": q_precip_regnie_scale,
         "orders_market_basket": q_orders_market_basket,
         "storage_table_changes": q_storage_table_changes,
         "dq_mad_outliers": q_dq_mad_outliers,
         "corpus_quality_mixture": q_corpus_quality_mixture,
         "window_range_frame": _sql(SQL_RANGE_FRAME, ["orders"]),
+        "join_bloom_prefilter": q_join_bloom_prefilter,
+        # rotation overflow (slides into the window if a slot above frees)
+        "similarity_ivf_topk": q_ivf_topk,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash_hamming_pairs": q_simhash_hamming,
         "dedup_groups_cc": q_dedup_groups_cc,
@@ -7067,6 +7113,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_mad_outliers": ORACLE_MAD_OUTLIERS,
         "corpus_quality_mixture": ORACLE_QUALITY_MIXTURE,
         "window_range_frame": SQL_RANGE_FRAME,
+        "join_bloom_prefilter": ORACLE_BLOOM_PREFILTER,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

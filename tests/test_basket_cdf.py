@@ -90,3 +90,28 @@ def test_mad_outliers_exact_small_case(spark):
     df2 = spark.createDataFrame([("g", v) for v in [1, 2, 3, 4]], "grp string, x int")
     r2 = mad_outliers(df2, "grp", "x", k=3.0).collect()[0]
     assert r2["med"] == 2.5 and r2["mad"] == 1.0 and r2["n_outliers"] == 0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from radohydro_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    dim = spark.range(0, 50).select((F.col("id") * 17 + 3).alias("key"))
+    fact = spark.range(0, 5000).select(F.col("id").alias("key"))
+    words = bloom_build(dim, "key", n_words=64, k=5)
+    pre = fact.filter(bloom_might_contain(F.col("key"), words, k=5))
+    pre_keys = {r["key"] for r in pre.collect()}
+    dim_keys = {r["key"] for r in dim.collect()}
+    assert dim_keys <= pre_keys  # zero false negatives
+    assert len(pre_keys) < 5000  # actually prunes
+    exact = {
+        r["key"]
+        for r in fact.join(
+            dim.select(F.col("key")), "key", "left_semi"
+        ).collect()
+    }
+    got = {r["key"] for r in bloom_semi_join(fact, dim, "key", "key").collect()}
+    assert got == exact  # prefilter never changes the exact result
