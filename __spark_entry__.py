@@ -7420,6 +7420,7 @@ if __name__ == "__main__":  # pragma: no cover
 # (shared-SQL closures and thin wrappers).  Consumed by
 # scripts/dump_queries.py to build QUERIES.md, the judge-facing index.
 QUERY_NOTES: dict[str, str] = {
+    "window_range_frame": "RANGE BETWEEN INTERVAL '30' DAY PRECEDING frame: value-distance sliding window over order dates, cents summed as integers (r7, shared ANSI).",
     "cube_order_status": "GROUP BY CUBE over (priority, status): all 2^2 grouping combinations in one pass (shared ANSI).",
     "window_percent_rank": "percent_rank + cume_dist per nation over account balance (r6): exact rank rationals, named WINDOW clause (shared ANSI).",
     "window_nth_value": "first_value / nth_value(2) / last_value with an explicit unbounded ROWS frame per customer order history (r6, shared ANSI).",
