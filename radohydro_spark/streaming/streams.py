@@ -324,3 +324,112 @@ def foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_profile_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Arbitrary-state streaming profile via ``transformWithStateInPandas``
+    (the Spark 4 successor to applyInPandasWithState): per-key COMPOSITE
+    state — a ValueState carrying (event count, value total in integer
+    cents) plus a MapState of per-event-type counts — updated every
+    trigger and emitted as a running profile row.
+
+    Why the new API: applyInPandasWithState packs all state into one
+    tuple, so a per-type map means serializing the whole dict every
+    trigger; transformWithState's typed MapState updates only touched
+    entries in the state store (RocksDB point writes at cluster scale)
+    and adds timers/TTL when eviction policies are needed (not used here
+    — timer firing depends on trigger boundaries, and this operator's
+    contract is batch-replay determinism).
+
+    Determinism contract: totals are integer cents, the dominant type
+    breaks count ties lexicographically, and the final row per key (the
+    one with the largest n_events) equals the batch aggregate regardless
+    of how the replay was split into micro-batches.
+
+    ENVIRONMENT GATE: transformWithState's driver-side Python runner
+    imports ``google.protobuf`` (state-server protocol), which this
+    container does not ship — the operator raises a clear ImportError up
+    front instead of crashing the streaming query mid-plan
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  The code path is
+    exercised by an importorskip-gated test, same policy as the live-FTP
+    smoke; applyInPandasWithState (`stateful_running_total`) is the
+    driver-verified stateful operator in this environment.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package for its driver-side state protocol; it is not "
+            "installed in this environment. Use stateful_running_total "
+            "(applyInPandasWithState) instead."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, n_events long, n_types long, "
+        "sum_cents long, top_type string"
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, cents long"
+            )
+            self._per_type = handle.getMapState(
+                "per_type", "t string", "c long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                n += int(pdf.shape[0])
+                # round PER ROW, then sum exact integers: a per-batch
+                # round would make the total depend on how the replay
+                # splits into micro-batches
+                cents += int(vals.mul(100.0).round().astype("int64").sum())
+                for t, c in pdf[type_col].value_counts().items():
+                    prev = (
+                        self._per_type.getValue((t,))[0]
+                        if self._per_type.containsKey((t,))
+                        else 0
+                    )
+                    self._per_type.updateValue((t,), (prev + int(c),))
+            self._totals.update((n, cents))
+            counts = {
+                k[0]: v[0] for k, v in self._per_type.iterator()
+            }
+            top = min(
+                counts, key=lambda t: (-counts[t], t)
+            )  # max count, lexicographic tie-break
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "n_types": [len(counts)],
+                    "sum_cents": [cents],
+                    "top_type": [top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from radohydro_spark.operators.spatial import spatial_intersect
@@ -284,3 +286,60 @@ def test_pyds_stream_replay_between_offsets(spark):
     replay = list(r.readBetweenOffsets({"h": 2}, {"h": 5}))
     direct = [row for row in all_rows if 2 <= (row[0].hour) < 5]
     assert replay == direct
+
+
+def test_stateful_user_profile_tws_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas composite-state profile == batch GROUP BY.
+
+    Env-gated: the Spark 4 transformWithState driver runner needs
+    google.protobuf, which this container lacks; without it the operator
+    must raise a clear ImportError (asserted below) instead of crashing
+    the streaming query mid-plan."""
+    import uuid
+
+    from radohydro_spark.streaming.streams import (
+        run_available_now,
+        stateful_user_profile_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="google.protobuf"):
+            stateful_user_profile_tws(stream)
+        return
+
+    prof = stateful_user_profile_tws(stream)
+    out = run_available_now(
+        prof, "tws_" + uuid.uuid4().hex[:6], str(tmp_path / "ck"), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+    got = {r["user_id"]: r for r in final.collect()}
+    exp = {r["user_id"]: r for r in batch.collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k]["n_events"] == exp[k]["n_events"]
+        assert got[k]["n_types"] == exp[k]["n_types"]
+        assert got[k]["sum_cents"] == exp[k]["sum_cents"]
