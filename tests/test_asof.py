@@ -126,3 +126,45 @@ def test_interval_overlap_join_no_nested_loop_plan(spark):
     plan = interval_overlap_join(ldf, rdf)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_preserves_input_multiplicity(spark):
+    """r7 regression (r6 used dropDuplicates over all columns, which
+    collapsed legitimately duplicated input rows): a row appearing twice
+    on the left must yield its matches twice, and a pair sharing several
+    buckets must still emit exactly once per input-row pair."""
+    from radohydro_spark.operators.rangejoin import interval_overlap_join
+
+    # duplicate left row (no distinguishing id column on purpose)
+    ldf = spark.createDataFrame(
+        [(0.0, 50.0), (0.0, 50.0)], "l_lo double, l_hi double"
+    )
+    # right interval spans many 16-wide buckets shared with the left
+    rdf = spark.createDataFrame([(10.0, 40.0)], "r_lo double, r_hi double")
+    rows = interval_overlap_join(ldf, rdf, bucket_width=16.0).collect()
+    assert len(rows) == 2  # one per duplicated left row, not collapsed to 1
+
+
+def test_interval_overlap_join_boundary_and_zero_length(spark):
+    """Exact half-open bucket math (no float epsilon): an interval ending
+    ON a bucket boundary must not leak into the next bucket, and
+    zero-length intervals must not explode descending sequences."""
+    from radohydro_spark.operators.rangejoin import interval_overlap_join
+
+    # left [0,16) ends exactly on the bucket-16 boundary; right [16,32)
+    # starts there: half-open semantics -> NO overlap
+    ldf = spark.createDataFrame([(1, 0.0, 16.0)], "lid int, l_lo double, l_hi double")
+    rdf = spark.createDataFrame([(2, 16.0, 32.0)], "rid int, r_lo double, r_hi double")
+    assert interval_overlap_join(ldf, rdf, bucket_width=16.0).count() == 0
+    # epoch-second magnitudes where a 1e-12 epsilon is absorbed entirely:
+    # [t, t+16) against [t+16, t+32) must still be disjoint
+    t = 1.7e9
+    ldf2 = spark.createDataFrame([(1, t, t + 16.0)], "lid int, l_lo double, l_hi double")
+    rdf2 = spark.createDataFrame([(2, t + 16.0, t + 32.0)], "rid int, r_lo double, r_hi double")
+    assert interval_overlap_join(ldf2, rdf2, bucket_width=16.0).count() == 0
+    # zero-length interval: emits one bucket (sequence must not descend),
+    # and the stated predicate l_lo < r_hi AND r_lo < l_hi decides matches
+    zdf = spark.createDataFrame([(9, 32.0, 32.0)], "lid int, l_lo double, l_hi double")
+    wide = spark.createDataFrame([(7, 0.0, 100.0)], "rid int, r_lo double, r_hi double")
+    rows = interval_overlap_join(zdf, wide, bucket_width=16.0).collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(9, 7)]

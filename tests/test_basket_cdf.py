@@ -115,3 +115,67 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     }
     got = {r["key"] for r in bloom_semi_join(fact, dim, "key", "key").collect()}
     assert got == exact  # prefilter never changes the exact result
+
+
+def test_pair_lift_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from radohydro_spark.operators.basket import pair_lift
+
+    rng = random.Random(11)
+    rows = []
+    baskets = {}
+    for b in range(40):
+        items = rng.sample("abcdefghij", rng.randint(1, 6))
+        baskets[b] = set(items)
+        rows += [(b, i) for i in items]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["pair_count"], r["lift"])
+        for r in pair_lift(df, "basket", "item").collect()
+    }
+    n = len(baskets)
+    item_count = {
+        i: sum(1 for s in baskets.values() if i in s) for i in "abcdefghij"
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted("abcdefghij"), 2):
+        pc = sum(1 for s in baskets.values() if a in s and b in s)
+        if pc:
+            want[(a, b)] = (pc, round(n * pc / (item_count[a] * item_count[b]), 6))
+    assert got == want
+
+
+def test_table_changes_apply_roundtrip(spark, tmp_path):
+    """CDC algebra: applying the table_changes feed onto v1 reproduces v2
+    exactly (the replay contract a downstream incremental consumer relies
+    on)."""
+    from radohydro_spark.operators.merge import apply_changes
+    from radohydro_spark.sinks.versioned import (
+        read_as_of,
+        table_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 20), (3, "x", 99), (4, "d", 40), (5, "e", 51)],
+        "k int, s string, v int",
+    )
+    write_version(v1, path)
+    write_version(v2, path)
+    feed = table_changes(spark, path, 1, 2, ["k"]).filter(
+        F.col("change_type") != "unchanged"
+    )
+    flat = feed.select(
+        "k", "change_type", F.col("new.s").alias("s"), F.col("new.v").alias("v")
+    )
+    replayed = apply_changes(read_as_of(spark, path, 1), flat, ["k"])
+    assert {tuple(r) for r in replayed.select("k", "s", "v").collect()} == {
+        tuple(r) for r in read_as_of(spark, path, 2).collect()
+    }

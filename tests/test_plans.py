@@ -336,3 +336,57 @@ def test_fuzzy_join_blocks_via_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_market_basket_topk_and_no_cartesian(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["orders_market_basket"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # global top-k, never driver sort
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row n_baskets scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bloom_prefilter_thins_before_join(spark):
+    """The bloom test must sit in a Filter BELOW the exact semi-join, so
+    the join's exchange sees the thinned stream."""
+    from radohydro_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.range(0, 1000).select(F.col("id").alias("key"))
+    dim = spark.range(0, 20).select((F.col("id") * 31).alias("key"))
+    plan = _plan(bloom_semi_join(fact, dim, "key", "key"))
+    assert "CartesianProduct" not in plan
+    join_pos = plan.find("Join")
+    filter_pos = plan.find("xxhash64")
+    assert join_pos != -1 and filter_pos != -1
+    # executed plans print top-down: the Filter (with the xxhash64 probes)
+    # must appear BELOW (after) the join node it feeds
+    assert filter_pos > join_pos
+
+
+def test_interval_overlap_canonical_bucket_no_dedup_exchange(spark):
+    """The r7 canonical-bucket guard replaced dropDuplicates: the plan
+    must carry NO aggregate-style dedup above the join."""
+    from radohydro_spark.operators.rangejoin import interval_overlap_join
+
+    ldf = spark.createDataFrame([(1, 0.0, 5.0)], "lid int, l_lo double, l_hi double")
+    rdf = spark.createDataFrame([(2, 3.0, 9.0)], "rid int, r_lo double, r_hi double")
+    plan = _plan(interval_overlap_join(ldf, rdf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # dropDuplicates compiles to HashAggregate over all columns; the
+    # canonical-bucket form must not have ANY aggregate node
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_mad_outliers_broadcasts_group_medians(spark):
+    from radohydro_spark.operators.profile import mad_outliers
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") * 13 % 1000).alias("x")
+    )
+    plan = _plan(mad_outliers(df, "g", "x"))
+    assert "BroadcastHashJoin" in plan  # medians/MADs join back broadcast
+    assert "CartesianProduct" not in plan
