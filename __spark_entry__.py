@@ -6868,6 +6868,66 @@ GROUP BY l_returnflag
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.py semdedup, r7): cluster
+    embeddings on deterministic coarse centroids, drop within-cluster
+    items whose rounded cosine to a lower-id member reaches the
+    threshold, report survivors per cluster.  The pair stage self-joins
+    only within a cluster (equi-join on centroid_id, never corpus-wide);
+    the oracle replays the identical centroid choice, argmax assignment
+    (same tie-break) and keep/drop law."""
+    from radohydro_spark.operators.dedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    kept = semdedup(e, n_clusters=8, threshold=0.35)
+    return kept.groupBy("centroid_id").agg(
+        F.count("*").alias("n_kept"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+        F.sum("vec_id").alias("id_checksum"),
+    )
+
+
+_SEM_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+sim AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_SEM_COS.format(a="e.v", b="c.cv")} AS s
+  FROM e, c
+),
+asg AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, centroid_id ASC) AS rn
+    FROM sim) t
+  WHERE rn = 1
+),
+av AS (SELECT a.vec_id, a.centroid_id, e.v FROM asg a JOIN e USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({_SEM_COS.format(a="a.v", b="b.v")}, 6) >= 0.35
+),
+kept AS (
+  SELECT * FROM av WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+)
+SELECT centroid_id, COUNT(*) AS n_kept, MIN(vec_id) AS min_id,
+       MAX(vec_id) AS max_id, CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+FROM kept
+GROUP BY centroid_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -6934,7 +6994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
         "dedup_exact_groups": q_exact_dups,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_simhash": q_simhash,
         "dedup_embedding_cosine": q_embedding_near_dups,
         "similarity_cosine_topk": q_cosine_topk,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
@@ -6946,7 +7005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_mixture": q_corpus_quality_mixture,
         "window_range_frame": _sql(SQL_RANGE_FRAME, ["orders"]),
         "join_bloom_prefilter": q_join_bloom_prefilter,
+        "dedup_semantic": q_dedup_semantic,
         # rotation overflow (slides into the window if a slot above frees)
+        "dedup_simhash": q_simhash,
         "similarity_ivf_topk": q_ivf_topk,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash_hamming_pairs": q_simhash_hamming,
@@ -7114,6 +7175,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_mixture": ORACLE_QUALITY_MIXTURE,
         "window_range_frame": SQL_RANGE_FRAME,
         "join_bloom_prefilter": ORACLE_BLOOM_PREFILTER,
+        "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

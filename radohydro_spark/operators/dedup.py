@@ -499,3 +499,64 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every item whose cosine to a LOWER-ID cluster member reaches
+    the threshold — the keep-one-representative policy that removes
+    paraphrase-level duplicates exact/MinHash dedup cannot see.
+
+    Plan shape: centroids are the first ``n_clusters`` vectors by id
+    (deterministic — the oracle reproduces the identical partitioning;
+    swap in similarity.ivf_train's Lloyd refinement for production
+    recall), assignment is one broadcast argmax-cosine, and the pair
+    stage self-joins ONLY within a cluster (equi-join on centroid_id) —
+    never the corpus-wide cross product.  Work is O(Σ cluster²), the
+    published method's own cost; at 100 TB the within-cluster stage
+    composes with the banded-LSH candidate generator
+    (embedding_near_dup_pairs) the same way SemDeDup implementations
+    shard FAISS clusters.  Cosines are rounded to 6 decimals BEFORE the
+    threshold compare so an ulp of engine difference cannot flip a
+    keep/drop decision.
+
+    Returns the SURVIVORS (one row per kept vector: id, cluster id).
+    """
+    from radohydro_spark.operators.similarity import cosine, ivf_assign
+
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col).join(
+        corpus, id_col
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .withColumn("_cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "centroid_id"
+    )
