@@ -7041,13 +7041,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   Tier 2 (positions 3-28): all 26 never-driver-checked r6 tail
         #   queries -> full-ledger verification (every query driver-checked
         #   at least once). All strict-green locally at sf0.01.
-        #   Tier 3 (positions 29-43): evidence rotation -- events_hourly
+        #   Tier 3 (positions 29-39): evidence rotation -- events_hourly
         #   (last green r2), the four precip/crs queries whose oracles got
         #   the same decimal->DOUBLE cast this round (exact doubles:
         #   multiples of 0.5/1000; must re-pin under the driver), the three
-        #   decode pipelines and the oldest r4 dedup/similarity cohort.
-        #   Positions 44-49: NEW round-7 queries (driver evidence on first
-        #   exposure); unused slots slide the next rotation entries in.
+        #   decode pipelines and the oldest r4 dedup cohort.
+        #   Positions 40-49: the TEN new round-7 queries (driver evidence on
+        #   first exposure beats re-pinning stable r4-green rows, so four
+        #   r4 similarity/simhash re-pins ceded their slots to the overflow
+        #   tail -- full-ledger verification is preserved: every query has
+        #   been driver-checked at least once after this window runs).
         # --- round-7 driver window (first 50) ---
         # Tier 1: r6 hash-red rows, de-sensitized
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
@@ -7092,7 +7095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_exact_dups,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_embedding_cosine": q_embedding_near_dups,
-        # Positions 43-49: new round-7 queries go HERE; rotation overflow slides in
+        # Positions 40-49: the ten new round-7 queries
         "precip_regnie_scale": q_precip_regnie_scale,
         "orders_market_basket": q_orders_market_basket,
         "storage_table_changes": q_storage_table_changes,
