@@ -531,14 +531,22 @@ def semdedup(
     """
     from radohydro_spark.operators.similarity import cosine, ivf_assign
 
+    from pyspark import StorageLevel
+
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
     centroids = (
         corpus.orderBy(id_col)
         .limit(n_clusters)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
     )
+    # the assignment feeds BOTH pair sides and the final anti-join: persist
+    # it, or the plan recomputes the corpus scan + broadcast argmax three
+    # times (registered with the session-wide release_persisted() pool)
     assigned = ivf_assign(corpus, centroids, vec_col, id_col).join(
         corpus, id_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(assigned)
     a = assigned.select(
         "centroid_id",
         F.col(id_col).alias("_id_a"),

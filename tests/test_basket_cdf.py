@@ -106,7 +106,11 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     pre_keys = {r["key"] for r in pre.collect()}
     dim_keys = {r["key"] for r in dim.collect()}
     assert dim_keys <= pre_keys  # zero false negatives
-    assert len(pre_keys) < 5000  # actually prunes
+    # deterministic FPR check (xxhash64 is fixed): 50 keys in 4096 bits
+    # with k=5 gives a theoretical FPR ~1e-6; allow a wide 5% margin so
+    # the assertion pins the order of magnitude, not the exact hash layout
+    false_pos = len(pre_keys - dim_keys)
+    assert false_pos <= 0.05 * (5000 - len(dim_keys))
     exact = {
         r["key"]
         for r in fact.join(
