@@ -7025,6 +7025,32 @@ GROUP BY dim
 """
 
 
+def q_similarity_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted vector index lifecycle (operators/similarity.py
+    build_ivf_index / query_ivf_index, r7): postings written partitioned
+    by centroid_id, probes read ONLY the probed partitions (partition
+    pruning = FAISS inverted lists at the storage layer), exact rerank on
+    the survivors.  Same deterministic centroids and parameters as
+    similarity_ivf_topk, so the identical oracle pins that the
+    build→persist→probe round-trip loses nothing."""
+    import tempfile
+
+    from radohydro_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="radohydro_ivf_") + "/index"
+    build_ivf_index(e, path, n_centroids=16)
+    return query_ivf_index(spark, path, queries, nprobe=4, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7092,7 +7118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_ascii_decode_pipeline": q_precip_ascii_decode,
         "precip_regnie_decode_pipeline": q_precip_regnie_decode,
         "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
-        "dedup_exact_groups": q_exact_dups,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_embedding_cosine": q_embedding_near_dups,
         # Positions 40-49: the ten new round-7 queries
@@ -7106,7 +7131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "text_bpe_first_merges": q_text_bpe_first_merges,
         "embedding_feature_scaling": q_embedding_feature_scaling,
+        "similarity_index_persist": q_similarity_index_persist,
         # rotation overflow (slides into the window if a slot above frees)
+        "dedup_exact_groups": q_exact_dups,
         "similarity_cosine_topk": q_cosine_topk,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
         "dedup_simhash": q_simhash,
@@ -7280,6 +7307,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
         "text_bpe_first_merges": ORACLE_BPE_FIRST_MERGES,
         "embedding_feature_scaling": ORACLE_FEATURE_SCALING,
+        # identical params/centroids as similarity_ivf_topk: the persisted
+        # round-trip must reproduce the in-memory result exactly
+        "similarity_index_persist": ORACLE_IVF_TOPK,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

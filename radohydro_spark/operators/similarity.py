@@ -631,3 +631,90 @@ def random_projection_int(
         F.lit(0).cast("long"),
     )
     return out.select(id_col, *[f"y{j}" for j in range(out_dims)], l2q.alias("l2q"))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: postings written as parquet PARTITIONED BY
+    centroid_id, centroids as a sibling table — the build-once/query-many
+    vector-index lifecycle.  Probing then reads only the probed
+    partitions (Spark partition pruning — the storage-level analog of
+    FAISS's inverted lists), so a query touches nprobe/n_centroids of
+    the corpus bytes instead of scanning everything.
+
+    Centroids are the first ``n_centroids`` vectors by id (deterministic;
+    swap in :func:`ivf_train` for Lloyd-refined production recall —
+    layout and read path are identical)."""
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col).join(corpus, id_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("errorifexists")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/postings")
+    )
+    centroids.coalesce(1).write.mode("errorifexists").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVF index: pick each query's ``nprobe`` nearest
+    centroids, read ONLY those posting partitions (the probed-centroid
+    filter is a partition filter — asserted by tests/test_plans.py), and
+    exact-rerank the candidates.  Same result contract as the in-memory
+    :func:`ivf_topk` with the same deterministic centroids."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cq = centroids.select("centroid_id", F.col(vec_col).alias("_cent"))
+    qprobe = (
+        queries.crossJoin(F.broadcast(cq))
+        .withColumn("_sim", cosine(F.col(vec_col), F.col("_cent")))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                W.partitionBy(query_id_col).orderBy(
+                    F.desc("_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            "centroid_id",
+        )
+    )
+    probed = [
+        r["centroid_id"]
+        for r in qprobe.select("centroid_id").distinct().collect()
+    ]  # nprobe x |queries| ids max — dimension-sized by construction
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("centroid_id").isin(probed)  # partition-pruning predicate
+    )
+    scored = postings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    ).join(F.broadcast(qprobe), "centroid_id").withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

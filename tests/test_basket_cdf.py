@@ -183,3 +183,28 @@ def test_table_changes_apply_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in replayed.select("k", "s", "v").collect()} == {
         tuple(r) for r in read_as_of(spark, path, 2).collect()
     }
+
+
+def test_mad_outliers_singleton_group_and_zero_mad(spark):
+    from radohydro_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [("solo", 7), ("flat", 4), ("flat", 4), ("flat", 4), ("flat", 9)],
+        "grp string, x int",
+    )
+    r = {row["grp"]: row for row in mad_outliers(df, "grp", "x", k=3.0).collect()}
+    assert r["solo"]["med"] == 7.0 and r["solo"]["mad"] == 0.0
+    assert r["solo"]["n_outliers"] == 0
+    # zero MAD: any deviation beats k*0 -> the lone 9 is an outlier
+    assert r["flat"]["mad"] == 0.0 and r["flat"]["n_outliers"] == 1
+
+
+def test_pair_lift_empty_and_single_item_baskets(spark):
+    from radohydro_spark.operators.basket import pair_lift
+
+    empty = spark.createDataFrame([], "basket int, item string")
+    assert pair_lift(empty, "basket", "item").count() == 0
+    singles = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "basket int, item string"
+    )
+    assert pair_lift(singles, "basket", "item").count() == 0

@@ -390,3 +390,27 @@ def test_mad_outliers_broadcasts_group_medians(spark):
     plan = _plan(mad_outliers(df, "g", "x"))
     assert "BroadcastHashJoin" in plan  # medians/MADs join back broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """Probing the persisted IVF index must read only the probed
+    centroid partitions (partition pruning visible in the scan node)."""
+    from radohydro_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_centroids=16)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = query_ivf_index(spark, path, q, nprobe=2, k=3)
+    plan = _plan(res)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan[:800]
+    assert res.count() == 6  # 2 queries x top-3
