@@ -7051,6 +7051,86 @@ def q_similarity_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ivf_index(spark, path, queries, nprobe=4, k=5)
 
 
+def q_events_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch order attribution (r7): every event is enriched with
+    the SAME user's most recent order at-or-before the event time (as-of
+    join — union+window, no inequality join), then rolls up per event
+    type: events seen, events with an order context, distinct orders
+    touched, and the min/max staleness in whole days.  Orders are
+    pre-aggregated per (user, date) with a deterministic tie-break so
+    the attribution is total-order stable; DuckDB's native ASOF JOIN is
+    the oracle."""
+    from radohydro_spark.operators.asof import asof_join
+
+    _utc(spark)
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.max("o_orderkey").alias("order_key"))
+    )
+    out = asof_join(e, o, keys=["user_id"], ts_col="ts")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("order_key_asof").alias("n_attributed"),
+        F.count_distinct("order_key_asof").alias("n_distinct_orders"),
+        F.min(F.datediff(F.col("ts"), F.col("ts_asof"))).alias("min_days_since"),
+        F.max(F.datediff(F.col("ts"), F.col("ts_asof"))).alias("max_days_since"),
+    )
+
+
+ORACLE_ORDER_ATTRIBUTION = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+),
+o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ts,
+         max(o_orderkey) AS order_key
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       COUNT(o.order_key) AS n_attributed,
+       COUNT(DISTINCT o.order_key) AS n_distinct_orders,
+       MIN(datediff('day', CAST(o.ts AS DATE), CAST(e.ts AS DATE)))
+         AS min_days_since,
+       MAX(datediff('day', CAST(o.ts AS DATE), CAST(e.ts AS DATE)))
+         AS max_days_since
+FROM e
+ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ts
+GROUP BY e.event_type
+"""
+
+
+# Shared-ANSI bag-semantics set operations: INTERSECT ALL keeps
+# min(multiplicity), EXCEPT ALL subtracts multiplicities — the variants
+# the r2 set_ops_brands (distinct UNION/EXCEPT) does not cover.
+SQL_SETOPS_ALL = """
+WITH bag AS (
+  SELECT l_partkey FROM lineitem WHERE l_quantity > 30
+  INTERSECT ALL
+  SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+),
+ex AS (
+  SELECT l_partkey FROM lineitem WHERE l_quantity > 30
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT 'intersect_all' AS op, COUNT(*) AS n,
+       COUNT(DISTINCT l_partkey) AS n_keys,
+       CAST(SUM(l_partkey) AS BIGINT) AS key_checksum
+FROM bag
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n,
+       COUNT(DISTINCT l_partkey) AS n_keys,
+       CAST(SUM(l_partkey) AS BIGINT) AS key_checksum
+FROM ex
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7132,6 +7212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_first_merges": q_text_bpe_first_merges,
         "embedding_feature_scaling": q_embedding_feature_scaling,
         "similarity_index_persist": q_similarity_index_persist,
+        # --- r7 tail (positions 50-51, past the driver window): strict-green
+        # locally at sf0.01 AND sf0.1; FRONT-LOAD THESE IN ROUND 8 ---
+        "events_order_attribution": q_events_order_attribution,
+        "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
         # rotation overflow (slides into the window if a slot above frees)
         "dedup_exact_groups": q_exact_dups,
         "similarity_cosine_topk": q_cosine_topk,
@@ -7310,6 +7394,8 @@ def oracle_sql() -> dict[str, str]:
         # identical params/centroids as similarity_ivf_topk: the persisted
         # round-trip must reproduce the in-memory result exactly
         "similarity_index_persist": ORACLE_IVF_TOPK,
+        "events_order_attribution": ORACLE_ORDER_ATTRIBUTION,
+        "set_ops_all": SQL_SETOPS_ALL,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),
