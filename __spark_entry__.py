@@ -7147,16 +7147,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   Tier 2 (positions 3-28): all 26 never-driver-checked r6 tail
         #   queries -> full-ledger verification (every query driver-checked
         #   at least once). All strict-green locally at sf0.01.
-        #   Tier 3 (positions 29-39): evidence rotation -- events_hourly
+        #   Tier 3 (positions 29-38): evidence rotation -- events_hourly
         #   (last green r2), the four precip/crs queries whose oracles got
         #   the same decimal->DOUBLE cast this round (exact doubles:
         #   multiples of 0.5/1000; must re-pin under the driver), the three
-        #   decode pipelines and the oldest r4 dedup cohort.
-        #   Positions 40-49: the TEN new round-7 queries (driver evidence on
-        #   first exposure beats re-pinning stable r4-green rows, so four
-        #   r4 similarity/simhash re-pins ceded their slots to the overflow
-        #   tail -- full-ledger verification is preserved: every query has
-        #   been driver-checked at least once after this window runs).
+        #   decode pipelines and two r4 dedup flagships.
+        #   Positions 39-49: the ELEVEN new round-7 queries (driver
+        #   evidence on first exposure beats re-pinning stable r4-green
+        #   rows, so five r4 dedup/similarity re-pins ceded their slots to
+        #   the overflow tail -- full-ledger verification is preserved).
+        #   Positions 50-51 (PAST the window): two late-r7 queries,
+        #   strict-green at sf0.01 AND sf0.1 -- FRONT-LOAD IN ROUND 8.
         # --- round-7 driver window (first 50) ---
         # Tier 1: r6 hash-red rows, de-sensitized
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
@@ -7200,7 +7201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_embedding_cosine": q_embedding_near_dups,
-        # Positions 40-49: the ten new round-7 queries
+        # Positions 39-49: the eleven new round-7 queries
         "precip_regnie_scale": q_precip_regnie_scale,
         "orders_market_basket": q_orders_market_basket,
         "storage_table_changes": q_storage_table_changes,
@@ -7703,6 +7704,7 @@ if __name__ == "__main__":  # pragma: no cover
 # scripts/dump_queries.py to build QUERIES.md, the judge-facing index.
 QUERY_NOTES: dict[str, str] = {
     "window_range_frame": "RANGE BETWEEN INTERVAL '30' DAY PRECEDING frame: value-distance sliding window over order dates, cents summed as integers (r7, shared ANSI).",
+    "set_ops_all": "INTERSECT ALL / EXCEPT ALL bag semantics over lineitem part keys — multiplicity-preserving set ops the distinct variants don't cover (r7, shared ANSI).",
     "cube_order_status": "GROUP BY CUBE over (priority, status): all 2^2 grouping combinations in one pass (shared ANSI).",
     "window_percent_rank": "percent_rank + cume_dist per nation over account balance (r6): exact rank rationals, named WINDOW clause (shared ANSI).",
     "window_nth_value": "first_value / nth_value(2) / last_value with an explicit unbounded ROWS frame per customer order history (r6, shared ANSI).",
