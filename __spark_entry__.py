@@ -7131,6 +7131,125 @@ FROM ex
 """
 
 
+def q_events_conversion_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of label generation (operators/asof.py
+    asof_join_forward, r7): every view event gets the SAME user's first
+    purchase at-or-after it within a 1-hour horizon — the supervised
+    label a conversion model trains on, produced with one key shuffle +
+    one sort (no inequality join).  Rolls up per hour-of-day: views,
+    converted views, distinct purchases attributed, exact max latency in
+    whole seconds.  The oracle ranks candidate pairs explicitly."""
+    from radohydro_spark.operators.asof import asof_join_forward
+
+    _utc(spark)
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    lab = asof_join_forward(
+        views, purchases, ["user_id"], "ts", tolerance_s=3600.0
+    )
+    return lab.select(
+        F.hour("ts").alias("h"),
+        F.col("purchase_id_next").alias("pid"),
+        F.floor(
+            F.col("ts_next").cast("double") - F.col("ts").cast("double")
+        ).alias("lat_s"),
+    ).groupBy("h").agg(
+        F.count("*").alias("n_views"),
+        F.count("pid").alias("n_converted"),
+        F.count_distinct("pid").alias("n_purchases"),
+        F.max("lat_s").alias("max_latency_s"),
+    )
+
+
+ORACLE_CONVERSION_LABEL = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+purchases AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+cand AS (
+  SELECT v.event_id, v.ts AS vts, p.ts AS pts, p.purchase_id,
+         row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts ASC) AS rn
+  FROM views v JOIN purchases p
+    ON p.user_id = v.user_id
+   AND p.ts >= v.ts
+   AND epoch(p.ts) - epoch(v.ts) <= 3600.0
+),
+lab AS (
+  SELECT v.event_id, v.ts, c.purchase_id,
+         CAST(floor(epoch(c.pts) - epoch(v.ts)) AS BIGINT) AS lat_s
+  FROM views v LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+)
+SELECT EXTRACT(hour FROM ts) AS h,
+       COUNT(*) AS n_views,
+       COUNT(purchase_id) AS n_converted,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       MAX(lat_s) AS max_latency_s
+FROM lab
+GROUP BY 1
+"""
+
+
+def q_corpus_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 NATIVE XML source AND sink (r7): documents write through
+    ``format("xml")`` (rowTag records under a rootTag, entity escaping
+    handled by the writer), read back with an explicit schema (no
+    inference pass), and aggregate per language — the enterprise
+    interchange format joining the JSONL/CSV/ORC/zip corpus readers.  A
+    read-back row-count assert fails loudly on any parser semantics
+    change (same contract as the JSONL/shard round-trips)."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.col("n_chars").alias("chars"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="radohydro_xml_") + "/docs"
+    (
+        d.coalesce(4)
+        .write.format("xml")
+        .option("rowTag", "doc")
+        .option("rootTag", "docs")
+        .save(out_dir)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("id long, lang string, chars long")
+        .load(out_dir)
+    )
+    n_src, n_back = d.count(), back.count()
+    if n_back != n_src:
+        raise RuntimeError(
+            f"xml round-trip row drift: wrote {n_src}, read {n_back}"
+        )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+        F.min("id").alias("min_doc"),
+        F.max("id").alias("max_doc"),
+    )
+
+
+ORACLE_XML_ROUNDTRIP = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7156,7 +7275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   evidence on first exposure beats re-pinning stable r4-green
         #   rows, so five r4 dedup/similarity re-pins ceded their slots to
         #   the overflow tail -- full-ledger verification is preserved).
-        #   Positions 50-51 (PAST the window): two late-r7 queries,
+        #   Positions 50-53 (PAST the window): four late-r7 queries,
         #   strict-green at sf0.01 AND sf0.1 -- FRONT-LOAD IN ROUND 8.
         # --- round-7 driver window (first 50) ---
         # Tier 1: r6 hash-red rows, de-sensitized
@@ -7213,10 +7332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_first_merges": q_text_bpe_first_merges,
         "embedding_feature_scaling": q_embedding_feature_scaling,
         "similarity_index_persist": q_similarity_index_persist,
-        # --- r7 tail (positions 50-51, past the driver window): strict-green
+        # --- r7 tail (positions 50-53, past the driver window): strict-green
         # locally at sf0.01 AND sf0.1; FRONT-LOAD THESE IN ROUND 8 ---
         "events_order_attribution": q_events_order_attribution,
         "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
+        "events_conversion_label": q_events_conversion_label,
+        "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
         # rotation overflow (slides into the window if a slot above frees)
         "dedup_exact_groups": q_exact_dups,
         "similarity_cosine_topk": q_cosine_topk,
@@ -7397,6 +7518,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_index_persist": ORACLE_IVF_TOPK,
         "events_order_attribution": ORACLE_ORDER_ATTRIBUTION,
         "set_ops_all": SQL_SETOPS_ALL,
+        "events_conversion_label": ORACLE_CONVERSION_LABEL,
+        "corpus_xml_roundtrip": ORACLE_XML_ROUNDTRIP,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

@@ -78,3 +78,69 @@ def asof_join(
         *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_next",
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Forward as-of: for each left row, attach the EARLIEST right row with
+    ``right.ts >= left.ts`` in the same key group — the label-generation
+    primitive ("first conversion after this event"), with an optional
+    inclusive ``tolerance_s`` horizon beyond which the match nulls out.
+
+    Same union+window cost profile as :func:`asof_join` (one key shuffle +
+    one sort, linear in |L|+|R|): the scan simply runs time-DESCENDING, so
+    the carried last-non-null right payload is the nearest FOLLOWING row.
+    A right row at exactly ``left.ts`` matches (inclusive), mirroring the
+    backward join's DuckDB-ASOF-compatible boundary.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys + [ts_col]]
+    payload = F.struct(
+        F.col(ts_col).alias("_rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_rpay"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
+    l = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    # descending time scan; right rows (side 0) sort before left rows at an
+    # equal timestamp so the inclusive boundary holds
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts_col).desc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "_match", F.last("_rpay", ignorenulls=True).over(w)
+    )
+    match = F.col("_match")
+    if tolerance_s is not None:
+        within = (
+            F.col("_match._rts").cast("double") - F.col(ts_col).cast("double")
+        ) <= F.lit(float(tolerance_s))
+        match = F.when(within, F.col("_match"))
+    out = merged.filter(F.col("_side") == 1).withColumn("_m", match).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        F.col("_m._rts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out

@@ -168,3 +168,28 @@ def test_interval_overlap_join_boundary_and_zero_length(spark):
     wide = spark.createDataFrame([(7, 0.0, 100.0)], "rid int, r_lo double, r_hi double")
     rows = interval_overlap_join(zdf, wide, bucket_width=16.0).collect()
     assert [(r["lid"], r["rid"]) for r in rows] == [(9, 7)]
+
+
+def test_asof_join_forward_matches_naive_with_tolerance(spark):
+    from radohydro_spark.operators.asof import asof_join_forward
+
+    L = [(i, 1, float(t)) for i, t in enumerate([5, 10, 20, 100])]
+    R = [(1, 7.0, "a"), (1, 10.0, "b"), (1, 30.0, "c")]
+    ldf = spark.createDataFrame(L, "lid int, k int, ts double")
+    rdf = spark.createDataFrame(R, "k int, ts double, tag string")
+    out = {
+        r["lid"]: (r["ts_next"], r["tag_next"])
+        for r in asof_join_forward(
+            ldf, rdf, ["k"], "ts", tolerance_s=15.0
+        ).collect()
+    }
+    assert out[0] == (7.0, "a")      # 5 -> first following is 7
+    assert out[1] == (10.0, "b")     # inclusive boundary: 10 matches 10
+    assert out[2] == (30.0, "c")     # 20 -> 30 within tolerance 15
+    assert out[3] == (None, None)    # 100 -> nothing follows
+    # without tolerance, 20 still matches 30; 100 still unmatched
+    out2 = {
+        r["lid"]: r["tag_next"]
+        for r in asof_join_forward(ldf, rdf, ["k"], "ts").collect()
+    }
+    assert out2 == {0: "a", 1: "b", 2: "c", 3: None}
