@@ -155,3 +155,40 @@ def table_changes(
         "old",
         "new",
     )
+
+
+def vacuum_versions(table_path: str, keep_last: int = 2) -> list[int]:
+    """Retire old snapshots: atomically publish a manifest containing only
+    the newest ``keep_last`` versions, THEN delete the retired ``v=<n>``
+    directories — readers holding the old manifest may still be reading a
+    retired snapshot, so publish-first/delete-second is the only safe
+    order (the same reason Delta's VACUUM honors a retention window).
+    Runs under the same single-committer lockfile as ``write_version``.
+    Returns the retired version numbers."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (cannot vacuum every version)")
+    lock = os.path.join(table_path, "_COMMIT_LOCK")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit in progress on {table_path}"
+        ) from None
+    try:
+        man = _load_manifest(table_path)
+        keep = man["versions"][-keep_last:]
+        retired = [v for v in man["versions"] if v not in keep]
+        if not retired:
+            return []
+        tmp = _manifest_path(table_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": keep}, f, indent=2)
+        os.replace(tmp, _manifest_path(table_path))  # publish first
+        for v in retired:  # then delete unreferenced snapshot dirs
+            shutil.rmtree(os.path.join(table_path, v["dir"]), ignore_errors=True)
+        return [v["version"] for v in retired]
+    finally:
+        os.close(fd)
+        os.unlink(lock)

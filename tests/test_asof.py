@@ -193,3 +193,30 @@ def test_asof_join_forward_matches_naive_with_tolerance(spark):
         for r in asof_join_forward(ldf, rdf, ["k"], "ts").collect()
     }
     assert out2 == {0: "a", 1: "b", 2: "c", 3: None}
+
+
+def test_asof_join_forward_matches_naive_random(spark):
+    import random
+
+    from radohydro_spark.operators.asof import asof_join_forward
+
+    rng = random.Random(23)
+    L = [(i, rng.randint(1, 5), float(rng.randint(0, 200))) for i in range(120)]
+    R = [(rng.randint(1, 5), float(rng.randint(0, 200)), j) for j in range(60)]
+    # dedupe right on (key, ts): forward-asof semantics assume a unique
+    # right row per instant (callers pre-aggregate, as the queries do)
+    seen, R2 = set(), []
+    for k, t, j in R:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            R2.append((k, t, j))
+    ldf = spark.createDataFrame(L, "lid int, k int, ts double")
+    rdf = spark.createDataFrame(R2, "k int, ts double, rid int")
+    got = {
+        r["lid"]: r["rid_next"]
+        for r in asof_join_forward(ldf, rdf, ["k"], "ts", tolerance_s=40.0).collect()
+    }
+    for lid, k, ts in L:
+        cands = [(t, j) for kk, t, j in R2 if kk == k and ts <= t <= ts + 40.0]
+        want = min(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, ts, cands)

@@ -217,3 +217,31 @@ def test_versioned_commit_lock_rejects_second_writer(spark, tmp_path):
         write_version(df, path, "contender")
     os.unlink(os.path.join(path, "_COMMIT_LOCK"))
     assert write_version(df, path, "retry") == 2
+
+
+def test_vacuum_versions_publish_first_then_delete(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from radohydro_spark.sinks.versioned import (
+        list_versions,
+        read_as_of,
+        vacuum_versions,
+        write_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    for i in range(4):
+        write_version(
+            spark.createDataFrame([(i, f"v{i}")], "k int, s string"), path
+        )
+    assert vacuum_versions(path, keep_last=2) == [1, 2]
+    assert [e["version"] for e in list_versions(path)] == [3, 4]
+    assert not os.path.exists(os.path.join(path, "v=1"))
+    assert {tuple(r) for r in read_as_of(spark, path, 4).collect()} == {(3, "v3")}
+    with pytest.raises(ValueError, match="version 1 not found"):
+        read_as_of(spark, path, 1)
+    assert vacuum_versions(path, keep_last=2) == []  # idempotent
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum_versions(path, keep_last=0)
