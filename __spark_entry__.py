@@ -7266,17 +7266,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   Tier 2 (positions 3-28): all 26 never-driver-checked r6 tail
         #   queries -> full-ledger verification (every query driver-checked
         #   at least once). All strict-green locally at sf0.01.
-        #   Tier 3 (positions 29-38): evidence rotation -- events_hourly
+        #   Tier 3 (positions 29-35): evidence rotation -- events_hourly
         #   (last green r2), the four precip/crs queries whose oracles got
         #   the same decimal->DOUBLE cast this round (exact doubles:
-        #   multiples of 0.5/1000; must re-pin under the driver), the three
-        #   decode pipelines and two r4 dedup flagships.
-        #   Positions 39-49: the ELEVEN new round-7 queries (driver
+        #   multiples of 0.5/1000; must re-pin under the driver), and the
+        #   ascii + geotiff decode pipelines (the REGNIE decode path gets
+        #   fresh in-window evidence through precip_regnie_scale instead).
+        #   Positions 36-49: ALL FOURTEEN new round-7 queries -- driver
         #   evidence on first exposure beats re-pinning stable r4-green
-        #   rows, so five r4 dedup/similarity re-pins ceded their slots to
-        #   the overflow tail -- full-ledger verification is preserved).
-        #   Positions 50-53 (PAST the window): four late-r7 queries,
-        #   strict-green at sf0.01 AND sf0.1 -- FRONT-LOAD IN ROUND 8.
+        #   rows (eight r4 dedup/similarity/decode re-pins ceded slots to
+        #   the overflow tail), so after this window runs the ONLY
+        #   never-driver-checked query in the 191-row ledger is the
+        #   shared-ANSI set_ops_all at position 50 (r8 front-load).
         # --- round-7 driver window (first 50) ---
         # Tier 1: r6 hash-red rows, de-sensitized
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
@@ -7316,10 +7317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
         "crs_radolan_project": q_crs_radolan,
         "precip_ascii_decode_pipeline": q_precip_ascii_decode,
-        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
         "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_embedding_cosine": q_embedding_near_dups,
         # Positions 39-49: the eleven new round-7 queries
         "precip_regnie_scale": q_precip_regnie_scale,
         "orders_market_basket": q_orders_market_basket,
@@ -7332,13 +7330,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_first_merges": q_text_bpe_first_merges,
         "embedding_feature_scaling": q_embedding_feature_scaling,
         "similarity_index_persist": q_similarity_index_persist,
-        # --- r7 tail (positions 50-53, past the driver window): strict-green
-        # locally at sf0.01 AND sf0.1; FRONT-LOAD THESE IN ROUND 8 ---
         "events_order_attribution": q_events_order_attribution,
-        "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
         "events_conversion_label": q_events_conversion_label,
         "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
+        # --- r7 tail (position 50, past the driver window): ONE query,
+        # shared-ANSI counts, strict-green at sf0.01 AND sf0.1 —
+        # FRONT-LOAD IN ROUND 8 ---
+        "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
         # rotation overflow (slides into the window if a slot above frees)
+        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_embedding_cosine": q_embedding_near_dups,
         "dedup_exact_groups": q_exact_dups,
         "similarity_cosine_topk": q_cosine_topk,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,

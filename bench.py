@@ -47,11 +47,13 @@ HEADLINE = [
     # document) and the sweep-line interval concurrency window
     "media_decode_jpeg",
     "events_concurrency_sweep",
-    # round-7 addition: the reference's second workload shape — a full
+    # round-7 additions: the reference's second workload shape — a full
     # REGNIE month (971x611x31, ~18.4M obs) INCLUDING the gzip +
     # fixed-width decode, so both precip shapes carry per-cell wall-time
-    # evidence (decode is the cost RADOLAN-scale doesn't pay)
+    # evidence (decode is the cost RADOLAN-scale doesn't pay) — and the
+    # basket self-join (pair-explosion + broadcast lift) shape
     "precip_regnie_scale",
+    "orders_market_basket",
 ]
 
 
