@@ -4,20 +4,21 @@ The association-mining primitive (a-priori's first level): for every
 unordered item pair {a, b}, how many baskets contain both, and how does
 that compare to independence — ``lift = N · c_ab / (c_a · c_b)``.
 
-Scale shape: pair candidates come from a SELF EQUI-JOIN on the basket id
-with ``item_a < item_b`` — one ordinary hash shuffle keyed by basket,
-never a global cross product.  Fan-out per basket is C(n,2), so a
-``max_basket_size`` guard drops pathological baskets loudly-by-default
-(count reported via ``include_dropped``-style contract in the caller)
-the same way the n-gram dedup caps hot shingles: at 100 TB a single
-million-item basket would otherwise emit 5·10^11 pairs.  Per-item counts
-are dimension-sized and broadcast back; the final top-k is
-``orderBy().limit()`` (TakeOrderedAndProject), never a driver sort.
+Scale shape: ONE shuffle groups each basket into a sorted distinct-item
+array (collect_set — O(basket) state, never the self-join's O(basket²)
+fan-out), a ``max_basket_size`` guard drops pathological baskets the
+same way the n-gram dedup caps hot shingles (at 100 TB a single
+million-item basket would otherwise emit 5·10^11 pairs), and unordered
+pairs are generated JVM-side by a nested array transform — the C(n,2)
+explosion happens AFTER the guard, inside whole-stage codegen, with no
+second pass over the fact table.  Per-item counts are dimension-sized
+and broadcast back; the final top-k is ``orderBy().limit()``
+(TakeOrderedAndProject), never a driver sort.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,26 +38,36 @@ def pair_lift(
     the single division of identical integers is deterministic
     cross-engine, so results hash-compare exactly.
     """
-    items = baskets.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
-    sized = items.withColumn(
-        "_sz", F.count("*").over(Window.partitionBy("_b"))
+    # ONE shuffle folds dedupe + grouping + the size guard: collect_set
+    # carries O(basket) state (vs the self-join's O(basket²) fan-out the
+    # guard exists to prevent), array_sort fixes the a<b pair orientation,
+    # and pair generation is a JVM-side nested transform over the array —
+    # no second pass over the fact table, no basket self-join.
+    kept = (
+        baskets.groupBy(F.col(basket_col).alias("_b"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("_arr"))
+        .filter(F.size("_arr") <= max_basket_size)
     )
-    kept = sized.filter(F.col("_sz") <= max_basket_size).drop("_sz")
-
-    a = kept.select(F.col("_b"), F.col("_i").alias("item_a"))
-    b = kept.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pair_structs = F.flatten(
+        F.transform(
+            "_arr",
+            lambda x, i: F.transform(
+                F.slice(F.col("_arr"), i + F.lit(2), F.size("_arr")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "_b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        kept.select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.item_a").alias("item_a"), F.col("_p.item_b").alias("item_b"))
         .agg(F.count("*").alias("pair_count"))
     )
-    item_counts = kept.groupBy("_i").agg(F.count("*").alias("item_count"))
-    n_baskets = kept.select("_b").distinct().agg(
-        F.count("*").alias("n_baskets")
+    item_counts = (
+        kept.select(F.explode("_arr").alias("_i"))
+        .groupBy("_i")
+        .agg(F.count("*").alias("item_count"))
     )
+    n_baskets = kept.agg(F.count("*").alias("n_baskets"))
     return (
         pairs.join(
             F.broadcast(item_counts.select(F.col("_i").alias("item_a"),
