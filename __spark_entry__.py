@@ -6617,9 +6617,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair lift (operators/basket.py pair_lift): parts
     co-purchased within an order, scored by lift = N·c_ab/(c_a·c_b) —
-    the association-mining first level.  Pair candidates come from a
-    self EQUI-join on the order key (one hash shuffle, C(n,2) fan-out
-    bounded by the max_basket_size guard), item counts broadcast back,
+    the association-mining first level.  ONE shuffle groups each order
+    into a sorted distinct-part array (collect_set, O(basket) state,
+    size-guarded BEFORE the C(n,2) pair explosion, which then runs
+    JVM-side as a nested array transform); item counts broadcast back,
     global top-25 via orderBy().limit() (TakeOrderedAndProject).  All
     counts integer; the single division is deterministic cross-engine."""
     from radohydro_spark.operators.basket import pair_lift
