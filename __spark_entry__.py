@@ -538,14 +538,19 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
+# unit cost in exact MICRO-CENTS: round() on a float quotient splits the
+# engines on ulp-boundary doubles (caught by the sf0.001 strict sweep, r7);
+# floor(exact_int * 1e4 / small_int_qty) is deterministic because any
+# non-integer quotient sits >= 1/qty >= 0.02 away from the floor boundary
 SQL_Q2 = """
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         MIN(l_extendedprice / l_quantity) AS unit_cost
+         MIN(CAST(FLOOR(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * 10000.0 / l_quantity) AS BIGINT)) AS unit_cost_u
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
-       ROUND(CAST(c.unit_cost AS DOUBLE), 4) AS unit_cost,
+       CAST(c.unit_cost_u AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS unit_cost,
        CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
 FROM part p
 JOIN cost c ON c.l_partkey = p.p_partkey
@@ -553,8 +558,8 @@ JOIN supplier s ON s.s_suppkey = c.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 WHERE r.r_name = 'EUROPE' AND p.p_size = 15
-  AND c.unit_cost = (
-    SELECT MIN(c2.unit_cost)
+  AND c.unit_cost_u = (
+    SELECT MIN(c2.unit_cost_u)
     FROM cost c2
     JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
     JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
@@ -7270,9 +7275,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   Tier 3 (positions 29-35): evidence rotation -- events_hourly
         #   (last green r2), the four precip/crs queries whose oracles got
         #   the same decimal->DOUBLE cast this round (exact doubles:
-        #   multiples of 0.5/1000; must re-pin under the driver), and the
-        #   ascii + geotiff decode pipelines (the REGNIE decode path gets
-        #   fresh in-window evidence through precip_regnie_scale instead).
+        #   multiples of 0.5/1000; must re-pin under the driver), the
+        #   ascii decode pipeline (REGNIE decode gets fresh in-window
+        #   evidence through precip_regnie_scale), and tpch_q2, whose
+        #   unit-cost arithmetic moved to exact micro-cents this round
+        #   (the sf0.001 strict sweep caught a round()-on-float-quotient
+        #   ulp split between the engines) and must re-pin.
         #   Positions 36-49: ALL FOURTEEN new round-7 queries -- driver
         #   evidence on first exposure beats re-pinning stable r4-green
         #   rows (eight r4 dedup/similarity/decode re-pins ceded slots to
@@ -7318,7 +7326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
         "crs_radolan_project": q_crs_radolan,
         "precip_ascii_decode_pipeline": q_precip_ascii_decode,
-        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
+        "tpch_q2_min_cost_supplier": _sql(
+            SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"]
+        ),
         # Positions 39-49: the eleven new round-7 queries
         "precip_regnie_scale": q_precip_regnie_scale,
         "orders_market_basket": q_orders_market_basket,
@@ -7437,7 +7447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
         "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
-        "tpch_q2_min_cost_supplier": _sql( SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"] ),
+        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
         "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
         "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
         "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
