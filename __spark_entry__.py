@@ -7890,7 +7890,7 @@ QUERY_NOTES: dict[str, str] = {
 for i in range(1, 23):
     _names = {
         1: "tpch_q1_pricing: scan-heavy pricing summary, 8 aggregates over filtered lineitem",
-        2: "tpch_q2_min_cost_supplier: min-cost supplier per part (cost re-derived from lineitem; no partsupp in schema)",
+        2: "tpch_q2_min_cost_supplier: min-cost supplier per part (cost re-derived from lineitem as exact BIGINT micro-cents, r7 float-quotient fix; no partsupp in schema)",
         3: "tpch_q3_top_orders: top-10 unshipped orders by revenue (3-way join + limit)",
         4: "tpch_q4_priority_late_ship: order-priority counts with EXISTS late-line probe",
         5: "tpch_q5_regional_revenue: 6-way snowflake join, all dims broadcast, one Exchange",
