@@ -4269,11 +4269,19 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure behind contamination lookups.  Postings cap via
     row_number BEFORE collect_list (a universal stop-word costs k array
     slots, not an OOM).  Exact-integer df and sorted integer postings ⇒
-    hash-exact oracle."""
+    hash-exact oracle.
+
+    Driver contract (r9): the postings ARRAY is projected through
+    ``array_join`` to a CSV string — the driver's canonicalizer sorts
+    rows in pandas and cannot hash list cells (the r7/r8 ``err`` rows).
+    The array form stays covered by the local unit tests."""
     from radohydro_spark.functions.text import inverted_index
 
     d = _t(spark, sf_dir, "documents")
-    return inverted_index(d, max_postings=10)
+    idx = inverted_index(d, max_postings=10)
+    return idx.select(
+        "term", "df", F.array_join("postings", ",").alias("postings_csv")
+    )
 
 
 ORACLE_INVERTED_INDEX = """
@@ -4294,7 +4302,7 @@ capped AS (
 p AS (
   SELECT term, list(doc_id ORDER BY doc_id) AS postings FROM capped GROUP BY 1
 )
-SELECT d.term, d.df, p.postings
+SELECT d.term, d.df, array_to_string(p.postings, ',') AS postings_csv
 FROM dfc d JOIN p USING (term)
 """
 
@@ -7259,112 +7267,122 @@ GROUP BY lang
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
-        # Round-7 window (per r6 verdict items 1-3):
-        #   Tier 1 (positions 0-2): the three r6 hash-red rows. Root cause
-        #   found: their DuckDB oracles emitted SUM(BIGINT) -> HUGEINT ->
-        #   Arrow decimal128(38,0), which the driver's Arrow-path hash
-        #   serializes differently from Spark's int64, while the local
-        #   gate's fetchall() converted HUGEINT to int and masked it (the
-        #   r6 window correlates perfectly: 3/3 red had decimal columns,
-        #   47/47 green had none). Oracles now CAST to BIGINT; text_url_parse
-        #   additionally moved from parse_url to verbatim-mirrored regex;
-        #   the strict gate now fetches via .arrow() and hard-fails decimals.
-        #   Tier 2 (positions 3-28): all 26 never-driver-checked r6 tail
-        #   queries -> full-ledger verification (every query driver-checked
-        #   at least once). All strict-green locally at sf0.01.
-        #   Tier 3 (positions 29-35): evidence rotation -- events_hourly
-        #   (last green r2), the four precip/crs queries whose oracles got
-        #   the same decimal->DOUBLE cast this round (exact doubles:
-        #   multiples of 0.5/1000; must re-pin under the driver), the
-        #   ascii decode pipeline (REGNIE decode gets fresh in-window
-        #   evidence through precip_regnie_scale), and tpch_q2, whose
-        #   unit-cost arithmetic moved to exact micro-cents this round
-        #   (the sf0.001 strict sweep caught a round()-on-float-quotient
-        #   ulp split between the engines) and must re-pin.
-        #   Positions 36-49: ALL FOURTEEN new round-7 queries -- driver
-        #   evidence on first exposure beats re-pinning stable r4-green
-        #   rows (eight r4 dedup/similarity/decode re-pins ceded slots to
-        #   the overflow tail), so after this window runs the ONLY
-        #   never-driver-checked query in the 191-row ledger is the
-        #   shared-ANSI set_ops_all at position 50 (r8 front-load).
-        # --- round-7 driver window (first 50) ---
-        # Tier 1: r6 hash-red rows, de-sensitized
-        "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
-        "pyds_shard_sink": q_pyds_shard_sink,
-        "text_url_parse": q_text_url_parse,
-        # Tier 2: never driver-verified round-6 tail (26)
-        "media_video_mjpeg": q_media_video_mjpeg,
-        "dq_psi_drift": q_dq_psi_drift,
-        "dq_zscore_outliers": q_dq_zscore_outliers,
-        "graph_triangle_count": q_graph_triangle_count,
-        "events_markov_transitions": q_events_markov_transitions,
-        "stats_correlation": q_stats_correlation,
-        "text_inverted_index": q_text_inverted_index,
-        "media_resize_real": q_media_resize_real,
-        "join_fuzzy_blocked": q_join_fuzzy_blocked,
-        "orders_rfm_segments": q_orders_rfm_segments,
-        "stats_skyline_2d": q_stats_skyline_2d,
-        "orders_stream_upsert": q_orders_stream_upsert,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "media_decode_jpeg_color": q_media_decode_jpeg_color,
-        "media_decode_gif": q_media_decode_gif,
-        "stats_groupwise_ols": q_stats_groupwise_ols,
-        "graph_bfs_hops": q_graph_bfs_hops,
-        "events_top_paths": q_events_top_paths,
-        "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
-        "geo_geohash_bins": q_geo_geohash_bins,
-        "geo_haversine_nearest": q_geo_haversine_nearest,
-        "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
-        "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
-        "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
-        "events_interval_overlap": q_events_interval_overlap,
-        "storage_time_travel": q_storage_time_travel,
-        # Tier 3: evidence rotation (r2 re-pin, edited oracles, r4 cohort)
-        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
-        "precip_fragments": q_precip_fragments,
-        "precip_cellgrid": q_precip_cellgrid,
-        "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
-        "crs_radolan_project": q_crs_radolan,
-        "precip_ascii_decode_pipeline": q_precip_ascii_decode,
-        "tpch_q2_min_cost_supplier": _sql(
-            SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"]
-        ),
-        # Positions 39-49: the eleven new round-7 queries
-        "precip_regnie_scale": q_precip_regnie_scale,
-        "orders_market_basket": q_orders_market_basket,
-        "storage_table_changes": q_storage_table_changes,
-        "dq_mad_outliers": q_dq_mad_outliers,
-        "corpus_quality_mixture": q_corpus_quality_mixture,
-        "window_range_frame": _sql(SQL_RANGE_FRAME, ["orders"]),
-        "join_bloom_prefilter": q_join_bloom_prefilter,
-        "dedup_semantic": q_dedup_semantic,
-        "text_bpe_first_merges": q_text_bpe_first_merges,
-        "embedding_feature_scaling": q_embedding_feature_scaling,
-        "similarity_index_persist": q_similarity_index_persist,
-        "events_order_attribution": q_events_order_attribution,
-        "events_conversion_label": q_events_conversion_label,
-        "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
-        # --- r7 tail (position 50, past the driver window): ONE query,
-        # shared-ANSI counts, strict-green at sf0.01 AND sf0.1 —
-        # FRONT-LOAD IN ROUND 8 ---
+        # --- round-9 driver window (first 50) ---
+        # Tier 1 (positions 0-1): the two ledger holes.
+        #   set_ops_all: the ONLY never-driver-checked query (3 rounds
+        #   running); shared-ANSI bag semantics, strict-green at all
+        #   three scales.
+        #   text_inverted_index: r7+r8 driver-red -- NOT a wrong answer;
+        #   the driver canonicalizer cannot hash ARRAY cells. postings is
+        #   now array_join'ed to a CSV string on both engines, and the
+        #   strict gate + tests/test_oracle_types.py hard-fail any
+        #   array-typed output column so the class cannot recur.
         "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
-        # rotation overflow (slides into the window if a slot above frees)
-        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "text_inverted_index": q_text_inverted_index,
+        # Tier 2 (positions 2-49): the full r4 evidence cohort -- every
+        # query whose newest driver-green is round 4 (the 48 stalest rows
+        # in the 191-query ledger: dedup/similarity family, streaming,
+        # media, text-curation, geotiff/regnie decode twins). After this
+        # window runs, max evidence age across the whole ledger is r5.
+        "corpus_curation_pipeline": q_corpus_curation,
+        "dedup_canonical_docs": q_dedup_canonical,
         "dedup_embedding_cosine": q_embedding_near_dups,
         "dedup_exact_groups": q_exact_dups,
-        "similarity_cosine_topk": q_cosine_topk,
-        "similarity_ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_simhash": q_simhash,
-        "similarity_ivf_topk": q_ivf_topk,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_simhash_hamming_pairs": q_simhash_hamming,
         "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_canonical_docs": q_dedup_canonical,
-        "corpus_curation_pipeline": q_corpus_curation,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_simhash_hamming_pairs": q_simhash_hamming,
+        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
+        "events_hopping_window": q_events_hopping_window,
+        "events_partitioned_archive": q_events_partitioned_archive,
+        "events_rate_spikes": q_events_rate_spikes,
+        "events_scd2_type_history": q_events_scd2,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_state_totals": q_events_stream_state_totals,
+        "events_stream_stream_join": q_events_stream_stream_join,
+        "media_ahash": q_media_ahash,
+        "media_byte_histogram": q_byte_histogram,
+        "media_decode_fake": q_media_decode,
+        "media_frame_sample": q_media_frames,
+        "media_resize_fake": q_media_resize,
+        "obs_zorder_archive": q_obs_zorder_archive,
+        "orders_merge_upsert": q_orders_merge_upsert,
+        "orders_range_join": q_orders_range_join,
+        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
+        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
+        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
+        "profile_orders_columns": q_profile_orders,
+        "sample_split_assign": q_sample_split,
+        "similarity_ann_lsh_topk": q_ann_lsh_topk,
+        "similarity_cosine_topk": q_cosine_topk,
+        "similarity_ivf_topk": q_ivf_topk,
         "skew_salted_revenue": q_skew_salted_revenue,
-        # --- end of round-7 driver window ---
-        # r4-r6 green cohort (evidence newer than the rotation above)
+        "stats_approx_sketches": q_approx_sketches,
+        "stats_trimmed_mean": q_stats_trimmed_mean,
+        "text_contamination_check": q_text_contamination,
+        "text_fingerprint": q_fingerprint,
+        "text_lang_id": q_lang_id,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_quality_filter": q_text_quality_filter,
+        "text_redact_pii": q_redact_pii,
+        "text_repetition_stats": q_text_repetition,
+        "text_sentence_chunks": q_text_sentence_chunks,
+        "text_stats": q_text_stats,
+        "text_tfidf_top_terms": q_text_tfidf,
+        "text_token_budget": q_token_budget,
+        # --- end of round-9 driver window ---
+        # Remainder ordered by ascending driver-evidence age (r5 cohort
+        # first) so the round-10 rotation is already front-loaded: take
+        # the next 50 entries as-is.
+        # -- last driver-green: r5 --
+        "events_sessionize": q_events_sessions,
+        "events_stream_hourly": q_events_stream_hourly,
+        "events_asof_join": q_events_asof,
+        "events_props_extract": q_events_props,
+        "events_json_extract": q_events_json_extract,
+        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
+        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
+        "dedup_minhash_signatures": q_minhash_sigs,
+        "embedding_norm_stats": q_embedding_norms,
+        "embedding_quantize_int8": q_embedding_quantize,
+        "orders_pivot_native": q_orders_pivot_native,
+        "precip_csv_roundtrip": q_precip_csv_roundtrip,
+        "media_decode_bmp": q_media_decode_bmp,
+        "precip_wide_roundtrip": q_precip_wide_roundtrip,
+        "storage_orc_roundtrip": q_storage_orc_roundtrip,
+        "media_decode_wav": q_media_decode_wav,
+        "similarity_pq_adc_topk": q_pq_adc_topk,
+        "sample_stratified_cap": q_sample_stratified_cap,
+        "text_normalize_clean": q_text_normalize,
+        "events_pagerank": q_events_pagerank,
+        "precip_gap_fill": q_precip_gap_fill,
+        "storage_schema_evolution": q_storage_schema_evolution,
+        "events_incremental_rollup": q_events_incremental_rollup,
+        "events_variant_extract": q_events_variant_extract,
+        "precip_nearest_basin": q_precip_nearest_basin,
+        "dq_orders_constraints": q_dq_orders_constraints,
+        "sample_weighted_docs": q_sample_weighted_docs,
+        "precip_basin_timeseries": q_precip_timeseries,
+        "precip_weights": q_precip_weights,
+        "precip_daily_resample": q_precip_daily,
+        "precip_rasterize": q_precip_rasterize,
+        "precip_radolan_scale": q_precip_radolan_scale,
+        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
+        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
+        "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
+        "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
+        "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
+        "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
+        "tpch_q8_market_share": _sql( SQL_Q8, ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], ),
+        "tpch_q9_product_profit": _sql( SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"] ),
+        "tpch_q10_returned_items": _sql( SQL_Q10, ["customer", "orders", "lineitem", "nation"] ),
+        "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
+        "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
+        "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
+        "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
+        # -- last driver-green: r6 --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
         "events_scd2_pointintime": q_events_scd2_pointintime,
@@ -7412,85 +7430,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        "events_sessionize": q_events_sessions,
-        "events_stream_hourly": q_events_stream_hourly,
-        "events_asof_join": q_events_asof,
-        "events_props_extract": q_events_props,
-        "events_json_extract": q_events_json_extract,
-        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
-        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
-        "dedup_minhash_signatures": q_minhash_sigs,
-        "embedding_norm_stats": q_embedding_norms,
-        "embedding_quantize_int8": q_embedding_quantize,
-        "orders_pivot_native": q_orders_pivot_native,
-        "precip_csv_roundtrip": q_precip_csv_roundtrip,
-        "media_decode_bmp": q_media_decode_bmp,
-        "precip_wide_roundtrip": q_precip_wide_roundtrip,
-        "storage_orc_roundtrip": q_storage_orc_roundtrip,
-        "media_decode_wav": q_media_decode_wav,
-        "similarity_pq_adc_topk": q_pq_adc_topk,
-        "sample_stratified_cap": q_sample_stratified_cap,
-        "text_normalize_clean": q_text_normalize,
-        "events_pagerank": q_events_pagerank,
-        "precip_gap_fill": q_precip_gap_fill,
-        "storage_schema_evolution": q_storage_schema_evolution,
-        "events_incremental_rollup": q_events_incremental_rollup,
-        "events_variant_extract": q_events_variant_extract,
-        "precip_nearest_basin": q_precip_nearest_basin,
-        "dq_orders_constraints": q_dq_orders_constraints,
-        "sample_weighted_docs": q_sample_weighted_docs,
-        "precip_basin_timeseries": q_precip_timeseries,
-        "precip_weights": q_precip_weights,
-        "precip_daily_resample": q_precip_daily,
-        "precip_rasterize": q_precip_rasterize,
-        "precip_radolan_scale": q_precip_radolan_scale,
-        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
-        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
-        "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
-        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
-        "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
-        "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
-        "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
-        "tpch_q8_market_share": _sql( SQL_Q8, ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], ),
-        "tpch_q9_product_profit": _sql( SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"] ),
-        "tpch_q10_returned_items": _sql( SQL_Q10, ["customer", "orders", "lineitem", "nation"] ),
-        "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
-        "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
-        "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
-        "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
-        "events_stream_sessionize": q_events_stream_sessionize,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_hopping_window": q_events_hopping_window,
-        "events_rate_spikes": q_events_rate_spikes,
-        "events_stream_state_totals": q_events_stream_state_totals,
-        "events_stream_stream_join": q_events_stream_stream_join,
-        "orders_merge_upsert": q_orders_merge_upsert,
-        "events_scd2_type_history": q_events_scd2,
-        "orders_range_join": q_orders_range_join,
-        "text_repetition_stats": q_text_repetition,
-        "text_stats": q_text_stats,
-        "text_quality_filter": q_text_quality_filter,
-        "text_lang_id": q_lang_id,
-        "text_fingerprint": q_fingerprint,
-        "text_token_budget": q_token_budget,
-        "text_tfidf_top_terms": q_text_tfidf,
-        "text_contamination_check": q_text_contamination,
-        "text_pack_sequences": q_text_pack_sequences,
-        "text_sentence_chunks": q_text_sentence_chunks,
-        "text_redact_pii": q_redact_pii,
-        "sample_split_assign": q_sample_split,
-        "profile_orders_columns": q_profile_orders,
-        "stats_approx_sketches": q_approx_sketches,
-        "stats_trimmed_mean": q_stats_trimmed_mean,
-        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
-        "events_partitioned_archive": q_events_partitioned_archive,
-        "obs_zorder_archive": q_obs_zorder_archive,
-        "media_decode_fake": q_media_decode,
-        "media_frame_sample": q_media_frames,
-        "media_byte_histogram": q_byte_histogram,
-        "media_ahash": q_media_ahash,
-        "media_resize_fake": q_media_resize,
+        # -- last driver-green: r8 --
+        "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
+        "pyds_shard_sink": q_pyds_shard_sink,
+        "text_url_parse": q_text_url_parse,
+        "media_video_mjpeg": q_media_video_mjpeg,
+        "dq_psi_drift": q_dq_psi_drift,
+        "dq_zscore_outliers": q_dq_zscore_outliers,
+        "graph_triangle_count": q_graph_triangle_count,
+        "events_markov_transitions": q_events_markov_transitions,
+        "stats_correlation": q_stats_correlation,
+        "media_resize_real": q_media_resize_real,
+        "join_fuzzy_blocked": q_join_fuzzy_blocked,
+        "orders_rfm_segments": q_orders_rfm_segments,
+        "stats_skyline_2d": q_stats_skyline_2d,
+        "orders_stream_upsert": q_orders_stream_upsert,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "media_decode_jpeg_color": q_media_decode_jpeg_color,
+        "media_decode_gif": q_media_decode_gif,
+        "stats_groupwise_ols": q_stats_groupwise_ols,
+        "graph_bfs_hops": q_graph_bfs_hops,
+        "events_top_paths": q_events_top_paths,
+        "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
+        "geo_geohash_bins": q_geo_geohash_bins,
+        "geo_haversine_nearest": q_geo_haversine_nearest,
+        "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
+        "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
+        "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
+        "events_interval_overlap": q_events_interval_overlap,
+        "storage_time_travel": q_storage_time_travel,
+        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
+        "precip_fragments": q_precip_fragments,
+        "precip_cellgrid": q_precip_cellgrid,
+        "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
+        "crs_radolan_project": q_crs_radolan,
+        "precip_ascii_decode_pipeline": q_precip_ascii_decode,
+        "tpch_q2_min_cost_supplier": _sql( SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"] ),
+        "precip_regnie_scale": q_precip_regnie_scale,
+        "orders_market_basket": q_orders_market_basket,
+        "storage_table_changes": q_storage_table_changes,
+        "dq_mad_outliers": q_dq_mad_outliers,
+        "corpus_quality_mixture": q_corpus_quality_mixture,
+        "window_range_frame": _sql(SQL_RANGE_FRAME, ["orders"]),
+        "join_bloom_prefilter": q_join_bloom_prefilter,
+        "dedup_semantic": q_dedup_semantic,
+        "text_bpe_first_merges": q_text_bpe_first_merges,
+        "embedding_feature_scaling": q_embedding_feature_scaling,
+        "similarity_index_persist": q_similarity_index_persist,
+        "events_order_attribution": q_events_order_attribution,
+        "events_conversion_label": q_events_conversion_label,
+        "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
     }
 
 

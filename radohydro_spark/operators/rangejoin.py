@@ -16,7 +16,17 @@ half-open semantics (an interval ending exactly on a bucket boundary does
 not occupy the next bucket) with no epsilon, which a float epsilon could
 not (``hi - 1e-12 == hi`` at epoch-second magnitudes).  Zero/negative
 spans clamp to a single bucket (``greatest``) so ``F.sequence`` never
-descends; the residual predicate still rejects their matches.
+descends.  Whether such degenerate intervals then MATCH is decided by
+each join's residual predicate, and the two joins differ:
+:func:`range_join`'s ``lo <= x < hi`` can never hold for ``lo >= hi``,
+so empty intervals match nothing; :func:`interval_overlap_join` applies
+the literal ANSI overlap predicate ``l_lo < r_hi AND r_lo < l_hi``,
+under which a zero-width interval sitting strictly inside a nonempty
+one DOES pair (the predicate is equivalent to "nonempty intersection"
+only when both intervals are nonempty) — kept as-is because it is the
+same answer every SQL engine gives for the same WHERE clause, so the
+DuckDB oracle agrees; pre-filter ``lo < hi`` upstream if strict
+nonempty-intersection semantics are wanted.
 """
 
 from __future__ import annotations
@@ -92,6 +102,11 @@ def interval_overlap_join(
     legitimately duplicated input rows) and costs a filter instead of a
     dedup shuffle.  Work is O(Σ bucket fan-out + matches) — no
     BroadcastNestedLoopJoin, no cartesian.
+
+    Degenerate (zero-width) intervals are NOT rejected: the literal
+    predicate pairs ``[5,5)`` with ``[4,6)`` even though their
+    intersection is empty — see the module docstring for why this is
+    the standard-SQL answer and how to opt out.
     """
     llo, lhi = left_cols
     rlo, rhi = right_cols

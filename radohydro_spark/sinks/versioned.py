@@ -66,7 +66,26 @@ def write_version(df: DataFrame, table_path: str, note: str = "") -> int:
         man = _load_manifest(table_path)
         version = (man["versions"][-1]["version"] + 1) if man["versions"] else 1
         vdir = os.path.join(table_path, f"v={version}")
-        df.write.mode("errorifexists").parquet(vdir)
+        # Crash-safe snapshot write: stage into a temp dir, rename into
+        # place only on success.  A writer that dies mid-parquet-write
+        # leaves only an unreferenced ``_staging`` dir — the next commit
+        # (which re-mints the same version number, since the manifest
+        # never advanced) sweeps it and proceeds.  Before this, a partial
+        # ``v=<n>`` dir wedged every future commit on ``errorifexists``.
+        staging = vdir + "._staging"
+        if os.path.isdir(staging):  # leftover from a dead writer
+            import shutil
+
+            shutil.rmtree(staging)
+        if os.path.isdir(vdir):
+            # orphan from a pre-staging crash (written but never
+            # published): unreferenced by the manifest, safe to sweep
+            # under the commit lock
+            import shutil
+
+            shutil.rmtree(vdir)
+        df.write.mode("errorifexists").parquet(staging)
+        os.rename(staging, vdir)  # atomic on one filesystem
         man["versions"].append(
             {"version": version, "dir": f"v={version}", "note": note,
              "committed_at": time.time()}
@@ -160,11 +179,18 @@ def table_changes(
 def vacuum_versions(table_path: str, keep_last: int = 2) -> list[int]:
     """Retire old snapshots: atomically publish a manifest containing only
     the newest ``keep_last`` versions, THEN delete the retired ``v=<n>``
-    directories — readers holding the old manifest may still be reading a
-    retired snapshot, so publish-first/delete-second is the only safe
-    order (the same reason Delta's VACUUM honors a retention window).
-    Runs under the same single-committer lockfile as ``write_version``.
-    Returns the retired version numbers."""
+    directories.  Publish-first/delete-second guarantees that any reader
+    resolving the manifest AFTER the publish can never reference a
+    deleted snapshot.  It does NOT protect a reader that resolved the
+    OLD manifest and is still scanning a retired directory when the
+    delete lands — that reader can hit missing files mid-scan.  Closing
+    that window needs a retention delay (delete only snapshots retired
+    more than T ago, with T above the max query runtime) — exactly why
+    Delta's VACUUM defaults to a 7-day retention window; this minimal
+    form deletes immediately and is safe only when callers quiesce
+    readers of retired versions first.  Runs under the same
+    single-committer lockfile as ``write_version``.  Returns the retired
+    version numbers."""
     import shutil
 
     if keep_last < 1:

@@ -31,6 +31,21 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
+def half_up_cents(values) -> int:
+    """Sum a float series as exact integer cents, rounding each value
+    half-up AWAY FROM ZERO (``sign(v) * floor(|v|*100 + 0.5)``) — the
+    same rule as Spark's ``F.round`` / Java ``HALF_UP``, so stateful
+    replays agree with the batch oracle.  pandas ``.round()`` is
+    half-EVEN and splits on exact .5 cents (0.125 → 12 vs 13); NaNs must
+    be dropped by the caller."""
+    import numpy as np
+
+    v = pd.Series(values).to_numpy(dtype="float64")
+    return int(
+        (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype("int64").sum()
+    )
+
+
 def file_stream(
     spark: SparkSession,
     path: str,
@@ -398,8 +413,9 @@ def stateful_user_profile_tws(
                 n += int(pdf.shape[0])
                 # round PER ROW, then sum exact integers: a per-batch
                 # round would make the total depend on how the replay
-                # splits into micro-batches
-                cents += int(vals.mul(100.0).round().astype("int64").sum())
+                # splits into micro-batches; half-up (not pandas'
+                # half-even) to match F.round — see half_up_cents
+                cents += half_up_cents(vals)
                 for t, c in pdf[type_col].value_counts().items():
                     prev = (
                         self._per_type.getValue((t,))[0]
@@ -411,8 +427,12 @@ def stateful_user_profile_tws(
             counts = {
                 k[0]: v[0] for k, v in self._per_type.iterator()
             }
-            top = min(
-                counts, key=lambda t: (-counts[t], t)
+            # counts can be empty when every row so far had a null
+            # type — min() on an empty dict raises ValueError
+            top = (
+                min(counts, key=lambda t: (-counts[t], t))
+                if counts
+                else None
             )  # max count, lexicographic tie-break
             yield pd.DataFrame(
                 {

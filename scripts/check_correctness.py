@@ -111,6 +111,24 @@ def main() -> int:
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
+            if STRICT:
+                # driver contract: its canonicalizer sorts rows in pandas and
+                # crashes on unhashable list cells (r7/r8 text_inverted_index
+                # err) — the tuple-ization in norm_cell would false-green it
+                # here. Hard-fail array/map outputs like we hard-fail decimals.
+                bad_cols = [
+                    f"{f.name}:{f.dataType.simpleString()}"
+                    for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map")
+                ]
+                if bad_cols:
+                    print(
+                        f"FAIL  {name}: query emits array/map columns "
+                        f"{bad_cols} — the driver canonicalizer cannot hash "
+                        f"list cells; array_join to a string on both engines"
+                    )
+                    failures.append(name)
+                    continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
@@ -123,13 +141,16 @@ def main() -> int:
             if STRICT:
                 tbl = con.execute(oracles[name]).arrow()
                 bad_types = [
-                    f"{f.name}:{f.type}" for f in tbl.schema if "decimal" in str(f.type)
+                    f"{f.name}:{f.type}"
+                    for f in tbl.schema
+                    if "decimal" in str(f.type) or "list" in str(f.type)
                 ]
                 if bad_types:
                     print(
-                        f"FAIL  {name}: oracle emits Arrow decimal columns "
-                        f"{bad_types} — cast to BIGINT/DOUBLE in the SQL "
-                        f"(driver hashes via Arrow; decimal128 != int64/float64)"
+                        f"FAIL  {name}: oracle emits Arrow decimal/list columns "
+                        f"{bad_types} — cast to BIGINT/DOUBLE or "
+                        f"array_to_string in the SQL (driver hashes via Arrow; "
+                        f"decimal128 != int64/float64, list cells unhashable)"
                     )
                     failures.append(name)
                     continue

@@ -208,3 +208,75 @@ def test_pair_lift_empty_and_single_item_baskets(spark):
         [(1, "a"), (2, "b"), (3, "c")], "basket int, item string"
     )
     assert pair_lift(singles, "basket", "item").count() == 0
+
+
+def test_write_version_recovers_from_crashed_commit(spark, tmp_path):
+    """r9 regression (ADVICE versioned.py:69): a writer that died after
+    materializing the snapshot dir but before publishing the manifest
+    used to wedge every future commit (``errorifexists`` on the orphan
+    ``v=<n>``).  Commits now stage + rename, and sweep unreferenced
+    leftovers under the commit lock."""
+    import os
+    import shutil
+
+    from radohydro_spark.sinks.versioned import (
+        list_versions,
+        read_as_of,
+        write_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "k int, s string")
+    write_version(df1, path)
+
+    # simulate a pre-staging-era crash: a fully-written but unpublished
+    # v=2 dir (manifest still only knows v=1)
+    orphan = os.path.join(path, "v=2")
+    df1.write.parquet(orphan)
+    assert len(list_versions(path)) == 1
+
+    # and a dead writer's staging leftover
+    os.makedirs(os.path.join(path, "v=2._staging"), exist_ok=True)
+
+    df2 = spark.createDataFrame([(2, "b")], "k int, s string")
+    v = write_version(df2, path)  # used to raise on the orphan
+    assert v == 2
+    assert [r["k"] for r in read_as_of(spark, path, 2).collect()] == [2]
+    assert not os.path.exists(os.path.join(path, "v=2._staging"))
+    shutil.rmtree(path)
+
+
+def test_write_version_failed_write_leaves_no_version_dir(spark, tmp_path):
+    """A snapshot write that THROWS must not leave a published-looking
+    ``v=<n>`` dir behind — only (at most) a staging dir that the next
+    commit sweeps."""
+    import os
+
+    from radohydro_spark.sinks.versioned import list_versions, write_version
+
+    path = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1, "a")], "k int, s string"), path)
+
+    class Boom(Exception):
+        pass
+
+    bad = spark.createDataFrame([(2, "b")], "k int, s string")
+
+    from pyspark.sql import functions as F
+
+    # force the parquet write to fail inside the executor
+    @F.udf("int")
+    def boom(x):
+        raise ValueError("boom")
+
+    failing = bad.withColumn("k", boom("k"))
+    try:
+        write_version(failing, path)
+    except Exception:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected the snapshot write to fail")
+    assert not os.path.isdir(os.path.join(path, "v=2"))
+    # next commit succeeds and mints the same version number
+    assert write_version(bad, path) == 2
+    assert len(list_versions(path)) == 2

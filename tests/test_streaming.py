@@ -343,3 +343,23 @@ def test_stateful_user_profile_tws_matches_batch(spark, tmp_path):
         assert got[k]["n_events"] == exp[k]["n_events"]
         assert got[k]["n_types"] == exp[k]["n_types"]
         assert got[k]["sum_cents"] == exp[k]["sum_cents"]
+
+
+def test_half_up_cents_matches_spark_round_and_handles_empty():
+    """r9 regression (ADVICE streams.py:402): the stateful profile's
+    cents accumulation used pandas .round() — half-EVEN, which splits
+    from Spark's HALF_UP F.round on exact .5 cents (0.125*100 = 12.5 →
+    12 vs 13).  half_up_cents is the extracted, directly-testable rule;
+    also covers the all-null/empty batch that made min() raise."""
+    import pandas as pd
+
+    from radohydro_spark.streaming.streams import half_up_cents
+
+    # exact .5-cent boundaries: half-even would give 12, 38, -12
+    assert half_up_cents(pd.Series([0.125])) == 13
+    assert half_up_cents(pd.Series([0.385])) == 39
+    assert half_up_cents(pd.Series([-0.125])) == -13  # away from zero
+    # plain values and sums of exact integers
+    assert half_up_cents(pd.Series([1.10, 2.25, 0.01])) == 336
+    # empty series (an all-null batch after dropna) sums to 0, no raise
+    assert half_up_cents(pd.Series([], dtype="float64")) == 0
