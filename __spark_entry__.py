@@ -7264,6 +7264,141 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# round-9 queries
+
+
+def q_sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GroupKFold split (operators/sampling.py group_kfold,
+    r9): every row of a user lands in the same fold (portable hash of
+    the GROUP key mod k), so correlated rows of one entity never
+    straddle a train/eval boundary — the sklearn GroupKFold contract as
+    a pure column expression, no shuffle, no RNG.  The output pins both
+    the fold balance (users/rows per fold) AND the leakage guarantee
+    itself: max_folds_per_user is computed, not asserted, and the oracle
+    must reproduce it as exactly 1."""
+    from radohydro_spark.operators.sampling import group_kfold
+
+    ev = _t(spark, sf_dir, "events")
+    f = group_kfold(ev, "user_id", k=5)
+    per_user = f.groupBy("user_id").agg(
+        F.min("fold").alias("fold"),
+        F.countDistinct("fold").alias("nf"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_user.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").alias("n_rows"),
+            F.max("nf").cast("long").alias("max_folds_per_user"),
+        )
+        .orderBy("fold")
+    )
+
+
+ORACLE_GROUP_KFOLD = f"""
+WITH f AS (
+  SELECT user_id, {_ph_sql("CAST(user_id AS VARCHAR)")} % 5 AS fold
+  FROM events
+),
+pu AS (
+  SELECT user_id, CAST(MIN(fold) AS INT) AS fold,
+         COUNT(DISTINCT fold) AS nf, COUNT(*) AS n
+  FROM f GROUP BY user_id
+)
+SELECT fold, COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(nf) AS BIGINT) AS max_folds_per_user
+FROM pu GROUP BY fold
+"""
+
+
+def q_dedup_lsh_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash-LSH index lifecycle (operators/dedup.py
+    build_lsh_index / query_lsh_index, r9) — the text-dedup twin of
+    similarity_index_persist: band table written PARTITIONED BY band and
+    sorted by band_key within partitions (row-group stats prune key
+    ranges at probe time), signature arrays persisted alongside for the
+    est-Jaccard rerank.  Probing the index with the corpus itself must
+    reproduce the in-memory dedup_minhash_lsh_pairs EXACTLY (identical
+    oracle), pinning that the build→persist→probe round-trip loses
+    nothing."""
+    import tempfile
+
+    from radohydro_spark.operators.dedup import build_lsh_index, query_lsh_index
+
+    corpus = _dup_corpus(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="radohydro_lsh_") + "/index"
+    build_lsh_index(
+        corpus, path, "text", "doc_id", n_hashes=8, k=3, rows_per_band=2
+    )
+    return query_lsh_index(
+        spark, path, corpus, "text", "doc_id", n_hashes=8, k=3, rows_per_band=2
+    )
+
+
+# corpus with planted CONTAINED fragments: the first 50 tokens of every
+# doc_id < 20 document re-enter as a new doc — near-1.0 containment of the
+# fragment, but Jaccard only ~|frag|/|doc| (the pair class Jaccard misses)
+_CONTAIN_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(list_slice({_SQL_TOKS}, 1, 50), ' ') AS text
+FROM documents WHERE doc_id < 20
+"""
+
+
+def q_text_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment pairs (operators/dedup.py
+    ngram_containment_pairs, r9): C(A→B) = |A∩B|/|A| — the Broder
+    resemblance-vs-containment distinction.  The corpus plants 50-token
+    prefix fragments of 20 documents: their Jaccard to the source is
+    ~0.2 (invisible at any sane Jaccard threshold) but their containment
+    is ~1.0, exactly the boilerplate-wrapping / quoted-inclusion
+    duplicate class a dedup pipeline needs this second signal for.
+    max_doc_freq=None for the textbook exact oracle (the hot-shingle
+    guard is the operator's scale default, as with the Jaccard query)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    frag = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 50), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(frag)
+    return DD.ngram_containment_pairs(
+        corpus, "text", "doc_id", k=3, threshold=0.9, max_doc_freq=None
+    )
+
+
+ORACLE_NGRAM_CONTAINMENT = f"""
+WITH corpus AS ({_CONTAIN_SQL}),
+docs AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / CAST(sa.n_sh AS DOUBLE), 6) AS cont_a,
+       round(n_common / CAST(sb.n_sh AS DOUBLE), 6) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / CAST(sa.n_sh AS DOUBLE), 6) >= 0.9
+   OR round(n_common / CAST(sb.n_sh AS DOUBLE), 6) >= 0.9
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7480,6 +7615,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_order_attribution": q_events_order_attribution,
         "events_conversion_label": q_events_conversion_label,
         "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
+        # --- THREE new round-9 queries (positions 188-190, past this
+        # round's window by necessity: 2 ledger holes + the 48-query r4
+        # cohort consumed all 50 slots) — FRONT-LOAD IN ROUND 10, all
+        # strict-green locally at sf0.001/sf0.01/sf0.1 ---
+        "sample_group_kfold": q_sample_group_kfold,
+        "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
+        "text_ngram_containment": q_text_ngram_containment,
     }
 
 
@@ -7522,6 +7664,11 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_all": SQL_SETOPS_ALL,
         "events_conversion_label": ORACLE_CONVERSION_LABEL,
         "corpus_xml_roundtrip": ORACLE_XML_ROUNDTRIP,
+        "sample_group_kfold": ORACLE_GROUP_KFOLD,
+        # the persisted round-trip must reproduce the in-memory banding
+        # exactly — same oracle as dedup_minhash_lsh_pairs
+        "dedup_lsh_index_persist": ORACLE_MINHASH_LSH,
+        "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),
@@ -7828,6 +7975,20 @@ if __name__ == "__main__":  # pragma: no cover
 # (shared-SQL closures and thin wrappers).  Consumed by
 # scripts/dump_queries.py to build QUERIES.md, the judge-facing index.
 QUERY_NOTES: dict[str, str] = {
+    "similarity_index_persist": (
+        "Persisted IVF lifecycle: build -> partitioned postings -> "
+        "partition-pruned probe -> exact rerank; deterministic centroids "
+        "so the oracle reproduces the index. build_ivf_index also takes "
+        "train_iterations>0 for relational-Lloyd-refined centroids; "
+        "measured on the sf0.1 embeddings (scripts/ivf_recall_table.py, "
+        "r9, 16 queries, 16 centroids, k=5): recall@5 deterministic "
+        "nprobe1/2/4/8 = 0.9875/0.9875/1.0/1.0 vs lloyd5 = "
+        "0.925/0.925/0.9875/1.0 — on these structureless synthetic "
+        "vectors Lloyd pulls centroids toward the global mean and "
+        "slightly HURTS low-nprobe recall; the flag earns its keep only "
+        "on clustered real corpora, which is why the default stays "
+        "deterministic"
+    ),
     "window_range_frame": "RANGE BETWEEN INTERVAL '30' DAY PRECEDING frame: value-distance sliding window over order dates, cents summed as integers (r7, shared ANSI).",
     "set_ops_all": "INTERSECT ALL / EXCEPT ALL bag semantics over lineitem part keys — multiplicity-preserving set ops the distinct variants don't cover (r7, shared ANSI).",
     "cube_order_status": "GROUP BY CUBE over (priority, status): all 2^2 grouping combinations in one pass (shared ANSI).",

@@ -568,3 +568,214 @@ def semdedup(
     return assigned.join(dropped, id_col, "left_anti").select(
         id_col, "centroid_id"
     )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    k: int = 3,
+    rows_per_band: int = 2,
+) -> None:
+    """Persist a MinHash-LSH near-dup index — the text-dedup twin of
+    similarity.build_ivf_index's build-once/probe-many lifecycle.  An
+    ingestion pipeline that near-dedups every incoming batch against the
+    accumulated corpus must not re-shingle and re-sign the corpus per
+    batch; the signatures and band keys are write-once artifacts.
+
+    Layout: ``bands/`` parquet PARTITIONED BY band (each of the
+    ``n_hashes / rows_per_band`` bands is one partition — a probe for a
+    single band reads only that directory) and, within each band,
+    sortWithinPartitions(band_key) so parquet row-group min/max stats
+    prune non-matching key ranges at scan time; ``signatures/`` holds
+    one signature ARRAY row per doc for the est-Jaccard rerank; hash
+    parameters are NOT persisted — they are module constants
+    (MINHASH_A/B, HASH_MOD), so index and probe cannot disagree."""
+    wide = minhash_signatures_wide(df, text_col, id_col, n_hashes, k).cache()
+    n_bands = n_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"sig_{bi * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+        for bi in range(n_bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.band_key")
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("band_key")
+        .write.mode("errorifexists")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(n_hashes)])
+    wide.select("doc_id", sig_arr.alias("sig_arr")).write.mode(
+        "errorifexists"
+    ).parquet(f"{path}/signatures")
+    wide.unpersist()
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    k: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Probe a persisted LSH index: sign the (small) query batch with the
+    same module-constant hash family, equi-join its band keys against the
+    persisted ``bands`` table, and est-Jaccard-rerank the candidates
+    against the persisted ``signatures``.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a`` the query doc and
+    ``id_b`` the matched corpus doc (self-matches where the query IS a
+    corpus doc are dropped; a pair that is query-on-both-sides appears
+    once, lower id first — so probing with the corpus itself reproduces
+    :func:`minhash_lsh_pairs` exactly, the round-trip-loses-nothing pin).
+
+    Scale shape: the corpus-side work is a pure read — band partitions
+    narrow the scan to probed bands, row-group stats on the sorted
+    band_key narrow it further; the only shuffle is the candidate
+    equi-join keyed on (band, band_key), and the rerank joins the
+    signature arrays, one row per doc."""
+    q_wide = minhash_signatures_wide(
+        queries, text_col, id_col, n_hashes, k
+    ).cache()
+    n_bands = n_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"sig_{bi * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+        for bi in range(n_bands)
+    ]
+    q_banded = q_wide.select(
+        F.col("doc_id").alias("_qid"), F.explode(F.array(*band_structs)).alias("b")
+    ).select("_qid", "b.band", "b.band_key")
+    bands = spark.read.parquet(f"{path}/bands")
+    cand = (
+        q_banded.join(bands, ["band", "band_key"])
+        .filter(F.col("_qid") != F.col("doc_id"))
+        .select(
+            F.least("_qid", "doc_id").alias("id_a"),
+            F.greatest("_qid", "doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sigs = spark.read.parquet(f"{path}/signatures")
+    q_sigs = q_wide.select(
+        "doc_id", F.array(*[F.col(f"sig_{i}") for i in range(n_hashes)]).alias("sig_arr")
+    )
+    # corpus signatures cover every corpus doc; query signatures cover the
+    # probe batch — union (query docs may be brand-new) and keep one row
+    all_sigs = sigs.unionByName(q_sigs).dropDuplicates(["doc_id"])
+    est = (
+        cand.join(
+            all_sigs.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "sig_arr", "arr_a"
+            ),
+            "id_a",
+        )
+        .join(
+            all_sigs.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "sig_arr", "arr_b"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "arr_a", "arr_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(float(n_hashes)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    return est
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| — the
+    asymmetric complement of :func:`ngram_jaccard_pairs` for the
+    inclusion duplicates Jaccard systematically under-scores.  A short
+    document quoted whole inside a much longer one (boilerplate wrapping,
+    aggregator pages, quote-reply chains) has Jaccard ≈ |A|/|B| → 0 as B
+    grows, but containment of A stays ≈ 1 — the Broder (1997) resemblance
+    vs containment distinction; dedup pipelines need both signals.
+
+    Identical plan shape and scale guards as the Jaccard operator (same
+    hot-shingle ``max_doc_freq`` cliff guard, same hashed-shingle
+    self-join, denominators riding the exploded rows, ONE pair-key
+    shuffle).  Emits both directions — ``cont_a = |A∩B|/|A|`` (how much
+    of A is inside B) and ``cont_b`` — and keeps pairs where EITHER
+    reaches the threshold; ids ordered ``id_a < id_b``.
+    """
+    sh = word_shingles(df, text_col, id_col, k, with_count=True).select(
+        "doc_id", "n_sh", F.xxhash64("shingle").alias("sid")
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sid")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("sid")
+        )
+        sh = sh.join(F.broadcast(hot), "sid", "left_anti")
+    sh = sh.cache()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("a.n_sh")).alias("_na"),
+            F.first(F.col("b.n_sh")).alias("_nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_common") / F.col("_na"), 6).alias("cont_a"),
+            F.round(F.col("n_common") / F.col("_nb"), 6).alias("cont_b"),
+        )
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
+        )
+    )

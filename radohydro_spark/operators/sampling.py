@@ -57,6 +57,30 @@ def split_assign(
     )
 
 
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    col_name: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: EVERY row of a group lands in the
+    same fold (``fold = portable_hash(group) mod k``), so entities —
+    users, sessions, source domains — never straddle a train/eval
+    boundary.  Splitting training data on the ROW id leaks whenever rows
+    of one entity are correlated (a user's near-identical events end up
+    on both sides and eval scores inflate); hashing the GROUP key is the
+    sklearn ``GroupKFold`` contract, here as a pure column expression.
+
+    Same scale/stability properties as :func:`split_assign`: one md5 per
+    row inside whole-stage codegen, no shuffle, no RNG, membership
+    stable under corpus growth, exact DuckDB oracle twin via the
+    portable hash.  Fold sizes are as balanced as the GROUP-size
+    distribution allows — a skewed group is the data's property, not the
+    splitter's."""
+    b = portable_hash(F.col(group_col).cast("string")) % k
+    return df.withColumn(col_name, b.cast("int"))
+
+
 def stratified_cap(
     df: DataFrame, id_col: str, strata_col: str, cap: int
 ) -> DataFrame:

@@ -639,6 +639,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iterations: int = 0,
 ) -> None:
     """Persist an IVF index: postings written as parquet PARTITIONED BY
     centroid_id, centroids as a sibling table — the build-once/query-many
@@ -647,14 +648,29 @@ def build_ivf_index(
     FAISS's inverted lists), so a query touches nprobe/n_centroids of
     the corpus bytes instead of scanning everything.
 
-    Centroids are the first ``n_centroids`` vectors by id (deterministic;
-    swap in :func:`ivf_train` for Lloyd-refined production recall —
-    layout and read path are identical)."""
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
-    )
+    ``train_iterations=0`` (default) takes the first ``n_centroids``
+    vectors by id as centroids — deterministic, so the DuckDB oracle can
+    reproduce the index exactly.  ``train_iterations>0`` runs
+    :func:`ivf_train`'s relational Lloyd refinement first (production
+    recall: refined centroids track the data's density, so each query's
+    true neighbors concentrate in fewer probed lists — measured
+    recall@5 table in QUERIES.md under similarity_index_persist).
+    Layout and read path are identical either way; only centroid
+    GEOMETRY changes, so :func:`query_ivf_index` needs no flag."""
+    if train_iterations > 0:
+        centroids = ivf_train(
+            corpus,
+            n_centroids=n_centroids,
+            iterations=train_iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
     assigned = ivf_assign(corpus, centroids, vec_col, id_col).join(corpus, id_col)
     (
         assigned.repartition("centroid_id")

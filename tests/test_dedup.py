@@ -36,3 +36,85 @@ def test_semdedup_pair_stage_is_cluster_equijoin(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_index_persist_roundtrip_equals_in_memory(spark, tmp_path):
+    """r9: probing the persisted LSH index with the corpus itself must
+    reproduce minhash_lsh_pairs exactly (same pairs, same est_jaccard) —
+    the build->persist->probe round-trip loses nothing."""
+    from radohydro_spark.operators.dedup import (
+        build_lsh_index,
+        minhash_lsh_pairs,
+        query_lsh_index,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely different sentence about spark partitions and shuffles"),
+        (4, "the quick brown fox jumps over the lazy cat again and again"),
+        (5, "another unrelated line mentioning parquet row group statistics"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mem = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
+    }
+    path = str(tmp_path / "lsh")
+    build_lsh_index(df, path, "text", "doc_id")
+    idx = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in query_lsh_index(spark, path, df, "text", "doc_id").collect()
+    }
+    assert mem and idx == mem
+
+
+def test_lsh_index_query_new_docs_against_corpus(spark, tmp_path):
+    """A brand-new probe document (not in the index) must match its
+    corpus near-duplicate via the persisted band join."""
+    from radohydro_spark.operators.dedup import build_lsh_index, query_lsh_index
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different words live in this second document here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh2")
+    build_lsh_index(corpus, path, "text", "doc_id")
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    got = query_lsh_index(spark, path, probe, "text", "doc_id").collect()
+    assert [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in got] == [(1, 100, 1.0)]
+
+
+def test_ngram_containment_finds_fragment_jaccard_misses(spark):
+    """r9: a 5-token prefix fragment of a 40-token doc has containment
+    1.0 but Jaccard ~0.1 — the inclusion-duplicate class the asymmetric
+    metric exists for."""
+    from radohydro_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    frag = " ".join(f"w{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, frag)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(
+        df, "text", "doc_id", k=3, threshold=0.9, max_doc_freq=None
+    ).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_b"] == 1.0  # all fragment shingles inside the long doc
+    assert r["cont_a"] < 0.2
+    # the symmetric metric at the same bar sees nothing
+    jac = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.9, max_doc_freq=None
+    ).collect()
+    assert jac == []

@@ -414,3 +414,33 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "centroid_id" in m.group(1), plan[:800]
     assert res.count() == 6  # 2 queries x top-3
+
+
+def test_ivf_index_lloyd_trained_same_contract(spark, tmp_path):
+    """r9: build_ivf_index(train_iterations>0) refines centroids with
+    relational Lloyd but must keep the exact same layout and probe
+    contract — partition-pruned scan, k results per query, centroid
+    table readable by the unchanged query path."""
+    from radohydro_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    path = str(tmp_path / "ivf_lloyd")
+    build_ivf_index(e, path, n_centroids=8, train_iterations=2)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = query_ivf_index(spark, path, q, nprobe=2, k=3)
+    plan = _plan(res)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan[:800]
+    rows = res.collect()
+    assert len(rows) == 6  # 2 queries x top-3, trained or not
+    # a query vector present in the corpus must find itself first
+    self_hits = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert self_hits == {0: 0, 1: 1}

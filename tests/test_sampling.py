@@ -126,3 +126,33 @@ def test_weighted_sample_bias_and_determinism(spark):
         [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "doc_id long, w double"
     )
     assert [r.doc_id for r in weighted_sample(bad, "doc_id", "w", 10).collect()] == [4]
+
+
+def test_group_kfold_no_group_straddles_folds(spark):
+    """r9: every row of a group must land in one fold (the leakage-safe
+    GroupKFold contract), folds in [0, k), assignment deterministic."""
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.sampling import group_kfold
+
+    rows = [(u, i) for u in range(40) for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id int, x int")
+    out = group_kfold(df, "user_id", k=5)
+    per_user = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .collect()
+    )
+    assert all(r["nf"] == 1 for r in per_user)
+    folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+    assert folds <= set(range(5)) and len(folds) > 1
+    # deterministic: recomputation yields the identical assignment
+    again = {
+        (r["user_id"], r["fold"])
+        for r in group_kfold(df, "user_id", k=5).select("user_id", "fold").distinct().collect()
+    }
+    first = {
+        (r["user_id"], r["fold"])
+        for r in out.select("user_id", "fold").distinct().collect()
+    }
+    assert first == again
