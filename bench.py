@@ -54,6 +54,10 @@ HEADLINE = [
     # basket self-join (pair-explosion + broadcast lift) shape
     "precip_regnie_scale",
     "orders_market_basket",
+    # round-9 addition: the persisted-index lifecycle (MinHash-LSH build
+    # -> partitioned parquet write -> probe with row-group pruning) — the
+    # first headline with a write stage in its hot path
+    "dedup_lsh_index_persist",
 ]
 
 

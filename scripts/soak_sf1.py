@@ -26,7 +26,15 @@ Per query the soak records wall time plus executor-truth metrics from
 the Spark status REST API (shuffle read/write bytes, memory/disk spill)
 deltas, and prints one JSON line at the end for a committed SOAK note.
 
-    python scripts/soak_sf1.py [replicas]
+    python scripts/soak_sf1.py [replicas] [query ...]
+
+With query names (events_pagerank / dedup_ngram_jaccard /
+orders_market_basket) only those legs run — used for the 100x
+(sf10-equivalent) datapoint, where the exact-Jaccard leg is out of scope
+by design: its shingle-join intermediate grows with planted-dup density
+squared (that operator exists for the textbook oracle; the corpus-scale
+near-dedup path is MinHash-LSH banding, soaked by soak_corpus.py at the
+same volume).
 """
 
 from __future__ import annotations
@@ -68,6 +76,11 @@ def _stage_totals(spark) -> dict:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
+
+    def wanted(name: str) -> bool:
+        return not only or name in only
+
     from radohydro_spark import get_spark
     from radohydro_spark.operators import dedup as DD
     from radohydro_spark.operators.basket import pair_lift
@@ -95,84 +108,87 @@ def main() -> None:
         print(name, results[name], flush=True)
 
     # --- events_pagerank at R x 100k events ---
-    ev = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .crossJoin(rep)
-        .select(
-            (F.col("user_id") * replicas + F.col("rep")).alias("user_id"),
-            "event_type",
-            "ts",
-            "event_id",
+    if wanted("events_pagerank"):
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .crossJoin(rep)
+            .select(
+                (F.col("user_id") * replicas + F.col("rep")).alias("user_id"),
+                "event_type",
+                "ts",
+                "event_id",
+            )
+            .repartition(64)
+            .persist()
         )
-        .repartition(64)
-        .persist()
-    )
-    print("events rows:", ev.count(), flush=True)
+        print("events rows:", ev.count(), flush=True)
 
-    def _pagerank():
-        w = W.partitionBy("user_id").orderBy("ts", "event_id")
-        seq = ev.select(
-            "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
-        )
-        edges = (
-            seq.filter(F.col("nxt").isNotNull())
-            .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
-            .distinct()
-        )
-        nodes = ev.select(F.col("event_type").alias("node")).distinct()
-        return pagerank(edges, nodes, damping=0.85, iterations=5).count()
+        def _pagerank():
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            seq = ev.select(
+                "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+            )
+            edges = (
+                seq.filter(F.col("nxt").isNotNull())
+                .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+                .distinct()
+            )
+            nodes = ev.select(F.col("event_type").alias("node")).distinct()
+            return pagerank(edges, nodes, damping=0.85, iterations=5).count()
 
-    run("events_pagerank", _pagerank)
-    ev.unpersist()
+        run("events_pagerank", _pagerank)
+        ev.unpersist()
 
     # --- dedup_ngram_jaccard at R x 5k documents with planted dups ---
-    docs = (
-        spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .select("doc_id", "text")
-        .crossJoin(rep)
-        .select(
-            (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
-            F.when(F.col("doc_id") % 37 == 0, F.col("text"))
-            .otherwise(
-                F.concat(F.lit("u"), F.col("rep").cast("string"), F.lit(" "), "text")
+    if wanted("dedup_ngram_jaccard"):
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text")
+            .crossJoin(rep)
+            .select(
+                (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+                F.when(F.col("doc_id") % 37 == 0, F.col("text"))
+                .otherwise(
+                    F.concat(F.lit("u"), F.col("rep").cast("string"), F.lit(" "), "text")
+                )
+                .alias("text"),
             )
-            .alias("text"),
+            .repartition(64)
+            .persist()
         )
-        .repartition(64)
-        .persist()
-    )
-    print("documents rows:", docs.count(), flush=True)
+        print("documents rows:", docs.count(), flush=True)
 
-    def _jaccard():
-        # production configuration: hot-shingle guard ON (the scale-safe
-        # default the driver query disables only for its textbook oracle)
-        return DD.ngram_jaccard_pairs(
-            docs, "text", "doc_id", k=3, threshold=0.5
-        ).count()
+        def _jaccard():
+            # production configuration: hot-shingle guard ON (the scale-safe
+            # default the driver query disables only for its textbook oracle)
+            return DD.ngram_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=0.5
+            ).count()
 
-    run("dedup_ngram_jaccard", _jaccard)
-    docs.unpersist()
+        run("dedup_ngram_jaccard", _jaccard)
+        docs.unpersist()
 
     # --- orders_market_basket at R x 600k lineitem ---
-    li = (
-        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        .select("l_orderkey", "l_partkey")
-        .crossJoin(rep)
-        .select(
-            (F.col("l_orderkey") * replicas + F.col("rep")).alias("l_orderkey"),
-            "l_partkey",
+    if wanted("orders_market_basket"):
+        li = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .select("l_orderkey", "l_partkey")
+            .crossJoin(rep)
+            .select(
+                (F.col("l_orderkey") * replicas + F.col("rep")).alias("l_orderkey"),
+                "l_partkey",
+            )
+            .repartition(64)
+            .persist()
         )
-        .repartition(64)
-        .persist()
-    )
-    print("lineitem rows:", li.count(), flush=True)
+        print("lineitem rows:", li.count(), flush=True)
 
-    def _basket():
-        out = pair_lift(li, "l_orderkey", "l_partkey", max_basket_size=100)
-        return out.orderBy(F.desc("pair_count"), "item_a", "item_b").limit(25).count()
+        def _basket():
+            out = pair_lift(li, "l_orderkey", "l_partkey", max_basket_size=100)
+            return out.orderBy(F.desc("pair_count"), "item_a", "item_b").limit(25).count()
 
-    run("orders_market_basket", _basket)
-    li.unpersist()
+        run("orders_market_basket", _basket)
+        li.unpersist()
 
     print(json.dumps(results))
 
