@@ -7399,6 +7399,114 @@ WHERE round(n_common / CAST(sa.n_sh AS DOUBLE), 6) >= 0.9
 """
 
 
+def q_stats_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA top component (operators/linalg.py, r9): the
+    O(N·d²) Gram accumulation runs as mapInPandas NumPy outer-product
+    partials (d² longs per Arrow batch — kilobytes of shuffle at ANY
+    corpus size), the d×d eigensolve is a driver-side integer power
+    iteration (dimension-sized collect, same contract as PQ codebooks).
+    Everything is exact BIGINT arithmetic until one final sqrt+divide,
+    so the oracle unrolls the identical four iterations in SQL and
+    matches bit-for-bit."""
+    from radohydro_spark.operators.linalg import pca_top_component
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_top_component(spark, e, "embedding", dims=64, scale=1000)
+
+
+def _pca_oracle(dims: int = 64, iterations: int = 4, cap: int = 1 << 20) -> str:
+    """Unrolled power-iteration twin of operators/linalg.py: identical
+    quantization formula (sign·floor(|x|·1000+0.5) — same IEEE sequence
+    as the NumPy kernel), exact-BIGINT Gram and iteration arithmetic,
+    floor division only ever applied to nonnegative operands (DuckDB //
+    floors, Python/Java truncate — they agree only above zero)."""
+    ctes = [
+        """raw AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, i,
+         CAST(CASE WHEN x >= 0 THEN floor(x * 1000 + 0.5)
+                   ELSE -floor(-x * 1000 + 0.5) END AS BIGINT) AS q
+  FROM raw
+),
+C AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS c
+  FROM ex a JOIN ex b USING (vec_id)
+  GROUP BY 1, 2
+),
+v0 AS (SELECT i, CAST(1 AS BIGINT) AS v FROM range(%d) t(i))""" % dims
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT C.i AS i, CAST(SUM(C.c * v{t-1}.v) AS BIGINT) AS w
+  FROM C JOIN v{t-1} ON C.j = v{t-1}.i GROUP BY 1
+),
+v{t} AS (
+  SELECT i,
+         CAST(CASE WHEN w >= 0 THEN 1 ELSE -1 END AS BIGINT)
+         * (abs(w) // greatest(1, (SELECT max(abs(w)) FROM w{t}) // {cap})) AS v
+  FROM w{t}
+)"""
+        )
+    last = f"v{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+norm AS (SELECT sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nrm FROM {last})
+SELECT CAST(i AS INT) AS dim,
+       round(v / (SELECT nrm FROM norm), 6) AS loading
+FROM {last} ORDER BY dim"""
+    )
+
+
+def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window (r9).  Spark windows do not
+    accept DISTINCT aggregates, so the engine uses the standard
+    first-occurrence rewrite — flag the first (customer, priority) row
+    by row_number, then a running SUM of flags — while the DuckDB oracle
+    runs its NATIVE ``COUNT(DISTINCT …) OVER`` implementation: two
+    independent algorithms agreeing row-for-row is a stronger check
+    than shared SQL.  Deterministic total order via (o_orderdate,
+    o_orderkey); one shuffle on the customer key serves both windows."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 7 == 0)
+    w_first = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.withColumn(
+            "_f", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("_f").over(w_run).alias("distinct_priorities_so_far"),
+        )
+    )
+
+
+ORACLE_WINDOW_DISTINCT_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       COUNT(DISTINCT o_orderpriority) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS distinct_priorities_so_far
+FROM orders
+WHERE o_custkey % 7 = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7615,13 +7723,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_order_attribution": q_events_order_attribution,
         "events_conversion_label": q_events_conversion_label,
         "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
-        # --- THREE new round-9 queries (positions 188-190, past this
+        # --- FIVE new round-9 queries (positions 191-195, past this
         # round's window by necessity: 2 ledger holes + the 48-query r4
         # cohort consumed all 50 slots) — FRONT-LOAD IN ROUND 10, all
-        # strict-green locally at sf0.001/sf0.01/sf0.1 ---
+        # strict-green locally at sf0.001/sf0.01/sf0.1.  Round-10 window
+        # arithmetic: these 5 + the 45-query r5 cohort = exactly 50. ---
         "sample_group_kfold": q_sample_group_kfold,
         "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
         "text_ngram_containment": q_text_ngram_containment,
+        "stats_pca_top_component": q_stats_pca_top_component,
+        "window_distinct_running": q_window_distinct_running,
     }
 
 
@@ -7669,6 +7780,8 @@ def oracle_sql() -> dict[str, str]:
         # exactly — same oracle as dedup_minhash_lsh_pairs
         "dedup_lsh_index_persist": ORACLE_MINHASH_LSH,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
+        "stats_pca_top_component": _pca_oracle(),
+        "window_distinct_running": ORACLE_WINDOW_DISTINCT_RUNNING,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

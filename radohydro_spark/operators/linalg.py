@@ -1,0 +1,140 @@
+"""Distributed linear algebra: integer-exact Gram matrix + PCA top
+component via power iteration.
+
+The scale pattern is the classic two-phase Gram factorization: the
+O(N·d²) work — accumulating X^T X over N vectors — is distributed as
+per-batch NumPy outer-product partials (`mapInPandas` emitting d² partial
+sums per Arrow batch, one tiny shuffle of dimension-sized rows), and the
+O(d²·iters) eigensolve on the resulting d×d matrix is driver-side, the
+same dimension-sized-collect contract as the PQ codebooks and Lloyd
+centroids in operators/similarity.py.  At d=64 the Gram matrix is 4096
+BIGINTs regardless of whether N is 2k or 2 billion.
+
+Cross-engine exactness (the oracle reproduces every integer): vectors
+quantize to integers first (``round(x·scale)``), so all Gram sums and
+every power-iteration step are exact BIGINT arithmetic immune to float
+reassociation; per-iteration renormalization divides by a power-of-two
+floor quotient of the max magnitude (``sign(w)·(|w| // d)`` — floor ==
+trunc on nonnegative operands, so Spark/Python and DuckDB agree even
+though their native integer divisions differ on negatives).  Floats
+appear exactly twice, in the final normalization: ``sqrt`` of an exact
+integer and one division per component — both correctly-rounded IEEE
+ops, deterministic across engines.
+
+The uncentered second-moment matrix (Gram) is used rather than the
+covariance — equivalent for near-zero-mean embeddings and exactly
+reproducible without a second mean-subtraction pass; documented, not
+hidden.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def gram_matrix_int(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact integer Gram matrix: ``C[i][j] = Σ_rows q_i·q_j`` with
+    ``q = round(x·scale)`` — one ``mapInPandas`` pass emitting d²
+    partial sums per Arrow batch (NumPy einsum, no Python per-row work),
+    then a single dimension-sized groupBy.  Returns (i, j, c) rows.
+
+    Shuffle volume is ``n_batches × d²`` rows of three longs — at any
+    corpus size the exchange moves kilobytes per task, never data."""
+    import numpy as np
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((dims, dims), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # half-up away from zero via the explicit floor formula —
+            # np.rint is half-EVEN; the oracle runs the IDENTICAL
+            # sign·floor(|x|·scale + 0.5) double expression, so the two
+            # engines execute the same IEEE sequence (no rounding-mode
+            # semantics to reconcile at all)
+            q = (np.sign(m) * np.floor(np.abs(m) * scale + 0.5)).astype(
+                np.int64
+            )
+            acc += q.T @ q
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(
+                np.arange(dims, dtype=np.int64),
+                np.arange(dims, dtype=np.int64),
+                indexing="ij",
+            )
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "c": acc.ravel()}
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        partial_gram, "i long, j long, c long"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("c").alias("c"))
+
+
+def power_iterate_int(
+    gram: dict[tuple[int, int], int],
+    dims: int,
+    iterations: int = 4,
+    cap_bits: int = 20,
+) -> list[int]:
+    """Integer-exact power iteration on a collected Gram dict: ``w = C·v``
+    in exact int arithmetic, then renormalize ``v = sign(w)·(|w| // d)``
+    with ``d = max(1, max|w| // 2^cap_bits)`` so magnitudes stay bounded
+    (|v| ≤ ~2^(cap_bits+1), |C·v| far below 2^63 at d=64) without ever
+    touching floats.  Deterministic by construction; the SQL oracle
+    unrolls the identical steps."""
+    v = [1] * dims  # deterministic all-ones start
+    for _ in range(iterations):
+        w = [
+            sum(gram.get((i, j), 0) * v[j] for j in range(dims))
+            for i in range(dims)
+        ]
+        wmax = max(abs(x) for x in w)
+        d = max(1, wmax // (1 << cap_bits))
+        v = [(1 if x >= 0 else -1) * (abs(x) // d) for x in w]
+    return v
+
+
+def pca_top_component(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 1000,
+    iterations: int = 4,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) second-moment matrix:
+    distributed integer Gram + driver-side integer power iteration +
+    one exact float normalization.  Returns (dim, loading) rows with
+    ``loading = round(v_dim / sqrt(Σ v²), 6)`` — Σv² is an exact BIGINT,
+    so the sqrt and division are single deterministic IEEE ops.  The
+    final rounding runs through Spark's ``F.round`` (HALF_UP), matching
+    DuckDB's half-away-from-zero double rounding — Python's builtin
+    ``round`` is banker's and must not touch the output."""
+    rows = gram_matrix_int(df, vec_col, dims, scale).collect()
+    gram = {(r["i"], r["j"]): r["c"] for r in rows}  # d² ints — dimension-sized
+    v = power_iterate_int(gram, dims, iterations)
+    norm_sq = sum(x * x for x in v)  # exact BIGINT
+    base = spark.createDataFrame(
+        [(i, v[i]) for i in range(dims)], "dim int, v long"
+    )
+    return base.select(
+        "dim",
+        F.round(
+            F.col("v") / F.sqrt(F.lit(float(norm_sq))), 6
+        ).alias("loading"),
+    ).orderBy("dim")
