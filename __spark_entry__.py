@@ -7473,10 +7473,20 @@ def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs its NATIVE ``COUNT(DISTINCT …) OVER`` implementation: two
     independent algorithms agreeing row-for-row is a stronger check
     than shared SQL.  Deterministic total order via (o_orderdate,
-    o_orderkey); one shuffle on the customer key serves both windows."""
+    o_orderkey).  ONE shuffle serves both windows: the explicit
+    repartition on o_custkey satisfies the first window's
+    (custkey, priority) clustering requirement too (HashPartitioning on
+    a SUBSET of the required keys co-locates every group), so Catalyst
+    inserts only per-partition sorts after it — without the hint the
+    plan pays two exchanges, one per window spec (plan-asserted in
+    tests/test_plans.py)."""
     from pyspark.sql import Window as W
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 7 == 0)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 7 == 0)
+        .repartition("o_custkey")
+    )
     w_first = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
         "o_orderdate", "o_orderkey"
     )

@@ -444,3 +444,16 @@ def test_ivf_index_lloyd_trained_same_contract(spark, tmp_path):
     # a query vector present in the corpus must find itself first
     self_hits = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
     assert self_hits == {0: 0, 1: 1}
+
+
+def test_window_distinct_running_single_shuffle(spark):
+    """r9: the running-distinct rewrite must pay ONE exchange — the
+    explicit custkey repartition satisfies both windows' clustering
+    requirements (HashPartitioning on a subset of the required keys);
+    without it Catalyst inserts an exchange per window spec."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["window_distinct_running"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "CartesianProduct" not in plan
