@@ -191,6 +191,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     to undirected-distinct first.  Self-loops are dropped.  Returns
     ``(node, n_triangles)`` for every node that closes ≥ 1 triangle.
     """
+    from pyspark import StorageLevel
+
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -198,7 +202,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        # the canonical edge set feeds THREE consumers (degrees, the
+        # orientation join, the closing-edge probe): persist it, or the
+        # whole upstream edge derivation replays once per consumer
+        # (spillable, edge-list-sized; released via release_persisted())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(e)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -216,7 +226,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     directed = d.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+        # both wedge sides read this frame — persist so the two degree
+        # joins above run once, not twice
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(directed)
     # wedges at apex a: pairs of out-neighbours (b, c); close with edge b->c
     w1 = directed.select(F.col("a"), F.col("b"))
     w2 = directed.select(F.col("a"), F.col("b").alias("c"))
