@@ -129,6 +129,14 @@ def pca_top_component(
     gram = {(r["i"], r["j"]): r["c"] for r in rows}  # d² ints — dimension-sized
     v = power_iterate_int(gram, dims, iterations)
     norm_sq = sum(x * x for x in v)  # exact BIGINT
+    if norm_sq == 0:
+        # empty input, or every vector quantized to zero (|x|·scale < 0.5
+        # everywhere): there is no principal direction — fail loudly
+        # instead of emitting 0/0 NaN loadings
+        raise ValueError(
+            "pca_top_component: second-moment matrix is zero (empty input "
+            "or all vectors below quantization resolution; raise `scale`)"
+        )
     base = spark.createDataFrame(
         [(i, v[i]) for i in range(dims)], "dim int, v long"
     )

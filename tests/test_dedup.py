@@ -118,3 +118,55 @@ def test_ngram_containment_finds_fragment_jaccard_misses(spark):
         df, "text", "doc_id", k=3, threshold=0.9, max_doc_freq=None
     ).collect()
     assert jac == []
+
+
+def test_ngram_containment_matches_bruteforce_random(spark):
+    """Randomized referee: every (pair, cont_a, cont_b) the operator
+    emits — and nothing else above threshold — must match a plain-Python
+    shingle-set computation over a seeded random corpus with planted
+    prefixes, suffixes and infixes."""
+    import random
+
+    from radohydro_spark.operators.dedup import ngram_containment_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for i in range(12):
+        docs[i] = [rng.choice(vocab) for _ in range(rng.randint(6, 25))]
+    docs[100] = docs[0][:7]          # prefix fragment
+    docs[101] = docs[1][-8:]         # suffix fragment
+    docs[102] = docs[2][3:11]        # infix fragment
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+
+    def shingles(toks, k=3):
+        return {
+            " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 1))
+        } - {""}
+
+    want = {}
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = shingles(docs[a]), shingles(docs[b])
+            common = len(sa & sb)
+            if not common:
+                continue
+            ca, cb = round(common / len(sa), 6), round(common / len(sb), 6)
+            if ca >= 0.8 or cb >= 0.8:
+                want[(a, b)] = (ca, cb)
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a"], r["cont_b"])
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", k=3, threshold=0.8, max_doc_freq=None
+        ).collect()
+    }
+    assert got == want
+    # the planted fragments must all have been caught with containment 1.0
+    assert want[(0, 100)][1] == 1.0
+    assert want[(1, 101)][1] == 1.0
+    assert want[(2, 102)][1] == 1.0

@@ -363,3 +363,40 @@ def test_half_up_cents_matches_spark_round_and_handles_empty():
     assert half_up_cents(pd.Series([1.10, 2.25, 0.01])) == 336
     # empty series (an all-null batch after dropna) sums to 0, no raise
     assert half_up_cents(pd.Series([], dtype="float64")) == 0
+
+
+def test_half_up_cents_property_vs_decimal():
+    """Hypothesis: half_up_cents equals the Decimal ROUND_HALF_UP
+    reference on dyadic money values (x = k/8 dollars).  Dyadics are
+    EXACTLY representable doubles and x·100 = 12.5·k is itself exact, so
+    the .5-cent boundaries (odd k) are hit dead-on — the property tests
+    the rounding RULE with zero float wobble.  (Non-dyadic decimals can
+    legitimately land an ulp off the boundary after the ·100 product;
+    there the operator's contract is only \"same double in, same cents
+    out\", which the driver oracles pin instead.)"""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from radohydro_spark.streaming.streams import half_up_cents
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40), max_size=20
+        )
+    )
+    def inner(raw):
+        vals = [k / 8 for k in raw]  # exactly-representable dollars
+        want = sum(
+            int(
+                (Decimal(k) * Decimal(100) / Decimal(8)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            for k in raw
+        )
+        assert half_up_cents(pd.Series(vals, dtype="float64")) == want, raw
+
+    inner()
