@@ -190,6 +190,68 @@ def main() -> None:
         run("orders_market_basket", _basket)
         li.unpersist()
 
+    # --- opt-in leg: persisted LSH index lifecycle at R x 5k documents
+    # (not in the default set, which keeps the three committed legs
+    # comparable across rounds; run as
+    #   python scripts/soak_sf1.py 100 dedup_lsh_index
+    # for the build-once/probe-many scale datapoint) ---
+    if "dedup_lsh_index" in only:
+        import shutil
+        import tempfile
+
+        from radohydro_spark.operators.dedup import (
+            build_lsh_index,
+            query_lsh_index,
+        )
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text")
+            .crossJoin(rep)
+            .select(
+                (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+                F.when(F.col("doc_id") % 37 == 0, F.col("text"))
+                .otherwise(
+                    F.concat(
+                        F.lit("u"), F.col("rep").cast("string"), F.lit(" "), "text"
+                    )
+                )
+                .alias("text"),
+            )
+            .repartition(64)
+            .persist()
+        )
+        print("documents rows:", docs.count(), flush=True)
+        root = tempfile.mkdtemp(prefix="soak_lsh_")
+
+        def _build():
+            build_lsh_index(docs, f"{root}/ix", "text", "doc_id")
+            return 0
+
+        run("lsh_index_build", _build)
+
+        def _probe():
+            return query_lsh_index(
+                spark, f"{root}/ix", docs, "text", "doc_id"
+            ).count()
+
+        run("lsh_index_probe_all", _probe)
+
+        # realistic incremental batch: 1% brand-new ids probed against
+        # the full index (fresh-MinHash path + candidate join)
+        newdocs = docs.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+
+        def _probe_new():
+            return query_lsh_index(
+                spark, f"{root}/ix", newdocs, "text", "doc_id"
+            ).count()
+
+        run("lsh_index_probe_new_batch", _probe_new)
+        docs.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
     print(json.dumps(results))
 
 
