@@ -140,6 +140,13 @@ def pagerank(
     n_nodes = universe.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+    # the dangling-mass anti-join runs EVERY iteration: probe it against
+    # the checkpointed e_deg's src column, not against outdeg — outdeg's
+    # lineage reaches back through the whole edge derivation (often a
+    # window/sessionize over the fact table), which would replay once
+    # per round; e_deg is materialized, so this is a cheap column scan
+    # (anti-join semantics need no distinct on the probe side)
+    edge_srcs = e_deg.select("src")
 
     ranks = universe.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
     for it in range(iterations):
@@ -150,7 +157,9 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            ranks.join(
+                edge_srcs, ranks["node"] == edge_srcs["src"], "left_anti"
+            )
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
         )
         ranks = (
