@@ -281,9 +281,15 @@ def bfs_hops(
     ``max_hops``.
     """
     spark = edges.sparkSession
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        # every hop joins the frontier against this adjacency — pin it,
+        # or the upstream edge derivation replays once per level (the
+        # same per-iteration discipline as pagerank's e_deg)
+        .localCheckpoint(eager=True)
+    )
     visited = spark.createDataFrame([(source, 0)], schema="node long, hops int")
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -293,6 +299,11 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("hops"))
+            # materialize each level once: the frontier is consumed three
+            # times (emptiness test, the visited union, next level's
+            # join) — without this the level's join+anti re-evaluates per
+            # consumer and the isEmpty() probe is pure overhead
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
@@ -300,5 +311,4 @@ def bfs_hops(
         frontier = nxt
         if hop % checkpoint_interval == 0:
             visited = visited.localCheckpoint(eager=True)
-            frontier = frontier.localCheckpoint(eager=True)
     return visited
