@@ -220,7 +220,12 @@ def ivf_train(
     """Lloyd's k-means refinement of IVF centroids, expressed relationally:
     assignment = broadcast argmax-cosine; update = per-(centroid, dim) mean
     via posexplode + groupBy — both map-side combinable.  The driver loop
-    only carries the (tiny) centroid table between iterations.
+    only carries the (tiny) centroid table between iterations, and each
+    iteration ``localCheckpoint``s it eagerly: without the truncation,
+    iteration k's centroid plan nests every previous iteration's corpus
+    aggregation, so evaluating the final table would replay the whole
+    history — the classic iterative-lineage trap (same discipline as
+    pagerank/connected_components).
     """
     centroids = (
         corpus.orderBy(id_col)
@@ -228,6 +233,7 @@ def ivf_train(
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
     )
     for _ in range(iterations):
+        centroids = centroids.localCheckpoint(eager=True)
         assigned = ivf_assign(corpus, centroids, vec_col, id_col).join(corpus, id_col)
         centroids = (
             assigned.select("centroid_id", F.posexplode(vec_col).alias("dim", "x"))
