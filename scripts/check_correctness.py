@@ -105,9 +105,16 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    from radohydro_spark.plans.pipeline import release_persisted
+
     for name in sorted(qs):
         if only and name not in only:
             continue
+        # per-query isolation: drop pool-registered caches (semdedup,
+        # triangle_count, build_lsh_index) so no query greens only
+        # because an earlier one left its frames cached — the driver
+        # evaluates each query in its own right
+        release_persisted()
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
