@@ -7417,9 +7417,16 @@ def q_stats_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pca_oracle(dims: int = 64, iterations: int = 4, cap: int = 1 << 20) -> str:
     """Unrolled power-iteration twin of operators/linalg.py: identical
     quantization formula (sign·floor(|x|·1000+0.5) — same IEEE sequence
-    as the NumPy kernel), exact-BIGINT Gram and iteration arithmetic,
+    as the NumPy kernel), exact integer Gram and iteration arithmetic,
     floor division only ever applied to nonnegative operands (DuckDB //
-    floors, Python/Java truncate — they agree only above zero)."""
+    floors, Python/Java truncate — they agree only above zero).  The
+    matvec ``w = C·v`` is computed in HUGEINT (cast BEFORE the multiply):
+    Gram entries grow linearly with row count (c ≈ N·scale²·E[x²]) and
+    with |v| up to ~2^21 the BIGINT product overflows around N≈10⁷ rows
+    at scale=1000 — the Python driver uses unbounded ints, so the oracle
+    must widen to stay its exact twin.  HUGEINT appears only in
+    INTERMEDIATE CTEs; the output columns are INT and DOUBLE, so the
+    strict gate's no-decimal-output rule is untouched."""
     ctes = [
         """raw AS (
   SELECT vec_id,
@@ -7443,13 +7450,14 @@ v0 AS (SELECT i, CAST(1 AS BIGINT) AS v FROM range(%d) t(i))""" % dims
     for t in range(1, iterations + 1):
         ctes.append(
             f"""w{t} AS (
-  SELECT C.i AS i, CAST(SUM(C.c * v{t-1}.v) AS BIGINT) AS w
+  SELECT C.i AS i, SUM(CAST(C.c AS HUGEINT) * v{t-1}.v) AS w
   FROM C JOIN v{t-1} ON C.j = v{t-1}.i GROUP BY 1
 ),
 v{t} AS (
   SELECT i,
-         CAST(CASE WHEN w >= 0 THEN 1 ELSE -1 END AS BIGINT)
-         * (abs(w) // greatest(1, (SELECT max(abs(w)) FROM w{t}) // {cap})) AS v
+         CAST(CASE WHEN w >= 0 THEN 1 ELSE -1 END
+         * (abs(w) // greatest(1, (SELECT max(abs(w)) FROM w{t}) // {cap}))
+         AS BIGINT) AS v
   FROM w{t}
 )"""
         )
@@ -7520,75 +7528,19 @@ WHERE o_custkey % 7 = 0
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
-        # --- round-9 driver window (first 50) ---
-        # Tier 1 (positions 0-1): the two ledger holes.
-        #   set_ops_all: the ONLY never-driver-checked query (3 rounds
-        #   running); shared-ANSI bag semantics, strict-green at all
-        #   three scales.
-        #   text_inverted_index: r7+r8 driver-red -- NOT a wrong answer;
-        #   the driver canonicalizer cannot hash ARRAY cells. postings is
-        #   now array_join'ed to a CSV string on both engines, and the
-        #   strict gate + tests/test_oracle_types.py hard-fail any
-        #   array-typed output column so the class cannot recur.
-        "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
-        "text_inverted_index": q_text_inverted_index,
-        # Tier 2 (positions 2-49): the full r4 evidence cohort -- every
-        # query whose newest driver-green is round 4 (the 48 stalest rows
-        # in the 191-query ledger: dedup/similarity family, streaming,
-        # media, text-curation, geotiff/regnie decode twins). After this
-        # window runs, max evidence age across the whole ledger is r5.
-        "corpus_curation_pipeline": q_corpus_curation,
-        "dedup_canonical_docs": q_dedup_canonical,
-        "dedup_embedding_cosine": q_embedding_near_dups,
-        "dedup_exact_groups": q_exact_dups,
-        "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_simhash": q_simhash,
-        "dedup_simhash_hamming_pairs": q_simhash_hamming,
-        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
-        "events_hopping_window": q_events_hopping_window,
-        "events_partitioned_archive": q_events_partitioned_archive,
-        "events_rate_spikes": q_events_rate_spikes,
-        "events_scd2_type_history": q_events_scd2,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_sessionize": q_events_stream_sessionize,
-        "events_stream_state_totals": q_events_stream_state_totals,
-        "events_stream_stream_join": q_events_stream_stream_join,
-        "media_ahash": q_media_ahash,
-        "media_byte_histogram": q_byte_histogram,
-        "media_decode_fake": q_media_decode,
-        "media_frame_sample": q_media_frames,
-        "media_resize_fake": q_media_resize,
-        "obs_zorder_archive": q_obs_zorder_archive,
-        "orders_merge_upsert": q_orders_merge_upsert,
-        "orders_range_join": q_orders_range_join,
-        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
-        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
-        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
-        "profile_orders_columns": q_profile_orders,
-        "sample_split_assign": q_sample_split,
-        "similarity_ann_lsh_topk": q_ann_lsh_topk,
-        "similarity_cosine_topk": q_cosine_topk,
-        "similarity_ivf_topk": q_ivf_topk,
-        "skew_salted_revenue": q_skew_salted_revenue,
-        "stats_approx_sketches": q_approx_sketches,
-        "stats_trimmed_mean": q_stats_trimmed_mean,
-        "text_contamination_check": q_text_contamination,
-        "text_fingerprint": q_fingerprint,
-        "text_lang_id": q_lang_id,
-        "text_pack_sequences": q_text_pack_sequences,
-        "text_quality_filter": q_text_quality_filter,
-        "text_redact_pii": q_redact_pii,
-        "text_repetition_stats": q_text_repetition,
-        "text_sentence_chunks": q_text_sentence_chunks,
-        "text_stats": q_text_stats,
-        "text_tfidf_top_terms": q_text_tfidf,
-        "text_token_budget": q_token_budget,
-        # --- end of round-9 driver window ---
-        # Remainder ordered by ascending driver-evidence age (r5 cohort
-        # first) so the round-10 rotation is already front-loaded: take
-        # the next 50 entries as-is.
+        # --- round-10 driver window (first 50) ---
+        # Tier 1 (positions 0-4): the five r9 additions -- the only
+        # never-driver-checked queries in the 196-entry ledger (all
+        # strict-green locally at sf0.001/0.01/0.1 since round 9).
+        "sample_group_kfold": q_sample_group_kfold,
+        "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
+        "text_ngram_containment": q_text_ngram_containment,
+        "stats_pca_top_component": q_stats_pca_top_component,
+        "window_distinct_running": q_window_distinct_running,
+        # Tier 2 (positions 5-49): the full 45-query r5 evidence cohort,
+        # the stalest rows in the ledger after the r9 rotation.  After
+        # this window runs, every query has driver evidence and the max
+        # evidence age is r6.
         # -- last driver-green: r5 --
         "events_sessionize": q_events_sessions,
         "events_stream_hourly": q_events_stream_hourly,
@@ -7635,6 +7587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
+        # --- end of round-10 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-11 rotation is already front-loaded: any new r10 queries
+        # are inserted immediately below this line so that (new r10
+        # queries + the 47-query r6 cohort) form the next 50-entry window.
+        # -- new in round 10 (never driver-checked): insert here --
         # -- last driver-green: r6 --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
@@ -7733,16 +7691,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_order_attribution": q_events_order_attribution,
         "events_conversion_label": q_events_conversion_label,
         "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
-        # --- FIVE new round-9 queries (positions 191-195, past this
-        # round's window by necessity: 2 ledger holes + the 48-query r4
-        # cohort consumed all 50 slots) — FRONT-LOAD IN ROUND 10, all
-        # strict-green locally at sf0.001/sf0.01/sf0.1.  Round-10 window
-        # arithmetic: these 5 + the 45-query r5 cohort = exactly 50. ---
-        "sample_group_kfold": q_sample_group_kfold,
-        "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
-        "text_ngram_containment": q_text_ngram_containment,
-        "stats_pca_top_component": q_stats_pca_top_component,
-        "window_distinct_running": q_window_distinct_running,
+        # -- last driver-green: r9 --
+        "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
+        "text_inverted_index": q_text_inverted_index,
+        "corpus_curation_pipeline": q_corpus_curation,
+        "dedup_canonical_docs": q_dedup_canonical,
+        "dedup_embedding_cosine": q_embedding_near_dups,
+        "dedup_exact_groups": q_exact_dups,
+        "dedup_groups_cc": q_dedup_groups_cc,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_simhash_hamming_pairs": q_simhash_hamming,
+        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
+        "events_hopping_window": q_events_hopping_window,
+        "events_partitioned_archive": q_events_partitioned_archive,
+        "events_rate_spikes": q_events_rate_spikes,
+        "events_scd2_type_history": q_events_scd2,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_state_totals": q_events_stream_state_totals,
+        "events_stream_stream_join": q_events_stream_stream_join,
+        "media_ahash": q_media_ahash,
+        "media_byte_histogram": q_byte_histogram,
+        "media_decode_fake": q_media_decode,
+        "media_frame_sample": q_media_frames,
+        "media_resize_fake": q_media_resize,
+        "obs_zorder_archive": q_obs_zorder_archive,
+        "orders_merge_upsert": q_orders_merge_upsert,
+        "orders_range_join": q_orders_range_join,
+        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
+        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
+        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
+        "profile_orders_columns": q_profile_orders,
+        "sample_split_assign": q_sample_split,
+        "similarity_ann_lsh_topk": q_ann_lsh_topk,
+        "similarity_cosine_topk": q_cosine_topk,
+        "similarity_ivf_topk": q_ivf_topk,
+        "skew_salted_revenue": q_skew_salted_revenue,
+        "stats_approx_sketches": q_approx_sketches,
+        "stats_trimmed_mean": q_stats_trimmed_mean,
+        "text_contamination_check": q_text_contamination,
+        "text_fingerprint": q_fingerprint,
+        "text_lang_id": q_lang_id,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_quality_filter": q_text_quality_filter,
+        "text_redact_pii": q_redact_pii,
+        "text_repetition_stats": q_text_repetition,
+        "text_sentence_chunks": q_text_sentence_chunks,
+        "text_stats": q_text_stats,
+        "text_tfidf_top_terms": q_text_tfidf,
+        "text_token_budget": q_token_budget,
     }
 
 

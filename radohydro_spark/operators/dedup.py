@@ -593,6 +593,11 @@ def build_lsh_index(
     one signature ARRAY row per doc for the est-Jaccard rerank; hash
     parameters are NOT persisted — they are module constants
     (MINHASH_A/B, HASH_MOD), so index and probe cannot disagree."""
+    # same banding contract as minhash_lsh_pairs: a non-divisible
+    # rows_per_band would silently drop the trailing signature hashes
+    # from banding (recall loss) and diverge from the in-memory operator
+    # this index is pinned to reproduce
+    assert n_hashes % rows_per_band == 0
     wide = minhash_signatures_wide(df, text_col, id_col, n_hashes, k).cache()
     n_bands = n_hashes // rows_per_band
     band_structs = [
@@ -667,7 +672,11 @@ def query_lsh_index(
     narrow the scan to probed bands, row-group stats on the sorted
     band_key narrow it further; the only shuffle is the candidate
     equi-join keyed on (band, band_key), and the rerank joins the
-    signature arrays, one row per doc."""
+    signature arrays, one row per doc — the probe side against the
+    (probe-batch-sized) ``q_sigs``, the corpus side against the persisted
+    ``signatures`` read, with the ``id_a < id_b`` canonicalisation applied
+    AFTER the joins so no corpus-wide dedup exchange is needed."""
+    assert n_hashes % rows_per_band == 0  # same contract as build_lsh_index
     sigs = spark.read.parquet(f"{path}/signatures")
     probe_ids = queries.select(F.col(id_col).alias("doc_id"))
     known = sigs.join(probe_ids, "doc_id", "left_semi")
@@ -693,6 +702,12 @@ def query_lsh_index(
             ).alias("sig_arr"),
         )
         q_sigs = known.unionByName(fresh).cache()
+    # register the probe-batch cache in the session-wide pool so
+    # release_persisted() frees it — a probe-per-batch ingestion loop must
+    # not leak one cached frame per probe until LRU eviction
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(q_sigs)
     n_bands = n_hashes // rows_per_band
     band_structs = [
         F.struct(
@@ -713,34 +728,36 @@ def query_lsh_index(
         F.col("doc_id").alias("_qid"), F.explode(F.array(*band_structs)).alias("b")
     ).select("_qid", "b.band", "b.band_key")
     bands = spark.read.parquet(f"{path}/bands")
+    # keep the candidate pair in (query, corpus) ORIENTATION through the
+    # rerank: the probe side joins the probe-batch-sized q_sigs and the
+    # corpus side joins the persisted signatures read directly, so no
+    # corpus-wide union+dropDuplicates exchange is ever built.  A
+    # query-on-both-sides pair (the corpus-self-probe shape) appears in
+    # both orientations here; canonicalising id_a < id_b AFTER the score
+    # and dropping duplicates costs one pair-sized exchange — pairs are
+    # orders of magnitude fewer than corpus docs.
     cand = (
         q_banded.join(bands, ["band", "band_key"])
         .filter(F.col("_qid") != F.col("doc_id"))
-        .select(
-            F.least("_qid", "doc_id").alias("id_a"),
-            F.greatest("_qid", "doc_id").alias("id_b"),
-        )
+        .select(F.col("_qid").alias("_q"), F.col("doc_id").alias("_c"))
         .distinct()
     )
-    # corpus signatures cover every indexed doc; q_sigs adds the fresh
-    # probes — union and keep one row per id
-    all_sigs = sigs.unionByName(q_sigs).dropDuplicates(["doc_id"])
     est = (
         cand.join(
-            all_sigs.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
-                "sig_arr", "arr_a"
+            q_sigs.select(
+                F.col("doc_id").alias("_q"), F.col("sig_arr").alias("arr_a")
             ),
-            "id_a",
+            "_q",
         )
         .join(
-            all_sigs.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-                "sig_arr", "arr_b"
+            sigs.select(
+                F.col("doc_id").alias("_c"), F.col("sig_arr").alias("arr_b")
             ),
-            "id_b",
+            "_c",
         )
         .select(
-            "id_a",
-            "id_b",
+            F.least("_q", "_c").alias("id_a"),
+            F.greatest("_q", "_c").alias("id_b"),
             F.round(
                 F.aggregate(
                     F.zip_with(
@@ -753,6 +770,9 @@ def query_lsh_index(
                 6,
             ).alias("est_jaccard"),
         )
+        # est_jaccard is a deterministic function of the two signature
+        # arrays, so both orientations score identically — dedup is safe
+        .dropDuplicates(["id_a", "id_b"])
     )
     return est
 

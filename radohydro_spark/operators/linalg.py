@@ -93,10 +93,18 @@ def power_iterate_int(
 ) -> list[int]:
     """Integer-exact power iteration on a collected Gram dict: ``w = C·v``
     in exact int arithmetic, then renormalize ``v = sign(w)·(|w| // d)``
-    with ``d = max(1, max|w| // 2^cap_bits)`` so magnitudes stay bounded
-    (|v| ≤ ~2^(cap_bits+1), |C·v| far below 2^63 at d=64) without ever
-    touching floats.  Deterministic by construction; the SQL oracle
-    unrolls the identical steps."""
+    with ``d = max(1, max|w| // 2^cap_bits)`` so |v| stays ≤ ~2^(cap_bits+1)
+    without ever touching floats.  The intermediate ``w`` is NOT bounded
+    by 2^63: Gram entries grow linearly with row count (c ≈ N·scale²·E[x²]),
+    so at scale=1000 the matvec product exceeds int64 around N≈10⁷ rows —
+    harmless here (Python ints are unbounded) but it means any fixed-width
+    twin of this loop (the DuckDB oracle) must compute ``w`` in a 128-bit
+    type; ``_pca_oracle`` casts to HUGEINT before the multiply.  The
+    GRAM entries themselves must still fit int64 (Spark sums them as
+    longs): N·scale²·E[x²] < 2^63, i.e. ~9·10¹² unit-norm rows at
+    scale=1000 — an enforced design bound, documented here.
+    Deterministic by construction; the SQL oracle unrolls the identical
+    steps."""
     v = [1] * dims  # deterministic all-ones start
     for _ in range(iterations):
         w = [
