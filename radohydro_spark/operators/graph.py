@@ -71,8 +71,14 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        ).localCheckpoint(eager=False)
+        # ONE job per round: the full-scan aggregate materializes every
+        # partition of the lazily-marked local checkpoint (job-end
+        # doCheckpoint finds nothing missing) AND returns the convergence
+        # bit — the former eager-checkpoint + separate limit(1).count()
+        # pair launched two jobs per iteration, pure scheduler overhead
+        # on high-diameter graphs
+        changed = new_labels.agg(F.count_if(F.col("_chg")).alias("n")).first()["n"]
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
