@@ -240,6 +240,12 @@ def spatial_intersect(
         # clamp the upper bound: a degenerate bbox aligned to a cell edge
         # can give col1 < col0 (resp. row1 < row0), and F.sequence would
         # silently descend, fabricating candidate keys
+        #
+        # keys-only explode: the WKB geometry must NOT ride the candidate
+        # fan-out (25k basins x ~1k candidate cells each = 25M rows; with
+        # geom attached that exchange carries gigabytes of duplicated
+        # polygon bytes instead of three ints per row).  geom re-joins on
+        # basin_id AFTER the candidate probe, touching dimension-many rows.
         cand_keys = (
             b.withColumn(
                 "cell_row", F.explode(F.sequence(row0, F.greatest(row0, row1)))
@@ -247,11 +253,43 @@ def spatial_intersect(
             .withColumn(
                 "cell_col", F.explode(F.sequence(col0, F.greatest(col0, col1)))
             )
-            .select("basin_id", "geom", "xmin", "ymin", "xmax", "ymax",
-                    "cell_row", "cell_col")
+            .select("basin_id", "cell_row", "cell_col")
         )
-        cand = cells.join(
-            F.broadcast(cand_keys), ["cell_row", "cell_col"], "inner"
+        # Join-strategy choice on TRUTH, not estimates: Catalyst's
+        # compile-time size for an exploded relation undercounts
+        # catastrophically (25k basins -> 25M candidate rows estimated as
+        # megabytes), and a mis-chosen broadcast build OOMs the driver —
+        # measured, not hypothetical (scripts/soak_basins.py).  The exact
+        # candidate count is pure bbox arithmetic over the basin DIMENSION,
+        # so one tiny aggregate job (same dimension-sized-action contract
+        # as IVF's probed-centroid collect) prices the join exactly:
+        # broadcast the keys when genuinely small, otherwise a shuffled
+        # hash join (hash probe, no sort; both sides narrow ints).
+        n_cand = (
+            b.select(
+                F.sum(
+                    (F.greatest(row0, row1) - row0 + 1).cast("long")
+                    * (F.greatest(col0, col1) - col0 + 1).cast("long")
+                ).alias("n")
+            ).first()["n"]
+            or 0
+        )
+        probe = (
+            F.broadcast(cand_keys)
+            if n_cand <= 2_000_000
+            else cand_keys.hint("shuffle_hash")
+        )
+        cand = (
+            cells.join(probe, ["cell_row", "cell_col"], "inner")
+            # geometry re-joins on basin_id AFTER the candidate fan-out: the
+            # WKB must not ride the explode (25k basins x ~1k cells each
+            # with ~100B polygons = gigabytes of duplicated bytes vs three
+            # ints per row).  The basin side is a plain dimension relation
+            # with honest stats, so Catalyst broadcasts it while it is
+            # small and degrades to SMJ on its own if it ever is not.
+            .join(b.select("basin_id", "geom"), "basin_id")
+            # same column order as the theta path (join keys float left)
+            .select(*cells.columns, "basin_id", "geom")
         )
     else:
         cand = cells.join(
