@@ -7525,6 +7525,125 @@ WHERE o_custkey % 7 = 0
 """
 
 
+# --- round-10 additions ---
+
+
+def q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs (operators/dedup.py tfidf_cosine_pairs,
+    r10): the weighted-vocabulary near-dup signal as a relational sparse
+    dot product — integer-exact weights (quantized idf, cents
+    discipline), one pair-key shuffle, hot-term guard ON (the oracle
+    reproduces it).  Floats only in the final dot/(|a||b|) on
+    exactly-representable integers."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    return DD.tfidf_cosine_pairs(
+        corpus, "text", "doc_id", threshold=0.9, idf_scale=1000, max_doc_freq=1000
+    )
+
+
+ORACLE_TFIDF_COSINE = f"""
+WITH corpus AS ({_NEARDUP_SQL}),
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM corpus),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+          HAVING COUNT(*) <= 1000),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM corpus),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * CAST(round(ln((n.n + 1.0) / (dfreq.df + 1.0)) * 1000.0, 0)
+                      AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nsq FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= 0.9
+"""
+
+
+def q_events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing (operators/rangejoin.py
+    coalesce_intervals, r10): each event opens a 30-minute presence
+    interval; overlapping/adjacent intervals per user merge into maximal
+    islands in one keyed shuffle (both windows share the partitionBy) —
+    no iteration, no UDF, pure timestamp/int arithmetic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    from radohydro_spark.operators.rangejoin import coalesce_intervals
+
+    return coalesce_intervals(ev, ["user_id"], "lo", "hi")
+
+
+ORACLE_INTERVAL_COALESCE = """
+WITH iv AS (
+  SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi FROM events
+),
+f AS (
+  SELECT user_id, lo, hi,
+         CASE WHEN MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= lo
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+g AS (
+  SELECT *, SUM(new_island) OVER (PARTITION BY user_id ORDER BY lo, hi
+              ROWS UNBOUNDED PRECEDING) AS island
+  FROM f
+)
+SELECT user_id, MIN(lo) AS island_lo, MAX(hi) AS island_hi,
+       COUNT(*) AS n_intervals
+FROM g GROUP BY user_id, island
+"""
+
+
+def q_stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (operators/aggregate.py weighted_median,
+    r10): quantity-weighted median extended price per (returnflag,
+    linestatus) — pure integer threshold selection over one keyed
+    shuffle, output is an input value (hash-exact by construction)."""
+    from radohydro_spark.operators.aggregate import weighted_median
+
+    return weighted_median(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        "l_quantity",
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH d AS (
+  SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, l_linestatus, v,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v
+             ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tw
+  FROM d
+)
+SELECT l_returnflag, l_linestatus, MIN(v) AS weighted_median
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7592,7 +7711,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 rotation is already front-loaded: any new r10 queries
         # are inserted immediately below this line so that (new r10
         # queries + the 47-query r6 cohort) form the next 50-entry window.
-        # -- new in round 10 (never driver-checked): insert here --
+        # -- new in round 10 (never driver-checked): these 3 + the
+        # 47-query r6 cohort below = exactly the round-11 window --
+        "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
+        "events_interval_coalesce": q_events_interval_coalesce,
+        "stats_weighted_median": q_stats_weighted_median,
         # -- last driver-green: r6 --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
@@ -7791,6 +7914,9 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),
         "window_distinct_running": ORACLE_WINDOW_DISTINCT_RUNNING,
+        "text_tfidf_cosine_pairs": ORACLE_TFIDF_COSINE,
+        "events_interval_coalesce": ORACLE_INTERVAL_COALESCE,
+        "stats_weighted_median": ORACLE_WEIGHTED_MEDIAN,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

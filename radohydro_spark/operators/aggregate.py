@@ -357,3 +357,46 @@ def trimmed_mean(df, group_cols, value_col, trim: float = 0.1):
     # drop groups whose values are all NULL (n = 0): SQL oracles that rank
     # non-NULL values never emit such groups, so presence must agree
     return tm.join(cnt, list(group_cols)).filter(F.col("n") > 0)
+
+
+def weighted_median(df, group_cols, value_col, weight_col):
+    """Exact weighted median per group: the smallest value v such that the
+    cumulative weight of rows with value <= v reaches half the group's
+    total weight — the lower weighted median, the robust location
+    estimator for weighted observations (order-line prices weighted by
+    quantity, station readings weighted by coverage) where trimmed/plain
+    means mislead.
+
+    Pure selection, zero float arithmetic: weights cast to exact longs,
+    the threshold test ``2·cumw >= totw`` stays in integers (no /2), and
+    the output is an INPUT value, never a computed one — trivially
+    hash-exact cross-engine.  Ties in the value are order-insensitive:
+    every row of a tied block carries the block's value, so whichever
+    tied row first crosses the threshold, ``min(value)`` over qualifying
+    rows is the same.
+
+    Scale shape: ONE shuffle on the group key serves both windows
+    (cumulative and total share the partitionBy), then a map-side-
+    combinable min aggregation.  Holistic like any exact quantile — raw
+    rows shuffle once; for sketch-precision-is-fine cases use the
+    approx_percentile family instead.
+    """
+    from pyspark.sql import Window as W
+
+    w_cum = (
+        W.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy(*group_cols)
+    wts = F.col(weight_col).cast("long")
+    d = (
+        df.select(*group_cols, value_col, wts.alias("_w"))
+        .withColumn("_cw", F.sum("_w").over(w_cum))
+        .withColumn("_tw", F.sum("_w").over(w_tot))
+    )
+    return (
+        d.filter(F.lit(2) * F.col("_cw") >= F.col("_tw"))
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias("weighted_median"))
+    )

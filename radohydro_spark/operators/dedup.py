@@ -777,6 +777,103 @@ def query_lsh_index(
     return est
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    idf_scale: int = 1000,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — the bag-of-words VECTOR
+    complement of the set-based Jaccard/containment operators: two
+    documents that share *weighted vocabulary* (rare terms count more)
+    score high even when shingle order differs everywhere, the classic
+    near-dup signal templated boilerplate defeats and topical duplication
+    produces.  Sparse dot product as a relational join — no dense
+    vectors, no vocabulary collect, no UDF.
+
+    Integer-exact cross-engine arithmetic (the cents discipline): the
+    IDF weight quantizes once — ``iw = round(ln((N+1)/(df+1)) · idf_scale)``
+    as BIGINT (ln of identical doubles is deterministic cross-engine;
+    SUMS of floats are not) — so component weights ``w = tf·iw``, dot
+    products ``Σ w_a·w_b`` and squared norms ``Σ w²`` are all exact
+    BIGINT sums.  Floats reappear only in the final
+    ``dot / (sqrt(na)·sqrt(nb))``: three correctly-rounded IEEE ops on
+    exactly-representable integers (|Σw²| stays < 2^53 for corpus-scale
+    tf/df profiles), identical in both engines.
+
+    Plan shape: one explode → (doc, term) tf aggregation; df(t) reuses
+    the tf table; ``max_doc_freq`` drops hot terms from the vector space
+    BEFORE the self-join (same cliff guard as the shingle ops — stopword
+    posting lists otherwise quadratically dominate the candidate join,
+    and their idf ≈ 0 contributes nothing to cosine anyway; the guard is
+    part of the operator's semantics and the oracle reproduces it).  The
+    term self-join emits one row per shared term per pair, reduced by ONE
+    pair-key shuffle; norms join back on the id dimension.  For corpora
+    where even guarded posting lists explode, the banded MinHash-LSH
+    index is the scale path, as with the other exact-scoring operators.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+    n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    w = (
+        tf.join(dfreq, "term")  # inner join doubles as the hot-term drop
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    * F.lit(float(idf_scale)),
+                    0,
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nsq"))
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("id_a"), F.col("nsq").alias("na")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("id_b"), F.col("nsq").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str,

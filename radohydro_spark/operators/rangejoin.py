@@ -125,3 +125,59 @@ def interval_overlap_join(
         )
     )
     return joined.drop("_bucket")
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Merge overlapping/adjacent intervals per key into maximal islands —
+    the gaps-and-islands closure of the range-join family: presence
+    intervals into sessions, raster validity windows into coverage spans,
+    document revision ranges into lineages.
+
+    Relational single-pass form (no iteration, no UDF): order each key's
+    intervals by (lo, hi); a row STARTS a new island iff the running
+    maximum of ``hi`` over all preceding rows is < its ``lo``
+    (half-open semantics: an interval starting exactly at the previous
+    max end is ADJACENT and merges); the running SUM of start flags
+    numbers the islands; one aggregation emits each island's span.
+
+    Ties in ``lo`` are order-insensitive by construction: among tied
+    rows only the first evaluates against the pre-tie running max, and
+    whichever row that is produces the same flag, so island boundaries —
+    and therefore the aggregated output — are deterministic without a
+    unique ordering key.
+
+    Scale shape: ONE shuffle on the key (both windows share the
+    partitionBy; Catalyst plans a single Exchange with two per-partition
+    sorts), then a hash aggregation on (key, island).  Row volume is the
+    interval count — never a fan-out.
+
+    Returns ``key_cols + (island_lo, island_hi, n_intervals)``.
+    """
+    from pyspark.sql import Window as W
+
+    w_prev = (
+        W.partitionBy(*key_cols)
+        .orderBy(lo, hi)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy(*key_cols)
+        .orderBy(lo, hi)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = df.withColumn(
+        "_new",
+        F.when(F.max(hi).over(w_prev) >= F.col(lo), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    return flagged.groupBy(*key_cols, "_island").agg(
+        F.min(lo).alias("island_lo"),
+        F.max(hi).alias("island_hi"),
+        F.count("*").alias("n_intervals"),
+    ).drop("_island")
