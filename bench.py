@@ -58,6 +58,10 @@ HEADLINE = [
     # -> partitioned parquet write -> probe with row-group pruning) — the
     # first headline with a write stage in its hot path
     "dedup_lsh_index_persist",
+    # round-10 addition: the sparse-vector self-join shape (TF-IDF cosine
+    # pairs — integer-quantized weights, term-posting self-join, one
+    # pair-key shuffle), complementing the set-based jaccard headliner
+    "text_tfidf_cosine_pairs",
 ]
 
 

@@ -728,36 +728,45 @@ def query_lsh_index(
         F.col("doc_id").alias("_qid"), F.explode(F.array(*band_structs)).alias("b")
     ).select("_qid", "b.band", "b.band_key")
     bands = spark.read.parquet(f"{path}/bands")
-    # keep the candidate pair in (query, corpus) ORIENTATION through the
-    # rerank: the probe side joins the probe-batch-sized q_sigs and the
-    # corpus side joins the persisted signatures read directly, so no
-    # corpus-wide union+dropDuplicates exchange is ever built.  A
-    # query-on-both-sides pair (the corpus-self-probe shape) appears in
-    # both orientations here; canonicalising id_a < id_b AFTER the score
-    # and dropping duplicates costs one pair-sized exchange — pairs are
-    # orders of magnitude fewer than corpus docs.
+    # canonicalise candidates up front (a query-on-both-sides pair — the
+    # corpus-self-probe shape — otherwise survives in BOTH orientations
+    # and doubles every downstream join), then resolve each side's
+    # signature by probing the probe-batch-sized q_sigs first and falling
+    # back to the persisted corpus scan: q_sigs.known is read FROM sigs,
+    # so the coalesce is consistent, and no corpus-wide
+    # union+dropDuplicates exchange is ever built (the r9 form
+    # deduplicated the full signature table on every probe).
     cand = (
         q_banded.join(bands, ["band", "band_key"])
         .filter(F.col("_qid") != F.col("doc_id"))
-        .select(F.col("_qid").alias("_q"), F.col("doc_id").alias("_c"))
+        .select(
+            F.least("_qid", "doc_id").alias("id_a"),
+            F.greatest("_qid", "doc_id").alias("id_b"),
+        )
         .distinct()
     )
+
+    def _side(side: str) -> DataFrame:
+        q = q_sigs.select(
+            F.col("doc_id").alias(side), F.col("sig_arr").alias(f"_q_{side}")
+        )
+        c = sigs.select(
+            F.col("doc_id").alias(side), F.col("sig_arr").alias(f"_c_{side}")
+        )
+        return q, c
+
+    qa, ca = _side("id_a")
+    qb, cb = _side("id_b")
     est = (
-        cand.join(
-            q_sigs.select(
-                F.col("doc_id").alias("_q"), F.col("sig_arr").alias("arr_a")
-            ),
-            "_q",
-        )
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("_c"), F.col("sig_arr").alias("arr_b")
-            ),
-            "_c",
-        )
+        cand.join(qa, "id_a", "left")
+        .join(ca, "id_a", "left")
+        .withColumn("arr_a", F.coalesce("_q_id_a", "_c_id_a"))
+        .join(qb, "id_b", "left")
+        .join(cb, "id_b", "left")
+        .withColumn("arr_b", F.coalesce("_q_id_b", "_c_id_b"))
         .select(
-            F.least("_q", "_c").alias("id_a"),
-            F.greatest("_q", "_c").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(
                 F.aggregate(
                     F.zip_with(
@@ -770,9 +779,6 @@ def query_lsh_index(
                 6,
             ).alias("est_jaccard"),
         )
-        # est_jaccard is a deterministic function of the two signature
-        # arrays, so both orientations score identically — dedup is safe
-        .dropDuplicates(["id_a", "id_b"])
     )
     return est
 
