@@ -308,10 +308,15 @@ def bfs_hops(
             # materialize each level once: the frontier is consumed three
             # times (emptiness test, the visited union, next level's
             # join) — without this the level's join+anti re-evaluates per
-            # consumer and the isEmpty() probe is pure overhead
-            .localCheckpoint(eager=True)
+            # consumer.  Lazy checkpoint + count folds materialization and
+            # the emptiness probe into ONE job per hop (same discipline as
+            # connected_components' convergence fold): the full-scan count
+            # computes every partition, so job-end doCheckpoint finds none
+            # missing, and the former eager-checkpoint + isEmpty() pair
+            # cost a second scheduler round per level.
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt)
         frontier = nxt

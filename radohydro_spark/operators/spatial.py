@@ -258,36 +258,50 @@ def spatial_intersect(
         # Join-strategy choice on TRUTH, not estimates: Catalyst's
         # compile-time size for an exploded relation undercounts
         # catastrophically (25k basins -> 25M candidate rows estimated as
-        # megabytes), and a mis-chosen broadcast build OOMs the driver —
-        # measured, not hypothetical (scripts/soak_basins.py).  The exact
-        # candidate count is pure bbox arithmetic over the basin DIMENSION,
-        # so one tiny aggregate job (same dimension-sized-action contract
-        # as IVF's probed-centroid collect) prices the join exactly:
-        # broadcast the keys when genuinely small, otherwise a shuffled
-        # hash join (hash probe, no sort; both sides narrow ints).
-        n_cand = (
-            b.select(
-                F.sum(
-                    (F.greatest(row0, row1) - row0 + 1).cast("long")
-                    * (F.greatest(col0, col1) - col0 + 1).cast("long")
-                ).alias("n")
-            ).first()["n"]
-            or 0
-        )
-        probe = (
-            F.broadcast(cand_keys)
-            if n_cand <= 2_000_000
-            else cand_keys.hint("shuffle_hash")
+        # megabytes), so left to itself it force-broadcasts the candidate
+        # keys (driver OOM at 25k basins) or picks the exploded side as a
+        # shuffled-hash BUILD (executor "can't acquire memory" at 100k —
+        # ShuffledHashJoin cannot spill its build side) — both measured by
+        # scripts/soak_basins.py before this fix.  The exact candidate
+        # count and basin count come from ONE tiny aggregate over the
+        # basin DIMENSION (same dimension-sized-action contract as IVF's
+        # probed-centroid collect), pricing both joins exactly:
+        #   candidates <= 2M   -> broadcast the keys (the 20-basin case)
+        #   candidates <= 20M  -> shuffled hash join, keys side builds
+        #                         (narrow ints, fits executor memory)
+        #   beyond             -> sort-merge join: the only strategy whose
+        #                         memory is bounded by SPILL, not heap —
+        #                         the 100-TB-safe default
+        stats = b.select(
+            F.count("*").alias("nb"),
+            F.sum(
+                (F.greatest(row0, row1) - row0 + 1).cast("long")
+                * (F.greatest(col0, col1) - col0 + 1).cast("long")
+            ).alias("n"),
+        ).first()
+        n_basins, n_cand = stats["nb"], stats["n"] or 0
+        if n_cand <= 2_000_000:
+            probe = F.broadcast(cand_keys)
+        elif n_cand <= 20_000_000:
+            probe = cand_keys.hint("shuffle_hash")
+        else:
+            probe = cand_keys.hint("merge")
+        # geometry re-joins on basin_id AFTER the candidate fan-out: the
+        # WKB must not ride the explode (25k basins x ~1k cells each with
+        # ~100B polygons = gigabytes of duplicated bytes vs three ints per
+        # row).  Broadcast the geometry dimension while it is genuinely
+        # dimension-sized; past that, sort-merge — NEVER an unhinted join
+        # here, because the candidate side's mis-estimated stats would
+        # make it the hash build side (the measured 100k-basin failure).
+        geom_dim = b.select("basin_id", "geom")
+        geom_side = (
+            F.broadcast(geom_dim)
+            if n_basins <= 100_000
+            else geom_dim.hint("merge")
         )
         cand = (
             cells.join(probe, ["cell_row", "cell_col"], "inner")
-            # geometry re-joins on basin_id AFTER the candidate fan-out: the
-            # WKB must not ride the explode (25k basins x ~1k cells each
-            # with ~100B polygons = gigabytes of duplicated bytes vs three
-            # ints per row).  The basin side is a plain dimension relation
-            # with honest stats, so Catalyst broadcasts it while it is
-            # small and degrades to SMJ on its own if it ever is not.
-            .join(b.select("basin_id", "geom"), "basin_id")
+            .join(geom_side, "basin_id")
             # same column order as the theta path (join keys float left)
             .select(*cells.columns, "basin_id", "geom")
         )
