@@ -7656,10 +7656,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_containment": q_text_ngram_containment,
         "stats_pca_top_component": q_stats_pca_top_component,
         "window_distinct_running": q_window_distinct_running,
-        # Tier 2 (positions 5-49): the full 45-query r5 evidence cohort,
+        # Tier 1b (positions 5-7): the three round-10 additions, in-window
+        # on first exposure (displacing three stable r5 TPC-H re-pins to
+        # the staged r11 block — first-exposure evidence beats re-pinning
+        # an already-proven row).
+        "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
+        "events_interval_coalesce": q_events_interval_coalesce,
+        "stats_weighted_median": q_stats_weighted_median,
+        # Tier 2 (positions 8-49): 42 of the 45-query r5 evidence cohort,
         # the stalest rows in the ledger after the r9 rotation.  After
         # this window runs, every query has driver evidence and the max
-        # evidence age is r6.
+        # evidence age is r6 (except the 3 displaced tpch rows, r5 until
+        # the r11 window re-greens them).
         # -- last driver-green: r5 --
         "events_sessionize": q_events_sessions,
         "events_stream_hourly": q_events_stream_hourly,
@@ -7703,19 +7711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_product_profit": _sql( SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"] ),
         "tpch_q10_returned_items": _sql( SQL_Q10, ["customer", "orders", "lineitem", "nation"] ),
         "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
+        # --- end of round-10 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-11 rotation is already front-loaded: (3 displaced r5
+        # TPC-H rows + the 47-query r6 cohort) = exactly the round-11
+        # 50-entry window.
+        # -- last driver-green: r5 (displaced from the r10 window to make
+        #    room for first-exposure r10 queries) --
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        # --- end of round-10 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-11 rotation is already front-loaded: any new r10 queries
-        # are inserted immediately below this line so that (new r10
-        # queries + the 47-query r6 cohort) form the next 50-entry window.
-        # -- new in round 10 (never driver-checked): these 3 + the
-        # 47-query r6 cohort below = exactly the round-11 window --
-        "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
-        "events_interval_coalesce": q_events_interval_coalesce,
-        "stats_weighted_median": q_stats_weighted_median,
         # -- last driver-green: r6 --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
