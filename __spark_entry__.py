@@ -7644,6 +7644,118 @@ FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_stats_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy hitters via Misra-Gries candidates + exact verify
+    (operators/sketch.py heavy_hitters, r10) over a derived skewed key
+    (40% of lineitem rows concentrated on 4 hot keys, the remainder near-
+    unique — the distribution a hot-key diagnosis would face before
+    salting, operators/skew.py).  phi = 1/50: exactly the 4 planted hot
+    keys at every scale factor.  Threshold is pure integer arithmetic
+    (cnt * 50 >= N) — no float seam; the oracle is the naive GROUP BY /
+    HAVING whose shuffle the sketch exists to avoid."""
+    from radohydro_spark.operators.sketch import heavy_hitters
+
+    skewed = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 4, F.col("l_orderkey") % 4)
+        .otherwise(F.col("l_orderkey"))
+        .alias("k")
+    )
+    return heavy_hitters(skewed, "k", 50)
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH d AS (
+  SELECT CASE WHEN l_orderkey % 10 < 4 THEN l_orderkey % 4
+              ELSE l_orderkey END AS value
+  FROM lineitem
+),
+tot AS (SELECT COUNT(*) AS n FROM d)
+SELECT value, COUNT(*) AS cnt
+FROM d, tot
+GROUP BY value, tot.n
+HAVING COUNT(*) * 50 >= tot.n
+"""
+
+
+def q_text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated 8-token spans across the documents corpus
+    (operators/dedup.py duplicate_spans, r10) — substring-level dedup in
+    the sense of Lee et al. 2022, complementing the document-level
+    shingle/MinHash family: spans occurring in >= 2 distinct docs with
+    occurrence counts.  Pure JVM tokenize/slide/aggregate; integer
+    outputs, span text as the group key so the ANSI oracle reproduces it
+    verbatim (production fingerprints the key, fingerprint=True — row-
+    identical, tested)."""
+    from radohydro_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n_tokens=8
+    )
+
+
+ORACLE_DUPLICATE_SPANS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+spans AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span FROM pos)
+SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the sparse part-supplier bipartite graph (operators/
+    graph.py k_core, r10): lineitem rows with l_quantity <= 5 induce
+    edges part <-> supplier (keys disambiguated onto even/odd ids);
+    iterative degree peeling to the fixed point, one job per round.
+    Returns (node, in-core degree).  The oracle unrolls 8 peel rounds as
+    generated CTEs (converges in 2 at every test scale; extra rounds are
+    no-ops at the fixed point — same unrolled-oracle technique as
+    pagerank/bfs)."""
+    from radohydro_spark.operators.graph import k_core
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return k_core(e, 4)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # AS MATERIALIZED is load-bearing: each e{r} references e{r-1} twice
+    # (the degree filter and the edge filter), and DuckDB INLINES plain
+    # CTEs — 8 unrolled rounds would re-evaluate e0 2^8 times (measured:
+    # the un-materialized form ran >15 min at sf0.01; materialized, ms).
+    parts = [
+        """WITH ded AS MATERIALIZED (
+  SELECT DISTINCT l_partkey*2 AS u, l_suppkey*2+1 AS v
+  FROM lineitem WHERE l_quantity <= 5
+),
+e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM ded UNION ALL SELECT v AS a, u AS b FROM ded)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT a FROM e{r-1} GROUP BY a HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM e{r-1} "
+            f"WHERE a IN (SELECT a FROM n{r}) AND b IN (SELECT a FROM n{r}))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT a AS node, COUNT(*) AS degree FROM e{rounds} GROUP BY a"
+    )
+
+
+ORACLE_KCORE = _kcore_oracle(4, 8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7663,10 +7775,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
         "events_interval_coalesce": q_events_interval_coalesce,
         "stats_weighted_median": q_stats_weighted_median,
-        # Tier 2 (positions 8-49): 42 of the 45-query r5 evidence cohort,
+        "stats_heavy_hitters": q_stats_heavy_hitters,
+        "text_duplicate_spans": q_text_duplicate_spans,
+        "graph_kcore": q_graph_kcore,
+        # Tier 2 (positions 11-49): 39 of the 45-query r5 evidence cohort,
         # the stalest rows in the ledger after the r9 rotation.  After
         # this window runs, every query has driver evidence and the max
-        # evidence age is r6 (except the 3 displaced tpch rows, r5 until
+        # evidence age is r6 (except the 6 displaced tpch rows, r5 until
         # the r11 window re-greens them).
         # -- last driver-green: r5 --
         "events_sessionize": q_events_sessions,
@@ -7708,16 +7823,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
         "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
         "tpch_q8_market_share": _sql( SQL_Q8, ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], ),
+        # --- end of round-10 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-11 rotation is already front-loaded: (6 displaced r5
+        # TPC-H rows + the first 44 of the r6 cohort) = the round-11
+        # 50-entry window; the r6 tail spills to the round-12 head.
+        # -- last driver-green: r5 (displaced from the r10 window to make
+        #    room for first-exposure r10 queries) --
         "tpch_q9_product_profit": _sql( SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"] ),
         "tpch_q10_returned_items": _sql( SQL_Q10, ["customer", "orders", "lineitem", "nation"] ),
         "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
-        # --- end of round-10 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-11 rotation is already front-loaded: (3 displaced r5
-        # TPC-H rows + the 47-query r6 cohort) = exactly the round-11
-        # 50-entry window.
-        # -- last driver-green: r5 (displaced from the r10 window to make
-        #    room for first-exposure r10 queries) --
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
@@ -7922,6 +8037,9 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_cosine_pairs": ORACLE_TFIDF_COSINE,
         "events_interval_coalesce": ORACLE_INTERVAL_COALESCE,
         "stats_weighted_median": ORACLE_WEIGHTED_MEDIAN,
+        "stats_heavy_hitters": ORACLE_HEAVY_HITTERS,
+        "text_duplicate_spans": ORACLE_DUPLICATE_SPANS,
+        "graph_kcore": ORACLE_KCORE,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

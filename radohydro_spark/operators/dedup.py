@@ -939,3 +939,67 @@ def ngram_containment_pairs(
             (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_tokens: int = 8,
+    min_docs: int = 2,
+    fingerprint: bool = False,
+) -> DataFrame:
+    """Exact duplicated token spans across documents — substring-level
+    dedup, the signal document-level resemblance misses.
+
+    The shingle/MinHash family (ngram_jaccard_pairs, minhash_lsh_pairs)
+    scores whole-document similarity; two long documents sharing one
+    boilerplate paragraph score near zero there, yet that paragraph is
+    exactly what an LLM training pipeline wants to find (memorization
+    risk scales with verbatim repetition — the exact-substring dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally: suffix arrays don't distribute,
+    but span-grouping does).
+
+    Every length-``n_tokens`` token window of every document (ALL
+    occurrences, stride 1 — unlike word_shingles, NOT distinct-per-doc,
+    because occurrence counts are the point) is grouped; spans appearing
+    in >= ``min_docs`` distinct documents come back as
+    ``(span, n_docs, n_occ)``.
+
+    Scale shape: the explode amplifies the corpus ~n_tokens-fold, but the
+    aggregation is map-side combined and partial aggregates collapse
+    locally wherever duplication is dense (the interesting case).  With
+    ``fingerprint=True`` the group key is ``xxhash64(span)`` and the span
+    column is ``min(span)`` per group — the exchange then carries 8-byte
+    keys instead of span text (the 100-TB shape; collisions at 2^-64 per
+    pair).  Default keeps the text key so the result is reproducible by
+    any ANSI engine (the driver oracle) — same rows either way, verified
+    in tests.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).filter(F.size("_t") >= n_tokens)
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - n_tokens + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n_tokens)),
+            )
+        ).alias("span"),
+    )
+    if fingerprint:
+        keyed = spans.select("doc_id", F.xxhash64("span").alias("_k"), "span")
+        agg = keyed.groupBy("_k").agg(
+            F.min("span").alias("span"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+    else:
+        agg = spans.groupBy("span").agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+    return agg.filter(F.col("n_docs") >= min_docs).select("span", "n_docs", "n_occ")

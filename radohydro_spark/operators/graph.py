@@ -323,3 +323,61 @@ def bfs_hops(
         if hop % checkpoint_interval == 0:
             visited = visited.localCheckpoint(eager=True)
     return visited
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of degree
+    < k until a fixed point; return ``(node, degree)`` for the survivors,
+    ``degree`` = the node's degree INSIDE the core (>= k by construction).
+
+    The k-core is the standard density filter on similarity/interaction
+    graphs (Seidman 1983): in a dedup or link graph it separates tight
+    near-duplicate communities from incidental one-off matches that CC
+    would happily chain together.
+
+    Shape: edges are symmetrized + deduped once and checkpointed; each
+    peel round is degree-count -> semi-join both endpoints -> lazy
+    localCheckpoint whose materialization is folded into the convergence
+    count (ONE job per round, same discipline as connected_components).
+    Degrees only fall during peeling, so each round's work shrinks; the
+    loop ends when the edge count reaches a fixed point.  Peeling depth
+    is graph-dependent (a k=2 path graph peels one layer per round —
+    covered in tests); dense near-dup cliques converge in 2-3 rounds.
+    """
+    assert k >= 1
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+    und = und.distinct()
+    cur = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    prev_n = cur.count()
+    for _ in range(max_iter):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count("*").alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("a")
+        )
+        nxt = (
+            cur.join(keep, "a", "leftsemi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "leftsemi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        cur = nxt
+        if n == prev_n:
+            break
+        prev_n = n
+    return cur.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
