@@ -7756,6 +7756,99 @@ e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM ded UNION ALL SELECT v AS a, u AS
 ORACLE_KCORE = _kcore_oracle(4, 8)
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard via PREFIX FILTERING (operators/dedup.py
+    jaccard_prefix_pairs, r10; Chaudhuri ICDE'06 / Xiao WWW'08): same
+    corpus, threshold, and ORACLE as dedup_ngram_jaccard — two
+    independent algorithms (naive shingle self-join vs rarest-first
+    prefix index + candidate verify) agreeing row-for-row, while the
+    prefix version joins only ~(1-t) of each doc's shingles and never
+    touches stop-shingle f^2 blowup."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    return DD.jaccard_prefix_pairs(corpus, "text", "doc_id", k=3, threshold=0.5)
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered first-touch funnel view -> click -> purchase
+    (operators/behavior.py funnel, r10): step i counts users with the
+    step event strictly after their earliest completion of the prefix.
+    One filtered min-agg per step, all joins co-partitioned on user."""
+    from radohydro_spark.operators.behavior import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+ORACLE_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id AS u, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON s0.u = e.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 0 AS step_idx, 'view' AS step_name, COUNT(*) AS n_users FROM s0
+UNION ALL
+SELECT 1, 'click', COUNT(*) FROM s1
+UNION ALL
+SELECT 2, 'purchase', COUNT(*) FROM s2
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators/behavior.py retention_cohorts,
+    r10): users bucketed by first-event week, counted once per later
+    active week.  periods_later is an integer day-difference quotient
+    (Spark trunc-toward-zero == DuckDB // floor division — both operands
+    non-negative, so no rounding seam)."""
+    from radohydro_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+ORACLE_RETENTION = """
+WITH e AS (
+  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS p FROM events
+),
+first AS (SELECT u, MIN(p) AS cohort_period FROM e GROUP BY u),
+act AS (
+  SELECT DISTINCT e.u, first.cohort_period,
+         datediff('day', first.cohort_period, e.p) // 7 AS periods_later
+  FROM e JOIN first ON first.u = e.u
+)
+SELECT cohort_period, periods_later, COUNT(*) AS n_users
+FROM act GROUP BY cohort_period, periods_later
+"""
+
+
+def q_sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic coordinated bottom-k sample (operators/sampling.py
+    bottom_k_sample, r10): the 100 orders with the smallest
+    md5(o_orderkey) — exact-size, engine-independent, nested (bottom-10
+    is a subset of bottom-100), planned as TakeOrderedAndProject (per-
+    partition heaps, no global sort)."""
+    from radohydro_spark.operators.sampling import bottom_k_sample
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return bottom_k_sample(o, "o_orderkey", 100)
+
+
+ORACLE_BOTTOM_K = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7778,10 +7871,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_heavy_hitters": q_stats_heavy_hitters,
         "text_duplicate_spans": q_text_duplicate_spans,
         "graph_kcore": q_graph_kcore,
-        # Tier 2 (positions 11-49): 39 of the 45-query r5 evidence cohort,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "sample_bottom_k": q_sample_bottom_k,
+        # Tier 2 (positions 15-49): 35 of the 45-query r5 evidence cohort,
         # the stalest rows in the ledger after the r9 rotation.  After
         # this window runs, every query has driver evidence and the max
-        # evidence age is r6 (except the 6 displaced tpch rows, r5 until
+        # evidence age is r6 (except the 10 displaced tpch rows, r5 until
         # the r11 window re-greens them).
         # -- last driver-green: r5 --
         "events_sessionize": q_events_sessions,
@@ -7819,17 +7916,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
         "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
+        # --- end of round-10 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-11 rotation is already front-loaded: (10 displaced r5
+        # TPC-H rows + the first 40 of the r6 cohort) = the round-11
+        # 50-entry window; the r6 tail spills to the round-12 head.
+        # -- last driver-green: r5 (displaced from the r10 window to make
+        #    room for first-exposure r10 queries) --
         "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
         "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
         "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
         "tpch_q8_market_share": _sql( SQL_Q8, ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], ),
-        # --- end of round-10 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-11 rotation is already front-loaded: (6 displaced r5
-        # TPC-H rows + the first 44 of the r6 cohort) = the round-11
-        # 50-entry window; the r6 tail spills to the round-12 head.
-        # -- last driver-green: r5 (displaced from the r10 window to make
-        #    room for first-exposure r10 queries) --
         "tpch_q9_product_profit": _sql( SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"] ),
         "tpch_q10_returned_items": _sql( SQL_Q10, ["customer", "orders", "lineitem", "nation"] ),
         "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
@@ -8040,6 +8137,13 @@ def oracle_sql() -> dict[str, str]:
         "stats_heavy_hitters": ORACLE_HEAVY_HITTERS,
         "text_duplicate_spans": ORACLE_DUPLICATE_SPANS,
         "graph_kcore": ORACLE_KCORE,
+        # same oracle as dedup_ngram_jaccard ON PURPOSE: two independent
+        # algorithms (naive self-join vs prefix filter) pinned to one
+        # ground truth
+        "dedup_jaccard_prefix": ORACLE_NGRAM_JACCARD,
+        "events_funnel": ORACLE_FUNNEL,
+        "events_retention": ORACLE_RETENTION,
+        "sample_bottom_k": ORACLE_BOTTOM_K,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

@@ -153,3 +153,23 @@ def weighted_sample(
         .orderBy(F.desc("sample_key"), F.col(id_col))
         .limit(n)
     )
+
+
+def bottom_k_sample(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Exact-size-k deterministic uniform sample: the k rows with the
+    smallest ``md5(id)`` (ties broken by the id itself).
+
+    ``hash_sample`` gives a deterministic ~fraction; this gives a
+    deterministic exact COUNT — the bottom-k sketch (Cohen & Kaplan
+    2007).  Because the rank key is a pure function of the id, samples
+    are COORDINATED: two tables sampled on the same key domain pick the
+    same ids (joinable samples), reruns and engines agree bit-for-bit,
+    and growing k strictly extends the sample (bottom-10k contains
+    bottom-1k — incremental audits never resample from scratch).
+
+    Shape: Spark plans this as TakeOrderedAndProject — per-partition
+    top-k heaps merged at the driver, NO global sort and no full-data
+    shuffle; the only data movement is k rows per partition.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    return df.orderBy(key.asc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,194 @@
+"""Round-10 third batch: prefix-filtered exact Jaccard join, funnels,
+retention cohorts, bottom-k coordinated sampling."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from radohydro_spark.operators.behavior import funnel, retention_cohorts
+from radohydro_spark.operators.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+from radohydro_spark.operators.sampling import bottom_k_sample
+
+
+# --- jaccard_prefix_pairs ---
+
+
+def _rand_corpus(seed: int, n_docs: int = 40, vocab: int = 12, length: int = 14):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(1, n_docs + 1):
+        if i % 4 == 0:
+            # near-dup of the previous doc: copy with one token changed
+            base = rows[-1][1].split()
+            base[rng.randrange(len(base))] = f"w{rng.randrange(vocab)}"
+            rows.append((i, " ".join(base)))
+        else:
+            rows.append(
+                (i, " ".join(f"w{rng.randrange(vocab)}" for _ in range(length)))
+            )
+    return rows
+
+
+def _pairs(df):
+    return {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+
+
+def test_prefix_join_matches_naive_exact(spark):
+    for seed, t in [(1, 0.8), (2, 0.5), (3, 0.9)]:
+        docs = spark.createDataFrame(
+            _rand_corpus(seed), "doc_id long, text string"
+        )
+        naive = ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=t, max_doc_freq=None
+        )
+        fast = jaccard_prefix_pairs(docs, "text", "doc_id", k=3, threshold=t)
+        assert _pairs(fast) == _pairs(naive), (seed, t)
+
+
+def test_prefix_join_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    got = _pairs(jaccard_prefix_pairs(docs, "text", "doc_id", threshold=1.0))
+    assert got == {(1, 2, 1.0)}
+
+
+def test_prefix_join_explodes_only_prefix(spark):
+    # threshold 0.8 on a doc with 10 shingles -> prefix length 10-8+1=3
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))], "doc_id long, text string"
+    )
+    # no pairs (single doc) — just assert it runs and returns empty
+    assert jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.8).count() == 0
+
+
+# --- funnel ---
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), y) for u, m, y in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_hand_case(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "view"), (1, 5, "click"), (1, 9, "purchase"),
+            (2, 0, "view"), (2, 3, "click"),
+            (3, 0, "view"),
+            (4, 5, "click"), (4, 9, "purchase"),  # no view: never enters
+        ],
+    )
+    rows = funnel(ev, ["view", "click", "purchase"]).orderBy("step_idx").collect()
+    assert [(r["step_idx"], r["step_name"], r["n_users"]) for r in rows] == [
+        (0, "view", 3),
+        (1, "click", 2),
+        (2, "purchase", 1),
+    ]
+
+
+def test_funnel_order_is_strict(spark):
+    # purchase BEFORE the first view does not count
+    ev = _ev(spark, [(1, 5, "view"), (1, 2, "purchase")])
+    rows = funnel(ev, ["view", "purchase"]).orderBy("step_idx").collect()
+    assert [(r["step_name"], r["n_users"]) for r in rows] == [
+        ("view", 1),
+        ("purchase", 0),
+    ]
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # strictly-after semantics: simultaneous events do not advance
+    ev = _ev(spark, [(1, 3, "view"), (1, 3, "purchase")])
+    rows = funnel(ev, ["view", "purchase"]).orderBy("step_idx").collect()
+    assert [(r["step_name"], r["n_users"]) for r in rows] == [
+        ("view", 1),
+        ("purchase", 0),
+    ]
+
+
+def test_funnel_uses_earliest_completion(spark):
+    # first view at t=0; a click at t=1 counts even though a later view
+    # (t=10) would not have a following click
+    ev = _ev(spark, [(1, 0, "view"), (1, 1, "click"), (1, 10, "view")])
+    rows = funnel(ev, ["view", "click"]).orderBy("step_idx").collect()
+    assert [(r["step_name"], r["n_users"]) for r in rows] == [
+        ("view", 1),
+        ("click", 1),
+    ]
+
+
+# --- retention_cohorts ---
+
+
+def test_retention_hand_case(spark):
+    # user 1 first active week of Jan 1 (Mon), returns 2 weeks later;
+    # user 2 same cohort, never returns; user 3 cohort of Jan 8
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "view"), (1, 14 * 24 * 60, "view"),
+            (2, 60, "view"),
+            (3, 7 * 24 * 60, "view"),
+        ],
+    )
+    rows = retention_cohorts(ev).orderBy("cohort_period", "periods_later").collect()
+    got = [
+        (str(r["cohort_period"]), r["periods_later"], r["n_users"]) for r in rows
+    ]
+    assert got == [
+        ("2024-01-01", 0, 2),
+        ("2024-01-01", 2, 1),
+        ("2024-01-08", 0, 1),
+    ]
+
+
+def test_retention_user_counted_once_per_period(spark):
+    ev = _ev(spark, [(1, 0, "view"), (1, 10, "click"), (1, 20, "view")])
+    rows = retention_cohorts(ev).collect()
+    assert [(r["periods_later"], r["n_users"]) for r in rows] == [(0, 1)]
+
+
+def test_retention_month_bucket(spark):
+    ev = _ev(spark, [(1, 0, "view"), (1, 40 * 24 * 60, "view")])
+    rows = retention_cohorts(ev, bucket="month").orderBy("periods_later").collect()
+    got = [(str(r["cohort_period"]), r["periods_later"], r["n_users"]) for r in rows]
+    assert got == [("2024-01-01", 0, 1), ("2024-01-01", 1, 1)]
+
+
+# --- bottom_k_sample ---
+
+
+def test_bottom_k_deterministic_and_nested(spark):
+    df = spark.range(1, 500).withColumnRenamed("id", "k")
+    s10 = {r["k"] for r in bottom_k_sample(df, "k", 10).collect()}
+    s10b = {r["k"] for r in bottom_k_sample(df, "k", 10).collect()}
+    s50 = {r["k"] for r in bottom_k_sample(df, "k", 50).collect()}
+    assert s10 == s10b and len(s10) == 10 and len(s50) == 50
+    assert s10 <= s50  # bottom-k nesting: growing k extends the sample
+
+
+def test_bottom_k_coordinated_across_tables(spark):
+    # two different tables over the same key domain pick the same keys
+    a = spark.range(1, 300).withColumnRenamed("id", "k")
+    b = spark.range(1, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("other")
+    )
+    ka = {r["k"] for r in bottom_k_sample(a, "k", 20).collect()}
+    kb = {r["k"] for r in bottom_k_sample(b, "k", 20).collect()}
+    assert ka == kb
+
+
+def test_bottom_k_plan_is_take_ordered(spark):
+    df = spark.range(1, 10_000).withColumnRenamed("id", "k")
+    plan = bottom_k_sample(df, "k", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
