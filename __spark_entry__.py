@@ -7849,6 +7849,49 @@ LIMIT 100
 """
 
 
+def q_dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent bucketed table checksum (operators/profile.py
+    table_fingerprint, r10): verify a replication/migration of a 100 TB
+    table by comparing n_buckets x 4 longs instead of rows.  Two
+    md5-derived 32-bit lanes summed per hash bucket; commutative sums
+    make the result independent of row order, partitioning, and engine —
+    the oracle IS the cross-engine replication check."""
+    from radohydro_spark.operators.profile import table_fingerprint
+
+    return table_fingerprint(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+        n_buckets=64,
+    )
+
+
+def _fp_lane_sql(h: str, off: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr({h}, {off}, 8), ''), "
+        "ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1)), "
+        "(a, x) -> a * 16 + x)"
+    )
+
+
+ORACLE_TABLE_FINGERPRINT = f"""
+WITH r AS (
+  SELECT md5(concat_ws(chr(31),
+           coalesce(CAST(o_orderkey AS VARCHAR), chr(127)),
+           coalesce(CAST(o_custkey AS VARCHAR), chr(127)),
+           coalesce(o_orderpriority, chr(127)))) AS h
+  FROM orders
+),
+l AS (
+  SELECT {_fp_lane_sql('h', 1)} AS l1, {_fp_lane_sql('h', 9)} AS l2 FROM r
+)
+SELECT l1 % 64 AS bucket, COUNT(*) AS n_rows,
+       CAST(SUM(l1) AS BIGINT) AS checksum_a,
+       CAST(SUM(l2) AS BIGINT) AS checksum_b
+FROM l GROUP BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7875,7 +7918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "sample_bottom_k": q_sample_bottom_k,
-        # Tier 2 (positions 15-49): 35 of the 45-query r5 evidence cohort,
+        "dq_table_fingerprint": q_dq_table_fingerprint,
+        # Tier 2 (positions 16-49): 34 of the 45-query r5 evidence cohort,
         # the stalest rows in the ledger after the r9 rotation.  After
         # this window runs, every query has driver evidence and the max
         # evidence age is r6 (except the 10 displaced tpch rows, r5 until
@@ -7915,14 +7959,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
-        "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
         # --- end of round-10 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-11 rotation is already front-loaded: (10 displaced r5
-        # TPC-H rows + the first 40 of the r6 cohort) = the round-11
+        # round-11 rotation is already front-loaded: (11 displaced r5
+        # TPC-H rows + the first 39 of the r6 cohort) = the round-11
         # 50-entry window; the r6 tail spills to the round-12 head.
         # -- last driver-green: r5 (displaced from the r10 window to make
         #    room for first-exposure r10 queries) --
+        "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
         "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
         "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
         "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
@@ -8144,6 +8188,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": ORACLE_FUNNEL,
         "events_retention": ORACLE_RETENTION,
         "sample_bottom_k": ORACLE_BOTTOM_K,
+        "dq_table_fingerprint": ORACLE_TABLE_FINGERPRINT,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

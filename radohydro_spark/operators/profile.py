@@ -303,3 +303,52 @@ def mad_outliers(
         .join(counted, group_col)
         .select(group_col, "n_rows", "med", "mad", "n_outliers")
     )
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[str], n_buckets: int = 64
+) -> DataFrame:
+    """Order-independent bucketed table checksum — verify a replication /
+    migration / engine-port of a 100 TB table by moving BYTES, not rows.
+
+    Every row is rendered to a canonical string (columns joined with the
+    0x1f unit separator, NULL as 0x7f — unambiguous against empty
+    strings), hashed with the engine-portable 32-bit md5-prefix hash
+    (functions/text.py portable_hash), and assigned to
+    ``hash % n_buckets``.  Per bucket: row count and two independent
+    32-bit checksum lanes (hex chars 1-8 and 9-16 of the row md5) summed
+    with plain ``+`` — commutative, so the result is independent of row
+    order, partitioning, and engine.  Two tables are row-identical
+    (as multisets of the selected columns) iff their fingerprints match;
+    a mismatched bucket localizes the damage, and re-fingerprinting just
+    that bucket with finer buckets descends merkle-style to the rows.
+
+    Shape: ONE map-side-combined aggregation; the exchange carries
+    ``n_buckets`` groups x 4 longs no matter the table size.  Lane sums
+    are exact in BIGINT while buckets stay under ~2^31 rows (32-bit
+    values, 63-bit headroom) — size n_buckets so buckets stay below
+    that, which a 100 TB table wants anyway for the merkle descent.
+    Callers cast float/timestamp columns to a canonical string form
+    FIRST (engines disagree on default float rendering); integer and
+    string columns are portable as-is.
+    """
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x7f")) for c in cols
+    ]
+    row = F.concat_ws("\x1f", *parts)
+    h = F.md5(row)
+    lane1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lane2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return (
+        df.select(
+            (lane1 % n_buckets).alias("bucket"),
+            lane1.alias("_l1"),
+            lane2.alias("_l2"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_l1").alias("checksum_a"),
+            F.sum("_l2").alias("checksum_b"),
+        )
+    )

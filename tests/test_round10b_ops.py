@@ -170,3 +170,55 @@ def test_k_core_cascade_chain_of_triangles(spark):
     got2 = _kc(spark, edges, 2)
     assert set(got2) == {i for i in range(1, 13)}
     assert _kc(spark, edges, 3) == {}
+
+
+# --- table_fingerprint ---
+
+from radohydro_spark.operators.profile import table_fingerprint
+
+
+def _fp(df):
+    return {
+        r["bucket"]: (r["n_rows"], r["checksum_a"], r["checksum_b"])
+        for r in df.collect()
+    }
+
+
+def test_fingerprint_order_and_partitioning_invariant(spark):
+    rows = [(i, f"v{i % 7}") for i in range(1, 200)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, v string").repartition(13)
+    assert _fp(table_fingerprint(a, ["id", "v"], 8)) == _fp(
+        table_fingerprint(b, ["id", "v"], 8)
+    )
+
+
+def test_fingerprint_detects_single_cell_change(spark):
+    rows = [(i, f"v{i}") for i in range(1, 100)]
+    a = spark.createDataFrame(rows, "id long, v string")
+    changed = [(i, "v1x" if i == 1 else f"v{i}") for i in range(1, 100)]
+    b = spark.createDataFrame(changed, "id long, v string")
+    fa, fb = _fp(table_fingerprint(a, ["id", "v"], 8)), _fp(
+        table_fingerprint(b, ["id", "v"], 8)
+    )
+    diff = {k for k in set(fa) | set(fb) if fa.get(k) != fb.get(k)}
+    # the changed row's hash moves it to a (possibly different) bucket:
+    # damage localized to the bucket it left and the one it entered
+    assert 1 <= len(diff) <= 2
+
+
+def test_fingerprint_null_vs_empty_distinct(spark):
+    a = spark.createDataFrame([(1, None)], "id long, v string")
+    b = spark.createDataFrame([(1, "")], "id long, v string")
+    assert _fp(table_fingerprint(a, ["id", "v"], 4)) != _fp(
+        table_fingerprint(b, ["id", "v"], 4)
+    )
+
+
+def test_fingerprint_detects_duplicated_row(spark):
+    # multiset semantics: same distinct rows, different multiplicities
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "id long, v string")
+    assert _fp(table_fingerprint(a, ["id", "v"], 4)) != _fp(
+        table_fingerprint(b, ["id", "v"], 4)
+    )
