@@ -1039,10 +1039,20 @@ def jaccard_prefix_pairs(
     ``ngram_jaccard_pairs(..., max_doc_freq=None)`` at the same threshold
     (property-tested), with columns ``(id_a, id_b, jaccard)``.
 
+    Candidates also pass the standard LENGTH filter inside the join:
+    J >= t forces t * max(|A|,|B|) <= min(|A|,|B|), so size-mismatched
+    pairs never reach the verify stage.
+
     Cost shape: + one global shingle-frequency aggregation and one
     per-doc window sort (both linear, map-side combinable) in exchange
     for a ~(1-t)^2 smaller join fan-out — the trade that keeps exact
-    similarity joins alive at corpus scale.
+    similarity joins alive at corpus scale.  PRECONDITION for the win:
+    the shingle-frequency distribution must have a selective tail (true
+    of every real Zipfian corpus — names, numbers, typos).  A uniform
+    tiny vocabulary (every shingle hot) is the adversarial case: the
+    prefixes stop discriminating and candidates approach the naive
+    pair space (measured in scripts/soak_jaccard_prefix.py; SOAK.md) —
+    there, MinHash-LSH is the right tool.
     """
     assert 0.0 < threshold <= 1.0
     sh = word_shingles(df, text_col, id_col, k, with_count=True).select(
@@ -1063,15 +1073,21 @@ def jaccard_prefix_pairs(
             - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("long")
             + 1
         )
-        .select("doc_id", "sid")
+        .select("doc_id", "n_sh", "sid")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # length filter (the other standard ssjoin prune): J >= t forces
+    # t * max(|A|,|B|) <= |A cap B| <= min(|A|,|B|), so any candidate
+    # whose sizes violate it is dead on arrival — drop it inside the
+    # join before the pair ever reaches the distinct/verify stages
     cand = (
         a.join(
             b,
             (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
