@@ -7892,6 +7892,43 @@ FROM l GROUP BY bucket
 """
 
 
+def q_stats_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles with BOUNDED memory (operators/sketch.py
+    exact_quantiles, r10): stride-sampled candidates -> one vectorized
+    rank-histogram pass -> exact selection inside a < stride x
+    n_partitions bracketing interval.  Spark's own `percentile` buffers
+    every group value in executor memory (the stats_percentiles query's
+    documented ceiling); this is the scale path.  Ranks are pure-integer
+    (rank*den >= N*num), the result is always an input VALUE — hash-
+    exact against the oracle's ROW_NUMBER rank definition."""
+    from radohydro_spark.operators.sketch import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        [(1, 100), (1, 2), (9, 10), (99, 100), (1, 1)],
+        sample_stride=500,
+    )
+
+
+ORACLE_QUANTILES_DISTRIBUTED = """
+WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v),
+f AS (
+  SELECT CAST(1 AS BIGINT) AS num, CAST(100 AS BIGINT) AS den
+  UNION ALL SELECT 1, 2
+  UNION ALL SELECT 9, 10
+  UNION ALL SELECT 99, 100
+  UNION ALL SELECT 1, 1
+)
+SELECT num, den, MIN(x) AS value
+FROM r, n, f
+WHERE rn * den >= n * num
+GROUP BY num, den
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7919,7 +7956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "sample_bottom_k": q_sample_bottom_k,
         "dq_table_fingerprint": q_dq_table_fingerprint,
-        # Tier 2 (positions 16-49): 34 of the 45-query r5 evidence cohort,
+        "stats_quantiles_distributed": q_stats_quantiles_distributed,
+        # Tier 2 (positions 17-49): 33 of the 45-query r5 evidence cohort,
         # the stalest rows in the ledger after the r9 rotation.  After
         # this window runs, every query has driver evidence and the max
         # evidence age is r6 (except the 10 displaced tpch rows, r5 until
@@ -7958,14 +7996,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_rasterize": q_precip_rasterize,
         "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
-        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
         # --- end of round-10 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-11 rotation is already front-loaded: (11 displaced r5
-        # TPC-H rows + the first 39 of the r6 cohort) = the round-11
+        # round-11 rotation is already front-loaded: (12 displaced r5
+        # TPC-H rows + the first 38 of the r6 cohort) = the round-11
         # 50-entry window; the r6 tail spills to the round-12 head.
         # -- last driver-green: r5 (displaced from the r10 window to make
         #    room for first-exposure r10 queries) --
+        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
         "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
         "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
         "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
@@ -8189,6 +8227,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": ORACLE_RETENTION,
         "sample_bottom_k": ORACLE_BOTTOM_K,
         "dq_table_fingerprint": ORACLE_TABLE_FINGERPRINT,
+        "stats_quantiles_distributed": ORACLE_QUANTILES_DISTRIBUTED,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

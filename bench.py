@@ -62,6 +62,13 @@ HEADLINE = [
     # pairs — integer-quantized weights, term-posting self-join, one
     # pair-key shuffle), complementing the set-based jaccard headliner
     "text_tfidf_cosine_pairs",
+    # round-10 additions: the two-pass sketch shape (Misra-Gries
+    # candidates via mapInPandas -> broadcast-pruned exact verify) and
+    # the prefix-filtered exact similarity join (same oracle as
+    # dedup_ngram_jaccard — the wall-time delta between those two
+    # headliners IS the prefix-filter effect at bench scale)
+    "stats_heavy_hitters",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -34,12 +34,15 @@ def funnel(
     n_users is non-increasing by construction.
 
     Shape: one filtered min-aggregate per step, each joined to the
-    previous step's per-user timestamp on the user key.  After the first
-    aggregation every frame is hash-partitioned by user, so the chain of
-    |steps| joins reuses one partitioning (no re-shuffle per step); the
-    events scan is pruned to (user, ts, type) and the per-step filters
-    push to the scan.  Output is |steps| rows — the final union is
-    dimension-sized.
+    previous step's per-user timestamp on the user key.  The previous
+    step's frame is an already-aggregated (user, ts) relation — at most
+    one row per funnel-surviving user — so Catalyst broadcasts it into
+    each step's join (observed plan: BroadcastHashJoin per step, the
+    only exchanges are the per-step aggregations); past broadcast size
+    (billions of users) the same plan degrades to joins co-partitioned
+    on the user key.  The events scan is pruned to (user, ts, type) and
+    the per-step type filters push to the scan.  Output is |steps| rows
+    — the final union is dimension-sized.
     """
     assert len(steps) >= 1
     e = events.select(

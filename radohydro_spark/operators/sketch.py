@@ -123,3 +123,150 @@ def heavy_hitters(
         .filter(F.col("cnt") * F.lit(threshold_inverse) >= F.col("n_total"))
         .select("value", "cnt")
     )
+
+
+def _stride_sample_partitions(col: str, stride: int):
+    """mapInPandas body: sort each partition's values and emit every
+    ``stride``-th one (plus the partition max) as a candidate, with one
+    null-valued row carrying the partition's non-null count."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = [b[col].dropna().to_numpy() for b in batches]
+        vals = np.concatenate(chunks) if chunks else np.empty(0)
+        vals.sort(kind="stable")
+        n = len(vals)
+        picks = vals[::stride] if n else vals
+        out = {"value": list(picks), "n": [0] * len(picks)}
+        if n:
+            out["value"].append(vals[-1])
+            out["n"].append(0)
+        out["value"].append(None)
+        out["n"].append(n)
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def _interval_histogram(col: str, cands):
+    """mapInPandas body: per-partition histogram of values over the
+    sorted candidate boundaries (vectorized searchsorted; bin i counts
+    rows <= cands[i] and > cands[i-1])."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        arr = np.asarray(cands)
+        totals = np.zeros(len(arr) + 1, dtype="int64")
+        for pdf in batches:
+            v = pdf[col].dropna().to_numpy()
+            if len(v):
+                idx = np.searchsorted(arr, v, side="left")
+                totals += np.bincount(idx, minlength=len(arr) + 1)
+        nz = np.nonzero(totals)[0]
+        yield pd.DataFrame({"bin": nz, "cnt": totals[nz]})
+
+    return fn
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    fractions: list[tuple[int, int]],
+    sample_stride: int = 1000,
+) -> DataFrame:
+    """EXACT type-1 quantiles (percentile_disc semantics: the smallest
+    value v with count(x <= v) >= ceil(phi*N)) with BOUNDED memory — the
+    scale-safe counterpart of Spark's ``percentile`` aggregate, which
+    buffers every value of a group in executor memory and dies on a
+    single giant group.
+
+    ``fractions`` are integer pairs (num, den), phi = num/den; the target
+    rank is the pure-integer ``rank*den >= N*num`` ceiling — no float
+    threshold, so any ANSI engine reproduces the selection bit-for-bit
+    (the returned value is an INPUT value, never an interpolation).
+
+    Three bounded passes (the candidate/verify paradigm of
+    :func:`heavy_hitters`, here for rank selection):
+
+    1. Per-partition sort + every ``sample_stride``-th value as a
+       candidate (mapInPandas, partition-sized memory — the same
+       contract as any Spark sort).  Between two adjacent global
+       candidates every partition has < stride rows, so every candidate
+       gap spans < stride x n_partitions global ranks: a guaranteed
+       bracketing grid.
+    2. One vectorized histogram pass (np.searchsorted per Arrow batch)
+       counts rows per candidate interval; the driver cumulates the
+       dimension-sized histogram and brackets each target rank.
+    3. Rows inside the (few) bracketing intervals — < stride x
+       n_partitions each by construction — are collected and the exact
+       rank picked with a partial sort.  The collect is bounded by the
+       stride choice, not the data (stride 1000 x 1000 executors = 1M
+       values = 8 MB), the same dimension-sized-action contract as the
+       PQ codebook / IVF centroid collects.
+
+    Returns ``(num, den, value)``, one row per fraction.
+    """
+    assert fractions and all(1 <= num <= den for num, den in fractions)
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    vtype = vals.schema["v"].dataType.simpleString()
+    summary = vals.mapInPandas(
+        _stride_sample_partitions("v", sample_stride),
+        schema=f"value {vtype}, n long",
+    ).collect()
+    n_total = sum(r["n"] for r in summary if r["value"] is None)
+    if n_total == 0:
+        return spark.createDataFrame([], f"num long, den long, value {vtype}")
+    cands = sorted({r["value"] for r in summary if r["value"] is not None})
+
+    hist = (
+        vals.mapInPandas(
+            _interval_histogram("v", cands), schema="bin long, cnt long"
+        )
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    counts = [0] * (len(cands) + 1)
+    for r in hist:
+        counts[r["bin"]] = r["cnt"]
+    # cum[i] = rows with value < cands[i]  (searchsorted side='left')
+    cum = [0] * (len(cands) + 1)
+    for i in range(1, len(cands) + 1):
+        cum[i] = cum[i - 1] + counts[i - 1]
+
+    out_rows = []
+    for num, den in fractions:
+        # target: smallest v with count(x <= v) >= ceil(N*num/den);
+        # all rank arithmetic in pure integers (ceil via negative floor)
+        rank = -(-(n_total * num) // den)
+        # cum[i+1] = count(x <= cands[i]); the smallest bracketing index
+        # i has cum[i+1] >= rank > cum[i], so the answer lies in
+        # (cands[i-1], cands[i]]
+        lo_idx = None
+        for i in range(len(cands)):
+            if cum[i + 1] >= rank:
+                lo_idx = i
+                break
+        assert lo_idx is not None  # cum[-1] == n_total >= rank
+        lo = cands[lo_idx - 1] if lo_idx > 0 else None
+        hi = cands[lo_idx]
+        # collect the OPEN interval only: rows strictly between adjacent
+        # candidates are < stride x n_partitions by the bracketing
+        # argument, but rows EQUAL to the boundary value hi can be an
+        # unbounded duplicate run (a hot value) — never collect those;
+        # if the target rank lands past the open interval, the answer is
+        # hi itself (every remaining rank up to cum[lo_idx+1] is a
+        # duplicate of hi).
+        cond = F.col("v") < F.lit(hi)
+        if lo is not None:
+            cond = cond & (F.col("v") > F.lit(lo))
+        inside = [r["v"] for r in vals.filter(cond).collect()]
+        inside.sort()
+        # rank within the interval: global rank minus rows at or below lo
+        k = rank - cum[lo_idx] - 1
+        assert 0 <= k
+        out_rows.append((num, den, inside[k] if k < len(inside) else hi))
+    return spark.createDataFrame(out_rows, f"num long, den long, value {vtype}")

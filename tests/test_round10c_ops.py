@@ -192,3 +192,63 @@ def test_bottom_k_plan_is_take_ordered(spark):
     df = spark.range(1, 10_000).withColumnRenamed("id", "k")
     plan = bottom_k_sample(df, "k", 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- exact_quantiles ---
+
+from radohydro_spark.operators.sketch import exact_quantiles
+
+
+def _eq_ref(vals, num, den):
+    # type-1 quantile: value at rank ceil(phi*N), 1-indexed
+    s = sorted(vals)
+    rank = -(-(len(s) * num) // den)
+    return s[rank - 1]
+
+
+def test_exact_quantiles_matches_rank_definition(spark):
+    rng = random.Random(11)
+    vals = [rng.uniform(-100, 100) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(16)
+    fr = [(1, 100), (1, 2), (9, 10), (99, 100), (1, 1)]
+    got = {
+        (r["num"], r["den"]): r["value"]
+        for r in exact_quantiles(df, "x", fr, sample_stride=37).collect()
+    }
+    for num, den in fr:
+        assert got[(num, den)] == _eq_ref(vals, num, den), (num, den)
+
+
+def test_exact_quantiles_hot_duplicate_value(spark):
+    # one value dominating the distribution: the duplicate run must not
+    # be collected (the hi-fallback path) and the answer is exact
+    vals = [1.0] * 5 + [42.0] * 9000 + [99.0] * 5
+    rng = random.Random(3)
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    got = {
+        (r["num"], r["den"]): r["value"]
+        for r in exact_quantiles(df, "x", [(1, 2), (999, 1000)], sample_stride=50).collect()
+    }
+    assert got[(1, 2)] == 42.0
+    assert got[(999, 1000)] == _eq_ref(vals, 999, 1000)
+
+
+def test_exact_quantiles_integer_column_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [3, 1, 2, None, 5, 4, None]], "x long"
+    )
+    got = {
+        (r["num"], r["den"]): r["value"]
+        for r in exact_quantiles(df, "x", [(1, 2), (1, 1)], sample_stride=2).collect()
+    }
+    assert got[(1, 2)] == 3  # N=5 non-null, rank ceil(2.5)=3 -> value 3
+    assert got[(1, 1)] == 5
+
+
+def test_exact_quantiles_stride_one_and_large(spark):
+    vals = list(range(1, 101))
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double").repartition(4)
+    for stride in (1, 1000):
+        got = exact_quantiles(df, "x", [(1, 4)], sample_stride=stride).collect()
+        assert got[0]["value"] == 25.0
