@@ -7929,6 +7929,68 @@ GROUP BY num, den
 """
 
 
+def q_sample_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection (operators/sampling.py
+    greedy_max_coverage, r10; Nemhauser et al. 1978 submodular greedy):
+    5 rounds of pick-the-doc-adding-the-most-uncovered-3-gram-shingles —
+    the coreset / seed-corpus selection primitive.  Ties break on
+    doc_id; stops early at zero marginal gain.  The oracle replays the
+    sweep as generated SQL rounds (AS MATERIALIZED throughout — the
+    graph_kcore lesson); the engine's xxhash64 shingle keys count
+    identically to the oracle's shingle strings absent 2^-64 collisions
+    (same stance as dedup_ngram_jaccard)."""
+    from radohydro_spark.operators.sampling import greedy_max_coverage
+
+    return greedy_max_coverage(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=5, shingle_k=3
+    )
+
+
+def _gmc_oracle(k: int) -> str:
+    head = f"""WITH toks AS MATERIALIZED (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+shr AS MATERIALIZED (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+         i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+  FROM toks
+),
+p AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shr WHERE sh <> '')"""
+    parts = [head]
+    for r in range(1, k + 1):
+        rem = (
+            f" WHERE sh NOT IN (SELECT sh FROM c{r-1})"
+            f" AND doc_id NOT IN (SELECT doc_id FROM ch{r-1})"
+            if r > 1
+            else ""
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT doc_id, COUNT(*) AS gain FROM p{rem} GROUP BY doc_id)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT CAST({r} AS BIGINT) AS sel_round, doc_id, gain "
+            f"FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        if r == 1:
+            parts.append(
+                "c1 AS MATERIALIZED (SELECT DISTINCT sh FROM p "
+                "WHERE doc_id IN (SELECT doc_id FROM w1))"
+            )
+            parts.append("ch1 AS MATERIALIZED (SELECT doc_id FROM w1)")
+        else:
+            parts.append(
+                f"c{r} AS MATERIALIZED (SELECT sh FROM c{r-1} UNION "
+                f"SELECT sh FROM p WHERE doc_id IN (SELECT doc_id FROM w{r}))"
+            )
+            parts.append(
+                f"ch{r} AS MATERIALIZED (SELECT doc_id FROM ch{r-1} UNION "
+                f"SELECT doc_id FROM w{r})"
+            )
+    final = " UNION ALL ".join(f"SELECT * FROM w{r}" for r in range(1, k + 1))
+    return ",\n".join(parts) + "\n" + final
+
+
+ORACLE_MAX_COVERAGE = _gmc_oracle(5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -7957,7 +8019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bottom_k": q_sample_bottom_k,
         "dq_table_fingerprint": q_dq_table_fingerprint,
         "stats_quantiles_distributed": q_stats_quantiles_distributed,
-        # Tier 2 (positions 17-49): 33 of the 45-query r5 evidence cohort,
+        "sample_max_coverage": q_sample_max_coverage,
+        # Tier 2 (positions 18-49): 32 of the 45-query r5 evidence cohort,
         # the stalest rows in the ledger after the r9 rotation.  After
         # this window runs, every query has driver evidence and the max
         # evidence age is r6 (except the 10 displaced tpch rows, r5 until
@@ -7995,14 +8058,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
         "precip_radolan_scale": q_precip_radolan_scale,
-        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         # --- end of round-10 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-11 rotation is already front-loaded: (12 displaced r5
-        # TPC-H rows + the first 38 of the r6 cohort) = the round-11
+        # round-11 rotation is already front-loaded: (13 displaced r5
+        # TPC-H rows + the first 37 of the r6 cohort) = the round-11
         # 50-entry window; the r6 tail spills to the round-12 head.
         # -- last driver-green: r5 (displaced from the r10 window to make
         #    room for first-exposure r10 queries) --
+        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
         "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
         "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
@@ -8228,6 +8291,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_bottom_k": ORACLE_BOTTOM_K,
         "dq_table_fingerprint": ORACLE_TABLE_FINGERPRINT,
         "stats_quantiles_distributed": ORACLE_QUANTILES_DISTRIBUTED,
+        "sample_max_coverage": ORACLE_MAX_COVERAGE,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

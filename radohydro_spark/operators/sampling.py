@@ -173,3 +173,76 @@ def bottom_k_sample(df: DataFrame, id_col: str, k: int) -> DataFrame:
     """
     key = F.md5(F.col(id_col).cast("string"))
     return df.orderBy(key.asc(), F.col(id_col).asc()).limit(k)
+
+
+def greedy_max_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection — the classic
+    submodular data-curation primitive (Nemhauser et al. 1978: the
+    greedy sweep is a (1-1/e)-approximation, the best any polynomial
+    algorithm guarantees): pick ``k`` documents one at a time, each
+    maximizing the number of NOT-yet-covered distinct ``shingle_k``-gram
+    shingles.  The shape of coreset / seed-corpus selection: a handful
+    of documents covering the most linguistic surface.
+
+    Returns ``(sel_round, doc_id, gain)`` — rounds are 1-based, ``gain`` is
+    the marginal coverage (> 0 by construction); stops early when no
+    document adds anything, so the output can be shorter than ``k``.
+    Ties break on the smaller doc_id — fully deterministic, and the
+    driver oracle reproduces the sweep as generated SQL rounds.
+
+    Shape per round: one anti-join of the (cached, exploded-once)
+    doc-shingle pairs against the covered-shingle set, one map-side-
+    combined gain aggregation, and a TakeOrderedAndProject argmax whose
+    driver action is ONE row (the same dimension-sized-action contract
+    as IVF's probed centroids).  The covered set grows by at most one
+    document's shingles per round and is localCheckpoint-truncated, so
+    round r never replays rounds 1..r-1.
+    """
+    from radohydro_spark.operators.dedup import word_shingles
+
+    assert k >= 1
+    spark = df.sparkSession
+    pairs = (
+        word_shingles(df, text_col, id_col, k=shingle_k)
+        .select("doc_id", F.xxhash64("shingle").alias("sid"))
+        .persist()
+    )
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(pairs)
+
+    covered = None
+    chosen: list[tuple[int, object, int]] = []
+    for rnd in range(1, k + 1):
+        remaining = pairs
+        if covered is not None:
+            remaining = remaining.join(covered, "sid", "left_anti")
+        if chosen:
+            picked = spark.createDataFrame(
+                [(c[1],) for c in chosen], ["doc_id"]
+            )
+            remaining = remaining.join(F.broadcast(picked), "doc_id", "left_anti")
+        top = (
+            remaining.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0]["doc_id"], top[0]["gain"]
+        chosen.append((rnd, doc, gain))
+        new_cov = pairs.filter(F.col("doc_id") == doc).select("sid")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(chosen, "sel_round long, doc_id long, gain long")

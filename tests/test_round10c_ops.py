@@ -252,3 +252,64 @@ def test_exact_quantiles_stride_one_and_large(spark):
     for stride in (1, 1000):
         got = exact_quantiles(df, "x", [(1, 4)], sample_stride=stride).collect()
         assert got[0]["value"] == 25.0
+
+
+# --- greedy_max_coverage ---
+
+from radohydro_spark.operators.sampling import greedy_max_coverage
+
+
+def _gmc(spark, rows, k, shingle_k=1):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return [
+        (r["sel_round"], r["doc_id"], r["gain"])
+        for r in greedy_max_coverage(df, "text", "doc_id", k, shingle_k=shingle_k)
+        .orderBy("sel_round")
+        .collect()
+    ]
+
+
+def test_greedy_coverage_hand_case(spark):
+    # doc 1 covers {a,b,c}; doc 2 {c,d}; doc 3 {a,b}. Greedy: 1 (gain 3),
+    # then 2 (gain 1: d), then stop (3 adds nothing)
+    rows = [(1, "a b c"), (2, "c d"), (3, "a b")]
+    assert _gmc(spark, rows, 3) == [(1, 1, 3), (2, 2, 1)]
+
+
+def test_greedy_coverage_tie_breaks_on_doc_id(spark):
+    rows = [(7, "x y"), (3, "p q"), (9, "x y")]
+    got = _gmc(spark, rows, 2)
+    # round 1: all gain 2, min doc_id 3 wins; round 2: 7 beats 9
+    assert got == [(1, 3, 2), (2, 7, 2)]
+
+
+def test_greedy_coverage_submodular_gains_nonincreasing(spark):
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(40)}" for _ in range(15)))
+        for i in range(1, 30)
+    ]
+    got = _gmc(spark, rows, 6)
+    gains = [g for _, _, g in got]
+    assert gains == sorted(gains, reverse=True)  # submodularity
+    assert len({d for _, d, _ in got}) == len(got)  # no repicks
+
+
+def test_greedy_coverage_matches_python_reference(spark):
+    rng = random.Random(9)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(25)}" for _ in range(10)))
+        for i in range(1, 20)
+    ]
+    sets = {i: set(t.split()) for i, t in rows}
+    covered, ref = set(), []
+    for rnd in range(1, 5):
+        best = max(
+            ((d, len(s - covered)) for d, s in sets.items() if d not in {x[1] for x in ref}),
+            key=lambda x: (x[1], -x[0]),
+        )
+        if best[1] == 0:
+            break
+        ref.append((rnd, best[0], best[1]))
+        covered |= sets[best[0]]
+    assert _gmc(spark, rows, 4) == ref
