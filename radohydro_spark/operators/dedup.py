@@ -139,6 +139,9 @@ def ngram_jaccard_pairs(
     # cache: the self-join consumes sh twice and the tokenize+shingle
     # projection is the expensive part of this operator
     sh = sh.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -222,6 +225,9 @@ def minhash_lsh_pairs(
     per doc instead of one per (doc, hash)."""
     assert n_hashes % rows_per_band == 0
     wide = minhash_signatures_wide(df, text_col, id_col, n_hashes, k).cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(wide)
     n_bands = n_hashes // rows_per_band
     band_structs = [
         F.struct(
@@ -457,6 +463,9 @@ def simhash_hamming_pairs(
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sims = simhash(df, text_col, id_col, bits).cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(sims)
     banded = sims.select(
         "doc_id",
         "simhash",
@@ -915,6 +924,9 @@ def ngram_containment_pairs(
         )
         sh = sh.join(F.broadcast(hot), "sid", "left_anti")
     sh = sh.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -1062,6 +1074,9 @@ def jaccard_prefix_pairs(
     # prefix window, verification join) and tokenize+shingle is the
     # expensive projection — cache once, like ngram_jaccard_pairs
     sh = sh.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(sh)
     freq = sh.groupBy("sid").agg(F.count("*").alias("_df"))
     ordered = sh.join(freq, "sid")
     w = W.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("sid").asc())
