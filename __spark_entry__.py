@@ -7991,6 +7991,38 @@ p AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shr WHERE sh <> '')"""
 ORACLE_MAX_COVERAGE = _gmc_oracle(5)
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (operators/aggregate.py
+    time_weighted_avg, r10): each sample weighted by its integer-second
+    holding duration until the next sample — the metering rollup where a
+    chatty sensor must not outvote a quiet one.  Cents x seconds keeps
+    numerator/denominator exact BIGINT sums in any order; one double
+    division at the end.  Both engines floor fractional timestamps to
+    epoch seconds explicitly (DuckDB's CAST would round)."""
+    from radohydro_spark.operators.aggregate import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf_dir, "events"), ["user_id"], "ts", "value")
+
+
+ORACLE_TWAP = """
+WITH s AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+l AS (
+  SELECT user_id, v,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, v) - t AS dt
+  FROM s
+)
+SELECT user_id,
+       ROUND(CAST(SUM(v * dt) AS BIGINT) / CAST(SUM(dt) AS BIGINT) / 100, 6) AS twa,
+       CAST(SUM(dt) AS BIGINT) AS total_seconds
+FROM l WHERE dt IS NOT NULL
+GROUP BY user_id HAVING SUM(dt) > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver verifies the first 50 entries per round.
@@ -8020,7 +8052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_table_fingerprint": q_dq_table_fingerprint,
         "stats_quantiles_distributed": q_stats_quantiles_distributed,
         "sample_max_coverage": q_sample_max_coverage,
-        # Tier 2 (positions 18-49): 32 of the 45-query r5 evidence cohort,
+        "events_twap": q_events_twap,
+        # Tier 2 (positions 19-49): 31 of the 45-query r5 evidence cohort,
         # the stalest rows in the ledger after the r9 rotation.  After
         # this window runs, every query has driver evidence and the max
         # evidence age is r6 (except the 10 displaced tpch rows, r5 until
@@ -8057,14 +8090,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_weights": q_precip_weights,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
-        "precip_radolan_scale": q_precip_radolan_scale,
         # --- end of round-10 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-11 rotation is already front-loaded: (13 displaced r5
-        # TPC-H rows + the first 37 of the r6 cohort) = the round-11
+        # round-11 rotation is already front-loaded: (14 displaced r5
+        # rows + the first 36 of the r6 cohort) = the round-11
         # 50-entry window; the r6 tail spills to the round-12 head.
         # -- last driver-green: r5 (displaced from the r10 window to make
         #    room for first-exposure r10 queries) --
+        "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
         "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
@@ -8292,6 +8325,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_table_fingerprint": ORACLE_TABLE_FINGERPRINT,
         "stats_quantiles_distributed": ORACLE_QUANTILES_DISTRIBUTED,
         "sample_max_coverage": ORACLE_MAX_COVERAGE,
+        "events_twap": ORACLE_TWAP,
         # decode-path queries reproduce the synthetic closed form through
         # the REAL decoders, so the grid oracles apply unchanged
         "precip_ascii_decode_pipeline": oracle_pipeline_sql(GRID),

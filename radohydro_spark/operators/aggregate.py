@@ -400,3 +400,63 @@ def weighted_median(df, group_cols, value_col, weight_col):
         .groupBy(*group_cols)
         .agg(F.min(value_col).alias("weighted_median"))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled series per key —
+    the TWAP every metering/telemetry rollup needs: each observation
+    holds its value until the NEXT observation, so the mean weights each
+    value by its holding duration, not its sample count (a sensor that
+    reports once an hour and once a second must not let the chatty
+    second dominate).
+
+    Semantics: samples ordered by timestamp per key; each sample's
+    weight is the integer seconds until the key's next sample; the
+    key's LAST sample has no successor and carries zero weight (callers
+    wanting a horizon can append a sentinel row).  Keys with fewer than
+    two samples produce no output row.
+
+    Exactness discipline: values are quantized once to ``scale`` units
+    (cents by default, round-half-up — both engines agree), durations
+    are integer epoch-second differences, so numerator and denominator
+    are exact BIGINT sums in ANY order; the single double division
+    happens once at the end, rounded to 6 places — hash-identical on
+    any ANSI engine.
+
+    Shape: ONE keyed shuffle shared by the lead() window and the final
+    aggregation (same-key partitioning), map-side combinable.  Returns
+    ``group_cols + (twa, total_seconds)``.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    v_units = F.round(F.col(value_col) * scale).cast("long")
+    # total order (_t, _v): under timestamp ties the lead() assignment of
+    # who gets the zero-duration slot would otherwise be partition-order
+    # dependent (different engines, different answers)
+    w = W.partitionBy(*group_cols).orderBy(F.col("_t").asc(), F.col("_v").asc())
+    staged = df.select(
+        *group_cols,
+        epoch.alias("_t"),
+        v_units.alias("_v"),
+    ).withColumn("_dt", F.lead("_t").over(w) - F.col("_t"))
+    return (
+        staged.filter(F.col("_dt").isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("_v") * F.col("_dt")).alias("_num"),
+            F.sum("_dt").alias("total_seconds"),
+        )
+        .filter(F.col("total_seconds") > 0)
+        .select(
+            *group_cols,
+            F.round(F.col("_num") / F.col("total_seconds") / F.lit(scale), 6).alias(
+                "twa"
+            ),
+            "total_seconds",
+        )
+    )

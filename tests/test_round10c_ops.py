@@ -313,3 +313,64 @@ def test_greedy_coverage_matches_python_reference(spark):
         ref.append((rnd, best[0], best[1]))
         covered |= sets[best[0]]
     assert _gmc(spark, rows, 4) == ref
+
+
+# --- time_weighted_avg ---
+
+from radohydro_spark.operators.aggregate import time_weighted_avg
+
+
+def test_twap_hand_case(spark):
+    # user 1: value 10 held 60s, value 20 held 30s, last sample dropped
+    # -> (10*60 + 20*30) / 90 = 13.333333
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            (1, dt.datetime(2024, 1, 1, 0, 1, 0), 20.0),
+            (1, dt.datetime(2024, 1, 1, 0, 1, 30), 99.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = time_weighted_avg(df, ["user_id"], "ts", "value").collect()
+    assert [(r["user_id"], r["twa"], r["total_seconds"]) for r in rows] == [
+        (1, 13.333333, 90)
+    ]
+
+
+def test_twap_single_sample_key_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5.0)], "user_id long, ts timestamp, value double"
+    )
+    assert time_weighted_avg(df, ["user_id"], "ts", "value").count() == 0
+
+
+def test_twap_duration_weighting_beats_sample_count(spark):
+    # 1 hour at value 100, then 10 rapid samples at value 0 (1s apart):
+    # the chatty samples contribute 10s of weight, not 10 "votes"
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 100.0)] + [
+        (1, base + dt.timedelta(hours=1, seconds=i), 0.0) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = time_weighted_avg(df, ["user_id"], "ts", "value").collect()[0]
+    assert out["total_seconds"] == 3610
+    assert out["twa"] == round(100.0 * 3600 / 3610, 6)
+
+
+def test_twap_timestamp_ties_deterministic(spark):
+    # two samples at the identical timestamp: the smaller value gets the
+    # zero-duration slot by the (ts, value) total order — result stable
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7.0),
+        (1, base, 3.0),
+        (1, base + dt.timedelta(seconds=10), 1.0),
+    ]
+    for _ in range(2):
+        out = time_weighted_avg(
+            spark.createDataFrame(rows, "user_id long, ts timestamp, value double"),
+            ["user_id"],
+            "ts",
+            "value",
+        ).collect()[0]
+        assert (out["twa"], out["total_seconds"]) == (7.0, 10)
