@@ -7630,7 +7630,7 @@ ORACLE_WEIGHTED_MEDIAN = """
 WITH d AS (
   SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
          CAST(l_quantity AS BIGINT) AS w
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 c AS (
   SELECT l_returnflag, l_linestatus, v,
@@ -7693,8 +7693,8 @@ def q_text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DUPLICATE_SPANS = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ORACLE_DUPLICATE_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 pos AS (
   SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
   FROM toks WHERE len(t) >= 8
@@ -7713,7 +7713,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (node, in-core degree).  The oracle unrolls 8 peel rounds as
     generated CTEs (converges in 2 at every test scale; extra rounds are
     no-ops at the fixed point — same unrolled-oracle technique as
-    pagerank/bfs)."""
+    pagerank/bfs).  max_iter is PINNED to the oracle's unroll depth: if
+    a scale ever needed >8 peels the oracle pin would silently break, so
+    the engine is told to raise (k_core fails loudly on max_iter
+    exhaustion, r11) instead of returning a non-fixed-point."""
     from radohydro_spark.operators.graph import k_core
 
     e = (
@@ -7724,7 +7727,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
-    return k_core(e, 4)
+    return k_core(e, 4, max_iter=8)
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:

@@ -375,6 +375,14 @@ def weighted_median(df, group_cols, value_col, weight_col):
     tied row first crosses the threshold, ``min(value)`` over qualifying
     rows is the same.
 
+    NULL values are dropped BEFORE the windows (their weights do not
+    count toward the group total): Spark windows order NULLS FIRST
+    ascending while DuckDB/ANSI default NULLS LAST, so a NULL whose
+    weight still counted toward ``_tw`` would place cumulative weights
+    differently per engine and silently shift the selected median.  A
+    group whose values are all NULL disappears from the output, matching
+    what a rank-the-non-NULLs SQL oracle emits.
+
     Scale shape: ONE shuffle on the group key serves both windows
     (cumulative and total share the partitionBy), then a map-side-
     combinable min aggregation.  Holistic like any exact quantile — raw
@@ -391,7 +399,8 @@ def weighted_median(df, group_cols, value_col, weight_col):
     w_tot = W.partitionBy(*group_cols)
     wts = F.col(weight_col).cast("long")
     d = (
-        df.select(*group_cols, value_col, wts.alias("_w"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, value_col, wts.alias("_w"))
         .withColumn("_cw", F.sum("_w").over(w_cum))
         .withColumn("_tw", F.sum("_w").over(w_tot))
     )

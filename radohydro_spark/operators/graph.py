@@ -351,6 +351,7 @@ def k_core(
     covered in tests); dense near-dup cliques converge in 2-3 rounds.
     """
     assert k >= 1
+    assert max_iter >= 1
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
@@ -362,6 +363,7 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     prev_n = cur.count()
+    converged = False
     for _ in range(max_iter):
         keep = (
             cur.groupBy("a")
@@ -378,6 +380,18 @@ def k_core(
         n = nxt.count()
         cur = nxt
         if n == prev_n:
+            converged = True
             break
         prev_n = n
+    if not converged:
+        # A non-fixed-point result silently contains nodes with degree < k
+        # (a k=2 path graph peels ONE layer per round, so a >max_iter-node
+        # path would otherwise return wrong survivors with no signal).
+        # Peeling depth is bounded by the graph's degeneracy ordering, so
+        # a legitimate deep graph just needs a bigger max_iter — fail loud.
+        raise RuntimeError(
+            f"k_core did not reach a fixed point within max_iter={max_iter} "
+            f"peel rounds (directed edge count still shrinking: {prev_n} -> "
+            f"{n}); raise max_iter for deep peel chains (e.g. long paths)"
+        )
     return cur.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from radohydro_spark.functions.text import portable_hash
 
@@ -208,6 +209,19 @@ def greedy_max_coverage(
 
     assert k >= 1
     spark = df.sparkSession
+    # The id column keeps its source type end-to-end (string UUIDs, ints,
+    # ...): the picked-doc anti-join frame and the result frame are built
+    # from an explicit schema derived from df, never inferred from Python
+    # values (inference would coerce e.g. numpy ints and crash on None).
+    id_type = df.schema[id_col].dataType
+    id_schema = T.StructType([T.StructField("doc_id", id_type)])
+    out_schema = T.StructType(
+        [
+            T.StructField("sel_round", T.LongType()),
+            T.StructField("doc_id", id_type),
+            T.StructField("gain", T.LongType()),
+        ]
+    )
     pairs = (
         word_shingles(df, text_col, id_col, k=shingle_k)
         .select("doc_id", F.xxhash64("shingle").alias("sid"))
@@ -225,7 +239,7 @@ def greedy_max_coverage(
             remaining = remaining.join(covered, "sid", "left_anti")
         if chosen:
             picked = spark.createDataFrame(
-                [(c[1],) for c in chosen], ["doc_id"]
+                [(c[1],) for c in chosen], id_schema
             )
             remaining = remaining.join(F.broadcast(picked), "doc_id", "left_anti")
         top = (
@@ -245,4 +259,4 @@ def greedy_max_coverage(
             if covered is None
             else covered.unionByName(new_cov).distinct()
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(chosen, "sel_round long, doc_id long, gain long")
+    return spark.createDataFrame(chosen, out_schema)

@@ -200,8 +200,9 @@ def exact_quantiles(
        counts rows per candidate interval; the driver cumulates the
        dimension-sized histogram and brackets each target rank.
     3. Rows inside the (few) bracketing intervals — < stride x
-       n_partitions each by construction — are collected and the exact
-       rank picked with a partial sort.  The collect is bounded by the
+       n_partitions each by construction — are collected in ONE
+       union-of-ranges filter scan (not one scan per fraction) and each
+       exact rank picked with a partial sort.  The collect is bounded by the
        stride choice, not the data (stride 1000 x 1000 executors = 1M
        values = 8 MB), the same dimension-sized-action contract as the
        PQ codebook / IVF centroid collects.
@@ -237,7 +238,11 @@ def exact_quantiles(
     for i in range(1, len(cands) + 1):
         cum[i] = cum[i - 1] + counts[i - 1]
 
-    out_rows = []
+    # Bracket every fraction first, then resolve ALL of them from ONE
+    # union-filter scan + collect (pass 3 stays a single fact scan no
+    # matter how many fractions are requested — previously one scan per
+    # fraction, 5 extra scans for the pinned 5-fraction query).
+    brackets = []
     for num, den in fractions:
         # target: smallest v with count(x <= v) >= ceil(N*num/den);
         # all rank arithmetic in pure integers (ceil via negative floor)
@@ -251,20 +256,41 @@ def exact_quantiles(
                 lo_idx = i
                 break
         assert lo_idx is not None  # cum[-1] == n_total >= rank
-        lo = cands[lo_idx - 1] if lo_idx > 0 else None
-        hi = cands[lo_idx]
-        # collect the OPEN interval only: rows strictly between adjacent
-        # candidates are < stride x n_partitions by the bracketing
-        # argument, but rows EQUAL to the boundary value hi can be an
-        # unbounded duplicate run (a hot value) — never collect those;
-        # if the target rank lands past the open interval, the answer is
-        # hi itself (every remaining rank up to cum[lo_idx+1] is a
-        # duplicate of hi).
-        cond = F.col("v") < F.lit(hi)
+        brackets.append((num, den, rank, lo_idx))
+
+    # Collect the OPEN intervals only: rows strictly between adjacent
+    # candidates are < stride x n_partitions each by the bracketing
+    # argument, but rows EQUAL to the boundary value hi can be an
+    # unbounded duplicate run (a hot value) — never collect those; if
+    # the target rank lands past the open interval, the answer is hi
+    # itself (every remaining rank up to cum[lo_idx+1] is a duplicate
+    # of hi).  Distinct intervals are disjoint, so one OR-of-ranges
+    # filter + one collect serves every fraction; each collected value
+    # is re-assigned to its interval driver-side.
+    interval_ids = sorted({b[3] for b in brackets})
+    cond = None
+    for i in interval_ids:
+        lo = cands[i - 1] if i > 0 else None
+        hi = cands[i]
+        c = F.col("v") < F.lit(hi)
         if lo is not None:
-            cond = cond & (F.col("v") > F.lit(lo))
-        inside = [r["v"] for r in vals.filter(cond).collect()]
+            c = c & (F.col("v") > F.lit(lo))
+        cond = c if cond is None else (cond | c)
+    pooled = [r["v"] for r in vals.filter(cond).collect()]
+    inside_by_interval = {}
+    for i in interval_ids:
+        lo = cands[i - 1] if i > 0 else None
+        hi = cands[i]
+        inside = [
+            v for v in pooled if v < hi and (lo is None or v > lo)
+        ]
         inside.sort()
+        inside_by_interval[i] = inside
+
+    out_rows = []
+    for num, den, rank, lo_idx in brackets:
+        inside = inside_by_interval[lo_idx]
+        hi = cands[lo_idx]
         # rank within the interval: global rank minus rows at or below lo
         k = rank - cum[lo_idx] - 1
         assert 0 <= k

@@ -152,3 +152,23 @@ def test_weighted_median_matches_repeat_expansion(spark):
     got = weighted_median(df, ["k"], "v", "w").collect()[0]["weighted_median"]
     expanded = sorted([v for _, v, w in data for _ in range(w)])
     assert got == statistics.median_low(expanded)
+
+
+def test_weighted_median_null_values_dropped(spark):
+    # r11 (ADVICE): NULL values must not contribute weight to the group
+    # total — Spark orders NULLS FIRST, DuckDB NULLS LAST, so a counted
+    # NULL weight shifts the threshold differently per engine.  With the
+    # filter, the NULL row (weight 100) is invisible: median of
+    # {1.0 w1, 2.0 w1, 3.0 w1} = 2.0, not 1.0 (which a NULLS FIRST
+    # cumulative including w=100 would select).
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 1), ("a", None, 100)],
+        "k string, v double, w long",
+    )
+    rows = weighted_median(df, ["k"], "v", "w").collect()
+    assert len(rows) == 1 and rows[0]["weighted_median"] == 2.0
+    # all-NULL group disappears entirely
+    df2 = spark.createDataFrame(
+        [("b", None, 5), ("b", None, 7)], "k string, v double, w long"
+    )
+    assert weighted_median(df2, ["k"], "v", "w").count() == 0

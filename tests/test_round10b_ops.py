@@ -222,3 +222,17 @@ def test_fingerprint_detects_duplicated_row(spark):
     assert _fp(table_fingerprint(a, ["id", "v"], 4)) != _fp(
         table_fingerprint(b, ["id", "v"], 4)
     )
+
+
+def test_k_core_raises_on_max_iter_exhaustion(spark):
+    # r11 (ADVICE): a k=2 path peels ONE layer per round; with max_iter
+    # smaller than the peel depth the loop must fail loudly instead of
+    # returning a non-fixed-point containing degree-<k survivors.
+    import pytest
+
+    path = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        k_core(df, 2, max_iter=2).collect()
+    # and a sufficient max_iter on the same graph converges to empty
+    assert k_core(df, 2, max_iter=10).count() == 0

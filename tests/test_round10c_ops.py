@@ -374,3 +374,39 @@ def test_twap_timestamp_ties_deterministic(spark):
             "value",
         ).collect()[0]
         assert (out["twa"], out["total_seconds"]) == (7.0, 10)
+
+
+def test_greedy_coverage_string_ids(spark):
+    # r11 (ADVICE): the result/picked-doc frames must derive the id type
+    # from the input schema — string doc ids crashed the hardcoded
+    # 'doc_id long' schema despite the generic id_col parameter.
+    df = spark.createDataFrame(
+        [("d-one", "a b c"), ("d-two", "c d"), ("d-three", "a b")],
+        "doc_id string, text string",
+    )
+    got = [
+        (r["sel_round"], r["doc_id"], r["gain"])
+        for r in greedy_max_coverage(df, "text", "doc_id", 3, shingle_k=1)
+        .orderBy("sel_round")
+        .collect()
+    ]
+    assert got == [(1, "d-one", 3), (2, "d-two", 1)]
+    out_schema = greedy_max_coverage(df, "text", "doc_id", 1, shingle_k=1).schema
+    assert out_schema["doc_id"].dataType.simpleString() == "string"
+
+
+def test_exact_quantiles_multi_fraction_shares_one_pass3_scan(spark):
+    # r11 (ADVICE): pass 3 collects ALL bracketing intervals in one
+    # union-filter scan.  Correctness of many fractions at once against
+    # the rank definition (including duplicates straddling candidates).
+    vals = sorted([i % 97 for i in range(1, 1201)])
+    df = spark.createDataFrame([(v,) for v in vals], "x int").repartition(7)
+    fracs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100), (1, 1)]
+    got = {
+        (r["num"], r["den"]): r["value"]
+        for r in exact_quantiles(df, "x", fracs, sample_stride=31).collect()
+    }
+    n = len(vals)
+    for num, den in fracs:
+        rank = -(-(n * num) // den)
+        assert got[(num, den)] == vals[rank - 1], (num, den)
