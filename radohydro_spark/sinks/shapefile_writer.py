@@ -40,6 +40,12 @@ from radohydro_spark.geometry.wkb import parse_wkb_polygons
 Ring = list[tuple[float, float]]
 
 MAX_DBF_FIELDS = 500  # reference refusal threshold (README.md:17)
+# Row-cap for the driver-side collect: vector layers are basin-dimension
+# sized by contract (the reference's whole workload is <1e4 basins); a
+# fact-sized frame mis-wired into this sink must fail loudly, not OOM the
+# driver.  10M rows x ~200 B/row ~ 2 GB — far above any real vector layer,
+# far below driver heap death.
+MAX_SHAPEFILE_ROWS = 10_000_000
 
 
 def _signed_area(ring: Ring) -> float:
@@ -157,11 +163,17 @@ def write_shapefile(
     """Write ``df`` (WKB geometry + attribute columns) as ``<path>.shp`` +
     ``.shx`` + ``.dbf``.
 
-    Driver-side collect by contract (vector layers are dimension-sized);
-    row order is preserved, so ``basins_from_shapefile``'s file-order
-    surrogate key round-trips.  Raises on >500 attribute columns — the
-    reference's documented dBase refusal (README.md:17); the GeoParquet
-    sink (``write_wide_geoparquet``) has no such cliff.
+    Driver-side collect by contract — the same dimension-sized-action
+    contract as the basin-metadata collect in ``sinks.py``: the shapefile
+    format is inherently single-writer (monolithic header + record
+    offsets), and vector layers are basin-dimension sized (the reference's
+    whole workload is <1e4 basins).  The collect is guarded by
+    ``MAX_SHAPEFILE_ROWS`` (checked with a cheap pre-count) so a mis-wired
+    fact table fails loudly instead of OOMing the driver; row order is
+    preserved, so ``basins_from_shapefile``'s file-order surrogate key
+    round-trips.  Raises on >500 attribute columns — the reference's
+    documented dBase refusal (README.md:17); the GeoParquet sink
+    (``write_wide_geoparquet``) has no such cliff and scales out.
     """
     attr_cols = [c for c in df.columns if c != geom_col]
     if len(attr_cols) > MAX_DBF_FIELDS:
@@ -170,7 +182,16 @@ def write_shapefile(
             "dBase limit (reference README.md:17) — use write_wide_geoparquet "
             "for wide outputs"
         )
-    rows = df.select(*attr_cols, geom_col).collect()
+    projected = df.select(*attr_cols, geom_col)
+    n_rows = projected.count()
+    if n_rows > MAX_SHAPEFILE_ROWS:
+        raise ValueError(
+            f"refusing to collect {n_rows} rows into a driver-side shapefile "
+            f"(cap {MAX_SHAPEFILE_ROWS}): this sink is for dimension-sized "
+            "vector layers — a fact-sized frame here is a wiring bug; use "
+            "write_wide_geoparquet for distributed output"
+        )
+    rows = projected.collect()
     base = path[:-4] if path.lower().endswith(".shp") else path
 
     # --- .shp / .shx ---

@@ -142,3 +142,21 @@ def test_500_column_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dBase"):
         write_shapefile(df, str(tmp_path / "wide.shp"))
+
+
+def test_row_cap_guard_refuses_fact_sized_frames(spark, tmp_path, monkeypatch):
+    # r11: the driver-side collect is dimension-sized BY CONTRACT; a
+    # mis-wired fact table must raise, not OOM the driver.  Cap patched
+    # low so the test stays small.
+    import radohydro_spark.sinks.shapefile_writer as sw
+
+    monkeypatch.setattr(sw, "MAX_SHAPEFILE_ROWS", 10)
+    df = spark.range(11).select(
+        F.col("id").alias("basin_id"),
+        F.lit(wkb_box(0.0, 0.0, 1.0, 1.0)).alias("geom"),
+    )
+    with pytest.raises(ValueError, match="dimension-sized"):
+        sw.write_shapefile(df, str(tmp_path / "big.shp"))
+    # at exactly the cap it still writes
+    sw.write_shapefile(df.limit(10), str(tmp_path / "ok.shp"))
+    assert (tmp_path / "ok.shp").exists()
