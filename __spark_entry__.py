@@ -7766,9 +7766,61 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent algorithms (naive shingle self-join vs rarest-first
     prefix index + candidate verify) agreeing row-for-row, while the
     prefix version joins only ~(1-t) of each doc's shingles and never
-    touches stop-shingle f^2 blowup."""
+    touches stop-shingle f^2 blowup.  NOTE: this corpus (uniform
+    31-token vocabulary) is the operator's documented ADVERSARIAL case;
+    dedup_jaccard_prefix_zipf is the design-regime twin (r11) whose
+    corpus has the selective rare-token tail the precondition names."""
     corpus = _dup_corpus(spark, sf_dir, near=True)
     return DD.jaccard_prefix_pairs(corpus, "text", "doc_id", k=3, threshold=0.5)
+
+
+def q_dedup_jaccard_prefix_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard in its DESIGN regime (operators/
+    dedup.py jaccard_prefix_pairs, r11): the synthetic documents corpus
+    has a uniform 31-token vocabulary — the operator's documented
+    adversarial case (dedup.py precondition: the shingle-frequency
+    distribution needs a selective tail).  This twin runs the SAME
+    operator on a corpus that HAS that tail, built from testdata alone:
+    each order is a document whose token set is its basket of part keys
+    (market-basket shape).  Every part key is globally rare (~30 orders
+    per part at any scale), so the rarest-first prefixes discriminate
+    and the candidate space collapses — the regime the operator exists
+    for.  k=1 shingles = the token set itself; threshold 0.5 keeps the
+    output non-degenerate at sf0.001/0.01/0.1 (346/2708/27159 pairs).
+    Oracle: plain inverted-index exact Jaccard — two algorithms, one
+    ground truth, same as the uniform-vocab twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.sort_array(F.collect_set(F.col("l_partkey").cast("string"))),
+            ).alias("text")
+        )
+        .select(F.col("l_orderkey").alias("doc_id"), "text")
+    )
+    return DD.jaccard_prefix_pairs(docs, "text", "doc_id", k=1, threshold=0.5)
+
+
+ORACLE_JACCARD_PREFIX_ZIPF = """
+WITH s AS (
+  SELECT l_orderkey AS doc, CAST(l_partkey AS VARCHAR) AS tok
+  FROM lineitem GROUP BY 1, 2
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM s GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+  FROM s a JOIN s b ON a.tok = b.tok AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
 
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8028,78 +8080,13 @@ GROUP BY user_id HAVING SUM(dt) > 0
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ORDER MATTERS: the driver verifies the first 50 entries per round.
-        # --- round-10 driver window (first 50) ---
-        # Tier 1 (positions 0-4): the five r9 additions -- the only
-        # never-driver-checked queries in the 196-entry ledger (all
-        # strict-green locally at sf0.001/0.01/0.1 since round 9).
-        "sample_group_kfold": q_sample_group_kfold,
-        "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
-        "text_ngram_containment": q_text_ngram_containment,
-        "stats_pca_top_component": q_stats_pca_top_component,
-        "window_distinct_running": q_window_distinct_running,
-        # Tier 1b (positions 5-7): the three round-10 additions, in-window
-        # on first exposure (displacing three stable r5 TPC-H re-pins to
-        # the staged r11 block — first-exposure evidence beats re-pinning
-        # an already-proven row).
-        "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
-        "events_interval_coalesce": q_events_interval_coalesce,
-        "stats_weighted_median": q_stats_weighted_median,
-        "stats_heavy_hitters": q_stats_heavy_hitters,
-        "text_duplicate_spans": q_text_duplicate_spans,
-        "graph_kcore": q_graph_kcore,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "sample_bottom_k": q_sample_bottom_k,
-        "dq_table_fingerprint": q_dq_table_fingerprint,
-        "stats_quantiles_distributed": q_stats_quantiles_distributed,
-        "sample_max_coverage": q_sample_max_coverage,
-        "events_twap": q_events_twap,
-        # Tier 2 (positions 19-49): 31 of the 45-query r5 evidence cohort,
-        # the stalest rows in the ledger after the r9 rotation.  After
-        # this window runs, every query has driver evidence and the max
-        # evidence age is r6 (except the 10 displaced tpch rows, r5 until
-        # the r11 window re-greens them).
-        # -- last driver-green: r5 --
-        "events_sessionize": q_events_sessions,
-        "events_stream_hourly": q_events_stream_hourly,
-        "events_asof_join": q_events_asof,
-        "events_props_extract": q_events_props,
-        "events_json_extract": q_events_json_extract,
-        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
-        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
-        "dedup_minhash_signatures": q_minhash_sigs,
-        "embedding_norm_stats": q_embedding_norms,
-        "embedding_quantize_int8": q_embedding_quantize,
-        "orders_pivot_native": q_orders_pivot_native,
-        "precip_csv_roundtrip": q_precip_csv_roundtrip,
-        "media_decode_bmp": q_media_decode_bmp,
-        "precip_wide_roundtrip": q_precip_wide_roundtrip,
-        "storage_orc_roundtrip": q_storage_orc_roundtrip,
-        "media_decode_wav": q_media_decode_wav,
-        "similarity_pq_adc_topk": q_pq_adc_topk,
-        "sample_stratified_cap": q_sample_stratified_cap,
-        "text_normalize_clean": q_text_normalize,
-        "events_pagerank": q_events_pagerank,
-        "precip_gap_fill": q_precip_gap_fill,
-        "storage_schema_evolution": q_storage_schema_evolution,
-        "events_incremental_rollup": q_events_incremental_rollup,
-        "events_variant_extract": q_events_variant_extract,
-        "precip_nearest_basin": q_precip_nearest_basin,
-        "dq_orders_constraints": q_dq_orders_constraints,
-        "sample_weighted_docs": q_sample_weighted_docs,
-        "precip_basin_timeseries": q_precip_timeseries,
-        "precip_weights": q_precip_weights,
-        "precip_daily_resample": q_precip_daily,
-        "precip_rasterize": q_precip_rasterize,
-        # --- end of round-10 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-11 rotation is already front-loaded: (14 displaced r5
-        # rows + the first 36 of the r6 cohort) = the round-11
-        # 50-entry window; the r6 tail spills to the round-12 head.
-        # -- last driver-green: r5 (displaced from the r10 window to make
-        #    room for first-exposure r10 queries) --
+        # --- round-11 driver window (positions 0-49) ---
+        # Position 0: the r11 addition, in-window on first exposure —
+        # the design-regime (Zipf-tail basket corpus) twin of
+        # dedup_jaccard_prefix.
+        "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
+        # Positions 1-14 -- last driver-green: r5 (displaced from the
+        # r10 window to make room for first-exposure r10 queries) --
         "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
         "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
@@ -8114,7 +8101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        # -- last driver-green: r6 --
+        # Positions 15-49 -- last driver-green: r6 (first 35 of the
+        # 47-query r6 cohort; its 12-query tail heads the r12 window) --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
         "events_scd2_pointintime": q_events_scd2_pointintime,
@@ -8150,6 +8138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
         "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
         "scalar_funcs": q_scalar_funcs,
+        # --- end of round-11 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-12 rotation is already front-loaded: the r6 tail (12)
+        # + the first 38 of the 49-query r8 cohort = the round-12
+        # 50-entry window; the r8 tail (11) spills to the round-13
+        # head together with the r9 cohort.
+        # -- last driver-green: r6 --
         "date_sequence": q_date_sequence,
         "filename_parse": q_filename_parse,
         "media_decode_jpeg": q_media_decode_jpeg,
@@ -8263,6 +8258,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_tfidf_top_terms": q_text_tfidf,
         "text_token_budget": q_token_budget,
+        # -- last driver-green: r10 (the round-10 window: 19 first-
+        # exposure rows + 31 re-greened r5-cohort rows — the freshest
+        # evidence in the ledger) --
+        "sample_group_kfold": q_sample_group_kfold,
+        "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
+        "text_ngram_containment": q_text_ngram_containment,
+        "stats_pca_top_component": q_stats_pca_top_component,
+        "window_distinct_running": q_window_distinct_running,
+        "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
+        "events_interval_coalesce": q_events_interval_coalesce,
+        "stats_weighted_median": q_stats_weighted_median,
+        "stats_heavy_hitters": q_stats_heavy_hitters,
+        "text_duplicate_spans": q_text_duplicate_spans,
+        "graph_kcore": q_graph_kcore,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "sample_bottom_k": q_sample_bottom_k,
+        "dq_table_fingerprint": q_dq_table_fingerprint,
+        "stats_quantiles_distributed": q_stats_quantiles_distributed,
+        "sample_max_coverage": q_sample_max_coverage,
+        "events_twap": q_events_twap,
+        "events_sessionize": q_events_sessions,
+        "events_stream_hourly": q_events_stream_hourly,
+        "events_asof_join": q_events_asof,
+        "events_props_extract": q_events_props,
+        "events_json_extract": q_events_json_extract,
+        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
+        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
+        "dedup_minhash_signatures": q_minhash_sigs,
+        "embedding_norm_stats": q_embedding_norms,
+        "embedding_quantize_int8": q_embedding_quantize,
+        "orders_pivot_native": q_orders_pivot_native,
+        "precip_csv_roundtrip": q_precip_csv_roundtrip,
+        "media_decode_bmp": q_media_decode_bmp,
+        "precip_wide_roundtrip": q_precip_wide_roundtrip,
+        "storage_orc_roundtrip": q_storage_orc_roundtrip,
+        "media_decode_wav": q_media_decode_wav,
+        "similarity_pq_adc_topk": q_pq_adc_topk,
+        "sample_stratified_cap": q_sample_stratified_cap,
+        "text_normalize_clean": q_text_normalize,
+        "events_pagerank": q_events_pagerank,
+        "precip_gap_fill": q_precip_gap_fill,
+        "storage_schema_evolution": q_storage_schema_evolution,
+        "events_incremental_rollup": q_events_incremental_rollup,
+        "events_variant_extract": q_events_variant_extract,
+        "precip_nearest_basin": q_precip_nearest_basin,
+        "dq_orders_constraints": q_dq_orders_constraints,
+        "sample_weighted_docs": q_sample_weighted_docs,
+        "precip_basin_timeseries": q_precip_timeseries,
+        "precip_weights": q_precip_weights,
+        "precip_daily_resample": q_precip_daily,
+        "precip_rasterize": q_precip_rasterize,
     }
 
 
@@ -8322,6 +8370,7 @@ def oracle_sql() -> dict[str, str]:
         # algorithms (naive self-join vs prefix filter) pinned to one
         # ground truth
         "dedup_jaccard_prefix": ORACLE_NGRAM_JACCARD,
+        "dedup_jaccard_prefix_zipf": ORACLE_JACCARD_PREFIX_ZIPF,
         "events_funnel": ORACLE_FUNNEL,
         "events_retention": ORACLE_RETENTION,
         "sample_bottom_k": ORACLE_BOTTOM_K,

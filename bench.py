@@ -75,6 +75,14 @@ HEADLINE = [
     # headliners makes that trade visible every round.
     "stats_heavy_hitters",
     "dedup_jaccard_prefix",
+    # round-11 addition: the prefix join's DESIGN-REGIME twin — the same
+    # operator over a corpus with the selective rare-token tail its
+    # precondition names (order -> basket-of-partkeys documents; every
+    # part key is globally rare, so the rarest-first prefixes
+    # discriminate).  dedup_jaccard_prefix above stays as the documented
+    # adversarial case (uniform 31-token vocabulary); this entry is the
+    # operator's public cost in the regime it exists for.
+    "dedup_jaccard_prefix_zipf",
 ]
 
 

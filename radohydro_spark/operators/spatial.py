@@ -195,6 +195,23 @@ def rect_clip_area_udf(
     )
 
 
+# Candidate-tile edge length (in cells) for the grid_meta fast path of
+# spatial_intersect: the bbox explode emits one key per TILE x TILE block
+# instead of per cell, shrinking the exploded relation ~TILE^2 while the
+# exact per-cell bbox predicate after the join reproduces the per-cell
+# candidate set bit-for-bit.  8 balances explode savings (64x) against
+# join fan-out slack (at most one extra tile ring around each bbox).
+_CAND_TILE = 8
+
+
+def _tile(idx_col):
+    """Floor-divide a (possibly negative) integer cell index into its
+    candidate-tile index.  F.floor on the double quotient is exact for
+    any index that fits a double's 53-bit mantissa (grid indices are
+    < 1e6 by construction)."""
+    return F.floor(idx_col / _CAND_TILE).cast("int")
+
+
 def spatial_intersect(
     cells: DataFrame,
     basins: DataFrame,
@@ -241,19 +258,29 @@ def spatial_intersect(
         # can give col1 < col0 (resp. row1 < row0), and F.sequence would
         # silently descend, fabricating candidate keys
         #
-        # keys-only explode: the WKB geometry must NOT ride the candidate
-        # fan-out (25k basins x ~1k candidate cells each = 25M rows; with
-        # geom attached that exchange carries gigabytes of duplicated
-        # polygon bytes instead of three ints per row).  geom re-joins on
-        # basin_id AFTER the candidate probe, touching dimension-many rows.
+        # COARSE-TILE explode (r11): candidate keys are TILE x TILE cell
+        # blocks, not individual cells — the explode emits ~TILE^2 = 64x
+        # fewer rows for the same coverage (measured in
+        # scripts/soak_basins.py: the 100k-basin exploded relation drops
+        # from ~110M three-int rows to ~2M tile rows), and the exact
+        # per-cell index-range test runs AFTER the tile join as a cheap
+        # column predicate — the SAME floor/ceil cell-index arithmetic
+        # as the old per-cell explode, so the candidate set is
+        # bit-identical, just produced 64x cheaper.  The index bounds
+        # (4 ints) ride the tile keys instead of the WKB geometry —
+        # still keys-only: ~40 B/row vs kilobyte polygons.  geom
+        # re-joins on basin_id AFTER the candidate probe, touching
+        # dimension-many rows.
+        tr0, tr1 = _tile(row0), _tile(F.greatest(row0, row1))
+        tc0, tc1 = _tile(col0), _tile(F.greatest(col0, col1))
         cand_keys = (
-            b.withColumn(
-                "cell_row", F.explode(F.sequence(row0, F.greatest(row0, row1)))
-            )
-            .withColumn(
-                "cell_col", F.explode(F.sequence(col0, F.greatest(col0, col1)))
-            )
-            .select("basin_id", "cell_row", "cell_col")
+            b.withColumn("_r0", row0)
+            .withColumn("_r1", F.greatest(row0, row1))
+            .withColumn("_c0", col0)
+            .withColumn("_c1", F.greatest(col0, col1))
+            .withColumn("_tr", F.explode(F.sequence(tr0, tr1)))
+            .withColumn("_tc", F.explode(F.sequence(tc0, tc1)))
+            .select("basin_id", "_tr", "_tc", "_r0", "_r1", "_c0", "_c1")
         )
         # Join-strategy choice on TRUTH, not estimates: Catalyst's
         # compile-time size for an exploded relation undercounts
@@ -275,12 +302,18 @@ def spatial_intersect(
         stats = b.select(
             F.count("*").alias("nb"),
             F.sum(
-                (F.greatest(row0, row1) - row0 + 1).cast("long")
-                * (F.greatest(col0, col1) - col0 + 1).cast("long")
+                (tr1 - tr0 + 1).cast("long") * (tc1 - tc0 + 1).cast("long")
             ).alias("n"),
         ).first()
         n_basins, n_cand = stats["nb"], stats["n"] or 0
-        if n_cand <= 2_000_000:
+        # Tile rows are wider than the old per-cell keys (basin_id + two
+        # tile ints + 4 bbox doubles ~ 56 B unsafe-row vs ~20 B), so the
+        # broadcast tier caps at 1M tile rows (~56 MB); the SHJ build
+        # tier keeps the same 20M-row bound (1.1 GB build, fits executor
+        # memory); sort-merge beyond — spill-bounded, the 100-TB-safe
+        # default.  At 64 cells/tile these tiers cover 64x more BASINS
+        # than the per-cell tiers did.
+        if n_cand <= 1_000_000:
             probe = F.broadcast(cand_keys)
         elif n_cand <= 20_000_000:
             probe = cand_keys.hint("shuffle_hash")
@@ -299,8 +332,23 @@ def spatial_intersect(
             if n_basins <= 100_000
             else geom_dim.hint("merge")
         )
+        cells_t = cells.withColumn("_tr", _tile(F.col("cell_row"))).withColumn(
+            "_tc", _tile(F.col("cell_col"))
+        )
         cand = (
-            cells.join(probe, ["cell_row", "cell_col"], "inner")
+            cells_t.join(probe, ["_tr", "_tc"], "inner")
+            # exact per-cell index-range test: reduces the tile superset
+            # to PRECISELY the cells the per-cell explode used to emit
+            # (same floor/ceil arithmetic, so bit-identical candidates —
+            # no float seam), BEFORE the geometry join and the clip UDF.
+            # Cheap column predicate inside the join's output stage — no
+            # exchange.
+            .filter(
+                (F.col("cell_row") >= F.col("_r0"))
+                & (F.col("cell_row") <= F.col("_r1"))
+                & (F.col("cell_col") >= F.col("_c0"))
+                & (F.col("cell_col") <= F.col("_c1"))
+            )
             .join(geom_side, "basin_id")
             # same column order as the theta path (join keys float left)
             .select(*cells.columns, "basin_id", "geom")
