@@ -7399,6 +7399,154 @@ WHERE round(n_common / CAST(sa.n_sh AS DOUBLE), 6) >= 0.9
 """
 
 
+def q_dedup_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact t-OVERLAP similarity join (operators/dedup.py overlap_pairs,
+    r11; the Chaudhuri ICDE'06 primitive): pairs sharing >= 30 distinct
+    3-shingles, on the SAME planted-fragment corpus as the containment
+    query — the absolute-count signal contamination screening needs (a
+    verbatim 50-token quote inside a long document dilutes below any
+    Jaccard/containment ratio threshold, but its ~48 shared shingles
+    cannot dilute).  Prefix-filtered (rarest n_sh-c+1 shingles indexed)
+    + exact verify; pure integer output."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    frag = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 50), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(frag)
+    return DD.overlap_pairs(corpus, "text", "doc_id", k=3, min_overlap=30)
+
+
+ORACLE_OVERLAP_PAIRS = f"""
+WITH corpus AS ({_CONTAIN_SQL}),
+docs AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common FROM inter WHERE n_common >= 30
+"""
+
+
+def q_dedup_lsh_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH-index maintenance (operators/dedup.py
+    update_lsh_index, r11): build the persisted index on 80% of the
+    corpus (doc_id % 5 != 0), fold the remaining 20% in as an UPDATE
+    batch (only the batch is signed; band/signature rows append under
+    the existing partition layout), then probe with the FULL corpus —
+    the result must reproduce the in-memory dedup_minhash_lsh_pairs on
+    the union corpus EXACTLY (identical oracle), pinning that
+    incremental maintenance loses nothing vs a from-scratch rebuild."""
+    import tempfile
+
+    from radohydro_spark.operators.dedup import (
+        build_lsh_index,
+        query_lsh_index,
+        update_lsh_index,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") % 5 != 0)
+    batch = corpus.filter(F.col("doc_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="radohydro_lshu_") + "/index"
+    build_lsh_index(base, path, "text", "doc_id", n_hashes=8, k=3, rows_per_band=2)
+    update_lsh_index(
+        spark, path, batch, "text", "doc_id", n_hashes=8, k=3, rows_per_band=2
+    )
+    return query_lsh_index(
+        spark, path, corpus, "text", "doc_id", n_hashes=8, k=3, rows_per_band=2
+    )
+
+
+def q_sample_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (operators/sampling.py
+    mmr_select, r11; Carbonell & Goldstein SIGIR'98): pick 5 embeddings
+    trading relevance to the vec_id-0 query against redundancy with the
+    already-picked set (lambda = 0.7) — the diversity-aware curation
+    step.  Exact cross-engine: vectors L2-normalize in double and
+    quantize floor(v*1e4+0.5) to BIGINT, so every score the argmax
+    compares is an exact integer (no ulp seam in the selection).  The
+    oracle unrolls the 5 greedy rounds as MATERIALIZED CTEs (kcore /
+    max-coverage technique)."""
+    from radohydro_spark.operators.sampling import mmr_select
+
+    return mmr_select(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        query_id=0,
+        k=5,
+        lam_num=7,
+        lam_den=10,
+    )
+
+
+def _mmr_oracle(k: int = 5, lam_num: int = 7, lam_den: int = 10) -> str:
+    # Same integer law as the engine: qv = floor(v/||v||*1e4 + 0.5) BIGINT;
+    # rel/sim are integer dot products (exact in double: <= 64*1e8 << 2^53,
+    # list_dot_product folds left-to-right like F.aggregate).  Every round
+    # is AS MATERIALIZED (DuckDB inlines plain CTEs — the kcore lesson).
+    parts = [
+        """WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qe AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(v, v)) > 0
+              THEN list_transform(v, x -> CAST(floor(x / sqrt(list_dot_product(v, v)) * 10000 + 0.5) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM e
+),
+q AS MATERIALIZED (SELECT qv AS query_v FROM qe WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vec_id, qv, CAST(list_dot_product(qv, (SELECT query_v FROM q)) AS BIGINT) AS rel
+  FROM qe WHERE vec_id <> 0
+)"""
+    ]
+    lam_c = lam_den - lam_num
+    parts.append(
+        f"""p1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS sel_round, vec_id, qv, {lam_num} * rel AS score
+  FROM cand ORDER BY {lam_num} * rel DESC, vec_id ASC LIMIT 1
+)"""
+    )
+    for r in range(2, k + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id, qv FROM p{i}" for i in range(1, r)
+        )
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS sel_round, c.vec_id, c.qv,
+         {lam_num} * c.rel - {lam_c} * MAX(CAST(list_dot_product(c.qv, s.qv) AS BIGINT)) AS score
+  FROM cand c, ({prev_sel}) s
+  WHERE c.vec_id NOT IN ({prev_ids})
+  GROUP BY c.vec_id, c.qv, c.rel
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT sel_round, vec_id, score FROM p{i}" for i in range(1, k + 1)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({final}) ORDER BY sel_round"
+
+
+ORACLE_MMR_SELECT = _mmr_oracle(5, 7, 10)
+
+
 def q_stats_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA top component (operators/linalg.py, r9): the
     O(N·d²) Gram accumulation runs as mapInPandas NumPy outer-product
@@ -8081,11 +8229,15 @@ GROUP BY user_id HAVING SUM(dt) > 0
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-11 driver window (positions 0-49) ---
-        # Position 0: the r11 addition, in-window on first exposure —
-        # the design-regime (Zipf-tail basket corpus) twin of
-        # dedup_jaccard_prefix.
+        # Positions 0-3: the four r11 additions, in-window on first
+        # exposure — the design-regime (Zipf-tail basket corpus) twin of
+        # dedup_jaccard_prefix, the exact t-overlap join, incremental
+        # LSH-index maintenance, and MMR diverse selection.
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
-        # Positions 1-14 -- last driver-green: r5 (displaced from the
+        "dedup_overlap_pairs": q_dedup_overlap_pairs,
+        "dedup_lsh_index_update": q_dedup_lsh_index_update,
+        "sample_mmr_select": q_sample_mmr_select,
+        # Positions 4-17 -- last driver-green: r5 (displaced from the
         # r10 window to make room for first-exposure r10 queries) --
         "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
@@ -8101,8 +8253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        # Positions 15-49 -- last driver-green: r6 (first 35 of the
-        # 47-query r6 cohort; its 12-query tail heads the r12 window) --
+        # Positions 18-49 -- last driver-green: r6 (first 32 of the
+        # 47-query r6 cohort; its 15-query tail heads the r12 window) --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
         "events_scd2_pointintime": q_events_scd2_pointintime,
@@ -8135,16 +8287,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
         "listagg_top_customers": q_listagg_top_customers,
         "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
+        # --- end of round-11 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-12 rotation is already front-loaded: the r6 tail (15,
+        # incl. the three rows the r11 additions displaced) + the first
+        # 35 of the 49-query r8 cohort = the round-12 50-entry window;
+        # the r8 tail (14) spills to the round-13 head together with the
+        # r9 cohort.
+        # -- last driver-green: r6 --
         "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
         "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
         "scalar_funcs": q_scalar_funcs,
-        # --- end of round-11 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-12 rotation is already front-loaded: the r6 tail (12)
-        # + the first 38 of the 49-query r8 cohort = the round-12
-        # 50-entry window; the r8 tail (11) spills to the round-13
-        # head together with the r9 cohort.
-        # -- last driver-green: r6 --
         "date_sequence": q_date_sequence,
         "filename_parse": q_filename_parse,
         "media_decode_jpeg": q_media_decode_jpeg,
@@ -8357,6 +8510,9 @@ def oracle_sql() -> dict[str, str]:
         # the persisted round-trip must reproduce the in-memory banding
         # exactly — same oracle as dedup_minhash_lsh_pairs
         "dedup_lsh_index_persist": ORACLE_MINHASH_LSH,
+        "dedup_lsh_index_update": ORACLE_MINHASH_LSH,
+        "dedup_overlap_pairs": ORACLE_OVERLAP_PAIRS,
+        "sample_mmr_select": ORACLE_MMR_SELECT,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),
         "window_distinct_running": ORACLE_WINDOW_DISTINCT_RUNNING,

@@ -646,6 +646,86 @@ def build_lsh_index(
     _PERSISTED.append(wide)
 
 
+def update_lsh_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    k: int = 3,
+    rows_per_band: int = 2,
+) -> None:
+    """Incrementally fold a NEW document batch into a persisted LSH index
+    (:func:`build_lsh_index` layout) — the index-maintenance half of the
+    build-once/probe-many lifecycle.  An ingestion pipeline appends every
+    accepted batch here; rebuilding the whole index per batch re-signs
+    the accumulated corpus (the exact cost the index exists to avoid).
+
+    Only the NEW batch is shingled and signed (batch-sized work, the
+    corpus is never read back for signing); its band rows append as new
+    parquet files under the existing ``band=N`` partition directories
+    (sorted within partitions, so the new row-groups carry their own
+    band_key min/max pruning stats — append never rewrites old files),
+    and its signature rows append to ``signatures``.  Because the hash
+    family is module constants, an updated index is probe-identical to
+    an index built from the union corpus in one shot (pinned by the
+    ``dedup_lsh_index_update`` driver query and test_dedup.py).
+
+    CONTRACT: the id is the content key (as in :func:`query_lsh_index`),
+    so batch ids must be NEW — an id already present in ``signatures``
+    would leave two contradictory signature rows.  Checked with one
+    batch-sized semi-join count against the signatures read (the same
+    dimension-sized-action contract as the probe's emptiness check);
+    fails loudly rather than corrupting the index.
+    """
+    assert n_hashes % rows_per_band == 0  # build_lsh_index's contract
+    sigs = spark.read.parquet(f"{path}/signatures")
+    n_dup = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(sigs, "doc_id", "left_semi")
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"update_lsh_index: {n_dup} batch id(s) already indexed at "
+            f"{path} — ids are content keys; re-ingesting changed text "
+            "needs a fresh id (or rebuild the index)"
+        )
+    wide = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes, k).cache()
+    n_bands = n_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"sig_{bi * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+        for bi in range(n_bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.band_key")
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("band_key")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(n_hashes)])
+    wide.select("doc_id", sig_arr.alias("sig_arr")).write.mode("append").parquet(
+        f"{path}/signatures"
+    )
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(wide)
+
+
 def query_lsh_index(
     spark,
     path: str,
@@ -1132,4 +1212,77 @@ def jaccard_prefix_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_overlap: int = 10,
+) -> DataFrame:
+    """Exact all-pairs t-OVERLAP join: pairs of documents sharing at
+    least ``min_overlap`` distinct k-shingles — the absolute-count
+    sibling of :func:`jaccard_prefix_pairs` (Chaudhuri et al. ICDE'06's
+    primitive IS the overlap join; Jaccard/containment thresholds reduce
+    to it).  The absolute form is what contamination screening actually
+    asks ("does any training doc share >= c shingles with a benchmark
+    item?") — a ratio can dilute a verbatim 50-token quote inside a long
+    document below any Jaccard threshold, but the count cannot.
+
+    Same prefix-filter machinery as the Jaccard join, with the simpler
+    overlap bound: two sets sharing >= c elements MUST collide within
+    their first ``n_sh - c + 1`` rarest-first shingles, so only those
+    prefixes enter the self-join; sets with n_sh < c are dropped before
+    the window (they cannot reach the bound).  Candidates are verified
+    exactly against the full shingle sets.  Returns
+    ``(id_a, id_b, n_common)`` with n_common >= min_overlap — pure
+    integers, hash-exact cross-engine by construction.
+
+    Cost shape: identical to the Jaccard join (frequency agg + per-doc
+    window + prefix self-join + verify, one pair-key shuffle), and the
+    same PRECONDITION: prefixes discriminate when the shingle-frequency
+    distribution has a selective tail (see jaccard_prefix_pairs'
+    adversarial-case note).
+    """
+    assert min_overlap >= 1
+    sh = word_shingles(df, text_col, id_col, k, with_count=True).select(
+        "doc_id", "n_sh", F.xxhash64("shingle").alias("sid")
+    )
+    sh = sh.filter(F.col("n_sh") >= min_overlap).cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(sh)
+    freq = sh.groupBy("sid").agg(F.count("*").alias("_df"))
+    ordered = sh.join(freq, "sid")
+    w = W.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("sid").asc())
+    prefix = (
+        ordered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("n_sh") - min_overlap + 1)
+        .select("doc_id", "sid")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.sid") == F.col("sa.sid")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
     )

@@ -260,3 +260,133 @@ def greedy_max_coverage(
             else covered.unionByName(new_cov).distinct()
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(chosen, out_schema)
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98) over an embedding corpus: greedily pick ``k`` items
+    maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — relevance to a
+    query vector traded against redundancy with what is already picked.
+    The diversity-aware twin of :func:`greedy_max_coverage` (set cover
+    over shingles there, cosine redundancy over embeddings here): the
+    shape of few-shot exemplar selection and diverse-seed curation.
+
+    EXACT cross-engine by integer quantization: every vector is
+    L2-normalized in double (division and sqrt of identical doubles are
+    deterministic), then quantized ``floor(v_i/‖v‖·scale + 0.5)`` to
+    BIGINT — the same IEEE-identical rounding as quantize_int8_stats —
+    so rel and sim are exact integer dot products (cosine·scale², within
+    2^53 for any real embedding dim) and the MMR score
+    ``lam_num·rel − (lam_den−lam_num)·maxsim`` (λ = lam_num/lam_den,
+    scaled by lam_den) is an exact BIGINT: the per-round argmax can never
+    split on a ulp.  Ties break on the smaller id.  Round 1 is argmax
+    relevance (the standard MMR base case; no diversity term exists yet).
+    The query row itself is excluded from the candidates.
+
+    Shape per round: the quantized corpus (computed once, cached) streams
+    through ONE narrow stage against a BROADCAST of the ≤k selected
+    vectors (crossJoin of a dimension-sized side, same contract as
+    cosine_topk's query broadcast), a map-side-combinable max-sim
+    aggregate, and a TakeOrderedAndProject argmax whose driver action is
+    one row.  Never an n×n pair join — redundancy is only ever measured
+    against the selected set.
+
+    Returns ``(sel_round, <id_col>, score)`` — score is the scaled
+    integer MMR objective (round 1: lam_num·rel).
+    """
+    assert k >= 1 and 0 < lam_num < lam_den
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("sel_round", T.LongType()),
+            T.StructField(id_col, id_type),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    qv = F.when(
+        nrm > 0,
+        F.transform(v, lambda x: F.floor(x / nrm * scale + 0.5).cast("long")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    qdf = df.select(F.col(id_col).alias("_id"), qv.alias("_qv")).cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(qdf)
+
+    qrow = qdf.filter(F.col("_id") == query_id).collect()
+    if not qrow:
+        raise ValueError(f"mmr_select: query_id {query_id!r} not in corpus")
+    qvec = qrow[0]["_qv"]
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cands = qdf.filter(F.col("_id") != query_id).withColumn(
+        "_rel", _idot(F.col("_qv"), F.array(*[F.lit(int(c)) for c in qvec]))
+    )
+    chosen: list[tuple] = []  # (sel_round, id, score)
+    sel_vecs: list[tuple] = []  # (id, qv)
+    vec_schema = T.StructType(
+        [
+            T.StructField("_sid", id_type),
+            T.StructField("_sv", T.ArrayType(T.LongType())),
+        ]
+    )
+    for rnd in range(1, k + 1):
+        remaining = cands
+        if chosen:
+            picked = spark.createDataFrame(
+                [(c[1],) for c in chosen],
+                T.StructType([T.StructField("_id", id_type)]),
+            )
+            remaining = remaining.join(F.broadcast(picked), "_id", "left_anti")
+            sel = spark.createDataFrame(sel_vecs, vec_schema)
+            scored = (
+                remaining.crossJoin(F.broadcast(sel))
+                .withColumn("_sim", _idot(F.col("_qv"), F.col("_sv")))
+                .groupBy("_id", "_rel")
+                .agg(F.max("_sim").alias("_maxsim"))
+                .select(
+                    "_id",
+                    (
+                        F.lit(lam_num) * F.col("_rel")
+                        - F.lit(lam_den - lam_num) * F.col("_maxsim")
+                    ).alias("_score"),
+                )
+            )
+        else:
+            scored = remaining.select(
+                "_id", (F.lit(lam_num) * F.col("_rel")).alias("_score")
+            )
+        top = (
+            scored.orderBy(F.col("_score").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        picked_id, score = top[0]["_id"], top[0]["_score"]
+        chosen.append((rnd, picked_id, score))
+        sel_vecs.append(
+            (picked_id, qdf.filter(F.col("_id") == picked_id).collect()[0]["_qv"])
+        )
+    return spark.createDataFrame(chosen, out_schema)

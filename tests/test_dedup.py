@@ -170,3 +170,60 @@ def test_ngram_containment_matches_bruteforce_random(spark):
     assert want[(0, 100)][1] == 1.0
     assert want[(1, 101)][1] == 1.0
     assert want[(2, 102)][1] == 1.0
+
+
+def test_update_lsh_index_equals_full_rebuild(spark, tmp_path):
+    """r11: build on a base corpus, fold a disjoint batch in with
+    update_lsh_index, probe with the union — must equal both the
+    from-scratch rebuild AND the in-memory operator on the union."""
+    from radohydro_spark.operators.dedup import (
+        build_lsh_index,
+        minhash_lsh_pairs,
+        query_lsh_index,
+        update_lsh_index,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely different sentence about spark partitions and shuffles"),
+        (4, "the quick brown fox jumps over the lazy cat again and again"),
+        (5, "another unrelated line mentioning parquet row group statistics"),
+        (6, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = df.filter("doc_id <= 4")
+    batch = df.filter("doc_id > 4")
+    upath = str(tmp_path / "updated")
+    build_lsh_index(base, upath, "text", "doc_id")
+    update_lsh_index(spark, upath, batch, "text", "doc_id")
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in query_lsh_index(spark, upath, df, "text", "doc_id").collect()
+    }
+    mem = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
+    }
+    assert got and got == mem
+    # the updated index must answer probes for BOTH cohorts without
+    # re-signing (both ids present in the signature cache)
+    from pyspark.sql import functions as F
+
+    sigs = spark.read.parquet(f"{upath}/signatures")
+    assert sigs.count() == 6
+
+
+def test_update_lsh_index_rejects_duplicate_ids(spark, tmp_path):
+    import pytest
+
+    from radohydro_spark.operators.dedup import build_lsh_index, update_lsh_index
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "eta theta iota kappa mu nu")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(df, path, "text", "doc_id")
+    with pytest.raises(ValueError, match="already indexed"):
+        update_lsh_index(spark, path, df.filter("doc_id = 1"), "text", "doc_id")

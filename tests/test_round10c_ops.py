@@ -410,3 +410,130 @@ def test_exact_quantiles_multi_fraction_shares_one_pass3_scan(spark):
     for num, den in fracs:
         rank = -(-(n * num) // den)
         assert got[(num, den)] == vals[rank - 1], (num, den)
+
+
+# --- overlap_pairs (r11) ---
+
+from radohydro_spark.operators.dedup import overlap_pairs
+
+
+def test_overlap_pairs_matches_bruteforce(spark):
+    def brute(rows, k, c):
+        import itertools
+
+        sh = {}
+        for i, t in rows:
+            toks = t.split()
+            sh[i] = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        out = {}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            n = len(sh[a] & sh[b])
+            if n >= c:
+                out[(a, b)] = n
+        return out
+
+    for seed, c in [(1, 3), (2, 5), (5, 2)]:
+        rows = _rand_corpus(seed)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["n_common"]
+            for r in overlap_pairs(df, "text", "doc_id", k=3, min_overlap=c).collect()
+        }
+        assert got == brute(rows, 3, c), (seed, c)
+
+
+def test_overlap_pairs_absolute_count_survives_length_dilution(spark):
+    # the motivating case: a 60-token quote inside a much longer document
+    # shares ~58 3-shingles (caught by count) though its Jaccard is tiny
+    quote = " ".join(f"q{i}" for i in range(60))
+    filler = " ".join(f"f{i}" for i in range(900))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote)], "doc_id long, text string"
+    )
+    rows = overlap_pairs(df, "text", "doc_id", k=3, min_overlap=50).collect()
+    assert len(rows) == 1 and rows[0]["n_common"] == 58
+    # and the Jaccard twin at any reasonable threshold misses it
+    j = jaccard_prefix_pairs(df, "text", "doc_id", k=3, threshold=0.5).collect()
+    assert j == []
+
+
+def test_overlap_pairs_drops_small_sets_early(spark):
+    # a doc with fewer than min_overlap shingles can never qualify
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c d e f g h i j k l")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in overlap_pairs(df, "text", "doc_id", k=3, min_overlap=2).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+    got5 = overlap_pairs(df, "text", "doc_id", k=3, min_overlap=5).collect()
+    assert got5 == []
+
+
+# --- mmr_select (r11) ---
+
+from radohydro_spark.operators.sampling import mmr_select
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # q = [1,0]; 1 and 2 nearly aligned with q (twins), 3 diverse with
+    # lower relevance.  Pure relevance (and MMR at high lambda) picks
+    # both twins; at lambda=0.3 the second twin's ~1.0 redundancy to the
+    # first crushes its score (3·0.99 − 7·1.0 < 3·0.50 − 7·0.61) and the
+    # diverse vector wins round 2 — the hand-computable crossover.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.14]),   # twin A
+        (2, [0.99, 0.141]),  # twin B
+        (3, [0.5, 0.87]),    # diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["sel_round"], r["vec_id"])
+        for r in mmr_select(
+            df, "embedding", "vec_id", query_id=0, k=2, lam_num=3, lam_den=10
+        )
+        .orderBy("sel_round")
+        .collect()
+    ]
+    assert got[0][1] in (1, 2)
+    assert got[1][1] == 3
+    # at high lambda the same corpus yields relevance-order (both twins)
+    rel = [
+        r["vec_id"]
+        for r in mmr_select(
+            df, "embedding", "vec_id", query_id=0, k=2, lam_num=9, lam_den=10
+        )
+        .orderBy("sel_round")
+        .collect()
+    ]
+    assert set(rel) == {1, 2}
+
+
+def test_mmr_round1_is_argmax_relevance_with_id_tiebreak(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (7, [0.8, 0.6]),
+        (3, [0.8, 0.6]),   # same vector, smaller id wins the tie
+        (9, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_select(df, "embedding", "vec_id", query_id=0, k=1).collect()
+    assert len(got) == 1 and got[0]["vec_id"] == 3
+
+
+def test_mmr_excludes_query_and_is_deterministic(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = [(r["sel_round"], r["vec_id"], r["score"])
+         for r in mmr_select(df, "embedding", "vec_id", query_id=0, k=6).collect()]
+    b = [(r["sel_round"], r["vec_id"], r["score"])
+         for r in mmr_select(df, "embedding", "vec_id", query_id=0, k=6).collect()]
+    assert a == b and len(a) == 6
+    assert all(v != 0 for _, v, _ in a)          # query excluded
+    assert len({v for _, v, _ in a}) == 6        # no repicks
