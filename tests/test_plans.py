@@ -457,3 +457,45 @@ def test_window_distinct_running_single_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan[:1200]
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_intersect_tile_path_shape(spark):
+    """r11: the grid_meta fast path explodes COARSE TILES (one key per
+    8x8 cell block), broadcasts them at small candidate counts, and
+    recovers the exact per-cell candidate set with the index-range
+    filter — never a CartesianProduct, never an unhinted SMJ at
+    dimension scale."""
+    cells = synthetic_cells(spark)
+    basins = synthetic_basins(spark)
+    plan = _plan(
+        spatial_intersect(
+            cells, basins, grid_meta=(400000.0, 5600000.0, 1000.0, 1000.0)
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # tiny candidate count -> broadcast
+    assert "BroadcastHashJoin" in plan
+    # the exact per-cell recovery filter is present in the plan
+    assert "_r0" in plan and "_c1" in plan
+
+
+def test_spatial_intersect_tile_path_equals_theta_path(spark):
+    """The tile fast path and the generic bbox theta path must produce
+    identical fragments (same cells, same areas) — the tile explode is
+    an execution strategy, not a semantics change."""
+    cells = synthetic_cells(spark)
+    basins = synthetic_basins(spark)
+
+    def key(df):
+        return {
+            (r["cell_row"], r["cell_col"], r["basin_id"], round(r["frag_area"], 9))
+            for r in df.collect()
+        }
+
+    fast = key(
+        spatial_intersect(
+            cells, basins, grid_meta=(400000.0, 5600000.0, 1000.0, 1000.0)
+        )
+    )
+    slow = key(spatial_intersect(cells, basins))
+    assert fast and fast == slow
