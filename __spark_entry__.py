@@ -7547,6 +7547,136 @@ cand AS MATERIALIZED (
 ORACLE_MMR_SELECT = _mmr_oracle(5, 7, 10)
 
 
+_BM25_Q = [(0, "spark join table"), (1, "scan filter row batch")]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query (operators/retrieval.py bm25_topk,
+    r11): posting-list joins as the inverted index — only postings of
+    the (broadcast) query terms flow; per-term contributions are a
+    fixed-order float expression quantized floor(x*1e6+0.5) to BIGINT
+    BEFORE the per-document sum, so the ranking is hash-exact
+    cross-engine (float sums are aggregation-order dependent; integer
+    sums are not)."""
+    from radohydro_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame(_BM25_Q, "query_id long, text string")
+    return bm25_topk(docs, qdf, k=10)
+
+
+def _bm25_cte(query_rows: list[tuple[int, str]], k: int) -> str:
+    """Shared BM25 CTE chain mirroring bm25_topk's exact expression
+    order (see the operator docstring's float-discipline note)."""
+    terms = sorted(
+        {(qid, t) for qid, text in query_rows for t in text.split() if t}
+    )
+    values = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')" for qid, t in terms)
+    return f"""d AS MATERIALIZED (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dl AS MATERIALIZED (SELECT doc_id, len(toks) AS dlen, toks FROM d WHERE len(toks) > 0),
+post AS MATERIALIZED (
+  SELECT doc_id, dlen, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dlen, unnest(toks) AS t FROM dl)
+  WHERE t <> '' GROUP BY 1, 2, 3
+),
+stats AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dlen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+dft AS MATERIALIZED (SELECT term, COUNT(*) AS dft FROM post GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+bm_scored AS MATERIALIZED (
+  SELECT q.query_id, p.doc_id,
+         CAST(SUM(CAST(floor(
+           ln(CAST(1.0 AS DOUBLE)
+              + (s.n - dft.dft + CAST(0.5 AS DOUBLE))
+                / (dft.dft + CAST(0.5 AS DOUBLE)))
+           * (CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+              / (CAST(p.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * p.dlen / s.avgdl)))
+           * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+           AS BIGINT) AS score_micro
+  FROM post p JOIN dft USING (term) JOIN q USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bm_ranked AS MATERIALIZED (
+  SELECT query_id, doc_id, score_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM bm_scored
+),
+bm_topk AS MATERIALIZED (SELECT * FROM bm_ranked WHERE rank <= {k})"""
+
+
+ORACLE_BM25_TOPK = f"""
+WITH {_bm25_cte(_BM25_Q, 10)}
+SELECT query_id, doc_id, score_micro, rank FROM bm_topk
+"""
+
+
+def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal-Rank Fusion (operators/
+    retrieval.py rrf_fuse, r11; Cormack et al. SIGIR'09): fuse the BM25
+    top-20 for one lexical query with the cosine top-20 around the
+    vec_id-0 embedding (vector ids are document ids in the synthetic
+    corpus) — rank-based fusion needs no score calibration between the
+    incomparable lexical/vector scales.  INTEGER-ONLY fusion:
+    contribution = 1_000_000 div (60 + rank), summed as BIGINT — no
+    float anywhere, identical ordering on any engine."""
+    from radohydro_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame([_BM25_Q[0]], "query_id long, text string")
+    lex = bm25_topk(docs, qdf, k=20).select("doc_id", "rank")
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = SIM.cosine_topk(e, queries, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, vec], k=10)
+
+
+ORACLE_RRF_FUSION = f"""
+WITH {_bm25_cte([_BM25_Q[0]], 20)},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+cos_scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product((SELECT qvec FROM qv), e.v)
+               / (sqrt(list_dot_product((SELECT qvec FROM qv), (SELECT qvec FROM qv)))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM e
+),
+cos_topk AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM cos_scored
+  ) WHERE rank <= 20
+),
+contrib AS (
+  SELECT doc_id, 1000000 // (60 + rank) AS c FROM bm_topk
+  UNION ALL
+  SELECT doc_id, 1000000 // (60 + rank) AS c FROM cos_topk
+),
+fused AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS fused_score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, fused_score, fused_rank FROM (
+  SELECT doc_id, fused_score,
+         row_number() OVER (ORDER BY fused_score DESC, doc_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+"""
+
+
 def q_stats_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA top component (operators/linalg.py, r9): the
     O(N·d²) Gram accumulation runs as mapInPandas NumPy outer-product
@@ -8229,15 +8359,18 @@ GROUP BY user_id HAVING SUM(dt) > 0
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-11 driver window (positions 0-49) ---
-        # Positions 0-3: the four r11 additions, in-window on first
+        # Positions 0-5: the six r11 additions, in-window on first
         # exposure — the design-regime (Zipf-tail basket corpus) twin of
         # dedup_jaccard_prefix, the exact t-overlap join, incremental
-        # LSH-index maintenance, and MMR diverse selection.
+        # LSH-index maintenance, MMR diverse selection, BM25 retrieval,
+        # and hybrid-search reciprocal-rank fusion.
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
         "dedup_lsh_index_update": q_dedup_lsh_index_update,
         "sample_mmr_select": q_sample_mmr_select,
-        # Positions 4-17 -- last driver-green: r5 (displaced from the
+        "text_bm25_topk": q_text_bm25_topk,
+        "search_rrf_fusion": q_search_rrf_fusion,
+        # Positions 6-19 -- last driver-green: r5 (displaced from the
         # r10 window to make room for first-exposure r10 queries) --
         "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
@@ -8253,8 +8386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        # Positions 18-49 -- last driver-green: r6 (first 32 of the
-        # 47-query r6 cohort; its 15-query tail heads the r12 window) --
+        # Positions 20-49 -- last driver-green: r6 (first 30 of the
+        # 47-query r6 cohort; its 17-query tail heads the r12 window) --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
         "events_scd2_pointintime": q_events_scd2_pointintime,
@@ -8285,16 +8418,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
         "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
-        "listagg_top_customers": q_listagg_top_customers,
-        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
         # --- end of round-11 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-12 rotation is already front-loaded: the r6 tail (15,
-        # incl. the three rows the r11 additions displaced) + the first
-        # 35 of the 49-query r8 cohort = the round-12 50-entry window;
-        # the r8 tail (14) spills to the round-13 head together with the
+        # round-12 rotation is already front-loaded: the r6 tail (17,
+        # incl. the five rows the r11 additions displaced) + the first
+        # 33 of the 49-query r8 cohort = the round-12 50-entry window;
+        # the r8 tail (16) spills to the round-13 head together with the
         # r9 cohort.
         # -- last driver-green: r6 --
+        "listagg_top_customers": q_listagg_top_customers,
+        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
         "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
         "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
         "scalar_funcs": q_scalar_funcs,
@@ -8513,6 +8646,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_index_update": ORACLE_MINHASH_LSH,
         "dedup_overlap_pairs": ORACLE_OVERLAP_PAIRS,
         "sample_mmr_select": ORACLE_MMR_SELECT,
+        "text_bm25_topk": ORACLE_BM25_TOPK,
+        "search_rrf_fusion": ORACLE_RRF_FUSION,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),
         "window_distinct_running": ORACLE_WINDOW_DISTINCT_RUNNING,

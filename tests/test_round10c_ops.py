@@ -537,3 +537,92 @@ def test_mmr_excludes_query_and_is_deterministic(spark):
     assert a == b and len(a) == 6
     assert all(v != 0 for _, v, _ in a)          # query excluded
     assert len({v for _, v, _ in a}) == 6        # no repicks
+
+
+# --- bm25_topk / rrf_fuse (r11) ---
+
+from radohydro_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+
+def _bm25_ref(docs, queries, k1=1.2, b=0.75):
+    import math
+
+    toks = {d: t.split() for d, t in docs}
+    lens = {d: len(t) for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(lens.values()) / float(n)
+    df = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        for d, ts in toks.items():
+            s = 0
+            for t in sorted(set(qtext.split())):
+                tf = ts.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (float(n) - df[t] + 0.5) / (df[t] + 0.5))
+                frac = tf * (k1 + 1.0) / (
+                    tf + k1 * ((1.0 - b) + b * lens[d] / avgdl)
+                )
+                s += int(math.floor(idf * frac * 1e6 + 0.5))
+            if s:
+                out[(qid, d)] = s
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    rng = random.Random(17)
+    docs = [
+        (i, " ".join(f"t{rng.randrange(30)}" for _ in range(rng.randrange(5, 40))))
+        for i in range(1, 60)
+    ]
+    queries = [(0, "t1 t2 t3"), (1, "t7 t9")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score_micro"]
+        for r in bm25_topk(ddf, qdf, k=1000).collect()
+    }
+    assert got == _bm25_ref(docs, queries)
+
+
+def test_bm25_rank_prefers_rare_terms_and_short_docs(spark):
+    # 'rare' appears in one doc -> that doc must outrank docs matching
+    # only the common term; among equal-tf docs the shorter wins
+    docs = [
+        (1, "common common filler filler filler filler"),
+        (2, "common rare"),
+        (3, "common " + " ".join(["pad"] * 20)),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame([(0, "common rare")], "query_id long, text string")
+    rows = bm25_topk(ddf, qdf, k=3).orderBy("rank").collect()
+    assert rows[0]["doc_id"] == 2          # rare-term match dominates
+    ranks = {r["doc_id"]: r["rank"] for r in rows}
+    assert ranks[1] < ranks[3]             # same terms, shorter doc wins
+
+
+def test_rrf_fuse_hand_case_and_integer_scores(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "doc_id long, rank int")
+    rows = rrf_fuse([a, b], k=4).orderBy("fused_rank").collect()
+    c = lambda r: 1_000_000 // (60 + r)
+    expect = {
+        10: c(1) + c(2),
+        20: c(2) + c(1),
+        30: c(3),
+        40: c(3),
+    }
+    got = {r["doc_id"]: r["fused_score"] for r in rows}
+    assert got == expect
+    # 10 and 20 tie exactly (symmetric ranks) -> smaller id first
+    assert [r["doc_id"] for r in rows] == [10, 20, 30, 40]
+
+
+def test_rrf_single_ranking_is_identity_order(spark):
+    a = spark.createDataFrame([(5, 1), (9, 2), (2, 3)], "doc_id long, rank int")
+    rows = rrf_fuse([a], k=10).orderBy("fused_rank").collect()
+    assert [r["doc_id"] for r in rows] == [5, 9, 2]
