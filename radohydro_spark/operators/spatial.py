@@ -203,6 +203,14 @@ def rect_clip_area_udf(
 # join fan-out slack (at most one extra tile ring around each bbox).
 _CAND_TILE = 8
 
+# Per-cell candidate keys are used (and broadcast) below this EXACT
+# candidate count; above it the explode switches to coarse tiles.  The
+# per-cell form is faster in the small regime (no superset inflation, no
+# recovery filter — measured 2x at the reference's 20-basin shape); the
+# tile form is what survives 100k basins (SOAK.md).  Module-level so
+# tests can force the tile regime on small fixtures.
+_PER_CELL_BROADCAST_MAX = 2_000_000
+
 
 def _tile(idx_col):
     """Floor-divide a (possibly negative) integer cell index into its
@@ -257,68 +265,99 @@ def spatial_intersect(
         # clamp the upper bound: a degenerate bbox aligned to a cell edge
         # can give col1 < col0 (resp. row1 < row0), and F.sequence would
         # silently descend, fabricating candidate keys
-        #
-        # COARSE-TILE explode (r11): candidate keys are TILE x TILE cell
-        # blocks, not individual cells — the explode emits ~TILE^2 = 64x
-        # fewer rows for the same coverage (measured in
-        # scripts/soak_basins.py: the 100k-basin exploded relation drops
-        # from ~110M three-int rows to ~2M tile rows), and the exact
-        # per-cell index-range test runs AFTER the tile join as a cheap
-        # column predicate — the SAME floor/ceil cell-index arithmetic
-        # as the old per-cell explode, so the candidate set is
-        # bit-identical, just produced 64x cheaper.  The index bounds
-        # (4 ints) ride the tile keys instead of the WKB geometry —
-        # still keys-only: ~40 B/row vs kilobyte polygons.  geom
-        # re-joins on basin_id AFTER the candidate probe, touching
-        # dimension-many rows.
-        tr0, tr1 = _tile(row0), _tile(F.greatest(row0, row1))
-        tc0, tc1 = _tile(col0), _tile(F.greatest(col0, col1))
-        cand_keys = (
-            b.withColumn("_r0", row0)
-            .withColumn("_r1", F.greatest(row0, row1))
-            .withColumn("_c0", col0)
-            .withColumn("_c1", F.greatest(col0, col1))
-            .withColumn("_tr", F.explode(F.sequence(tr0, tr1)))
-            .withColumn("_tc", F.explode(F.sequence(tc0, tc1)))
-            .select("basin_id", "_tr", "_tc", "_r0", "_r1", "_c0", "_c1")
-        )
-        # Join-strategy choice on TRUTH, not estimates: Catalyst's
-        # compile-time size for an exploded relation undercounts
-        # catastrophically (25k basins -> 25M candidate rows estimated as
-        # megabytes), so left to itself it force-broadcasts the candidate
-        # keys (driver OOM at 25k basins) or picks the exploded side as a
-        # shuffled-hash BUILD (executor "can't acquire memory" at 100k —
-        # ShuffledHashJoin cannot spill its build side) — both measured by
-        # scripts/soak_basins.py before this fix.  The exact candidate
-        # count and basin count come from ONE tiny aggregate over the
-        # basin DIMENSION (same dimension-sized-action contract as IVF's
-        # probed-centroid collect), pricing both joins exactly:
-        #   candidates <= 2M   -> broadcast the keys (the 20-basin case)
-        #   candidates <= 20M  -> shuffled hash join, keys side builds
-        #                         (narrow ints, fits executor memory)
-        #   beyond             -> sort-merge join: the only strategy whose
-        #                         memory is bounded by SPILL, not heap —
-        #                         the 100-TB-safe default
+        row1g, col1g = F.greatest(row0, row1), F.greatest(col0, col1)
+        tr0, tr1 = _tile(row0), _tile(row1g)
+        tc0, tc1 = _tile(col0), _tile(col1g)
+        # Every sizing decision below comes from ONE tiny aggregate over
+        # the basin DIMENSION (the dimension-sized-action contract) —
+        # never from Catalyst's estimate, which undercounts an exploded
+        # relation catastrophically (25k basins -> 25M candidate rows
+        # estimated as megabytes; a forced broadcast OOMed the driver and
+        # a mis-picked ShuffledHashJoin build OOMed an executor — both
+        # measured by scripts/soak_basins.py before the r10 fix).  The
+        # aggregate prices BOTH explode granularities:
+        #   n_cells — per-cell candidate keys (exact candidate count)
+        #   n_tiles — 8x8 coarse-tile keys (~64x fewer rows)
         stats = b.select(
             F.count("*").alias("nb"),
             F.sum(
+                (row1g - row0 + 1).cast("long") * (col1g - col0 + 1).cast("long")
+            ).alias("n_cells"),
+            F.sum(
                 (tr1 - tr0 + 1).cast("long") * (tc1 - tc0 + 1).cast("long")
-            ).alias("n"),
+            ).alias("n_tiles"),
         ).first()
-        n_basins, n_cand = stats["nb"], stats["n"] or 0
-        # Tile rows are wider than the old per-cell keys (basin_id + two
-        # tile ints + 4 bbox doubles ~ 56 B unsafe-row vs ~20 B), so the
-        # broadcast tier caps at 1M tile rows (~56 MB); the SHJ build
-        # tier keeps the same 20M-row bound (1.1 GB build, fits executor
-        # memory); sort-merge beyond — spill-bounded, the 100-TB-safe
-        # default.  At 64 cells/tile these tiers cover 64x more BASINS
-        # than the per-cell tiers did.
-        if n_cand <= 1_000_000:
-            probe = F.broadcast(cand_keys)
-        elif n_cand <= 20_000_000:
-            probe = cand_keys.hint("shuffle_hash")
+        n_basins = stats["nb"]
+        n_cells_cand = stats["n_cells"] or 0
+        n_tiles_cand = stats["n_tiles"] or 0
+        if n_cells_cand <= _PER_CELL_BROADCAST_MAX:
+            # SMALL regime (the reference's 20-basin shape): per-cell
+            # keys broadcast directly — one hash probe per cell, no
+            # superset inflation, no post-join filter.  Measured 2x
+            # faster than the tile join here (the tile key space is
+            # low-cardinality, so every cell probes into multi-match
+            # hash buckets and the inflated superset pays a filter).
+            cand_keys = (
+                b.withColumn(
+                    "cell_row", F.explode(F.sequence(row0, row1g))
+                )
+                .withColumn(
+                    "cell_col", F.explode(F.sequence(col0, col1g))
+                )
+                .select("basin_id", "cell_row", "cell_col")
+            )
+            probed = cells.join(
+                F.broadcast(cand_keys), ["cell_row", "cell_col"], "inner"
+            )
         else:
-            probe = cand_keys.hint("merge")
+            # SCALE regime — COARSE-TILE explode (r11): candidate keys
+            # are TILE x TILE cell blocks, ~64x fewer exploded rows for
+            # the same coverage (measured in scripts/soak_basins.py: the
+            # 100k-basin exploded relation drops from ~110M three-int
+            # rows to ~2M tile rows — 100k basins 506s -> 198s, spill
+            # 6.7 GB -> zero).  The exact per-cell index-range test runs
+            # AFTER the tile join as a free column predicate — the SAME
+            # floor/ceil arithmetic as the per-cell explode, so the
+            # candidate set is bit-identical, just produced 64x cheaper.
+            # The index bounds (4 ints) ride the tile keys instead of
+            # the WKB geometry — keys-only: ~40 B/row vs kilobyte
+            # polygons.  Tile-count tiers: broadcast <=1M tile rows
+            # (~56 MB), shuffled-hash <=20M (narrow build fits executor
+            # memory), sort-merge beyond — the only strategy whose
+            # memory bounds by SPILL, not heap; at 64 cells/tile these
+            # tiers cover 64x more BASINS than per-cell tiers did.
+            cand_keys = (
+                b.withColumn("_r0", row0)
+                .withColumn("_r1", row1g)
+                .withColumn("_c0", col0)
+                .withColumn("_c1", col1g)
+                .withColumn("_tr", F.explode(F.sequence(tr0, tr1)))
+                .withColumn("_tc", F.explode(F.sequence(tc0, tc1)))
+                .select("basin_id", "_tr", "_tc", "_r0", "_r1", "_c0", "_c1")
+            )
+            if n_tiles_cand <= 1_000_000:
+                probe = F.broadcast(cand_keys)
+            elif n_tiles_cand <= 20_000_000:
+                probe = cand_keys.hint("shuffle_hash")
+            else:
+                probe = cand_keys.hint("merge")
+            cells_t = cells.withColumn(
+                "_tr", _tile(F.col("cell_row"))
+            ).withColumn("_tc", _tile(F.col("cell_col")))
+            probed = (
+                cells_t.join(probe, ["_tr", "_tc"], "inner")
+                # exact per-cell recovery: reduces the tile superset to
+                # PRECISELY the per-cell candidate set (no float seam),
+                # BEFORE the geometry join and the clip UDF; cheap
+                # column predicate inside the join's output stage — no
+                # exchange
+                .filter(
+                    (F.col("cell_row") >= F.col("_r0"))
+                    & (F.col("cell_row") <= F.col("_r1"))
+                    & (F.col("cell_col") >= F.col("_c0"))
+                    & (F.col("cell_col") <= F.col("_c1"))
+                )
+            )
         # geometry re-joins on basin_id AFTER the candidate fan-out: the
         # WKB must not ride the explode (25k basins x ~1k cells each with
         # ~100B polygons = gigabytes of duplicated bytes vs three ints per
@@ -332,24 +371,8 @@ def spatial_intersect(
             if n_basins <= 100_000
             else geom_dim.hint("merge")
         )
-        cells_t = cells.withColumn("_tr", _tile(F.col("cell_row"))).withColumn(
-            "_tc", _tile(F.col("cell_col"))
-        )
         cand = (
-            cells_t.join(probe, ["_tr", "_tc"], "inner")
-            # exact per-cell index-range test: reduces the tile superset
-            # to PRECISELY the cells the per-cell explode used to emit
-            # (same floor/ceil arithmetic, so bit-identical candidates —
-            # no float seam), BEFORE the geometry join and the clip UDF.
-            # Cheap column predicate inside the join's output stage — no
-            # exchange.
-            .filter(
-                (F.col("cell_row") >= F.col("_r0"))
-                & (F.col("cell_row") <= F.col("_r1"))
-                & (F.col("cell_col") >= F.col("_c0"))
-                & (F.col("cell_col") <= F.col("_c1"))
-            )
-            .join(geom_side, "basin_id")
+            probed.join(geom_side, "basin_id")
             # same column order as the theta path (join keys float left)
             .select(*cells.columns, "basin_id", "geom")
         )

@@ -459,12 +459,11 @@ def test_window_distinct_running_single_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_spatial_intersect_tile_path_shape(spark):
-    """r11: the grid_meta fast path explodes COARSE TILES (one key per
-    8x8 cell block), broadcasts them at small candidate counts, and
-    recovers the exact per-cell candidate set with the index-range
-    filter — never a CartesianProduct, never an unhinted SMJ at
-    dimension scale."""
+def test_spatial_intersect_small_regime_is_per_cell_broadcast(spark):
+    """r11: below _PER_CELL_BROADCAST_MAX exact candidates the grid_meta
+    path explodes PER-CELL keys and broadcasts them — no tile superset,
+    no recovery filter (measured 2x faster at the reference's 20-basin
+    shape); never a CartesianProduct or SMJ."""
     cells = synthetic_cells(spark)
     basins = synthetic_basins(spark)
     plan = _plan(
@@ -473,16 +472,37 @@ def test_spatial_intersect_tile_path_shape(spark):
         )
     )
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan  # tiny candidate count -> broadcast
+    assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    # the exact per-cell recovery filter is present in the plan
-    assert "_r0" in plan and "_c1" in plan
+    assert "_r0" not in plan  # per-cell regime: no tile recovery filter
 
 
-def test_spatial_intersect_tile_path_equals_theta_path(spark):
-    """The tile fast path and the generic bbox theta path must produce
-    identical fragments (same cells, same areas) — the tile explode is
+def test_spatial_intersect_tile_regime_shape(spark, monkeypatch):
+    """Forcing the tile regime (threshold -> 0) on the small fixture:
+    coarse-tile keys broadcast, and the exact per-cell index-range
+    recovery filter appears in the plan."""
+    import radohydro_spark.operators.spatial as sp
+
+    monkeypatch.setattr(sp, "_PER_CELL_BROADCAST_MAX", 0)
+    cells = synthetic_cells(spark)
+    basins = synthetic_basins(spark)
+    plan = _plan(
+        sp.spatial_intersect(
+            cells, basins, grid_meta=(400000.0, 5600000.0, 1000.0, 1000.0)
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # tiny tile count -> broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "_r0" in plan and "_c1" in plan  # tile recovery filter present
+
+
+def test_spatial_intersect_both_regimes_equal_theta_path(spark, monkeypatch):
+    """Per-cell regime, forced tile regime, and the generic bbox theta
+    path must produce identical fragments — the explode granularity is
     an execution strategy, not a semantics change."""
+    import radohydro_spark.operators.spatial as sp
+
     cells = synthetic_cells(spark)
     basins = synthetic_basins(spark)
 
@@ -492,10 +512,9 @@ def test_spatial_intersect_tile_path_equals_theta_path(spark):
             for r in df.collect()
         }
 
-    fast = key(
-        spatial_intersect(
-            cells, basins, grid_meta=(400000.0, 5600000.0, 1000.0, 1000.0)
-        )
-    )
-    slow = key(spatial_intersect(cells, basins))
-    assert fast and fast == slow
+    gm = (400000.0, 5600000.0, 1000.0, 1000.0)
+    per_cell = key(sp.spatial_intersect(cells, basins, grid_meta=gm))
+    monkeypatch.setattr(sp, "_PER_CELL_BROADCAST_MAX", 0)
+    tiled = key(sp.spatial_intersect(cells, basins, grid_meta=gm))
+    theta = key(sp.spatial_intersect(cells, basins))
+    assert per_cell and per_cell == tiled == theta
