@@ -83,6 +83,11 @@ HEADLINE = [
     # adversarial case (uniform 31-token vocabulary); this entry is the
     # operator's public cost in the regime it exists for.
     "dedup_jaccard_prefix_zipf",
+    # round-11 addition: the posting-list-join retrieval shape (BM25 —
+    # tokenize, (doc,term) tf agg, term df agg, broadcast query terms,
+    # integer-quantized contributions); the first headline whose join
+    # keys are text terms rather than ids/shingle hashes
+    "text_bm25_topk",
 ]
 
 
