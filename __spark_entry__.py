@@ -7547,6 +7547,89 @@ cand AS MATERIALIZED (
 ORACLE_MMR_SELECT = _mmr_oracle(5, 7, 10)
 
 
+def q_stats_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/linalg.py
+    label_centroids, r11): the class-statistics pass of centroid
+    classifiers / embedding-drift monitors — posexplode + ONE map-side-
+    combinable (label, dim) aggregate, output |labels|·d rows.  Exact:
+    components quantize floor(v·1e6+0.5) to BIGINT, sums are exact
+    integers, the centroid is one division of the same two exact numbers
+    (never a float sum)."""
+    from radohydro_spark.operators.linalg import label_centroids
+
+    return label_centroids(
+        _t(spark, sf_dir, "embeddings"), "embedding", "label"
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT label,
+         unnest(list_transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS qv,
+         unnest(range(0, len(v))) AS dim
+  FROM e
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(qv) AS DOUBLE) / COUNT(*) / CAST(1000000 AS DOUBLE) AS centroid
+FROM q GROUP BY label, dim
+"""
+
+
+# fixed mixture-plan inputs shared by engine and oracle: per-source
+# target shares in permille + a token budget
+_MIX_TARGETS = {"src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 50}
+_MIX_BUDGET = 40_000
+
+
+def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planner (operators/sampling.py mixture_plan, r11):
+    allocate a fixed token budget across sources by target share —
+    rate_ppm = min(1e6, target·1e6 div actual), the allocation artifact
+    stratified_hash_sample then executes.  INTEGER-ONLY (SQL `div`, no
+    float division anywhere): `/`+cast truncates a ROUNDED double, which
+    can cross an integer and split from DuckDB's exact `//` floor.
+    Weights = whitespace token counts of the documents."""
+    from radohydro_spark.functions.text import token_count
+    from radohydro_spark.operators.sampling import mixture_plan
+
+    d = _docs(spark, sf_dir).select(
+        "source", token_count("text").alias("n_tokens")
+    )
+    return mixture_plan(d, "source", "n_tokens", _MIX_TARGETS, _MIX_BUDGET)
+
+
+def _mixture_oracle(targets: dict, budget: int) -> str:
+    values = ", ".join(
+        f"('{k}', CAST({v} AS BIGINT))" for k, v in sorted(targets.items())
+    )
+    return f"""
+WITH a AS (
+  SELECT source AS stratum,
+         CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS actual
+  FROM documents GROUP BY source
+),
+t(stratum, share_permille) AS (VALUES {values}),
+j AS (
+  SELECT a.stratum, a.actual,
+         (CAST({int(budget)} AS BIGINT) * t.share_permille) // 1000 AS target
+  FROM a JOIN t USING (stratum)
+)
+SELECT stratum, actual, target,
+       least(CAST(1000000 AS BIGINT), (target * 1000000) // actual) AS rate_ppm,
+       (actual * least(CAST(1000000 AS BIGINT), (target * 1000000) // actual))
+         // 1000000 AS planned
+FROM j
+"""
+
+
+ORACLE_MIXTURE_PLAN = _mixture_oracle(_MIX_TARGETS, _MIX_BUDGET)
+
+
 _BM25_Q = [(0, "spark join table"), (1, "scan filter row batch")]
 
 
@@ -8359,18 +8442,21 @@ GROUP BY user_id HAVING SUM(dt) > 0
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-11 driver window (positions 0-49) ---
-        # Positions 0-5: the six r11 additions, in-window on first
+        # Positions 0-7: the eight r11 additions, in-window on first
         # exposure — the design-regime (Zipf-tail basket corpus) twin of
         # dedup_jaccard_prefix, the exact t-overlap join, incremental
         # LSH-index maintenance, MMR diverse selection, BM25 retrieval,
-        # and hybrid-search reciprocal-rank fusion.
+        # hybrid-search reciprocal-rank fusion, per-label embedding
+        # centroids, and the integer corpus mixture planner.
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
         "dedup_lsh_index_update": q_dedup_lsh_index_update,
         "sample_mmr_select": q_sample_mmr_select,
         "text_bm25_topk": q_text_bm25_topk,
         "search_rrf_fusion": q_search_rrf_fusion,
-        # Positions 6-19 -- last driver-green: r5 (displaced from the
+        "stats_label_centroids": q_stats_label_centroids,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
+        # Positions 8-21 -- last driver-green: r5 (displaced from the
         # r10 window to make room for first-exposure r10 queries) --
         "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
@@ -8386,8 +8472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        # Positions 20-49 -- last driver-green: r6 (first 30 of the
-        # 47-query r6 cohort; its 17-query tail heads the r12 window) --
+        # Positions 22-49 -- last driver-green: r6 (first 28 of the
+        # 47-query r6 cohort; its 19-query tail heads the r12 window) --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
         "events_scd2_pointintime": q_events_scd2_pointintime,
@@ -8416,16 +8502,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
         "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
-        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
-        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
         # --- end of round-11 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-12 rotation is already front-loaded: the r6 tail (17,
-        # incl. the five rows the r11 additions displaced) + the first
-        # 33 of the 49-query r8 cohort = the round-12 50-entry window;
-        # the r8 tail (16) spills to the round-13 head together with the
+        # round-12 rotation is already front-loaded: the r6 tail (19,
+        # incl. the seven rows the r11 additions displaced) + the first
+        # 31 of the 49-query r8 cohort = the round-12 50-entry window;
+        # the r8 tail (18) spills to the round-13 head together with the
         # r9 cohort.
         # -- last driver-green: r6 --
+        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
+        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
         "listagg_top_customers": q_listagg_top_customers,
         "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
         "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
@@ -8648,6 +8734,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_mmr_select": ORACLE_MMR_SELECT,
         "text_bm25_topk": ORACLE_BM25_TOPK,
         "search_rrf_fusion": ORACLE_RRF_FUSION,
+        "stats_label_centroids": ORACLE_LABEL_CENTROIDS,
+        "corpus_mixture_plan": ORACLE_MIXTURE_PLAN,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),
         "window_distinct_running": ORACLE_WINDOW_DISTINCT_RUNNING,

@@ -154,3 +154,46 @@ def pca_top_component(
             F.col("v") / F.sqrt(F.lit(float(norm_sq))), 6
         ).alias("loading"),
     ).orderBy("dim")
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label embedding centroids, long format ``(label, dim, n_vecs,
+    centroid)`` — the class-statistics pass behind centroid classifiers,
+    drift monitors ("did src7's embedding mass move this week?") and the
+    seed step of cluster-based curation.
+
+    Exact cross-engine by the same quantize-then-sum discipline as the
+    Gram matrix above: each component quantizes ``floor(v·scale + 0.5)``
+    to BIGINT (IEEE-identical on both engines), per-(label, dim) sums are
+    exact integers, and the centroid is ONE division of the same two
+    exact numbers — never a float sum.
+
+    Shape: posexplode -> ONE map-side-combinable aggregate on the
+    (label, dim) key; output cardinality = |labels| x d (a dimension
+    table).  At 100 TB this is the cheapest possible pass over the
+    embedding column: one narrow projection, one combinable exchange.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.transform(v, lambda x: F.floor(x * scale + 0.5).cast("long"))
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(q).alias("dim", "_q")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.count("*").alias("n_vecs"), F.sum("_q").alias("_s"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (
+                F.col("_s").cast("double")
+                / F.col("n_vecs")
+                / F.lit(float(scale))
+            ).alias("centroid"),
+        )
+    )

@@ -390,3 +390,66 @@ def mmr_select(
             (picked_id, qdf.filter(F.col("_id") == picked_id).collect()[0]["_qv"])
         )
     return spark.createDataFrame(chosen, out_schema)
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weight_col,
+    targets: dict,
+    budget: int,
+) -> DataFrame:
+    """Corpus mixture planner: given per-stratum target SHARES (per
+    mille, integers summing to <= 1000) and a total token ``budget``,
+    compute each stratum's sampling rate — the allocation step of
+    curriculum mixing ("webcrawl 55%, code 25%, reference 20% of a 2T
+    token budget") that runs before the deterministic samplers above
+    execute the plan (``stratified_hash_sample`` consumes rates like
+    these).
+
+    Returns one row per stratum present in BOTH the corpus and
+    ``targets``: ``(stratum, actual, target, rate_ppm, planned)`` where
+    ``actual`` = the stratum's available weight (tokens), ``target`` =
+    budget·share/1000, ``rate_ppm`` = min(1e6, target·1e6 div actual) —
+    a capped integer rate (an under-supplied stratum keeps everything;
+    the plan cannot invent data), and ``planned`` = actual·rate_ppm div
+    1e6, the weight the plan actually yields.  INTEGER-ONLY (div = floor
+    division), so the plan is identical on any engine.
+
+    Shape: ONE map-side-combinable aggregate on the stratum key plus a
+    broadcast of the (human-sized) target map; output is
+    dimension-sized.  The planner is intentionally separate from the
+    samplers: plans are audited/logged artifacts, execution is a filter.
+    """
+    assert budget >= 0 and targets
+    assert all(isinstance(v, int) and v >= 0 for v in targets.values())
+    assert sum(targets.values()) <= 1000
+    spark = df.sparkSession
+    w = (
+        F.col(weight_col).cast("long")
+        if isinstance(weight_col, str)
+        else weight_col.cast("long")
+    )
+    actual = (
+        df.select(F.col(strata_col).alias("stratum"), w.alias("_w"))
+        .groupBy("stratum")
+        .agg(F.sum("_w").alias("actual"))
+    )
+    tgt = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(targets.items())],
+        "stratum string, share_permille long",
+    )
+    # TRUE integer division end-to-end (SQL `div`, never `/`+cast: the
+    # double quotient can round ACROSS an integer before the cast
+    # truncates, splitting from DuckDB's exact `//` floor)
+    joined = actual.join(F.broadcast(tgt), "stratum").select(
+        "stratum",
+        "actual",
+        F.expr(
+            f"(CAST({int(budget)} AS BIGINT) * share_permille) div 1000"
+        ).alias("target"),
+    )
+    return joined.withColumn(
+        "rate_ppm",
+        F.expr("least(CAST(1000000 AS BIGINT), (target * 1000000) div actual)"),
+    ).withColumn("planned", F.expr("(actual * rate_ppm) div 1000000"))

@@ -149,3 +149,41 @@ def test_power_iteration_integer_bounds_hold():
         assert all(abs(x) <= 1 << 21 for x in v), (seed, v)
 
     inner()
+
+
+# --- label_centroids (r11) ---
+
+
+def test_label_centroids_hand_case(spark):
+    from radohydro_spark.operators.linalg import label_centroids
+
+    rows = [
+        ("a", [1.0, 2.0]),
+        ("a", [3.0, 4.0]),
+        ("b", [-1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "label string, v array<double>")
+    got = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["centroid"])
+        for r in label_centroids(df, "v", "label").collect()
+    }
+    assert got == {
+        ("a", 0): (2, 2.0),
+        ("a", 1): (2, 3.0),
+        ("b", 0): (1, -1.0),
+        ("b", 1): (1, 0.5),
+    }
+
+
+def test_label_centroids_quantization_is_exact_for_representable(spark):
+    from radohydro_spark.operators.linalg import label_centroids
+
+    # values exactly representable at 1e-6 granularity survive the
+    # quantize -> sum -> divide round trip bit-for-bit
+    rows = [("x", [0.000001, -0.5]), ("x", [0.000003, 1.5])]
+    df = spark.createDataFrame(rows, "label string, v array<double>")
+    got = {
+        r["dim"]: r["centroid"]
+        for r in label_centroids(df, "v", "label").collect()
+    }
+    assert got[0] == 0.000002 and got[1] == 0.5

@@ -156,3 +156,39 @@ def test_group_kfold_no_group_straddles_folds(spark):
         for r in out.select("user_id", "fold").distinct().collect()
     }
     assert first == again
+
+
+def test_mixture_plan_allocation_law(spark):
+    from radohydro_spark.operators.sampling import mixture_plan
+
+    rows = (
+        [("web", 100)] * 50     # actual 5000 tokens
+        + [("code", 200)] * 10  # actual 2000
+        + [("ref", 50)] * 4     # actual 200 (under-supplied)
+        + [("junk", 999)] * 3   # not in targets -> absent from the plan
+    )
+    df = spark.createDataFrame(rows, "source string, n_tokens int")
+    targets = {"web": 500, "code": 300, "ref": 200}
+    got = {
+        r["stratum"]: (r["actual"], r["target"], r["rate_ppm"], r["planned"])
+        for r in mixture_plan(df, "source", "n_tokens", targets, 4000).collect()
+    }
+    # web: target 2000 of 5000 -> rate 400000 ppm, planned 2000
+    assert got["web"] == (5000, 2000, 400_000, 2000)
+    # code: target 1200 of 2000 -> rate 600000, planned 1200
+    assert got["code"] == (2000, 1200, 600_000, 1200)
+    # ref: target 800 of only 200 -> rate capped at 1e6, planned = all 200
+    assert got["ref"] == (200, 800, 1_000_000, 200)
+    assert "junk" not in got
+
+
+def test_mixture_plan_integer_floor_not_double_truncate(spark):
+    from radohydro_spark.operators.sampling import mixture_plan
+
+    # a target/actual ratio whose double quotient rounds UP across an
+    # integer: rate must be the exact integer floor (the `/`+cast bug
+    # class this operator avoids by using SQL div)
+    df = spark.createDataFrame([("s", 3)], "source string, n_tokens int")
+    got = mixture_plan(df, "source", "n_tokens", {"s": 1}, 1000).collect()[0]
+    # target = 1000*1//1000 = 1; rate = 1*1e6 div 3 = 333333 exactly
+    assert (got["target"], got["rate_ppm"], got["planned"]) == (1, 333_333, 0)
