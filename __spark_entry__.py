@@ -7547,6 +7547,58 @@ cand AS MATERIALIZED (
 ORACLE_MMR_SELECT = _mmr_oracle(5, 7, 10)
 
 
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood near-dup pairs (operators/dedup.py
+    sorted_neighborhood_pairs, r11; Hernandez-Stolfo SIGMOD'95): the
+    ORDER-based blocking family next to LSH banding and prefix
+    filtering — sort by the text, slide an 8-row neighborhood, exact
+    shingle-Jaccard verify inside it.  Guaranteed window·N candidate
+    budget regardless of token statistics (works in the uniform-vocab
+    regime where prefix filtering's precondition fails).  Global rank
+    is range-partition + offset-collect, never a single-task window;
+    the oracle reproduces the identical neighborhood definition."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    return DD.sorted_neighborhood_pairs(
+        corpus, "text", "doc_id", window=8, k=3, threshold=0.5
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+WITH corpus AS ({_NEARDUP_SQL}),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) AS rn FROM corpus
+),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM ranked a JOIN ranked b ON b.rn BETWEEN a.rn + 1 AND a.rn + 8
+  GROUP BY 1, 2
+),
+docs AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
+
+
 def q_stats_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (operators/linalg.py
     label_centroids, r11): the class-statistics pass of centroid
@@ -8442,12 +8494,13 @@ GROUP BY user_id HAVING SUM(dt) > 0
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-11 driver window (positions 0-49) ---
-        # Positions 0-7: the eight r11 additions, in-window on first
+        # Positions 0-8: the nine r11 additions, in-window on first
         # exposure — the design-regime (Zipf-tail basket corpus) twin of
         # dedup_jaccard_prefix, the exact t-overlap join, incremental
         # LSH-index maintenance, MMR diverse selection, BM25 retrieval,
         # hybrid-search reciprocal-rank fusion, per-label embedding
-        # centroids, and the integer corpus mixture planner.
+        # centroids, the integer corpus mixture planner, and
+        # sorted-neighborhood blocking.
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
         "dedup_lsh_index_update": q_dedup_lsh_index_update,
@@ -8456,7 +8509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rrf_fusion": q_search_rrf_fusion,
         "stats_label_centroids": q_stats_label_centroids,
         "corpus_mixture_plan": q_corpus_mixture_plan,
-        # Positions 8-21 -- last driver-green: r5 (displaced from the
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        # Positions 9-22 -- last driver-green: r5 (displaced from the
         # r10 window to make room for first-exposure r10 queries) --
         "precip_radolan_scale": q_precip_radolan_scale,
         "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
@@ -8472,8 +8526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
         "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
         "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        # Positions 22-49 -- last driver-green: r6 (first 28 of the
-        # 47-query r6 cohort; its 19-query tail heads the r12 window) --
+        # Positions 23-49 -- last driver-green: r6 (first 27 of the
+        # 47-query r6 cohort; its 20-query tail heads the r12 window) --
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_html_extract": q_text_html_extract,
         "events_scd2_pointintime": q_events_scd2_pointintime,
@@ -8501,15 +8555,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
         "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
         "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
-        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         # --- end of round-11 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-12 rotation is already front-loaded: the r6 tail (19,
-        # incl. the seven rows the r11 additions displaced) + the first
-        # 31 of the 49-query r8 cohort = the round-12 50-entry window;
-        # the r8 tail (18) spills to the round-13 head together with the
+        # round-12 rotation is already front-loaded: the r6 tail (20,
+        # incl. the eight rows the r11 additions displaced) + the first
+        # 30 of the 49-query r8 cohort = the round-12 50-entry window;
+        # the r8 tail (19) spills to the round-13 head together with the
         # r9 cohort.
         # -- last driver-green: r6 --
+        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
         "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
         "listagg_top_customers": q_listagg_top_customers,
@@ -8736,6 +8790,7 @@ def oracle_sql() -> dict[str, str]:
         "search_rrf_fusion": ORACLE_RRF_FUSION,
         "stats_label_centroids": ORACLE_LABEL_CENTROIDS,
         "corpus_mixture_plan": ORACLE_MIXTURE_PLAN,
+        "dedup_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),
         "window_distinct_running": ORACLE_WINDOW_DISTINCT_RUNNING,

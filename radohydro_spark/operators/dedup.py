@@ -1286,3 +1286,136 @@ def overlap_pairs(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_overlap)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "rank",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Dense global 1-based rank by ``order_cols`` WITHOUT a single-task
+    window: range-partition on the order key, per-partition row_number,
+    then add per-partition offsets from ONE dimension-sized count
+    collect (n_parts rows — the usual dimension-sized-action contract).
+
+    The rank is a pure function of the total (order_cols) order, so the
+    output is deterministic even though the range partitioner's sampled
+    boundaries are not: boundaries only decide WHERE the cumulative
+    offsets cut, never the cumulated order.  A bare
+    ``row_number().over(Window.orderBy(...))`` moves the WHOLE relation
+    to one task (the weighted_sample lesson) — this is the scalable
+    form.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = W.partitionBy("_pid").orderBy(*cols)
+    d = d.withColumn("_lrn", F.row_number().over(wloc)).cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(d)
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off = F.create_map(
+        *[F.lit(x) for pid, o in sorted(offsets.items()) for x in (pid, o)]
+    )
+    return d.withColumn(
+        rank_name, (F.col("_lrn") + off.getItem(F.col("_pid"))).cast("long")
+    ).drop("_pid", "_lrn")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-Neighborhood Method near-dup pairs (Hernández & Stolfo,
+    SIGMOD'95): sort the corpus by a blocking key (here the text itself —
+    shared prefixes make copies/fragments adjacent), slide a ``window``-
+    row neighborhood, and exactly verify only the pairs inside it — the
+    third blocking family next to LSH banding (hash blocks) and prefix
+    filtering (rarest-token blocks).  SNM's niche: it is ORDER-based, so
+    it finds prefix-sharing near-dups at a guaranteed
+    ``window × N`` candidate budget regardless of token statistics —
+    including the uniform-vocabulary regime where prefix filtering's
+    precondition fails.
+
+    Relational shape (scale-correct): global rank via :func:`global_rank`
+    (range partition + offset collect — never a single-task window), the
+    neighborhood as an OFFSET EXPLODE equi-join (each row emits
+    ``window`` (rank+i) probes; rank is unique so the join is 1:1 —
+    ``window·N`` candidate rows by construction, no inequality/band
+    join), then the same exact shingle-Jaccard verify stage as the other
+    dedup operators.  Returns ``(id_a, id_b, jaccard)`` (ids
+    canonicalized ``id_a < id_b``) for verified pairs with
+    ``jaccard >= threshold``.  Deterministic: the neighborhood is a pure
+    function of the (blocking key, id) total order.
+
+    Like every blocking method this is approximate by design — pairs
+    farther than ``window`` ranks apart are not examined; the operator
+    reports WHAT THE BLOCKING FOUND, and the oracle reproduces the same
+    definition exactly.
+    """
+    assert window >= 1
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    ranked = global_rank(base, ["_t", "doc_id"], rank_name="_rn").select(
+        "doc_id", "_rn"
+    )
+    probes = ranked.select(
+        F.col("doc_id").alias("_id_lo"),
+        F.explode(
+            F.sequence(F.col("_rn") + 1, F.col("_rn") + window)
+        ).alias("_rn"),
+    )
+    cand = (
+        probes.join(ranked, "_rn")
+        .select(
+            F.least("_id_lo", "doc_id").alias("id_a"),
+            F.greatest("_id_lo", "doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = word_shingles(df, text_col, id_col, k, with_count=True).select(
+        "doc_id", "n_sh", F.xxhash64("shingle").alias("sid")
+    )
+    sh = sh.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(sh)
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.sid") == F.col("sa.sid")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("sa.n_sh")).alias("_na"),
+            F.first(F.col("sb.n_sh")).alias("_nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -227,3 +227,101 @@ def test_update_lsh_index_rejects_duplicate_ids(spark, tmp_path):
     build_lsh_index(df, path, "text", "doc_id")
     with pytest.raises(ValueError, match="already indexed"):
         update_lsh_index(spark, path, df.filter("doc_id = 1"), "text", "doc_id")
+
+
+def test_global_rank_matches_single_task_window(spark):
+    """r11: the range-partition + offset-collect global rank must equal
+    the naive global row_number for any data and any partitioning."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from radohydro_spark.operators.dedup import global_rank
+
+    rng = random.Random(7)
+    rows = [(i, f"k{rng.randrange(50)}") for i in range(1, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, k string").repartition(13)
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(df, ["k", "doc_id"], n_parts=7).collect()
+    }
+    ref = {
+        r["doc_id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(W.orderBy("k", "doc_id"))
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_sorted_neighborhood_matches_bruteforce_definition(spark):
+    """SNM pairs == (pairs within `window` ranks of the (text, id) sort)
+    verified at exact Jaccard >= threshold, per the Hernandez-Stolfo
+    definition."""
+    import itertools
+    import random
+
+    from radohydro_spark.operators.dedup import sorted_neighborhood_pairs
+
+    def brute(rows, w, k, t):
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        sh = {}
+        for i, txt in rows:
+            toks = txt.split()
+            sh[i] = {
+                " ".join(toks[j : j + k]) for j in range(max(len(toks) - k + 1, 1))
+            } - {""}
+        out = {}
+        for x in range(len(order)):
+            for y in range(x + 1, min(x + w + 1, len(order))):
+                a, b = order[x][0], order[y][0]
+                a, b = min(a, b), max(a, b)
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - inter
+                j = round(inter / union, 6) if union else 0.0
+                if j >= t:
+                    out[(a, b)] = j
+        return out
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(1, 60):
+        if i % 5 == 0:
+            base = rows[-1][1].split()
+            base[-1] = f"w{rng.randrange(8)}"
+            rows.append((i, " ".join(base)))
+        else:
+            rows.append(
+                (i, " ".join(f"w{rng.randrange(8)}" for _ in range(10)))
+            )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=4, k=3, threshold=0.4
+        ).collect()
+    }
+    assert got == brute(rows, 4, 3, 0.4)
+
+
+def test_sorted_neighborhood_finds_adjacent_copies_only(spark):
+    """Exact copies sort adjacent and are always found; a near-dup
+    pushed outside the window by unrelated rows is NOT examined — the
+    blocking property, stated and tested, not hidden."""
+    from radohydro_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(1, "aaa bbb ccc ddd eee"), (2, "aaa bbb ccc ddd eee")]
+    # 5 sorted-between rows separate doc 3 (a copy of 1/2 with a suffix
+    # sorting far away only by its first token)
+    rows += [(10 + i, f"bbb filler{i} x y z") for i in range(5)]
+    rows += [(3, "zzz aaa bbb ccc ddd eee")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=2, k=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)  # outside every 2-row window
