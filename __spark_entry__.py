@@ -1706,7 +1706,7 @@ drop_nd AS (
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+  WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.5
 ),
 nd AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM drop_nd)),
 bsh AS (
@@ -1801,7 +1801,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.5
 """
 
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1953,7 +1953,7 @@ pairs AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+  WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.5
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
@@ -7549,14 +7549,17 @@ ORACLE_MMR_SELECT = _mmr_oracle(5, 7, 10)
 
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-Neighborhood near-dup pairs (operators/dedup.py
-    sorted_neighborhood_pairs, r11; Hernandez-Stolfo SIGMOD'95): the
-    ORDER-based blocking family next to LSH banding and prefix
-    filtering — sort by the text, slide an 8-row neighborhood, exact
+    sorted_neighborhood_pairs, r11, blocking key bounded r12;
+    Hernandez-Stolfo SIGMOD'95): the ORDER-based blocking family next
+    to LSH banding and prefix filtering — sort by the 64-char text
+    PREFIX (the bounded blocking key: ranking on raw text shuffled full
+    document bytes as sort keys), slide an 8-row neighborhood, exact
     shingle-Jaccard verify inside it.  Guaranteed window·N candidate
     budget regardless of token statistics (works in the uniform-vocab
     regime where prefix filtering's precondition fails).  Global rank
     is range-partition + offset-collect, never a single-task window;
-    the oracle reproduces the identical neighborhood definition."""
+    the oracle reproduces the identical (prefix-key, id) neighborhood
+    definition and the identical rounded-jaccard filter."""
     corpus = _dup_corpus(spark, sf_dir, near=True)
     return DD.sorted_neighborhood_pairs(
         corpus, "text", "doc_id", window=8, k=3, threshold=0.5
@@ -7566,7 +7569,9 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SORTED_NEIGHBORHOOD = f"""
 WITH corpus AS ({_NEARDUP_SQL}),
 ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) AS rn FROM corpus
+  SELECT doc_id,
+         row_number() OVER (ORDER BY substring(text, 1, 64), doc_id) AS rn
+  FROM corpus
 ),
 cand AS (
   SELECT least(a.doc_id, b.doc_id) AS id_a,
@@ -7595,7 +7600,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.5
 """
 
 
@@ -8232,7 +8237,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc = id_a
 JOIN sizes sb ON sb.doc = id_b
-WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.5
 """
 
 

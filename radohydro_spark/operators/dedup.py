@@ -31,39 +31,40 @@ MINHASH_A = [2971, 4111, 5669, 7919, 9973, 11939, 14033, 16127]
 MINHASH_B = [1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613]
 
 
+def shingle_array(text_col: str, k: int):
+    """The distinct-k-word-shingle set of a text column as ONE ARRAY
+    Column — the single place the tokenize / slide / array_distinct /
+    drop-'' law lives.  :func:`word_shingles` explodes this array (the
+    relational form the frequency/prefix operators join on);
+    :func:`sorted_neighborhood_pairs` hashes it un-exploded (its verify
+    joins per-pair arrays, never the exploded relation).  Sharing the
+    expression means the two forms cannot drift."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    # array_distinct makes (doc, shingle) unique BEFORE any explode — no
+    # distinct() downstream, which would cost a full extra shuffle
+    return F.array_remove(F.array_distinct(sh), "")
+
+
 def word_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, with_count: bool = False
 ) -> DataFrame:
-    """Distinct k-word shingles per document, exploded long.
+    """Distinct k-word shingles per document, exploded long (the
+    relational form of :func:`shingle_array`).
 
     ``with_count=True`` attaches ``n_sh`` (the document's distinct-shingle
     count) to every exploded row — computed from the array BEFORE the
     explode, so consumers that need per-doc sizes (Jaccard denominators)
     get them with ZERO extra shuffle instead of a groupBy + back-join.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    # array_distinct before the explode already makes (doc_id, shingle)
-    # unique — no distinct() after, which would cost a full extra shuffle
-    arr = F.array_distinct(sh)
+    arr = shingle_array(text_col, k)
     base = df.select(F.col(id_col).alias("doc_id"), arr.alias("_sh"))
     if with_count:
-        # count AFTER removing the empty shingle so n_sh matches the
-        # post-filter row count exactly
-        base = base.withColumn(
-            "n_sh", F.size(F.array_remove(F.col("_sh"), ""))
-        )
-        return (
-            base.select("doc_id", "n_sh", F.explode("_sh").alias("shingle"))
-            .filter(F.col("shingle") != "")
-        )
-    return base.select("doc_id", F.explode("_sh").alias("shingle")).filter(
-        F.col("shingle") != ""
-    )
+        base = base.withColumn("n_sh", F.size("_sh"))
+        return base.select("doc_id", "n_sh", F.explode("_sh").alias("shingle"))
+    return base.select("doc_id", F.explode("_sh").alias("shingle"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -677,10 +678,39 @@ def update_lsh_index(
     would leave two contradictory signature rows.  Checked with one
     batch-sized semi-join count against the signatures read (the same
     dimension-sized-action contract as the probe's emptiness check);
-    fails loudly rather than corrupting the index.
+    fails loudly rather than corrupting the index.  The hash GEOMETRY
+    (``n_hashes``, ``rows_per_band``) is likewise validated against the
+    existing artifacts — the params are arguments, not persisted, so an
+    update signed with a different geometry would otherwise silently
+    corrupt the index (mixed-length ``sig_arr`` rows, extra ``band=N``
+    partitions probes never read).  One signature row pins ``n_hashes``;
+    the ``band=`` partition-directory listing (a driver-side FS list,
+    O(n_bands)) pins the band count.
     """
     assert n_hashes % rows_per_band == 0  # build_lsh_index's contract
+    n_bands = n_hashes // rows_per_band
     sigs = spark.read.parquet(f"{path}/signatures")
+    one = sigs.select(F.size("sig_arr").alias("n")).first()
+    if one is not None and one["n"] != n_hashes:
+        raise ValueError(
+            f"update_lsh_index: index at {path} holds length-{one['n']} "
+            f"signatures but the update was called with n_hashes="
+            f"{n_hashes} — pass the build-time parameters (or rebuild)"
+        )
+    bands_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/bands")
+    fs = bands_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    built_bands = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(bands_path)
+        if st.isDirectory() and st.getPath().getName().startswith("band=")
+    )
+    if built_bands != list(range(n_bands)):
+        raise ValueError(
+            f"update_lsh_index: index at {path} has band partitions "
+            f"{built_bands} but n_hashes={n_hashes} / rows_per_band="
+            f"{rows_per_band} implies bands 0..{n_bands - 1} — pass the "
+            "build-time parameters (or rebuild)"
+        )
     n_dup = (
         new_docs.select(F.col(id_col).alias("doc_id"))
         .join(sigs, "doc_id", "left_semi")
@@ -693,7 +723,6 @@ def update_lsh_index(
             "needs a fresh id (or rebuild the index)"
         )
     wide = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes, k).cache()
-    n_bands = n_hashes // rows_per_band
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -1339,10 +1368,11 @@ def sorted_neighborhood_pairs(
     window: int = 8,
     k: int = 3,
     threshold: float = 0.5,
+    key_col: str | None = None,
+    key_prefix_len: int | None = 64,
 ) -> DataFrame:
     """Sorted-Neighborhood Method near-dup pairs (Hernández & Stolfo,
-    SIGMOD'95): sort the corpus by a blocking key (here the text itself —
-    shared prefixes make copies/fragments adjacent), slide a ``window``-
+    SIGMOD'95): sort the corpus by a blocking key, slide a ``window``-
     row neighborhood, and exactly verify only the pairs inside it — the
     third blocking family next to LSH banding (hash blocks) and prefix
     filtering (rarest-token blocks).  SNM's niche: it is ORDER-based, so
@@ -1351,13 +1381,28 @@ def sorted_neighborhood_pairs(
     including the uniform-vocabulary regime where prefix filtering's
     precondition fails.
 
+    BLOCKING KEY: ``key_col`` if given (a caller-computed key column —
+    the classic SNM usage sorts on a domain key like name+zip);
+    otherwise the first ``key_prefix_len`` characters of the text
+    (default 64), ties broken by id.  SNM only needs the key ORDER, so
+    the sort key must stay BOUNDED: ranking on the raw text (the r11
+    form, ``key_prefix_len=None``) shuffles full document bytes as
+    range-partition sort keys — measured 1.8 GB shuffle at 500k docs of
+    which most was key bytes; the 64-char prefix carries the same
+    neighborhood for prefix-sharing corpora at a fraction of the
+    shuffle.  Two texts equal in the first 64 chars stay adjacent
+    either way; the definitions only differ where documents diverge
+    past the prefix — the operator (and its oracle) define the
+    neighborhood on the (key, id) order, stated, not hidden.
+
     Relational shape (scale-correct): global rank via :func:`global_rank`
     (range partition + offset collect — never a single-task window), the
     neighborhood as an OFFSET EXPLODE equi-join (each row emits
     ``window`` (rank+i) probes; rank is unique so the join is 1:1 —
     ``window·N`` candidate rows by construction, no inequality/band
     join), then a PER-PAIR ARRAY verify: each candidate pair joins the
-    two documents' hashed shingle ARRAYS and counts
+    two documents' hashed shingle ARRAYS (:func:`shingle_array`, the
+    same law as :func:`word_shingles`) and counts
     ``size(array_intersect(...))`` in one JVM expression.  Unlike the
     prefix/Jaccard operators (whose shingle relation is already exploded
     for their frequency/prefix steps), SNM has no exploded stage to
@@ -1366,7 +1411,9 @@ def sorted_neighborhood_pairs(
     the array form keeps the verify at ``window·N`` ROWS (the arrays
     ride the join) — measured 2.5× faster (75.1s → 30.4s) with ZERO
     spill and identical output at the same scale.  Returns ``(id_a, id_b, jaccard)`` (ids canonicalized
-    ``id_a < id_b``) for verified pairs with ``jaccard >= threshold``.
+    ``id_a < id_b``) for verified pairs with ``jaccard >= threshold``
+    (the ratio is rounded to 6 places BEFORE the filter; the oracle
+    filters the same rounded value — engine and oracle share one law).
     Deterministic: the neighborhood is a pure function of the
     (blocking key, id) total order.
 
@@ -1376,8 +1423,15 @@ def sorted_neighborhood_pairs(
     definition exactly.
     """
     assert window >= 1
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    ranked = global_rank(base, ["_t", "doc_id"], rank_name="_rn").select(
+    if key_col is not None:
+        key = F.col(key_col)
+    elif key_prefix_len is not None:
+        assert key_prefix_len >= 1
+        key = F.substring(F.col(text_col), 1, key_prefix_len)
+    else:
+        key = F.col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), key.alias("_key"))
+    ranked = global_rank(base, ["_key", "doc_id"], rank_name="_rn").select(
         "doc_id", "_rn"
     )
     probes = ranked.select(
@@ -1394,16 +1448,9 @@ def sorted_neighborhood_pairs(
         )
         .distinct()
     )
-    # hashed shingle ARRAYS, one row per doc (the un-exploded twin of
-    # word_shingles: same tokenize/slide/distinct/drop-'' law, so the
-    # distinct-shingle sets are identical)
-    toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    raw = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )
-    arr = F.transform(F.array_remove(raw, ""), lambda s: F.xxhash64(s))
+    # hashed shingle ARRAYS, one row per doc — shingle_array IS
+    # word_shingles' law (shared expression), hashed element-wise
+    arr = F.transform(shingle_array(text_col, k), lambda s: F.xxhash64(s))
     sets = df.select(
         F.col(id_col).alias("doc_id"), arr.alias("_sh"), F.size(arr).alias("n_sh")
     ).cache()

@@ -363,8 +363,9 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     prev_n = cur.count()
+    n = prev_n
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         keep = (
             cur.groupBy("a")
             .agg(F.count("*").alias("_deg"))
@@ -377,12 +378,16 @@ def k_core(
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
+        # prev_n keeps the PRE-round count until after the convergence
+        # check so the exhaustion message below shows the real last
+        # delta (assigning before the check printed 'n -> n')
         n = nxt.count()
         cur = nxt
         if n == prev_n:
             converged = True
             break
-        prev_n = n
+        if it < max_iter - 1:
+            prev_n = n
     if not converged:
         # A non-fixed-point result silently contains nodes with degree < k
         # (a k=2 path graph peels ONE layer per round, so a >max_iter-node

@@ -169,13 +169,14 @@ def rrf_fuse(
     Returns ``(id_col, fused_score, fused_rank)`` for the top ``k``.
     """
     assert rankings and k >= 1 and k0 >= 0
+    # TRUE SQL `div`, never `/`+cast: the double quotient can round
+    # ACROSS an integer before the cast truncates (the mixture_plan
+    # seam class) — `div` floors exactly like DuckDB's `//`
+    contrib = F.expr(
+        f"CAST(1000000 AS BIGINT) div (CAST({int(k0)} AS BIGINT) + `{rank_col}`)"
+    )
     parts = [
-        r.select(
-            F.col(id_col).alias("_id"),
-            (F.lit(1_000_000) / (F.lit(k0) + F.col(rank_col)))
-            .cast("long")
-            .alias("_c"),
-        )
+        r.select(F.col(id_col).alias("_id"), contrib.alias("_c"))
         for r in rankings
     ]
     u = parts[0]

@@ -416,6 +416,12 @@ def mixture_plan(
     1e6, the weight the plan actually yields.  INTEGER-ONLY (div = floor
     division), so the plan is identical on any engine.
 
+    A targeted stratum whose available weight sums to ZERO is dropped
+    from the plan (``actual > 0`` filter before the division): there is
+    nothing to sample from it, and dividing by it would yield a silent
+    NULL rate under Spark's non-ANSI ``div`` while DuckDB's ``//``
+    raises — a cross-engine split, not a plan.
+
     Shape: ONE map-side-combinable aggregate on the stratum key plus a
     broadcast of the (human-sized) target map; output is
     dimension-sized.  The planner is intentionally separate from the
@@ -435,13 +441,24 @@ def mixture_plan(
         .groupBy("stratum")
         .agg(F.sum("_w").alias("actual"))
     )
+    # stratum type derives from df (the greedy_max_coverage lesson:
+    # never hardcode a generic key parameter's type)
+    stype = df.select(F.col(strata_col).alias("stratum")).schema[0].dataType
     tgt = spark.createDataFrame(
         [(k, int(v)) for k, v in sorted(targets.items())],
-        "stratum string, share_permille long",
+        T.StructType(
+            [
+                T.StructField("stratum", stype),
+                T.StructField("share_permille", T.LongType()),
+            ]
+        ),
     )
     # TRUE integer division end-to-end (SQL `div`, never `/`+cast: the
     # double quotient can round ACROSS an integer before the cast
     # truncates, splitting from DuckDB's exact `//` floor)
+    # actual == 0 would be a silent NULL rate on Spark's non-ANSI div
+    # and a hard error on DuckDB's `//` — drop empty strata instead
+    actual = actual.filter(F.col("actual") > 0)
     joined = actual.join(F.broadcast(tgt), "stratum").select(
         "stratum",
         "actual",

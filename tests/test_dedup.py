@@ -229,6 +229,40 @@ def test_update_lsh_index_rejects_duplicate_ids(spark, tmp_path):
         update_lsh_index(spark, path, df.filter("doc_id = 1"), "text", "doc_id")
 
 
+def test_update_lsh_index_rejects_mismatched_geometry(spark, tmp_path):
+    """r12 (ADVICE): the hash geometry is an argument, not persisted —
+    an update signed with different n_hashes / rows_per_band must fail
+    LOUDLY against the existing artifacts instead of silently writing
+    mixed-length signatures or band partitions probes never read."""
+    import pytest
+
+    from radohydro_spark.operators.dedup import build_lsh_index, update_lsh_index
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "eta theta iota kappa mu nu")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "xi omicron pi rho sigma tau")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(df, path, "text", "doc_id", n_hashes=8, rows_per_band=2)
+    with pytest.raises(ValueError, match="n_hashes"):
+        update_lsh_index(
+            spark, path, batch, "text", "doc_id", n_hashes=4, rows_per_band=2
+        )
+    # same n_hashes, different banding: signature length agrees but the
+    # band partition layout would not — caught by the directory check
+    with pytest.raises(ValueError, match="band partitions"):
+        update_lsh_index(
+            spark, path, batch, "text", "doc_id", n_hashes=8, rows_per_band=4
+        )
+    # the index is untouched: a correctly-parameterized update still lands
+    update_lsh_index(
+        spark, path, batch, "text", "doc_id", n_hashes=8, rows_per_band=2
+    )
+
+
 def test_global_rank_matches_single_task_window(spark):
     """r11: the range-partition + offset-collect global rank must equal
     the naive global row_number for any data and any partitioning."""
@@ -325,3 +359,71 @@ def test_sorted_neighborhood_finds_adjacent_copies_only(spark):
     }
     assert (1, 2) in got
     assert not any(3 in p for p in got)  # outside every 2-row window
+
+
+def test_sorted_neighborhood_prefix_key_matches_full_text_on_prefix_equivalent_corpus(
+    spark,
+):
+    """On a corpus whose 64-char-prefix order equals its full-text order
+    (every pair of texts diverges inside the first 64 chars), the bounded
+    blocking key (r12 default) and the raw-text key (key_prefix_len=None,
+    the r11 form) must produce IDENTICAL pairs — the key bound changes
+    shuffle bytes, not the neighborhood."""
+    import random
+
+    from radohydro_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(1, 80):
+        # texts are LONG (>64 chars) but start with a discriminating
+        # token, so prefix order == full-text order
+        head = f"h{rng.randrange(30):03d}"
+        body = " ".join(f"w{rng.randrange(6)}" for _ in range(40))
+        rows.append((i, f"{head} {body}"))
+        if i % 7 == 0:
+            rows.append((i + 1000, f"{head} {body} extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert all(len(t) > 64 for _, t in rows)
+
+    def run(**kw):
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in sorted_neighborhood_pairs(
+                df, "text", "doc_id", window=4, k=3, threshold=0.4, **kw
+            ).collect()
+        }
+
+    assert run() == run(key_prefix_len=None)
+
+
+def test_sorted_neighborhood_custom_key_col(spark):
+    """key_col overrides the text prefix: blocking on a caller-computed
+    domain key (classic SNM sorts on e.g. name+zip) must define the
+    neighborhood on THAT key's order."""
+    from radohydro_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # docs 1 and 2 are near-dups but sort FAR apart by text; their
+    # custom keys are adjacent, so key_col blocking finds the pair
+    rows = [
+        (1, "zzz aaa bbb ccc ddd eee", "k1"),
+        (2, "aaa bbb ccc ddd eee zzz", "k2"),
+        (3, "unrelated text one two three", "m9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=1, k=3, threshold=0.4, key_col="blk"
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    # text-prefix blocking (the default) does NOT find it at window=1:
+    # doc 3's text does not sort between them, but 1 sorts last ('zzz')
+    got_txt = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "text", "doc_id", window=1, k=3, threshold=0.4
+        ).collect()
+    }
+    assert (1, 2) not in got_txt
