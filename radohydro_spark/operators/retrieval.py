@@ -14,7 +14,13 @@ Cross-engine exactness contract (same discipline as tfidf_cosine_pairs):
   (idf, then the tf saturation fraction, one multiply) and quantized
   ``floor(x·10⁶ + 0.5)`` to BIGINT BEFORE the per-document sum — float
   sums are partial-aggregation-order dependent, integer sums are not, so
-  the ranking both engines see is identical to the last bit.
+  the ranking both engines see is identical to the last bit.  The one
+  residual seam — the quantization happens AFTER a transcendental
+  (``ln``) the two engines evaluate independently — is AUDITED, not
+  assumed: :func:`bm25_boundary_margin` measures every contribution's
+  pre-floor distance from its integer boundary, and the tests pin that
+  margin ≫ the worst 1-ulp cross-engine ``ln`` disagreement on the
+  driver corpora.
 * RRF is integer-only end-to-end: ``1_000_000 div (k0 + rank)`` summed as
   BIGINT.  No float exists anywhere in the fusion.
 
@@ -29,6 +35,72 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from radohydro_spark.functions.text import tokens
+
+
+def _bm25_term_rows(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    k1: float,
+    b: float,
+    scale: int,
+) -> DataFrame | None:
+    """Shared term-level BM25 pipeline (one definition for the scorer
+    and the boundary audit below): postings + document frequencies +
+    broadcast query terms, one row per scored (query, doc, term) with
+    ``_x`` = the PRE-FLOOR quantization value ``idf·frac·scale + 0.5``
+    (double) and ``_c`` = ``floor(_x)`` BIGINT.  Returns ``None`` on an
+    empty corpus."""
+    d = docs.select(F.col(id_col).alias("_doc"), tokens(text_col).alias("_toks"))
+    d = d.withColumn("_len", F.size("_toks")).filter(F.col("_len") > 0)
+    postings = (
+        d.select("_doc", "_len", F.explode("_toks").alias("_term"))
+        .filter(F.col("_term") != "")
+        .groupBy("_doc", "_len", "_term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    postings = postings.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(postings)
+    stats = d.select(
+        F.count("*").alias("n"), F.sum("_len").alias("total_len")
+    ).first()
+    n_docs, total_len = stats["n"], stats["total_len"]
+    if not n_docs:
+        return None
+    # avgdl as the exact integer ratio evaluated ONCE into a double —
+    # both engines divide the same two integers
+    avgdl = float(total_len) / float(n_docs)
+    df_t = postings.groupBy("_term").agg(F.count("*").alias("_df"))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("_q"), tokens(query_text_col).alias("_qt")
+        )
+        .select("_q", F.explode("_qt").alias("_term"))
+        .filter(F.col("_term") != "")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    tf = F.col("_tf").cast("double")
+    frac = (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_len") / F.lit(avgdl)))
+    )
+    x = idf * frac * F.lit(float(scale)) + F.lit(0.5)
+    return (
+        postings.join(df_t, "_term")
+        .join(F.broadcast(q), "_term")
+        .select("_q", "_doc", x.alias("_x"), F.floor(x).cast("long").alias("_c"))
+    )
 
 
 def bm25_topk(
@@ -67,23 +139,10 @@ def bm25_topk(
     and the only SUM is over integers).
     """
     assert k >= 1
-    d = docs.select(F.col(id_col).alias("_doc"), tokens(text_col).alias("_toks"))
-    d = d.withColumn("_len", F.size("_toks")).filter(F.col("_len") > 0)
-    postings = (
-        d.select("_doc", "_len", F.explode("_toks").alias("_term"))
-        .filter(F.col("_term") != "")
-        .groupBy("_doc", "_len", "_term")
-        .agg(F.count("*").alias("_tf"))
+    terms = _bm25_term_rows(
+        docs, queries, text_col, id_col, query_id_col, query_text_col, k1, b, scale
     )
-    postings = postings.cache()
-    from radohydro_spark.plans.pipeline import _PERSISTED
-
-    _PERSISTED.append(postings)
-    stats = d.select(
-        F.count("*").alias("n"), F.sum("_len").alias("total_len")
-    ).first()
-    n_docs, total_len = stats["n"], stats["total_len"]
-    if not n_docs:
+    if terms is None:
         from pyspark.sql import types as T
 
         # id types derive from the inputs (the greedy_max_coverage lesson:
@@ -101,34 +160,8 @@ def bm25_topk(
                 ]
             ),
         )
-    # avgdl as the exact integer ratio evaluated ONCE into a double —
-    # both engines divide the same two integers
-    avgdl = float(total_len) / float(n_docs)
-    df_t = postings.groupBy("_term").agg(F.count("*").alias("_df"))
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("_q"), tokens(query_text_col).alias("_qt")
-        )
-        .select("_q", F.explode("_qt").alias("_term"))
-        .filter(F.col("_term") != "")
-        .distinct()
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-    )
-    tf = F.col("_tf").cast("double")
-    frac = (
-        tf
-        * F.lit(k1 + 1.0)
-        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_len") / F.lit(avgdl)))
-    )
-    contrib = F.floor(idf * frac * F.lit(float(scale)) + F.lit(0.5)).cast("long")
     scored = (
-        postings.join(df_t, "_term")
-        .join(F.broadcast(q), "_term")
-        .select("_q", "_doc", contrib.alias("_c"))
+        terms.select("_q", "_doc", "_c")
         .groupBy("_q", "_doc")
         .agg(F.sum("_c").alias("score_micro"))
     )
@@ -143,6 +176,47 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def bm25_boundary_margin(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> float:
+    """Cross-engine quantization-safety audit for :func:`bm25_topk`'s ONE
+    transcendental seam: ``score_micro`` quantizes
+    ``floor(ln(...)·frac·scale + 0.5)`` AFTER the ``ln`` that Spark (JVM
+    ``Math.log``) and an oracle engine (libm) evaluate independently —
+    correctly-rounded on common inputs but not guaranteed bit-equal.  A
+    1-ulp disagreement flips a contribution by 1 ONLY if the pre-floor
+    value sits within that ulp of an integer boundary.  This returns the
+    MINIMUM distance to the nearest integer over every scored
+    (query-term, doc) contribution — the same term relation the scorer
+    aggregates, one extra min-aggregate.
+
+    Safety criterion: with ``x ≤ idf_max·(k1+1)·scale`` (≈3·10⁷ at
+    10⁵ docs), a 1-ulp ``ln`` split perturbs ``x`` by at most
+    ``x·2⁻⁵² ≈ 10⁻⁸`` — a margin above ``1e-6`` leaves two orders of
+    magnitude of headroom, so no engine pair disagreeing by ≤1 ulp can
+    flip any ``score_micro``.  Pinned per-corpus by
+    tests/test_round10c_ops.py over the driver fixtures; returns 0.5
+    (the maximum possible margin) when nothing is scored."""
+    terms = _bm25_term_rows(
+        docs, queries, text_col, id_col, query_id_col, query_text_col, k1, b, scale
+    )
+    if terms is None:
+        return 0.5
+    fx = F.col("_x") - F.floor("_x")
+    row = terms.select(
+        F.min(F.least(fx, F.lit(1.0) - fx)).alias("m")
+    ).first()
+    return 0.5 if row["m"] is None else float(row["m"])
 
 
 def rrf_fuse(

@@ -626,3 +626,28 @@ def test_rrf_single_ranking_is_identity_order(spark):
     a = spark.createDataFrame([(5, 1), (9, 2), (2, 3)], "doc_id long, rank int")
     rows = rrf_fuse([a], k=10).orderBy("fused_rank").collect()
     assert [r["doc_id"] for r in rows] == [5, 9, 2]
+
+
+def test_bm25_boundary_margin_on_driver_corpora(spark):
+    """r12 (VERDICT task 2): the ONE transcendental seam in the ledger —
+    bm25_topk quantizes floor(ln(...)·frac·1e6 + 0.5) AFTER an ln that
+    Spark (JVM Math.log) and DuckDB (libm) evaluate independently.  A
+    1-ulp disagreement flips score_micro only if a contribution's
+    pre-floor value sits within that ulp of an integer boundary; at
+    these magnitudes (x ≤ ~3e7) the worst perturbation is x·2⁻⁵² ≈
+    1e-8.  Pin the measured minimum boundary distance over EVERY scored
+    contribution of the driver fixture (documents × _BM25_Q) above
+    1e-6 at all three pinned scales — two orders of magnitude of
+    headroom, so no ≤1-ulp engine pair can flip any score."""
+    import __spark_entry__ as entrymod
+    from radohydro_spark.operators.retrieval import bm25_boundary_margin
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        qdf = spark.createDataFrame(
+            entrymod._BM25_Q, "query_id long, text string"
+        )
+        m = bm25_boundary_margin(docs, qdf)
+        assert m > 1e-6, (sf, m)
