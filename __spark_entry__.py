@@ -7438,6 +7438,65 @@ SELECT id_a, id_b, n_common FROM inter WHERE n_common >= 30
 """
 
 
+def q_dedup_overlap_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact t-overlap join in its DESIGN regime (operators/dedup.py
+    overlap_pairs, r11; design-regime twin r12 — the treatment
+    dedup_jaccard_prefix_zipf got in r11): dedup_overlap_pairs above
+    runs on the planted-fragment documents corpus whose uniform
+    31-token vocabulary is the prefix family's documented ADVERSARIAL
+    case.  This twin runs the SAME operator on a corpus with the
+    selective rare-token tail the precondition names, built from
+    testdata alone: each order is a document whose token set is its
+    basket of part keys (every part key is globally rare — ~30 orders
+    per part at any scale), plus planted 5-part FRAGMENT twins (the
+    first 5 sorted part keys of every 20th order with >= 6 distinct
+    parts) — the verbatim-quote shape the absolute-count join exists to
+    catch.  min_overlap=4: the c-bound prefixes (rarest n_sh-3 tokens)
+    discriminate because every token is rare, so candidates collapse to
+    near-verified pairs.  k=1 shingles = the token set itself; pure
+    integer output, hash-exact by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_set(F.col("l_partkey").cast("string"))
+        ).alias("_parts")
+    )
+    docs = base.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.array_join("_parts", " ").alias("text"),
+    )
+    frag = base.filter(
+        (F.col("l_orderkey") % 20 == 0) & (F.size("_parts") >= 6)
+    ).select(
+        (F.col("l_orderkey") + 10_000_000).alias("doc_id"),
+        F.array_join(F.slice("_parts", 1, 5), " ").alias("text"),
+    )
+    return DD.overlap_pairs(
+        docs.unionByName(frag), "text", "doc_id", k=1, min_overlap=4
+    )
+
+
+ORACLE_OVERLAP_PAIRS_ZIPF = """
+WITH b AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))) AS parts
+  FROM lineitem GROUP BY l_orderkey
+),
+corpus AS (
+  SELECT l_orderkey AS doc_id, parts FROM b
+  UNION ALL
+  SELECT l_orderkey + 10000000, list_slice(parts, 1, 5) FROM b
+  WHERE l_orderkey % 20 = 0 AND len(parts) >= 6
+),
+s AS (SELECT doc_id, unnest(parts) AS tok FROM corpus),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common FROM inter WHERE n_common >= 4
+"""
+
+
 def q_dedup_lsh_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH-index maintenance (operators/dedup.py
     update_lsh_index, r11): build the persisted index on 80% of the
@@ -8508,6 +8567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorted-neighborhood blocking.
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
+        "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_lsh_index_update": q_dedup_lsh_index_update,
         "sample_mmr_select": q_sample_mmr_select,
         "text_bm25_topk": q_text_bm25_topk,
@@ -8790,6 +8850,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_index_persist": ORACLE_MINHASH_LSH,
         "dedup_lsh_index_update": ORACLE_MINHASH_LSH,
         "dedup_overlap_pairs": ORACLE_OVERLAP_PAIRS,
+        "dedup_overlap_pairs_zipf": ORACLE_OVERLAP_PAIRS_ZIPF,
         "sample_mmr_select": ORACLE_MMR_SELECT,
         "text_bm25_topk": ORACLE_BM25_TOPK,
         "search_rrf_fusion": ORACLE_RRF_FUSION,

@@ -88,6 +88,13 @@ HEADLINE = [
     # integer-quantized contributions); the first headline whose join
     # keys are text terms rather than ids/shingle hashes
     "text_bm25_topk",
+    # round-12 addition: the ABSOLUTE-count overlap join in its design
+    # regime (rare-token basket corpus + planted 5-part fragment twins
+    # — the verbatim-quote contamination shape).  Until r12 the
+    # operator's only public cost was its uniform-vocab adversarial
+    # case; this entry is its cost in the regime it exists for, next to
+    # dedup_jaccard_prefix_zipf, its ratio-threshold sibling.
+    "dedup_overlap_pairs_zipf",
 ]
 
 

@@ -1396,21 +1396,26 @@ def sorted_neighborhood_pairs(
     neighborhood on the (key, id) order, stated, not hidden.
 
     Relational shape (scale-correct): global rank via :func:`global_rank`
-    (range partition + offset collect — never a single-task window), the
-    neighborhood as an OFFSET EXPLODE equi-join (each row emits
-    ``window`` (rank+i) probes; rank is unique so the join is 1:1 —
-    ``window·N`` candidate rows by construction, no inequality/band
-    join), then a PER-PAIR ARRAY verify: each candidate pair joins the
-    two documents' hashed shingle ARRAYS (:func:`shingle_array`, the
-    same law as :func:`word_shingles`) and counts
-    ``size(array_intersect(...))`` in one JVM expression.  Unlike the
-    prefix/Jaccard operators (whose shingle relation is already exploded
-    for their frequency/prefix steps), SNM has no exploded stage to
-    reuse, so the exploded verify would fan out candidates × per-doc
-    shingles (measured 4 GB shuffle / 15 GB spill at 500k docs × w=8);
-    the array form keeps the verify at ``window·N`` ROWS (the arrays
-    ride the join) — measured 2.5× faster (75.1s → 30.4s) with ZERO
-    spill and identical output at the same scale.  Returns ``(id_a, id_b, jaccard)`` (ids canonicalized
+    (range partition + offset collect — never a single-task window),
+    then a RANK-BLOCK self-join verify: docs carry their hashed shingle
+    ARRAYS (:func:`shingle_array`, the same law as
+    :func:`word_shingles`) into blocks of ``B = max(64, 8·window)``
+    consecutive ranks; the neighborhood becomes an equi-join on the
+    block id (left side = home rows + the last ``window`` ranks copied
+    forward one block, right side = home rows only — every rank-adjacent
+    pair lands in exactly ONE block) with the rank-range predicate
+    filtered BEFORE the ``size(array_intersect(...))`` projection, so
+    the intersect runs on exactly the ``window·N`` true candidates.
+    Cost lineage, all measured at 500k docs × w=8: the EXPLODED verify
+    (join the exploded shingle relation per candidate) fanned out to
+    4 GB shuffle / 15 GB spill; the r11 PER-PAIR ARRAY verify (arrays
+    joined to each candidate pair) cut that to 1.8 GB / zero spill but
+    still shipped each doc's array ~2·window times; the block join
+    ships each array once (+ a ``window/B`` ≤ 12.5% boundary fraction)
+    — total operator shuffle drops to 510 MB, identical output
+    (soak_blocking.py / SOAK.md).  Unlike the prefix/Jaccard operators there is no exploded
+    shingle stage to reuse, which is why the arrays ride the join.
+    Returns ``(id_a, id_b, jaccard)`` (ids canonicalized
     ``id_a < id_b``) for verified pairs with ``jaccard >= threshold``
     (the ratio is rounded to 6 places BEFORE the filter; the oracle
     filters the same rounded value — engine and oracle share one law).
@@ -1434,46 +1439,62 @@ def sorted_neighborhood_pairs(
     ranked = global_rank(base, ["_key", "doc_id"], rank_name="_rn").select(
         "doc_id", "_rn"
     )
-    probes = ranked.select(
-        F.col("doc_id").alias("_id_lo"),
-        F.explode(
-            F.sequence(F.col("_rn") + 1, F.col("_rn") + window)
-        ).alias("_rn"),
-    )
-    cand = (
-        probes.join(ranked, "_rn")
-        .select(
-            F.least("_id_lo", "doc_id").alias("id_a"),
-            F.greatest("_id_lo", "doc_id").alias("id_b"),
-        )
-        .distinct()
-    )
     # hashed shingle ARRAYS, one row per doc — shingle_array IS
     # word_shingles' law (shared expression), hashed element-wise
     arr = F.transform(shingle_array(text_col, k), lambda s: F.xxhash64(s))
     sets = df.select(
         F.col(id_col).alias("doc_id"), arr.alias("_sh"), F.size(arr).alias("n_sh")
-    ).cache()
+    )
+    # BLOCK self-join verify (r12): the r11 form shipped each doc's
+    # array once per candidate it verified against (~2·window copies per
+    # doc — measured 1.6 GB of the 1.8 GB shuffle at 500k docs).  Rank
+    # blocks of size B >= window make the neighborhood an equi-join on
+    # the block id: every doc ships its array ONCE (home block) plus a
+    # window/B boundary fraction (the last `window` ranks of each block
+    # copy to the next), and a rank-adjacent pair lands in EXACTLY one
+    # block — the right side joins home rows only, so a same-block pair
+    # matches on the shared home and a boundary pair on the left row's
+    # forward copy (never both).  Per-block compare budget is B·(B+w)
+    # rows against the cheap rank-range predicate; the array intersect
+    # is computed in a projection AFTER that filter, so it runs only on
+    # the true window·N candidates.  B = max(64, 8·window) keeps the
+    # copy fraction <= 12.5% and the block fan-in thousands of keys.
+    B = max(64, 8 * window)
+    home = (
+        ranked.join(sets, "doc_id")
+        .withColumn("_blk", F.expr(f"_rn div {B}"))
+        .cache()
+    )
     from radohydro_spark.plans.pipeline import _PERSISTED
 
-    _PERSISTED.append(sets)
-    sa = sets.select(
-        F.col("doc_id").alias("id_a"),
+    _PERSISTED.append(home)
+    tail = home.filter(
+        F.col("_rn") >= (F.col("_blk") + 1) * B - window
+    ).withColumn("_blk", F.col("_blk") + F.lit(1))
+    a = home.unionByName(tail).select(
+        F.col("doc_id").alias("_ida"),
+        F.col("_rn").alias("_rna"),
         F.col("_sh").alias("_sa"),
         F.col("n_sh").alias("_na"),
+        "_blk",
     )
-    sb = sets.select(
-        F.col("doc_id").alias("id_b"),
+    b = home.select(
+        F.col("doc_id").alias("_idb"),
+        F.col("_rn").alias("_rnb"),
         F.col("_sh").alias("_sb"),
         F.col("n_sh").alias("_nb"),
+        "_blk",
     )
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, "_blk")
+        .filter(
+            (F.col("_rnb") > F.col("_rna"))
+            & (F.col("_rnb") <= F.col("_rna") + window)
+        )
         .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .select(
-            "id_a",
-            "id_b",
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
             F.round(
                 F.col("n_common")
                 / (F.col("_na") + F.col("_nb") - F.col("n_common")),
