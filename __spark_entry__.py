@@ -8557,77 +8557,16 @@ GROUP BY user_id HAVING SUM(dt) > 0
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round-11 driver window (positions 0-49) ---
-        # Positions 0-8: the nine r11 additions, in-window on first
-        # exposure — the design-regime (Zipf-tail basket corpus) twin of
-        # dedup_jaccard_prefix, the exact t-overlap join, incremental
-        # LSH-index maintenance, MMR diverse selection, BM25 retrieval,
-        # hybrid-search reciprocal-rank fusion, per-label embedding
-        # centroids, the integer corpus mixture planner, and
-        # sorted-neighborhood blocking.
-        "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
-        "dedup_overlap_pairs": q_dedup_overlap_pairs,
+        # --- round-12 driver window (positions 0-49) ---
+        # Positions 0-1: the r12 first-exposure rows — the t-overlap
+        # join's design-regime twin (rare-token basket corpus, new this
+        # round) and sorted-neighborhood blocking, whose DEFINITION
+        # changed in r12 (bounded 64-char-prefix blocking key + rank-
+        # block verify) and therefore needs fresh driver evidence.
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
-        "dedup_lsh_index_update": q_dedup_lsh_index_update,
-        "sample_mmr_select": q_sample_mmr_select,
-        "text_bm25_topk": q_text_bm25_topk,
-        "search_rrf_fusion": q_search_rrf_fusion,
-        "stats_label_centroids": q_stats_label_centroids,
-        "corpus_mixture_plan": q_corpus_mixture_plan,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
-        # Positions 9-22 -- last driver-green: r5 (displaced from the
-        # r10 window to make room for first-exposure r10 queries) --
-        "precip_radolan_scale": q_precip_radolan_scale,
-        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
-        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
-        "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
-        "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
-        "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
-        "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
-        "tpch_q8_market_share": _sql( SQL_Q8, ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], ),
-        "tpch_q9_product_profit": _sql( SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"] ),
-        "tpch_q10_returned_items": _sql( SQL_Q10, ["customer", "orders", "lineitem", "nation"] ),
-        "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
-        "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
-        "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
-        "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
-        # Positions 23-49 -- last driver-green: r6 (first 27 of the
-        # 47-query r6 cohort; its 20-query tail heads the r12 window) --
-        "orders_snapshot_diff": q_orders_snapshot_diff,
-        "text_html_extract": q_text_html_extract,
-        "events_scd2_pointintime": q_events_scd2_pointintime,
-        "similarity_ann_multiprobe": q_ann_lsh_multiprobe,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "events_orders_cogroup": q_events_orders_cogroup,
-        "pyds_grid_source": q_pyds_grid_source,
-        "pyds_grid_stream": q_pyds_grid_stream,
-        "join_lateral_topn": _sql(SQL_LATERAL_TOPN, ["customer"]),
-        "precip_api_index": q_precip_api_index,
-        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
-        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
-        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
-        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
-        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
-        "tpch_q20_volume_suppliers": _sql( SQL_Q20, ["supplier", "nation", "lineitem", "part"] ),
-        "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
-        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
-        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
-        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
-        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
-        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
-        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
-        "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
-        "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
-        "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
-        "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
-        # --- end of round-11 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-12 rotation is already front-loaded: the r6 tail (20,
-        # incl. the eight rows the r11 additions displaced) + the first
-        # 30 of the 49-query r8 cohort = the round-12 50-entry window;
-        # the r8 tail (19) spills to the round-13 head together with the
-        # r9 cohort.
-        # -- last driver-green: r6 --
+        # Positions 2-21 -- last driver-green: r6 (the 20-query r6
+        # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
         "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
@@ -8648,7 +8587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # -- last driver-green: r8 --
+        # Positions 22-49 -- last driver-green: r8 (first 28 of the
+        # 49-query r8 cohort; its 21-query tail heads the r13 window) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -8677,6 +8617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
         "events_interval_overlap": q_events_interval_overlap,
         "storage_time_travel": q_storage_time_travel,
+        # --- end of round-12 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-13 rotation is already front-loaded: the r8 tail (21) +
+        # the first 29 of the 49-query r9 cohort = the round-13
+        # 50-entry window; the r9 tail (20) + the r10 cohort head
+        # follow in round 14.
+        # -- last driver-green: r8 (the 21-query cohort tail) --
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         "precip_fragments": q_precip_fragments,
         "precip_cellgrid": q_precip_cellgrid,
@@ -8802,6 +8749,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_weights": q_precip_weights,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
+        # -- last driver-green: r11 (the round-11 window: 8 of the 9
+        # r11 first-exposure rows — dedup_sorted_neighborhood moved to
+        # the r12 window after its r12 definition change — plus the 14
+        # r5-cohort and 27 r6-cohort rows r11 re-greened; the freshest
+        # evidence in the ledger) --
+        "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
+        "dedup_overlap_pairs": q_dedup_overlap_pairs,
+        "dedup_lsh_index_update": q_dedup_lsh_index_update,
+        "sample_mmr_select": q_sample_mmr_select,
+        "text_bm25_topk": q_text_bm25_topk,
+        "search_rrf_fusion": q_search_rrf_fusion,
+        "stats_label_centroids": q_stats_label_centroids,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
+        "precip_radolan_scale": q_precip_radolan_scale,
+        "tpch_q1_pricing": _sql(SQL_Q1, ["lineitem"]),
+        "tpch_q3_top_orders": _sql(SQL_Q3, ["customer", "orders", "lineitem"]),
+        "tpch_q5_regional_revenue": _sql( SQL_Q5, ["region", "nation", "customer", "orders", "lineitem", "supplier"] ),
+        "tpch_q4_priority_late_ship": _sql(SQL_Q4, ["orders", "lineitem"]),
+        "tpch_q6_forecast_revenue": _sql(SQL_Q6, ["lineitem"]),
+        "tpch_q7_volume_shipping": _sql( SQL_Q7, ["supplier", "lineitem", "orders", "customer", "nation"] ),
+        "tpch_q8_market_share": _sql( SQL_Q8, ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"], ),
+        "tpch_q9_product_profit": _sql( SQL_Q9, ["part", "lineitem", "supplier", "orders", "nation"] ),
+        "tpch_q10_returned_items": _sql( SQL_Q10, ["customer", "orders", "lineitem", "nation"] ),
+        "tpch_q11_part_value": _sql(SQL_Q11, ["lineitem", "supplier", "nation"]),
+        "tpch_q12_late_lines_by_priority": _sql(SQL_Q12, ["orders", "lineitem"]),
+        "tpch_q13_customer_distribution": _sql(SQL_Q13, ["customer", "orders"]),
+        "tpch_q14_promo_effect": _sql(SQL_Q14, ["lineitem", "part"]),
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "text_html_extract": q_text_html_extract,
+        "events_scd2_pointintime": q_events_scd2_pointintime,
+        "similarity_ann_multiprobe": q_ann_lsh_multiprobe,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "events_orders_cogroup": q_events_orders_cogroup,
+        "pyds_grid_source": q_pyds_grid_source,
+        "pyds_grid_stream": q_pyds_grid_stream,
+        "join_lateral_topn": _sql(SQL_LATERAL_TOPN, ["customer"]),
+        "precip_api_index": q_precip_api_index,
+        "tpch_q15_top_supplier": _sql(SQL_Q15, ["lineitem", "supplier"]),
+        "tpch_q16_supplier_cnt": _sql(SQL_Q16, ["part", "lineitem"]),
+        "tpch_q17_small_qty_revenue": _sql(SQL_Q17, ["lineitem", "part"]),
+        "tpch_q18_large_orders": _sql(SQL_LARGE_ORDERS, ["orders", "lineitem"]),
+        "tpch_q19_disjunctive_revenue": _sql(SQL_Q19, ["lineitem", "part"]),
+        "tpch_q20_volume_suppliers": _sql( SQL_Q20, ["supplier", "nation", "lineitem", "part"] ),
+        "tpch_q21_waiting_supplier": _sql(SQL_Q21, ["supplier", "lineitem", "orders"]),
+        "tpch_q22_dormant_customers": _sql(SQL_Q22, ["customer", "orders"]),
+        "window_top_customers": _sql(SQL_WINDOW_TOP, ["customer"]),
+        "window_running_total": _sql(SQL_RUNNING, ["orders"]),
+        "join_semi_customers": _sql(SQL_SEMI, ["customer", "orders"]),
+        "join_anti_customers": _sql(SQL_ANTI, ["customer", "orders"]),
+        "set_ops_brands": _sql(SQL_SETOPS, ["part"]),
+        "rollup_revenue": _sql(SQL_ROLLUP, ["lineitem"]),
+        "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
+        "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
+        "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
     }
 
 

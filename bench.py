@@ -95,6 +95,14 @@ HEADLINE = [
     # case; this entry is its cost in the regime it exists for, next to
     # dedup_jaccard_prefix_zipf, its ratio-threshold sibling.
     "dedup_overlap_pairs_zipf",
+    # round-12 addition: sorted-neighborhood blocking — the third
+    # blocking family (order-based) next to the LSH and prefix
+    # headliners above, re-engineered this round (bounded 64-char
+    # blocking key + rank-block array verify: arrays ship once per doc,
+    # not once per candidate pair — 1.8 GB -> 510 MB shuffle at 500k
+    # docs).  Benched so the block-join plan carries per-round wall
+    # evidence like its siblings.
+    "dedup_sorted_neighborhood",
 ]
 
 
