@@ -1321,21 +1321,33 @@ def global_rank(
     df: DataFrame,
     order_cols: list,
     rank_name: str = "rank",
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Dense global 1-based rank by ``order_cols`` WITHOUT a single-task
     window: range-partition on the order key, per-partition row_number,
     then add per-partition offsets from ONE dimension-sized count
     collect (n_parts rows — the usual dimension-sized-action contract).
 
+    ``n_parts`` defaults to the session's ``spark.sql.shuffle.partitions``
+    (r12; a fixed 32 was a scale seam — a cluster sized for 100 TB sets
+    shuffle partitions in the tens of thousands, and each range
+    partition must hold in one task's sort).  The offset collect is one
+    long per partition, so raising it is free; pass an explicit value
+    only to pin a plan in tests.
+
     The rank is a pure function of the total (order_cols) order, so the
-    output is deterministic even though the range partitioner's sampled
-    boundaries are not: boundaries only decide WHERE the cumulative
-    offsets cut, never the cumulated order.  A bare
+    output is deterministic for ANY ``n_parts`` — the range
+    partitioner's sampled boundaries only decide WHERE the cumulative
+    offsets cut, never the cumulated order (property-tested against the
+    single-task window).  A bare
     ``row_number().over(Window.orderBy(...))`` moves the WHOLE relation
     to one task (the weighted_sample lesson) — this is the scalable
     form.
     """
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     d = df.repartitionByRange(n_parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
