@@ -7461,6 +7461,14 @@ def q_dedup_overlap_pairs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set(F.col("l_partkey").cast("string"))
         ).alias("_parts")
     )
+    # the basket aggregate feeds BOTH the corpus and the fragment
+    # branch; the fragment's %20 filter sits under the aggregate after
+    # pushdown, so Spark cannot reuse the exchange — cache the baskets
+    # once (order-count rows, released by the session pool)
+    base = base.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(base)
     docs = base.select(
         F.col("l_orderkey").alias("doc_id"),
         F.array_join("_parts", " ").alias("text"),
