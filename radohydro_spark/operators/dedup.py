@@ -922,7 +922,11 @@ def tfidf_cosine_pairs(
     as BIGINT (ln of identical doubles is deterministic cross-engine;
     SUMS of floats are not) — so component weights ``w = tf·iw``, dot
     products ``Σ w_a·w_b`` and squared norms ``Σ w²`` are all exact
-    BIGINT sums.  Floats reappear only in the final
+    BIGINT sums.  The quantize-after-``ln`` boundary risk (the BM25
+    seam class) is AUDITED, not assumed:
+    :func:`tfidf_idf_boundary_margin` measures the distance of every
+    distinct-df idf point from its rounding boundary; tests pin it
+    > 1e-6 on the driver corpora (≫ the ~1e-12 1-ulp perturbation).  Floats reappear only in the final
     ``dot / (sqrt(na)·sqrt(nb))``: three correctly-rounded IEEE ops on
     exactly-representable integers (|Σw²| stays < 2^53 for corpus-scale
     tf/df profiles), identical in both engines.
@@ -946,6 +950,53 @@ def tfidf_cosine_pairs(
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
     n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    return _tfidf_cosine_from_parts(tf, dfreq, n_docs, threshold, idf_scale)
+
+
+def tfidf_idf_boundary_margin(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 1000,
+    max_doc_freq: int | None = 1000,
+) -> float:
+    """Cross-engine quantization audit for :func:`tfidf_cosine_pairs`'
+    ONE transcendental seam — the twin of
+    ``retrieval.bm25_boundary_margin``: the idf weight quantizes
+    ``round(ln((N+1)/(df+1))·scale)`` (HALF_UP) AFTER a ``ln`` that
+    Spark (JVM ``Math.log``) and an oracle engine (libm) evaluate
+    independently; a 1-ulp disagreement flips ``iw`` only if
+    ``x = ln·scale`` sits within that ulp of a ``k + 0.5`` boundary.
+    The seam's entire input space is the corpus's DISTINCT document
+    frequencies (one ``x`` per df value), so this measures the minimum
+    ``|frac(x) − 0.5|`` over exactly those points.  At these magnitudes
+    (x ≤ ~12·scale) the worst 1-ulp perturbation is ``x·2⁻⁵² ≈ 1e-12``;
+    tests pin the margin > 1e-6 on the driver corpora."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+    n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    x = (
+        F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        * F.lit(float(idf_scale))
+    )
+    fx = x - F.floor(x)
+    row = (
+        dfreq.select("df")
+        .distinct()
+        .crossJoin(F.broadcast(n_docs))
+        .select(F.abs(fx - F.lit(0.5)).alias("m"))
+        .agg(F.min("m").alias("m"))
+        .first()
+    )
+    return 0.5 if row["m"] is None else float(row["m"])
+
+
+def _tfidf_cosine_from_parts(tf, dfreq, n_docs, threshold, idf_scale):
     w = (
         tf.join(dfreq, "term")  # inner join doubles as the hot-term drop
         .crossJoin(F.broadcast(n_docs))

@@ -651,3 +651,20 @@ def test_bm25_boundary_margin_on_driver_corpora(spark):
         )
         m = bm25_boundary_margin(docs, qdf)
         assert m > 1e-6, (sf, m)
+
+
+def test_tfidf_idf_boundary_margin_on_driver_corpora(spark):
+    """r12: the BM25 seam-class twin in tfidf_cosine_pairs — iw
+    quantizes round(ln((N+1)/(df+1))·1000) HALF_UP after a cross-engine
+    ln.  The seam's entire input space is the corpus's distinct
+    document frequencies; pin every idf point's distance from its
+    k+0.5 rounding boundary above 1e-6 at all three pinned scales
+    (worst 1-ulp ln perturbation at these magnitudes: ~1e-12)."""
+    from radohydro_spark.operators.dedup import tfidf_idf_boundary_margin
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        m = tfidf_idf_boundary_margin(docs)
+        assert m > 1e-6, (sf, m)
