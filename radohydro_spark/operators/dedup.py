@@ -1412,6 +1412,13 @@ def global_rank(
         (r["_pid"], r["n"])
         for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     )
+    if not counts:
+        # empty input: a zero-arg create_map types as map<void,void> and
+        # fails analysis (found by the r12 block-join property test) —
+        # the rank column is schema-only on zero rows
+        return d.withColumn(rank_name, F.col("_lrn").cast("long")).drop(
+            "_pid", "_lrn"
+        )
     offsets, acc = {}, 0
     for pid, n in counts:
         offsets[pid] = acc

@@ -361,6 +361,73 @@ def test_sorted_neighborhood_finds_adjacent_copies_only(spark):
     assert not any(3 in p for p in got)  # outside every 2-row window
 
 
+def test_sorted_neighborhood_block_join_property(spark):
+    """r12 hypothesis-style sweep of the rank-block verify's boundary
+    conditions: random corpora across (window, corpus size, duplicate
+    density) — including window=1, corpora smaller than a block,
+    identical texts (rank ties broken by id), and docs landing exactly
+    on block boundaries — must all match the Hernandez-Stolfo
+    brute-force definition on the (64-prefix key, id) order.  The
+    block join's pair-uniqueness argument (home×home in the shared
+    block, boundary pairs via the left row's forward copy only) is
+    exactly what this exercises."""
+    import random
+
+    from radohydro_spark.operators.dedup import sorted_neighborhood_pairs
+
+    def brute(rows, w, k, t):
+        order = sorted(rows, key=lambda r: (r[1][:64], r[0]))
+        sh = {}
+        for i, txt in rows:
+            toks = txt.split()
+            sh[i] = {
+                " ".join(toks[j : j + k])
+                for j in range(max(len(toks) - k + 1, 1))
+            } - {""}
+        out = {}
+        for x in range(len(order)):
+            for y in range(x + 1, min(x + w + 1, len(order))):
+                a, b = order[x][0], order[y][0]
+                a, b = min(a, b), max(a, b)
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - inter
+                j = round(inter / union, 6) if union else 0.0
+                if j >= t:
+                    out[(a, b)] = j
+        return out
+
+    rng = random.Random(99)
+    cases = [
+        (1, 3, 0.3),   # window=1, tiny corpus (smaller than any block)
+        (2, 0, 0.3),   # empty corpus
+        (3, 70, 0.4),  # docs span block boundaries at B=64 (8*w=24 -> B=64)
+        (9, 130, 0.5), # B=72; multiple blocks; bigger window
+        (4, 65, 0.2),  # exactly one row past the first block
+    ]
+    for w, n, t in cases:
+        rows = []
+        for i in range(1, n + 1):
+            if rows and i % 4 == 0:
+                # duplicate / near-duplicate of an earlier row (ties +
+                # adjacent sort ranks)
+                base = rows[rng.randrange(len(rows))][1]
+                rows.append((i, base if i % 8 else base + " x9"))
+            else:
+                rows.append(
+                    (i, " ".join(f"w{rng.randrange(6)}" for _ in range(8)))
+                )
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ) if rows else spark.createDataFrame([], "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in sorted_neighborhood_pairs(
+                df, "text", "doc_id", window=w, k=3, threshold=t
+            ).collect()
+        }
+        assert got == brute(rows, w, 3, t), (w, n, t)
+
+
 def test_sorted_neighborhood_prefix_key_matches_full_text_on_prefix_equivalent_corpus(
     spark,
 ):
