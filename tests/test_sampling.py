@@ -192,3 +192,30 @@ def test_mixture_plan_integer_floor_not_double_truncate(spark):
     got = mixture_plan(df, "source", "n_tokens", {"s": 1}, 1000).collect()[0]
     # target = 1000*1//1000 = 1; rate = 1*1e6 div 3 = 333333 exactly
     assert (got["target"], got["rate_ppm"], got["planned"]) == (1, 333_333, 0)
+
+
+def test_mixture_plan_drops_zero_weight_stratum(spark):
+    """r12 (ADVICE): a targeted stratum whose weights sum to 0 must be
+    DROPPED from the plan, not divided by — Spark's non-ANSI div would
+    yield a silent NULL rate while DuckDB's `//` raises, a cross-engine
+    split.  Also covers the derived stratum type (long keys, not the
+    previously hardcoded string)."""
+    from radohydro_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 50), ("z", 0), ("z", 0)],
+        "source string, n_tokens int",
+    )
+    rows = mixture_plan(
+        df, "source", "n_tokens", {"a": 500, "z": 500}, 1000
+    ).collect()
+    got = {r["stratum"]: r for r in rows}
+    assert set(got) == {"a"}          # z (actual=0) absent, no NULL row
+    assert got["a"]["rate_ppm"] is not None
+    # derived key type: integer strata join correctly against int targets
+    di = spark.createDataFrame([(7, 10), (8, 30)], "source int, n_tokens int")
+    goti = {
+        r["stratum"]: r["planned"]
+        for r in mixture_plan(di, "source", "n_tokens", {7: 500, 8: 500}, 20).collect()
+    }
+    assert set(goti) == {7, 8}
