@@ -113,6 +113,11 @@ def stratified_hash_sample(
     languages, keep all rare ones): ``rates`` maps stratum value → percent.
     Strata absent from ``rates`` are dropped — make the keep-all rate
     explicit."""
+    if not rates:
+        # absent-strata-drop semantics degenerate to "keep nothing"; a
+        # zero-arg create_map would type as map<void,void> and fail
+        # analysis instead (the global_rank empty-input lesson, r12)
+        return df.filter(F.lit(False))
     rate_map = F.create_map(
         *[F.lit(x) for kv in rates.items() for x in kv]
     )

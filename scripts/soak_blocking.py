@@ -94,7 +94,9 @@ def main() -> None:
         # candidates) — on THIS corpus it is only meaningful at the
         # sf1-soak scale where the naive jaccard leg also runs; at 500k
         # docs the right tool is LSH banding (soak_corpus.py), so the
-        # leg is skipped rather than pretending the regime fits
+        # leg is skipped rather than pretending the regime fits.  The
+        # operator's 500k-doc DESIGN-REGIME evidence (rare-token basket
+        # corpus) lives in scripts/soak_overlap_zipf.py (r12)
         if n <= 60_000:
             legs.append(
                 (

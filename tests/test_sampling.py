@@ -57,6 +57,9 @@ def test_stratified_rates(spark):
 def test_stratified_drops_unlisted_strata(spark):
     df = _ids(spark, 100).withColumn("lang", F.lit("xx"))
     assert stratified_hash_sample(df, "doc_id", "lang", {"en": 100.0}).count() == 0
+    # empty rates = every stratum unlisted = keep nothing (r12: used to
+    # crash analysis via a zero-arg create_map)
+    assert stratified_hash_sample(df, "doc_id", "lang", {}).count() == 0
 
 
 def test_redact_pii_tokens(spark):
