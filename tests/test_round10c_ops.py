@@ -472,6 +472,41 @@ def test_overlap_pairs_drops_small_sets_early(spark):
     assert got5 == []
 
 
+def test_overlap_pairs_k1_token_sets_and_degenerate_bounds(spark):
+    """r12: the k=1 path (shingles = the token set itself — the basket
+    shape dedup_overlap_pairs_zipf runs) checked against brute force,
+    plus the degenerate bounds: min_overlap=1 (prefix = every token)
+    and an empty corpus."""
+    import itertools
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, " ".join(sorted({f"p{rng.randrange(40)}" for _ in range(6)})))
+        for i in range(1, 50)
+    ]
+
+    def brute(c):
+        sh = {i: set(t.split()) for i, t in rows}
+        return {
+            (a, b): len(sh[a] & sh[b])
+            for a, b in itertools.combinations(sorted(sh), 2)
+            if len(sh[a] & sh[b]) >= c
+        }
+
+    for c in (1, 3):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["n_common"]
+            for r in overlap_pairs(
+                df, "text", "doc_id", k=1, min_overlap=c
+            ).collect()
+        }
+        assert got == brute(c), c
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert overlap_pairs(empty, "text", "doc_id", k=1, min_overlap=2).collect() == []
+
+
 # --- mmr_select (r11) ---
 
 from radohydro_spark.operators.sampling import mmr_select
