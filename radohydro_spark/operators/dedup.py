@@ -1573,3 +1573,202 @@ def sorted_neighborhood_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# winnowing packs (hash, position) into one BIGINT selection key:
+# key = hash * WINNOW_POS_CAP + (WINNOW_POS_CAP - 1 - pos).  portable_hash
+# < 2^32 and pos < 2^20 keep the key < 2^52 — exact in BIGINT on both
+# engines (and even double-safe, though neither engine goes through
+# double here).
+WINNOW_POS_CAP = 1 << 20
+
+
+def _positional_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """POSITIONAL k-word shingles — the ordered, non-distinct sibling of
+    :func:`shingle_array` (same tokenize / slide / concat_ws law, WITHOUT
+    the array_distinct: winnowing selects by position, so repeats must
+    stay).  Emits (doc_id, n_sh, pos, shingle) with ``n_sh`` the full
+    positional count computed from the array before the explode; the
+    only dropped rows are the '' shingles an all-whitespace document
+    produces."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sh.alias("_sh"))
+        .withColumn("n_sh", F.size("_sh"))
+        .select("doc_id", "n_sh", F.posexplode("_sh").alias("pos", "shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): slide a ``window``-wide window over
+    the document's positional k-gram hash sequence and keep each window's
+    MINIMUM hash, ties broken by the RIGHTMOST position (the paper's
+    rule); adjacent windows selecting the same (hash, pos) collapse to
+    one fingerprint.  Guarantees: any shared substring of length
+    ``k + window - 1`` tokens yields at least one shared fingerprint
+    (no misses longer than the guarantee threshold), while only
+    ~``2/(window+1)`` of positions are kept — a principled, uniform
+    density reduction the ad-hoc "every i-th shingle" samplers lack.
+
+    Relational form, integer-exact cross-engine: the min-with-rightmost-
+    tie selection packs into ONE BIGINT key
+    ``portable_hash(shingle) * 2^20 + (2^20 - 1 - pos)`` — minimizing the
+    key minimizes the hash and, on ties, maximizes the position.  The
+    window min is ``min(key) OVER (PARTITION BY doc ORDER BY pos ROWS
+    BETWEEN CURRENT ROW AND window-1 FOLLOWING)`` evaluated at the
+    ``n_sh - window + 1`` full-window start positions (documents shorter
+    than ``window`` shingles get one window over what exists, so every
+    non-empty document fingerprints).  Positions must stay below 2^20
+    (~1M tokens/doc) for the packing — beyond that, chunk documents
+    first (``sentence_chunks``), which MOSS-style matching wants anyway.
+
+    Plan shape: ONE doc-key shuffle total — the window sort partitions
+    by doc_id, and the dedup groupBy's keys (doc_id, fp_hash, fp_pos)
+    are a superset of that partitioning, so Catalyst reuses the exchange
+    (plan-asserted in tests).  Output: (doc_id, fp_hash, fp_pos,
+    n_windows) where n_windows counts how many windows selected the
+    fingerprint (a run-length signal: long unbroken minima are stable
+    content regions).
+
+    Reference analog: none — the reference has no text operators; this
+    extends the dedup family (SURVEY §2 extension table).
+    """
+    P = WINNOW_POS_CAP
+    sh = _positional_shingles(df, text_col, id_col, k)
+    keyed = sh.select(
+        "doc_id",
+        "n_sh",
+        "pos",
+        (
+            portable_hash("shingle") * F.lit(P)
+            + (F.lit(P - 1) - F.col("pos"))
+        ).alias("sel_key"),
+    )
+    wspec = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    )
+    sel = keyed.withColumn("wmin", F.min("sel_key").over(wspec)).filter(
+        F.col("pos") <= F.greatest(F.col("n_sh") - window, F.lit(0))
+    )
+    return (
+        sel.select(
+            "doc_id",
+            F.expr(f"wmin div {P}").alias("fp_hash"),
+            (F.lit(P - 1) - F.col("wmin") % F.lit(P)).alias("fp_pos"),
+        )
+        .groupBy("doc_id", "fp_hash", "fp_pos")
+        .agg(F.count("*").alias("n_windows"))
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints — the
+    MOSS matching step: documents sharing >= ``min_shared`` distinct
+    selected hashes.  Winnowing keeps ~``2/(window+1)`` of positions, so
+    the fingerprint self-join is that much cheaper than the full shingle
+    join at IDENTICAL guarantee threshold (k + window - 1 tokens) — the
+    knob the full-shingle operators don't have.
+
+    ``max_fp_freq`` is the same hot-key cliff guard as
+    :func:`ngram_jaccard_pairs`: a fingerprint selected by f documents
+    contributes f² candidate pairs, so corpus-hot boilerplate minima are
+    dropped before the self-join (semantics the oracle reproduces).
+
+    Output: (id_a, id_b, n_shared), all BIGINT — no float anywhere.
+    """
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, window)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_fp_freq)
+            .select("fp_hash")
+        )
+        fps = fps.join(F.broadcast(hot), "fp_hash", "left_anti")
+    # the self-join consumes fps twice; cache the selected set (it is the
+    # ~2/(w+1)-density reduction of the corpus, the cheap side to keep)
+    fps = fps.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(fps)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def contamination_coverage(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Graded benchmark-contamination scoring — the quantitative sibling
+    of :func:`contamination_check`: for every corpus document sharing at
+    least one distinct k-gram shingle with the benchmark set, report
+    WHAT FRACTION of the document's shingles are benchmark-covered.  The
+    boolean gate answers "is it leaked?"; the coverage score ranks HOW
+    leaked — the signal needed to set a removal threshold (a 95%-covered
+    doc is a verbatim eval copy, a 2%-covered doc shares a common idiom).
+
+    INTEGER-ONLY output: ``coverage_ppm = 10⁶·n_shared div n_sh`` (true
+    SQL ``div`` — never `/`+cast, per the mixture_plan discipline).
+
+    Plan shape identical to the boolean gate: the benchmark's distinct
+    shingle-hash set is dimension-sized → broadcast semi-join, then one
+    doc-key aggregate; ``n_sh`` rides the exploded rows from the
+    pre-explode array size (zero extra shuffle).
+
+    Returns (doc_id, n_sh, n_shared, coverage_ppm), all BIGINT.
+    """
+    c_sh = word_shingles(corpus, text_col, id_col, k, with_count=True).select(
+        "doc_id", "n_sh", F.xxhash64("shingle").alias("sid")
+    )
+    b_sh = (
+        word_shingles(benchmark, text_col, id_col, k)
+        .select(F.xxhash64("shingle").alias("sid"))
+        .distinct()
+    )
+    hits = c_sh.join(F.broadcast(b_sh), "sid", "left_semi")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.first("n_sh").cast("long").alias("n_sh"),
+            F.count("*").alias("n_shared"),
+        )
+        .withColumn("coverage_ppm", F.expr("1000000 * n_shared div n_sh"))
+    )

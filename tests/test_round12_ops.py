@@ -1,0 +1,279 @@
+"""Round-12 second-wave operators: winnowing fingerprint selection
+(Schleimer-Wilkerson-Aiken SIGMOD'03 / MOSS), DSIR hashed importance
+weights (Xie et al. NeurIPS'23), and graded contamination coverage.
+
+Each operator gets (a) a brute-force / hand-computed reference check,
+(b) boundary-condition sweeps (empty docs, docs shorter than k or the
+winnow window), and (c) a plan-shape assertion for the 100-TB contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from radohydro_spark.operators.dedup import (
+    WINNOW_POS_CAP,
+    contamination_check,
+    contamination_coverage,
+    winnow_fingerprints,
+    winnow_pairs,
+)
+from radohydro_spark.operators.sampling import (
+    dsir_boundary_margin,
+    dsir_importance_weights,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _phash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _brute_winnow(docs, k, window):
+    """Reference winnowing: positional k-gram hashes, per-window min with
+    rightmost tie-break, adjacent duplicate selections collapsed."""
+    P = WINNOW_POS_CAP
+    out = {}
+    for did, text in docs:
+        toks = text.strip().split() if text.strip() else [""]
+        n = len(toks)
+        shingles = [
+            " ".join(toks[i : i + k]) for i in range(0, max(n - k, 0) + 1)
+        ]
+        pairs = [(p, s) for p, s in enumerate(shingles) if s != ""]
+        if not pairs:
+            continue
+        n_sh = len(shingles)
+        keys = [(p, _phash(s) * P + (P - 1 - p)) for p, s in pairs]
+        sel = {}
+        for j, (p, _) in enumerate(keys):
+            if p <= max(n_sh - window, 0):
+                m = min(key for _, key in keys[j : j + window])
+                fp = (m // P, P - 1 - (m % P))
+                sel[fp] = sel.get(fp, 0) + 1
+        if sel:
+            out[did] = sel
+    return out
+
+
+WINNOW_DOCS = [
+    (1, "a b c d e f g h a b c d"),
+    (2, "x y a b c d e f g h end"),
+    (3, "totally different words here nothing shared at all ok"),
+    (4, ""),  # empty doc: no fingerprints
+    (5, "one two"),  # fewer tokens than k: one short shingle, one window
+    (6, "a a a a a a"),  # all-equal hashes: rightmost tie-break everywhere
+    (7, "solo"),  # single token
+]
+
+
+def test_winnow_fingerprints_match_bruteforce(spark):
+    df = spark.createDataFrame(WINNOW_DOCS, ["doc_id", "text"])
+    for k, w in ((3, 4), (2, 3), (1, 2)):
+        exp = _brute_winnow(WINNOW_DOCS, k, w)
+        got = {}
+        for r in winnow_fingerprints(df, "text", "doc_id", k=k, window=w).collect():
+            got.setdefault(r["doc_id"], {})[(r["fp_hash"], r["fp_pos"])] = r[
+                "n_windows"
+            ]
+        assert got == exp, (k, w)
+
+
+def test_winnow_guarantee_shared_substring_yields_shared_fingerprint(spark):
+    """The winnowing guarantee: any shared token run of length
+    >= k + window - 1 produces at least one shared fingerprint (the
+    window that fits inside the run selects the same (hash, offset-
+    aligned) minimum on both sides)."""
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k + w - 1
+    docs = [
+        (1, "p q r " + shared + " s t u"),
+        (2, shared + " completely other tail words"),
+        (3, "no overlap with anything here at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=k, window=w).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert fps[1] & fps[2], "guarantee violated: no shared fingerprint"
+    assert not (fps[1] & fps[3])
+
+
+def test_winnow_density_reduction(spark):
+    """Winnowing keeps ~2/(w+1) of positions — assert the selected count
+    on a long random-ish doc sits well under half the shingle count."""
+    text = " ".join(f"tok{(i * 7919) % 501}" for i in range(400))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    n_fp = winnow_fingerprints(df, "text", "doc_id", k=3, window=4).count()
+    n_sh = 400 - 3 + 1
+    assert n_fp < 0.55 * n_sh
+    assert n_fp > 0.2 * n_sh
+
+
+def test_winnow_fingerprints_single_exchange(spark):
+    """One doc-key Exchange total: the dedup groupBy's keys are a
+    superset of the window's partitioning, so Catalyst reuses it."""
+    df = spark.createDataFrame(WINNOW_DOCS, ["doc_id", "text"])
+    plan = _plan(winnow_fingerprints(df, "text", "doc_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnow_pairs_hot_guard_and_min_shared(spark):
+    boiler = "common boilerplate header words every doc repeats verbatim"
+    docs = [(i, boiler + f" unique tail {i} {i * 31} {i * 37}") for i in range(8)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # without the guard the boilerplate minima pair everything
+    loose = winnow_pairs(
+        df, "text", "doc_id", k=3, window=4, min_shared=1, max_fp_freq=None
+    ).count()
+    # a fingerprint in >3 docs is dropped: only incidental tail overlaps remain
+    tight = winnow_pairs(
+        df, "text", "doc_id", k=3, window=4, min_shared=1, max_fp_freq=3
+    ).count()
+    assert loose == 28  # all C(8,2) pairs share the boilerplate fingerprints
+    assert tight < loose
+
+
+def test_winnow_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert winnow_fingerprints(df, "text", "doc_id").count() == 0
+    assert winnow_pairs(df, "text", "doc_id").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+
+
+def _brute_dsir(corpus, target, k, B, scale):
+    import math
+
+    def grams(text):
+        toks = text.strip().split() if text.strip() else [""]
+        n = len(toks)
+        gs = [
+            " ".join(toks[i : i + k]) for i in range(0, max(n - k, 0) + 1)
+        ]
+        return [g for g in gs if g != ""]
+
+    def buckets(rows):
+        out = {}
+        tot = 0
+        for _, text in rows:
+            for g in grams(text):
+                b = _phash(g) % B
+                out[b] = out.get(b, 0) + 1
+                tot += 1
+        return out, tot
+
+    cs, ns = buckets(corpus)
+    ct, nt = buckets(target)
+    lrq = {
+        b: round(
+            math.log(((ct.get(b, 0) + 1) / (c + 1)) * ((ns + B) / (nt + B)))
+            * scale
+        )
+        for b, c in cs.items()
+    }
+    out = {}
+    for did, text in corpus:
+        feats = [_phash(g) % B for g in grams(text)]
+        if feats:
+            out[did] = (len(feats), sum(lrq[b] for b in feats))
+    return out
+
+
+def test_dsir_weights_match_bruteforce(spark):
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "der schnelle braune fuchs springt ueber den faulen hund"),
+        (3, "la rapida zorra marron salta sobre el perro perezoso"),
+        (4, "der hund und der fuchs laufen durch den wald"),
+        (5, "mixed der words the and el languages"),
+    ]
+    target = [(101, "der hund springt ueber den fuchs im wald")]
+    k, B, scale = 2, 256, 1_000_000
+    exp = _brute_dsir(corpus, target, k, B, scale)
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    tdf = spark.createDataFrame(target, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight_micro"])
+        for r in dsir_importance_weights(
+            cdf, tdf, "text", "doc_id", k=k, n_buckets=B, scale=scale
+        ).collect()
+    }
+    assert got == exp
+    # among the equal-length docs (1-4, 8 bigrams each — raw DSIR sums
+    # carry a length bias, so compare like with like) the German docs
+    # must out-rank the English/Spanish ones under a German target
+    ranked = sorted((1, 2, 3, 4), key=lambda d: -got[d][1])
+    assert set(ranked[:2]) == {2, 4}
+
+
+def test_dsir_boundary_margin_on_driver_corpora(spark):
+    """Seam-class audit (the BM25/TF-IDF treatment): the per-bucket
+    log-ratio quantizes round(ln(...)·1e6) AFTER a cross-engine
+    transcendental; pin the minimum distance to a rounding boundary
+    over the driver fixture's bucket points far above the ~1e-8 1-ulp
+    perturbation, at all three pinned scales."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        m = dsir_boundary_margin(
+            d, d.filter(F.col("lang") == "de"), k=2, n_buckets=4096
+        )
+        assert m > 1e-6, (sf, m)
+
+
+def test_dsir_empty_target_and_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    cdf = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    # empty target: every bucket gets ct=0; weights are finite and defined
+    w = dsir_importance_weights(cdf, empty, k=2, n_buckets=16).collect()
+    assert len(w) == 1 and w[0]["n_feats"] == 2
+    # empty corpus: no output rows
+    assert dsir_importance_weights(empty, cdf, k=2, n_buckets=16).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Contamination coverage
+
+
+def test_contamination_coverage_golden(spark):
+    corpus = [
+        (1, "a b c d e f"),      # 4 shingles, shares 'b c d' 'c d e' with bench
+        (2, "x y z w v u"),      # no overlap
+        (3, "b c d e q r"),      # shares 'b c d' 'c d e'
+    ]
+    bench = [(100, "b c d e")]   # shingles: 'b c d', 'c d e'
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bdf = spark.createDataFrame(bench, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_shared"], r["coverage_ppm"])
+        for r in contamination_coverage(cdf, bdf, k=3).collect()
+    }
+    assert got == {1: (4, 2, 500000), 3: (4, 2, 500000)}
+
+
+def test_contamination_coverage_consistent_with_boolean_gate(spark, tmp_path):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    cov = {
+        r["doc_id"]: r["n_shared"]
+        for r in contamination_coverage(corpus, bench, k=3).collect()
+    }
+    flagged = {
+        r["doc_id"]: r["n_shared"]
+        for r in contamination_check(corpus, bench, k=3, min_shared=3).collect()
+    }
+    # the boolean gate is exactly the coverage rows with n_shared >= 3
+    assert flagged == {k: v for k, v in cov.items() if v >= 3}
+    # ppm is a true floor division of integers
+    for r in contamination_coverage(corpus, bench, k=3).collect():
+        assert r["coverage_ppm"] == (1_000_000 * r["n_shared"]) // r["n_sh"]
+        assert 0 <= r["coverage_ppm"] <= 1_000_000
