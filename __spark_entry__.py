@@ -8563,17 +8563,195 @@ GROUP BY user_id HAVING SUM(dt) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# round-12 second wave: winnowing / DSIR / contamination coverage
+
+
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators.dedup.winnow_fingerprints;
+    Schleimer-Wilkerson-Aiken SIGMOD'03, the MOSS algorithm): per-window
+    minimum 3-gram hash with rightmost tie-break, packed into one BIGINT
+    selection key so the min IS the tie rule — integer-exact cross-engine.
+    Every-20th document keeps the driver output compact; the pair query
+    below runs the full corpus."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+    return DD.winnow_fingerprints(d, "text", "doc_id", k=3, window=4)
+
+
+# winnowing's positional shingles: count = greatest(n-k,0)+1, slide law
+# identical to the engine's sequence/slice/concat_ws; parallel unnests
+# zip in DuckDB, giving (pos, shingle) rows
+def _winnow_sel_sql(src: str, k: int, win: int) -> str:
+    P = 1 << 20
+    return f"""
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src}),
+w_sh AS (
+  SELECT doc_id,
+         greatest(len(toks) - {k}, 0) + 1 AS n_sh,
+         unnest(range(0, greatest(len(toks) - {k}, 0) + 1)) AS pos,
+         unnest(list_transform(range(1, greatest(len(toks) - {k}, 0) + 2),
+                i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS shingle
+  FROM t
+),
+keyed AS (
+  SELECT doc_id, n_sh, pos,
+         {_ph_sql('shingle')} * {P} + ({P - 1} - pos) AS sel_key
+  FROM w_sh WHERE shingle <> ''
+),
+sel AS (
+  SELECT doc_id, n_sh, pos,
+         min(sel_key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {win - 1} FOLLOWING) AS wmin
+  FROM keyed
+)"""
+
+
+ORACLE_WINNOW_FINGERPRINTS = f"""
+WITH {_winnow_sel_sql("(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)", 3, 4)}
+SELECT doc_id, wmin // {1 << 20} AS fp_hash, {(1 << 20) - 1} - (wmin % {1 << 20}) AS fp_pos,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM sel WHERE pos <= greatest(n_sh - 4, 0)
+GROUP BY doc_id, wmin // {1 << 20}, {(1 << 20) - 1} - (wmin % {1 << 20})
+"""
+
+
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style candidate pairs on shared winnowing fingerprints
+    (operators.dedup.winnow_pairs): same guarantee threshold as a full
+    3-gram join at ~2/(window+1) of the join input — the principled
+    density knob.  Hot fingerprints (>1000 docs) dropped before the
+    self-join, the standard f² cliff guard."""
+    return DD.winnow_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", k=3, window=4,
+        min_shared=2, max_fp_freq=1000,
+    )
+
+
+ORACLE_WINNOW_PAIRS = f"""
+WITH {_winnow_sel_sql('documents', 3, 4)},
+fps AS (
+  SELECT DISTINCT doc_id, wmin // {1 << 20} AS fp_hash
+  FROM sel WHERE pos <= greatest(n_sh - 4, 0)
+),
+cold AS (
+  SELECT doc_id, fp_hash FROM fps
+  WHERE fp_hash IN (SELECT fp_hash FROM fps GROUP BY fp_hash HAVING count(*) <= 1000)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM cold a JOIN cold b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
+def q_sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators.sampling.dsir_importance_weights;
+    Xie et al. NeurIPS'23): every document scored by hashed-bigram
+    log-likelihood ratio against the German-language subset as the
+    target distribution; top 20 most target-like.  Per-bucket log-ratio
+    quantized once to BIGINT (audited: dsir_boundary_margin), weights
+    are exact integer sums."""
+    from radohydro_spark.operators.sampling import dsir_importance_weights
+
+    d = _docs(spark, sf_dir)
+    w = dsir_importance_weights(
+        d, d.filter(F.col("lang") == "de"), "text", "doc_id",
+        k=2, n_buckets=4096, scale=1_000_000,
+    )
+    return w.orderBy(F.desc("weight_micro"), "doc_id").limit(20)
+
+
+def _dsir_grams_sql(src: str, k: int, buckets: int) -> str:
+    return f"""
+  SELECT doc_id, {_ph_sql('gram')} % {buckets} AS b FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - {k}, 0) + 2),
+                  i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS gram
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src})
+  ) WHERE gram <> ''
+"""
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH cg AS ({_dsir_grams_sql('documents', 2, 4096)}),
+tg AS ({_dsir_grams_sql("(SELECT doc_id, text FROM documents WHERE lang = 'de')", 2, 4096)}),
+cs AS (SELECT b, count(*) AS cs FROM cg GROUP BY b),
+ctt AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM cg) AS ns, (SELECT count(*) FROM tg) AS nt),
+lr AS (
+  SELECT cs.b,
+         CAST(round(ln( ((coalesce(ct, 0) + 1) / (cs + 1))
+                        * ((ns + 4096) / (nt + 4096)) ) * 1000000.0) AS BIGINT) AS lrq
+  FROM cs LEFT JOIN ctt ON cs.b = ctt.b, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(lrq) AS BIGINT) AS weight_micro
+FROM cg JOIN lr ON cg.b = lr.b
+GROUP BY doc_id
+ORDER BY weight_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_text_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination scoring (operators.dedup.contamination_coverage):
+    the same corpus/benchmark split as text_contamination_check, but
+    reporting coverage_ppm = 1e6·n_shared div n_sh per touched document —
+    the removal-threshold signal the boolean gate can't give."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return DD.contamination_coverage(corpus, bench, "text", "doc_id", k=3)
+
+
+ORACLE_CONTAMINATION_COVERAGE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+c_toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+c_sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM c_toks
+),
+c_sh AS (SELECT DISTINCT doc_id, shingle FROM c_sh_raw WHERE shingle <> ''),
+n_sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM c_sh GROUP BY doc_id),
+b_toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM bench),
+b_sh_raw AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM b_toks
+),
+b_sh AS (SELECT DISTINCT shingle FROM b_sh_raw WHERE shingle <> ''),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM c_sh c JOIN b_sh b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+)
+SELECT h.doc_id, n.n_sh, h.n_shared,
+       1000000 * h.n_shared // n.n_sh AS coverage_ppm
+FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-1: the r12 first-exposure rows — the t-overlap
+        # Positions 0-5: the r12 first-exposure rows — the t-overlap
         # join's design-regime twin (rare-token basket corpus, new this
-        # round) and sorted-neighborhood blocking, whose DEFINITION
+        # round); sorted-neighborhood blocking, whose DEFINITION
         # changed in r12 (bounded 64-char-prefix blocking key + rank-
-        # block verify) and therefore needs fresh driver evidence.
+        # block verify) and therefore needs fresh driver evidence; and
+        # the r12 second-wave operators (winnowing fingerprints + MOSS
+        # pairs, DSIR importance weights, graded contamination
+        # coverage).
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
-        # Positions 2-21 -- last driver-green: r6 (the 20-query r6
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "sample_dsir_weights": q_sample_dsir_weights,
+        "text_contamination_coverage": q_text_contamination_coverage,
+        # Positions 6-25 -- last driver-green: r6 (the 20-query r6
         # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -8595,8 +8773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # Positions 22-49 -- last driver-green: r8 (first 28 of the
-        # 49-query r8 cohort; its 21-query tail heads the r13 window) --
+        # Positions 26-49 -- last driver-green: r8 (first 24 of the
+        # 49-query r8 cohort; its 25-query tail heads the r13 window —
+        # the 4 rows the second-wave queries displaced lead it) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -8621,17 +8800,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_geohash_bins": q_geo_geohash_bins,
         "geo_haversine_nearest": q_geo_haversine_nearest,
         "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
+        # --- end of round-12 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-13 rotation is already front-loaded: the r8 tail (25,
+        # starting with the 4 rows the r12 second-wave queries
+        # displaced) + the first 25 of the 49-query r9 cohort = the
+        # round-13 50-entry window; the r9 tail (24) + the r10 cohort
+        # head follow in round 14.
+        # -- last driver-green: r8 (the 25-query cohort tail) --
         "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
         "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
         "events_interval_overlap": q_events_interval_overlap,
         "storage_time_travel": q_storage_time_travel,
-        # --- end of round-12 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (21) +
-        # the first 29 of the 49-query r9 cohort = the round-13
-        # 50-entry window; the r9 tail (20) + the r10 cohort head
-        # follow in round 14.
-        # -- last driver-green: r8 (the 21-query cohort tail) --
         "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
         "precip_fragments": q_precip_fragments,
         "precip_cellgrid": q_precip_cellgrid,
@@ -8866,6 +9046,10 @@ def oracle_sql() -> dict[str, str]:
         "stats_label_centroids": ORACLE_LABEL_CENTROIDS,
         "corpus_mixture_plan": ORACLE_MIXTURE_PLAN,
         "dedup_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
+        "text_winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
+        "dedup_winnow_pairs": ORACLE_WINNOW_PAIRS,
+        "sample_dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "text_contamination_coverage": ORACLE_CONTAMINATION_COVERAGE,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),
         "window_distinct_running": ORACLE_WINDOW_DISTINCT_RUNNING,
