@@ -103,6 +103,12 @@ HEADLINE = [
     # docs).  Benched so the block-join plan carries per-round wall
     # evidence like its siblings.
     "dedup_sorted_neighborhood",
+    # round-12 second wave: the winnowing selection + MOSS pair join —
+    # the fourth blocking family (position-based fingerprint selection;
+    # SIGMOD'03).  Selection density ~2/(w+1) is the join-input knob the
+    # full-shingle headliners lack; benched so the one-shuffle window +
+    # partitioning-reuse plan carries per-round wall evidence.
+    "dedup_winnow_pairs",
 ]
 
 
