@@ -8693,6 +8693,31 @@ LIMIT 20
 """
 
 
+def q_sample_stratified_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum exact-k coordinated sample
+    (operators.sampling.stratified_bottom_k): the 5 smallest-md5(id)
+    documents per language — balanced eval carving, deterministic and
+    nested under growth.  Planned as WindowGroupLimit (rank-limit
+    pushdown): each task pre-trims to k rows per stratum BEFORE the one
+    stratum-key exchange."""
+    from radohydro_spark.operators.sampling import stratified_bottom_k
+
+    d = _docs(spark, sf_dir)
+    return stratified_bottom_k(d, "doc_id", "lang", 5).select(
+        "lang", "doc_id", "strat_rank"
+    )
+
+
+ORACLE_STRATIFIED_BOTTOM_K = """
+SELECT lang, doc_id, strat_rank FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS strat_rank
+  FROM documents
+) WHERE strat_rank <= 5
+"""
+
+
 def q_text_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded contamination scoring (operators.dedup.contamination_coverage):
     the same corpus/benchmark split as text_contamination_check, but
@@ -8737,21 +8762,22 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-5: the r12 first-exposure rows — the t-overlap
+        # Positions 0-6: the r12 first-exposure rows — the t-overlap
         # join's design-regime twin (rare-token basket corpus, new this
         # round); sorted-neighborhood blocking, whose DEFINITION
         # changed in r12 (bounded 64-char-prefix blocking key + rank-
         # block verify) and therefore needs fresh driver evidence; and
         # the r12 second-wave operators (winnowing fingerprints + MOSS
-        # pairs, DSIR importance weights, graded contamination
-        # coverage).
+        # pairs, DSIR importance weights, per-stratum bottom-k, graded
+        # contamination coverage).
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "sample_dsir_weights": q_sample_dsir_weights,
+        "sample_stratified_bottom_k": q_sample_stratified_bottom_k,
         "text_contamination_coverage": q_text_contamination_coverage,
-        # Positions 6-25 -- last driver-green: r6 (the 20-query r6
+        # Positions 7-26 -- last driver-green: r6 (the 20-query r6
         # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -8773,9 +8799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # Positions 26-49 -- last driver-green: r8 (first 24 of the
-        # 49-query r8 cohort; its 25-query tail heads the r13 window —
-        # the 4 rows the second-wave queries displaced lead it) --
+        # Positions 27-49 -- last driver-green: r8 (first 23 of the
+        # 49-query r8 cohort; its 26-query tail heads the r13 window —
+        # the 5 rows the second-wave queries displaced lead it) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -8799,15 +8825,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
         "geo_geohash_bins": q_geo_geohash_bins,
         "geo_haversine_nearest": q_geo_haversine_nearest,
-        "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
         # --- end of round-12 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (25,
-        # starting with the 4 rows the r12 second-wave queries
-        # displaced) + the first 25 of the 49-query r9 cohort = the
-        # round-13 50-entry window; the r9 tail (24) + the r10 cohort
+        # round-13 rotation is already front-loaded: the r8 tail (26,
+        # starting with the 5 rows the r12 second-wave queries
+        # displaced) + the first 24 of the 49-query r9 cohort = the
+        # round-13 50-entry window; the r9 tail (25) + the r10 cohort
         # head follow in round 14.
-        # -- last driver-green: r8 (the 25-query cohort tail) --
+        # -- last driver-green: r8 (the 26-query cohort tail) --
+        "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
         "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
         "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
         "events_interval_overlap": q_events_interval_overlap,
@@ -9049,6 +9075,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
         "dedup_winnow_pairs": ORACLE_WINNOW_PAIRS,
         "sample_dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "sample_stratified_bottom_k": ORACLE_STRATIFIED_BOTTOM_K,
         "text_contamination_coverage": ORACLE_CONTAMINATION_COVERAGE,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),

@@ -623,3 +623,31 @@ def dsir_boundary_margin(
         .first()
     )
     return 0.5 if row["m"] is None else float(row["m"])
+
+
+def stratified_bottom_k(
+    df: DataFrame, id_col: str, strata_col: str, k: int
+) -> DataFrame:
+    """Per-stratum exact-size-k coordinated sample: within every stratum,
+    the k rows with the smallest ``md5(id)`` (ties by id) — the
+    group-wise form of :func:`bottom_k_sample`, for carving balanced
+    eval sets ("5 held-out docs per language/source") with the same
+    guarantees: deterministic across engines/reruns, COORDINATED across
+    tables (same id domain ⇒ same picks), and nested under growth
+    (bottom-5 ⊂ bottom-50 per stratum; a new document only displaces
+    the largest key in ITS stratum).
+
+    Shape: one stratum-key shuffle for the ranking window; Spark plans
+    the ``row_number() <= k`` filter as a WindowGroupLimit (rank-limit
+    pushdown), so each map task pre-trims to k rows per stratum BEFORE
+    the exchange — the shuffle carries ≤ k·strata rows per task, never
+    the full table (plan-asserted in tests).  No driver action at any
+    size.
+
+    Returns the sampled rows with a ``strat_rank`` column (1..k).
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return df.withColumn("strat_rank", F.row_number().over(w)).filter(
+        F.col("strat_rank") <= k
+    )
