@@ -8693,6 +8693,89 @@ LIMIT 20
 """
 
 
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators.similarity.ivf_pq_topk; the FAISS
+    IVFPQ layout, Jégou et al. TPAMI'11): inverted-list pruning (nprobe=4
+    of 16 lists) over PQ asymmetric-distance scoring (m=8 byte codes) —
+    the two scale levers of similarity_ivf_topk and
+    similarity_pq_adc_topk composed.  Deterministic quantizer twins keep
+    the whole path exactly SQL-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_pq_topk(
+        emb, q, n_centroids=16, nprobe=4, m=8, n_codes=16, k=5
+    )
+
+
+ORACLE_IVFPQ_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.cv)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.centroid_id ASC) AS rn
+    FROM e, cent) t
+  WHERE rn = 1
+),
+sub AS (
+  SELECT vec_id, j.range AS j, v[j.range*8+1 : j.range*8+8] AS sv
+  FROM e, range(8) j
+),
+books AS (
+  SELECT j, CAST(rn - 1 AS INT) AS code, sv AS cv
+  FROM (SELECT *, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        FROM sub) s
+  WHERE rn <= 16
+),
+dists AS (
+  SELECT s.vec_id, s.j, c.code,
+         list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+         - 2 * list_dot_product(s.sv, c.cv) AS d
+  FROM sub s JOIN books c ON s.j = c.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM dists) t
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+qprobe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cent.cv)
+                      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.centroid_id ASC) AS pr
+    FROM q, cent) t
+  WHERE pr <= 4
+),
+adc AS (
+  SELECT qp.query_id, cd.vec_id,
+         sum(list_dot_product(qs.sv, qs.sv) + list_dot_product(ct.cv, ct.cv)
+             - 2 * list_dot_product(qs.sv, ct.cv)) AS adc
+  FROM qprobe qp
+  JOIN assigned a ON a.centroid_id = qp.centroid_id
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN books ct ON ct.j = cd.j AND ct.code = cd.code
+  JOIN sub qs ON qs.j = cd.j AND qs.vec_id = qp.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, vec_id) AS rank
+      FROM adc) t
+WHERE rank <= 5
+"""
+
+
 def q_sample_stratified_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum exact-k coordinated sample
     (operators.sampling.stratified_bottom_k): the 5 smallest-md5(id)
@@ -8762,14 +8845,14 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-6: the r12 first-exposure rows — the t-overlap
+        # Positions 0-7: the r12 first-exposure rows — the t-overlap
         # join's design-regime twin (rare-token basket corpus, new this
         # round); sorted-neighborhood blocking, whose DEFINITION
         # changed in r12 (bounded 64-char-prefix blocking key + rank-
         # block verify) and therefore needs fresh driver evidence; and
         # the r12 second-wave operators (winnowing fingerprints + MOSS
         # pairs, DSIR importance weights, per-stratum bottom-k, graded
-        # contamination coverage).
+        # contamination coverage, IVF-PQ composite ANN).
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
@@ -8777,7 +8860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir_weights": q_sample_dsir_weights,
         "sample_stratified_bottom_k": q_sample_stratified_bottom_k,
         "text_contamination_coverage": q_text_contamination_coverage,
-        # Positions 7-26 -- last driver-green: r6 (the 20-query r6
+        "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
+        # Positions 8-27 -- last driver-green: r6 (the 20-query r6
         # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -8799,9 +8883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # Positions 27-49 -- last driver-green: r8 (first 23 of the
-        # 49-query r8 cohort; its 26-query tail heads the r13 window —
-        # the 5 rows the second-wave queries displaced lead it) --
+        # Positions 28-49 -- last driver-green: r8 (first 22 of the
+        # 49-query r8 cohort; its 27-query tail heads the r13 window —
+        # the 6 rows the second-wave queries displaced lead it) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -8824,15 +8908,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": q_events_top_paths,
         "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
         "geo_geohash_bins": q_geo_geohash_bins,
-        "geo_haversine_nearest": q_geo_haversine_nearest,
         # --- end of round-12 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (26,
-        # starting with the 5 rows the r12 second-wave queries
-        # displaced) + the first 24 of the 49-query r9 cohort = the
-        # round-13 50-entry window; the r9 tail (25) + the r10 cohort
+        # round-13 rotation is already front-loaded: the r8 tail (27,
+        # starting with the 6 rows the r12 second-wave queries
+        # displaced) + the first 23 of the 49-query r9 cohort = the
+        # round-13 50-entry window; the r9 tail (26) + the r10 cohort
         # head follow in round 14.
-        # -- last driver-green: r8 (the 26-query cohort tail) --
+        # -- last driver-green: r8 (the 27-query cohort tail) --
+        "geo_haversine_nearest": q_geo_haversine_nearest,
         "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
         "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
         "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
@@ -9076,6 +9160,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_pairs": ORACLE_WINNOW_PAIRS,
         "sample_dsir_weights": ORACLE_DSIR_WEIGHTS,
         "sample_stratified_bottom_k": ORACLE_STRATIFIED_BOTTOM_K,
+        "similarity_ivfpq_topk": ORACLE_IVFPQ_TOPK,
         "text_contamination_coverage": ORACLE_CONTAMINATION_COVERAGE,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),

@@ -740,3 +740,113 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS ``IVFPQ`` layout, Jégou et al.
+    TPAMI'11): the coarse inverted-list quantizer PRUNES (only the
+    query's ``nprobe`` nearest lists are read) and product quantization
+    COMPRESSES (candidates score by asymmetric distance over the m-byte
+    code column, never the raw vectors) — the two orthogonal scale
+    levers of :func:`ivf_topk` and :func:`pq_adc_topk` composed into the
+    standard billion-vector serving layout.
+
+    Deterministic twins of both quantizers (first-``n_centroids`` /
+    first-``n_codes`` corpus vectors by id) keep the whole path
+    SQL-reproducible — swap in :func:`ivf_train` / :func:`pq_train`
+    Lloyd refinements for production recall; the plan is identical.
+
+    Plan shape: codes + list assignment join ONCE on the id key at build
+    time (amortized across queries when persisted — see
+    :func:`build_ivf_index` for the partitioned-parquet lifecycle);
+    query side broadcasts (query, probed-list) pairs so candidate
+    selection is a broadcast hash join on ``centroid_id``; ADC scoring
+    is one Arrow kernel pass over candidate code rows (LUTs ride the
+    closure, |queries|·m·n_codes doubles); the only aggregation is the
+    per-query top-k window over candidates.  At 100 TB: nprobe/n_lists
+    of the corpus is read, at m bytes per vector.
+    """
+    import numpy as np
+
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    books = pq_codebooks(corpus, m, n_codes, id_col, vec_col)
+    b = np.asarray(books, dtype=np.float64)
+    ds = b.shape[2]
+    codes = pq_encode(corpus, b, id_col, vec_col)
+    inv = codes.join(assigned, id_col)
+
+    cq = centroids.select("centroid_id", F.col(vec_col).alias("_cent"))
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).collect()
+    luts = {}
+    for r in q_rows:
+        qsub = np.asarray(r["qv"], dtype=np.float64).reshape(m, ds)
+        luts[int(r["query_id"])] = (
+            (qsub * qsub).sum(axis=1)[:, None]
+            + (b * b).sum(axis=2)
+            - 2.0 * np.einsum("jd,jcd->jc", qsub, b)
+        )
+    qprobe = (
+        queries.crossJoin(F.broadcast(cq))
+        .withColumn("_sim", cosine(F.col(vec_col), F.col("_cent")))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                W.partitionBy(query_id_col).orderBy(
+                    F.desc("_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select(F.col(query_id_col).alias("query_id"), "centroid_id")
+    )
+    cand = inv.join(F.broadcast(qprobe), "centroid_id").select(
+        "query_id", F.col(id_col).alias("vec_id"), "codes"
+    )
+
+    jj = np.arange(m)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array([np.asarray(c) for c in pdf["codes"]])  # (n, m)
+            lut3 = np.stack([luts[int(q)] for q in pdf["query_id"]])  # (n, m, k)
+            adc = lut3[np.arange(len(pdf))[:, None], jj[None, :], cmat].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "adc": adc,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        gen, schema="query_id long, vec_id long, adc double"
+    ).withColumn("adc_dist", F.round("adc", 6))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )

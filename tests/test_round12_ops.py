@@ -324,3 +324,69 @@ def test_stratified_bottom_k_plan_pretrims(spark):
     # pre-trims each task to k rows per stratum
     assert "WindowGroupLimit" in plan
     assert plan.split("Exchange hashpartitioning")[1].count("WindowGroupLimit") >= 1
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite ANN
+
+
+def test_ivfpq_matches_component_semantics(spark):
+    """The composite must equal 'PQ-ADC scoring restricted to the IVF
+    probe set': reproduce it from the two published components."""
+    from radohydro_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): (r["adc_dist"], r["rank"])
+        for r in ivf_pq_topk(
+            emb, q, n_centroids=16, nprobe=4, m=8, n_codes=16, k=5
+        ).collect()
+    }
+    # probe set from the IVF component (k large enough to keep all
+    # probed candidates), ADC scores from the PQ component
+    probed = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            emb, q, n_centroids=16, nprobe=4, k=10**6
+        ).collect()
+    }
+    books = pq_codebooks(emb, m=8, k=16)
+    adc_all = {
+        (r["query_id"], r["vec_id"]): r["adc_dist"]
+        for r in pq_adc_topk(emb, q, books, k=10**6).collect()
+    }
+    import heapq
+
+    for qid in (0, 1, 2):
+        cands = [
+            (adc_all[(qid, v)], v)
+            for (qq, v) in probed
+            if qq == qid
+        ]
+        exp5 = heapq.nsmallest(5, cands)
+        got5 = sorted(
+            ((d, v) for (qq, v), (d, _) in got.items() if qq == qid)
+        )
+        assert got5 == exp5, qid
+
+
+def test_ivfpq_plan_broadcasts_and_no_cartesian(spark):
+    from radohydro_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ivf_pq_topk(emb, q, n_centroids=16, nprobe=4, m=8, n_codes=16, k=5))
+    # candidate selection is a broadcast join on centroid_id; the only
+    # corpus-side cross join is the broadcast centroid assignment
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
