@@ -8693,6 +8693,68 @@ LIMIT 20
 """
 
 
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE vocabulary induction
+    (functions.text.bpe_train_merges; Sennrich et al. ACL'16): six merge
+    rounds over the word-frequency vocabulary — per round one
+    map-side-combinable pair aggregate, a single-row argmax collect and
+    a narrow greedy fold rewrite (localCheckpoint-truncated lineage, the
+    k_core pattern).  Oracle: six generated CTE rounds replaying the
+    identical fold law via list_reduce, AS MATERIALIZED against DuckDB's
+    exponential CTE inlining."""
+    from radohydro_spark.functions.text import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), "text", 6).orderBy("merge_rank")
+
+
+def _bpe_train_oracle(n: int = 6) -> str:
+    """Generated per-round CTEs (AS MATERIALIZED — the graph_kcore
+    lesson: DuckDB inlines plain CTEs exponentially when a round
+    references the previous round more than once)."""
+    ctes = [
+        r"""w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(w, ''), ' ') AS sym, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+)"""
+    ]
+    for r in range(1, n + 1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT pa, pb, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    SELECT unnest(list_transform(range(1, len(s)), i -> s[i])) AS pa,
+           unnest(list_transform(range(1, len(s)), i -> s[i+1])) AS pb,
+           cnt
+    FROM (SELECT string_split(sym, ' ') AS s, cnt FROM w{r - 1}) t
+    WHERE len(s) >= 2
+  ) GROUP BY pa, pb
+)"""
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT {r} AS merge_rank, pa, pb, n FROM p{r} ORDER BY n DESC, pa, pb LIMIT 1
+)"""
+        )
+        if r < n:
+            ctes.append(
+                f"""w{r} AS MATERIALIZED (
+  SELECT ltrim(list_reduce(list_prepend('', string_split(sym, ' ')),
+         (acc, x) -> CASE WHEN suffix(acc, ' ' || m.pa) AND x = m.pb
+                          THEN acc || m.pb
+                          ELSE acc || ' ' || x END)) AS sym, cnt
+  FROM w{r - 1}, m{r} m
+)"""
+            )
+    sel = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, n + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(merge_rank AS INT) AS merge_rank, pa, pb, n FROM ("
+        + sel
+        + ") ORDER BY merge_rank"
+    )
+
+
 def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN (operators.similarity.ivf_pq_topk; the FAISS
     IVFPQ layout, Jégou et al. TPAMI'11): inverted-list pruning (nprobe=4
@@ -8845,14 +8907,15 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-7: the r12 first-exposure rows — the t-overlap
+        # Positions 0-8: the r12 first-exposure rows — the t-overlap
         # join's design-regime twin (rare-token basket corpus, new this
         # round); sorted-neighborhood blocking, whose DEFINITION
         # changed in r12 (bounded 64-char-prefix blocking key + rank-
         # block verify) and therefore needs fresh driver evidence; and
         # the r12 second-wave operators (winnowing fingerprints + MOSS
         # pairs, DSIR importance weights, per-stratum bottom-k, graded
-        # contamination coverage, IVF-PQ composite ANN).
+        # contamination coverage, IVF-PQ composite ANN, multi-round BPE
+        # training).
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
@@ -8861,7 +8924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_bottom_k": q_sample_stratified_bottom_k,
         "text_contamination_coverage": q_text_contamination_coverage,
         "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
-        # Positions 8-27 -- last driver-green: r6 (the 20-query r6
+        "text_bpe_train": q_text_bpe_train,
+        # Positions 9-28 -- last driver-green: r6 (the 20-query r6
         # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -8883,9 +8947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # Positions 28-49 -- last driver-green: r8 (first 22 of the
-        # 49-query r8 cohort; its 27-query tail heads the r13 window —
-        # the 6 rows the second-wave queries displaced lead it) --
+        # Positions 29-49 -- last driver-green: r8 (first 21 of the
+        # 49-query r8 cohort; its 28-query tail heads the r13 window —
+        # the 7 rows the second-wave queries displaced lead it) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -8907,15 +8971,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_hops": q_graph_bfs_hops,
         "events_top_paths": q_events_top_paths,
         "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
-        "geo_geohash_bins": q_geo_geohash_bins,
         # --- end of round-12 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (27,
-        # starting with the 6 rows the r12 second-wave queries
-        # displaced) + the first 23 of the 49-query r9 cohort = the
-        # round-13 50-entry window; the r9 tail (26) + the r10 cohort
+        # round-13 rotation is already front-loaded: the r8 tail (28,
+        # starting with the 7 rows the r12 second-wave queries
+        # displaced) + the first 22 of the 49-query r9 cohort = the
+        # round-13 50-entry window; the r9 tail (27) + the r10 cohort
         # head follow in round 14.
-        # -- last driver-green: r8 (the 27-query cohort tail) --
+        # -- last driver-green: r8 (the 28-query cohort tail) --
+        "geo_geohash_bins": q_geo_geohash_bins,
         "geo_haversine_nearest": q_geo_haversine_nearest,
         "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
         "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
@@ -9161,6 +9225,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_dsir_weights": ORACLE_DSIR_WEIGHTS,
         "sample_stratified_bottom_k": ORACLE_STRATIFIED_BOTTOM_K,
         "similarity_ivfpq_topk": ORACLE_IVFPQ_TOPK,
+        "text_bpe_train": _bpe_train_oracle(6),
         "text_contamination_coverage": ORACLE_CONTAMINATION_COVERAGE,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),

@@ -634,3 +634,95 @@ def bigram_logprob(
         F.round(F.sum("_lp"), 4).alias("sum_logprob"),
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> "DataFrame":
+    """Multi-round BPE vocabulary induction (Sennrich et al. ACL'16) —
+    the iterative generalization of the one-round pair count the
+    `text_bpe_first_merges` query demonstrates: learn ``n_merges`` merge
+    rules by repeatedly (a) counting adjacent SYMBOL pairs across the
+    word vocabulary weighted by word frequency, (b) taking the argmax
+    pair (ties → lexicographic (pa, pb), so engines agree), and
+    (c) rewriting every word's symbol sequence with the new merge.
+
+    Distributed shape — the standard corpus-scale BPE loop: the corpus
+    tokenizes ONCE into a (word, count) vocabulary table (one shuffle;
+    everything after runs on the vocabulary, which is corpus-size-
+    independent), then each round is ONE map-side-combinable pair
+    aggregation + a single-row argmax collect (TakeOrderedAndProject —
+    a dimension-sized driver action) + a narrow fold rewrite.
+    ``localCheckpoint`` truncates the lineage each round so round r
+    never replays rounds 1..r-1 (the k_core/greedy_max_coverage
+    pattern).
+
+    The rewrite is a greedy left-to-right fold over the space-delimited
+    symbol string (symbols are substrings of whitespace-free tokens, so
+    ' ' is a safe delimiter): append ``pb`` WITHOUT a delimiter when the
+    accumulator ends with `' ' + pa` and the next symbol is ``pb``,
+    else append `' ' + symbol` — the exact law a DuckDB
+    ``list_reduce`` oracle replays (overlapping repeats merge
+    left-to-right: ``l l l`` + (l,l) → ``ll l``, never ``l ll``).
+
+    Returns (merge_rank 1.., pa, pb, n) — the learned merge table, all
+    deterministic.  Stops early if the vocabulary runs out of pairs.
+    """
+    spark = df.sparkSession
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.array_join(F.split(F.col("w"), ""), " ").alias("sym"), "cnt"
+        )
+    )
+    merges = []
+    for r in range(1, n_merges + 1):
+        words = words.localCheckpoint(eager=False)
+        _PERSISTED.append(words)
+        s = F.split(F.col("sym"), " ")
+        prs = words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("pa"),
+                        F.element_at(s, i + 1).alias("pb"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        ).filter(F.size(s) >= 2)
+        top = (
+            prs.groupBy("p.pa", "p.pb")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "pa", "pb")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pa, pb, n = top[0]["pa"], top[0]["pb"], int(top[0]["n"])
+        merges.append((r, pa, pb, n))
+        # initial acc = '' is the oracle's list_prepend('', ...) seed: both
+        # folds see the same (acc, symbol) sequence
+        fold = F.aggregate(
+            F.split(F.col("sym"), " "),
+            F.lit(""),
+            lambda acc, x: F.when(
+                acc.endswith(F.lit(" " + pa)) & (x == F.lit(pb)),
+                F.concat(acc, F.lit(pb)),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        words = words.select(F.ltrim(fold).alias("sym"), "cnt")
+    return spark.createDataFrame(
+        merges, "merge_rank int, pa string, pb string, n bigint"
+    )

@@ -390,3 +390,80 @@ def test_ivfpq_plan_broadcasts_and_no_cartesian(spark):
     # corpus-side cross join is the broadcast centroid assignment
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Multi-round BPE training
+
+
+def _brute_bpe(texts, n):
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    out = []
+    for r in range(1, n + 1):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (pa, pb), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((r, pa, pb, cnt))
+        new = {}
+        for syms, c in vocab.items():
+            res = []
+            for s in syms:
+                if res and res[-1] == pa and s == pb:
+                    res[-1] = pa + pb
+                else:
+                    res.append(s)
+            new[tuple(res)] = new.get(tuple(res), 0) + c
+        vocab = new
+    return out
+
+
+def test_bpe_train_matches_reference(spark):
+    from radohydro_spark.functions.text import bpe_train_merges
+
+    docs = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "Low NEWEST widest widest"),
+    ]
+    exp = _brute_bpe([t for _, t in docs], 6)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [
+        (r["merge_rank"], r["pa"], r["pb"], r["n"])
+        for r in bpe_train_merges(df, "text", 6).orderBy("merge_rank").collect()
+    ]
+    assert got == exp
+
+
+def test_bpe_train_greedy_overlap_and_merged_symbol_reuse(spark):
+    """Left-to-right greedy application: 'aaaa' under (a,a) becomes
+    [aa, aa] (never [a, aa, a]); a later round can merge the MERGED
+    symbol (aa,aa) -> aaaa."""
+    from radohydro_spark.functions.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa aaaa bc")], ["doc_id", "text"])
+    got = [
+        (r["merge_rank"], r["pa"], r["pb"], r["n"])
+        for r in bpe_train_merges(df, "text", 2).orderBy("merge_rank").collect()
+    ]
+    # round 1: (a,a) appears 3x3=9 times; after rewrite each word is [aa,aa]
+    # round 2: (aa,aa) appears 3 times and beats (b,c)=1
+    assert got == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+def test_bpe_train_stops_when_pairs_run_out(spark):
+    from radohydro_spark.functions.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    got = bpe_train_merges(df, "text", 5).collect()
+    # one merge exhausts the vocabulary (single-symbol words have no pairs)
+    assert len(got) == 1
