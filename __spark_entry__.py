@@ -8693,6 +8693,33 @@ LIMIT 20
 """
 
 
+def q_similarity_ivfpq_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index lifecycle (operators/similarity.py
+    build_ivfpq_index / query_ivfpq_index): m-byte PQ code rows written
+    partitioned by centroid_id (never the raw vectors), probes read ONLY
+    the probed partitions (partition pruning, plan-asserted in tests)
+    and ADC-score against LUTs rebuilt from the persisted codebooks.
+    Same deterministic quantizers and parameters as
+    similarity_ivfpq_topk, so the identical oracle pins that the
+    build→persist→probe round-trip loses nothing."""
+    import tempfile
+
+    from radohydro_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="radohydro_ivfpq_") + "/index"
+    build_ivfpq_index(e, path, n_centroids=16, m=8, n_codes=16)
+    return query_ivfpq_index(spark, path, queries, nprobe=4, k=5)
+
+
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-round BPE vocabulary induction
     (functions.text.bpe_train_merges; Sennrich et al. ACL'16): six merge
@@ -8761,8 +8788,12 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 16 lists) over PQ asymmetric-distance scoring (m=8 byte codes) —
     the two scale levers of similarity_ivf_topk and
     similarity_pq_adc_topk composed.  Deterministic quantizer twins keep
-    the whole path exactly SQL-reproducible."""
-    emb = _t(spark, sf_dir, "embeddings")
+    the whole path exactly SQL-reproducible.  Embeddings cast to double
+    up front (the sibling queries' convention: the oracle's cosine runs
+    on DOUBLE[], so the assign/probe argmax must too)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -8907,15 +8938,15 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-8: the r12 first-exposure rows — the t-overlap
+        # Positions 0-9: the r12 first-exposure rows — the t-overlap
         # join's design-regime twin (rare-token basket corpus, new this
         # round); sorted-neighborhood blocking, whose DEFINITION
         # changed in r12 (bounded 64-char-prefix blocking key + rank-
         # block verify) and therefore needs fresh driver evidence; and
         # the r12 second-wave operators (winnowing fingerprints + MOSS
         # pairs, DSIR importance weights, per-stratum bottom-k, graded
-        # contamination coverage, IVF-PQ composite ANN, multi-round BPE
-        # training).
+        # contamination coverage, IVF-PQ composite ANN + its persisted
+        # partition-pruned index, multi-round BPE training).
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
@@ -8924,8 +8955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_bottom_k": q_sample_stratified_bottom_k,
         "text_contamination_coverage": q_text_contamination_coverage,
         "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
+        "similarity_ivfpq_index_persist": q_similarity_ivfpq_index_persist,
         "text_bpe_train": q_text_bpe_train,
-        # Positions 9-28 -- last driver-green: r6 (the 20-query r6
+        # Positions 10-29 -- last driver-green: r6 (the 20-query r6
         # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -8947,9 +8979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # Positions 29-49 -- last driver-green: r8 (first 21 of the
-        # 49-query r8 cohort; its 28-query tail heads the r13 window —
-        # the 7 rows the second-wave queries displaced lead it) --
+        # Positions 30-49 -- last driver-green: r8 (first 20 of the
+        # 49-query r8 cohort; its 29-query tail heads the r13 window —
+        # the 8 rows the second-wave queries displaced lead it) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -8970,15 +9002,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_groupwise_ols": q_stats_groupwise_ols,
         "graph_bfs_hops": q_graph_bfs_hops,
         "events_top_paths": q_events_top_paths,
-        "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
         # --- end of round-12 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (28,
-        # starting with the 7 rows the r12 second-wave queries
-        # displaced) + the first 22 of the 49-query r9 cohort = the
-        # round-13 50-entry window; the r9 tail (27) + the r10 cohort
+        # round-13 rotation is already front-loaded: the r8 tail (29,
+        # starting with the 8 rows the r12 second-wave queries
+        # displaced) + the first 21 of the 49-query r9 cohort = the
+        # round-13 50-entry window; the r9 tail (28) + the r10 cohort
         # head follow in round 14.
-        # -- last driver-green: r8 (the 28-query cohort tail) --
+        # -- last driver-green: r8 (the 29-query cohort tail) --
+        "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
         "geo_geohash_bins": q_geo_geohash_bins,
         "geo_haversine_nearest": q_geo_haversine_nearest,
         "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
@@ -9225,6 +9257,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_dsir_weights": ORACLE_DSIR_WEIGHTS,
         "sample_stratified_bottom_k": ORACLE_STRATIFIED_BOTTOM_K,
         "similarity_ivfpq_topk": ORACLE_IVFPQ_TOPK,
+        # the persisted round-trip must reproduce the in-memory composite
+        # exactly — same oracle as similarity_ivfpq_topk
+        "similarity_ivfpq_index_persist": ORACLE_IVFPQ_TOPK,
         "text_bpe_train": _bpe_train_oracle(6),
         "text_contamination_coverage": ORACLE_CONTAMINATION_COVERAGE,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,

@@ -742,56 +742,13 @@ def query_ivf_index(
     )
 
 
-def ivf_pq_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    m: int = 8,
-    n_codes: int = 16,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF-PQ composite ANN (the FAISS ``IVFPQ`` layout, Jégou et al.
-    TPAMI'11): the coarse inverted-list quantizer PRUNES (only the
-    query's ``nprobe`` nearest lists are read) and product quantization
-    COMPRESSES (candidates score by asymmetric distance over the m-byte
-    code column, never the raw vectors) — the two orthogonal scale
-    levers of :func:`ivf_topk` and :func:`pq_adc_topk` composed into the
-    standard billion-vector serving layout.
-
-    Deterministic twins of both quantizers (first-``n_centroids`` /
-    first-``n_codes`` corpus vectors by id) keep the whole path
-    SQL-reproducible — swap in :func:`ivf_train` / :func:`pq_train`
-    Lloyd refinements for production recall; the plan is identical.
-
-    Plan shape: codes + list assignment join ONCE on the id key at build
-    time (amortized across queries when persisted — see
-    :func:`build_ivf_index` for the partitioned-parquet lifecycle);
-    query side broadcasts (query, probed-list) pairs so candidate
-    selection is a broadcast hash join on ``centroid_id``; ADC scoring
-    is one Arrow kernel pass over candidate code rows (LUTs ride the
-    closure, |queries|·m·n_codes doubles); the only aggregation is the
-    per-query top-k window over candidates.  At 100 TB: nprobe/n_lists
-    of the corpus is read, at m bytes per vector.
-    """
+def _pq_query_luts(queries: DataFrame, b, query_id_col: str, vec_col: str):
+    """Per-query asymmetric-distance lookup tables (|queries|·m·n_codes
+    doubles — the dimension-sized artifact that rides the ADC kernel
+    closure)."""
     import numpy as np
 
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
-    )
-    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
-    books = pq_codebooks(corpus, m, n_codes, id_col, vec_col)
-    b = np.asarray(books, dtype=np.float64)
-    ds = b.shape[2]
-    codes = pq_encode(corpus, b, id_col, vec_col)
-    inv = codes.join(assigned, id_col)
-
-    cq = centroids.select("centroid_id", F.col(vec_col).alias("_cent"))
+    m, _, ds = b.shape
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -804,7 +761,52 @@ def ivf_pq_topk(
             + (b * b).sum(axis=2)
             - 2.0 * np.einsum("jd,jcd->jc", qsub, b)
         )
-    qprobe = (
+    return luts
+
+
+def _adc_topk(cand: DataFrame, luts, m: int, k: int) -> DataFrame:
+    """ADC scoring + per-query top-k over (query_id, vec_id, codes)
+    candidate rows: one Arrow kernel pass, then the candidates-only
+    ranking window."""
+    import numpy as np
+
+    jj = np.arange(m)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array([np.asarray(c) for c in pdf["codes"]])  # (n, m)
+            lut3 = np.stack([luts[int(q)] for q in pdf["query_id"]])
+            adc = lut3[np.arange(len(pdf))[:, None], jj[None, :], cmat].sum(axis=1)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "adc": adc}
+            )
+
+    scored = cand.mapInPandas(
+        gen, schema="query_id long, vec_id long, adc double"
+    ).withColumn("adc_dist", F.round("adc", 6))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def _probe_lists(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Each query's nprobe nearest inverted lists by centroid cosine
+    (ties → smaller centroid_id), as (query_id, centroid_id) rows."""
+    cq = centroids.select("centroid_id", F.col(vec_col).alias("_cent"))
+    return (
         queries.crossJoin(F.broadcast(cq))
         .withColumn("_sim", cosine(F.col(vec_col), F.col("_cent")))
         .withColumn(
@@ -818,35 +820,173 @@ def ivf_pq_topk(
         .filter(F.col("_pr") <= nprobe)
         .select(F.col(query_id_col).alias("query_id"), "centroid_id")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+    books=None,
+) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS ``IVFPQ`` layout, Jégou et al.
+    TPAMI'11): the coarse inverted-list quantizer PRUNES (only the
+    query's ``nprobe`` nearest lists are read) and product quantization
+    COMPRESSES (candidates score by asymmetric distance over the m-byte
+    code column, never the raw vectors) — the two orthogonal scale
+    levers of :func:`ivf_topk` and :func:`pq_adc_topk` composed into the
+    standard billion-vector serving layout.
+
+    Deterministic twins of both quantizers (first-``n_centroids`` /
+    first-``n_codes`` corpus vectors by id) keep the whole path
+    SQL-reproducible by default; pass trained ``centroids``
+    (:func:`ivf_train`) and ``books`` (:func:`pq_train`) for production
+    recall — the plan is identical either way.
+
+    Plan shape: codes + list assignment join ONCE on the id key at build
+    time (amortized across queries when persisted — see
+    :func:`build_ivf_index` for the partitioned-parquet lifecycle);
+    query side broadcasts (query, probed-list) pairs so candidate
+    selection is a broadcast hash join on ``centroid_id``; ADC scoring
+    is one Arrow kernel pass over candidate code rows (LUTs ride the
+    closure, |queries|·m·n_codes doubles); the only aggregation is the
+    per-query top-k window over candidates.  At 100 TB: nprobe/n_lists
+    of the corpus is read, at m bytes per vector.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
+    if books is None:
+        books = pq_codebooks(corpus, m, n_codes, id_col, vec_col)
+    b = np.asarray(books, dtype=np.float64)
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    codes = pq_encode(corpus, b, id_col, vec_col)
+    inv = codes.join(assigned, id_col)
+
+    luts = _pq_query_luts(queries, b, query_id_col, vec_col)
+    qprobe = _probe_lists(queries, centroids, nprobe, vec_col, query_id_col)
     cand = inv.join(F.broadcast(qprobe), "centroid_id").select(
         "query_id", F.col(id_col).alias("vec_id"), "codes"
     )
+    return _adc_topk(cand, luts, b.shape[0], k)
 
-    jj = np.arange(m)
 
-    def gen(it):
-        import pandas as pd
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iterations: int = 0,
+    pq_iterations: int = 0,
+) -> None:
+    """Persist an IVF-PQ index — the compressed sibling of
+    :func:`build_ivf_index` and the standard billion-vector serving
+    layout: CODE rows (m bytes of PQ codes per vector, never the raw
+    embeddings) written as parquet PARTITIONED BY ``centroid_id``,
+    centroids and flattened codebooks as sibling dimension tables.
+    Probing reads nprobe/n_centroids of the code bytes — partition
+    pruning gives the inverted-list seek, PQ gives the ~d·4/m
+    compression; together a query touches (nprobe/n_lists)·(m/4d) of
+    the raw-index bytes.
 
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            cmat = np.array([np.asarray(c) for c in pdf["codes"]])  # (n, m)
-            lut3 = np.stack([luts[int(q)] for q in pdf["query_id"]])  # (n, m, k)
-            adc = lut3[np.arange(len(pdf))[:, None], jj[None, :], cmat].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "vec_id": pdf["vec_id"],
-                    "adc": adc,
-                }
-            )
+    ``train_iterations``/``pq_iterations`` = 0 (default) use the
+    deterministic first-by-id quantizer twins (exactly SQL-reproducible
+    — the driver oracle pins the round-trip); > 0 runs the
+    :func:`ivf_train` / :func:`pq_train` Lloyd refinements for
+    production recall.  Layout and read path are identical either way.
+    """
+    import numpy as np
 
-    scored = cand.mapInPandas(
-        gen, schema="query_id long, vec_id long, adc double"
-    ).withColumn("adc_dist", F.round("adc", 6))
-    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
+    if train_iterations > 0:
+        centroids = ivf_train(
+            corpus, n_centroids=n_centroids, iterations=train_iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
+    if pq_iterations > 0:
+        books = pq_train(
+            corpus, m=m, k=n_codes, iterations=pq_iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        books = pq_codebooks(corpus, m, n_codes, id_col, vec_col)
+    b = np.asarray(books, dtype=np.float64)
+
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    codes = pq_encode(corpus, b, id_col, vec_col).join(assigned, id_col)
+    (
+        codes.repartition("centroid_id")
+        .write.mode("errorifexists")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/codes")
     )
+    centroids.coalesce(1).write.mode("errorifexists").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    book_rows = [
+        (int(j), int(c), [float(x) for x in b[j, c]])
+        for j in range(b.shape[0])
+        for c in range(b.shape[1])
+    ]
+    spark.createDataFrame(
+        book_rows, "j int, code int, cv array<double>"
+    ).coalesce(1).write.mode("errorifexists").parquet(f"{path}/codebooks")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: pick each query's ``nprobe``
+    nearest centroids, read ONLY those code partitions (the probed-
+    centroid filter is a partition filter — plan-asserted in tests),
+    ADC-score the candidate codes against per-query LUTs rebuilt from
+    the persisted codebooks.  Same result contract as the in-memory
+    :func:`ivf_pq_topk` with the same quantizers."""
+    import numpy as np
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["j"] for r in book_rows)
+    n_codes = 1 + max(r["code"] for r in book_rows)
+    ds = len(book_rows[0]["cv"])
+    b = np.empty((m, n_codes, ds), dtype=np.float64)
+    for r in book_rows:
+        b[r["j"], r["code"]] = r["cv"]
+
+    luts = _pq_query_luts(queries, b, query_id_col, vec_col)
+    qprobe = _probe_lists(queries, centroids, nprobe, vec_col, query_id_col)
+    probed = [
+        r["centroid_id"] for r in qprobe.select("centroid_id").distinct().collect()
+    ]  # nprobe x |queries| ids max — dimension-sized by construction
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("centroid_id").isin(probed)  # partition-pruning predicate
+    )
+    cand = codes.join(F.broadcast(qprobe), "centroid_id").select(
+        "query_id", F.col("vec_id"), "codes"
+    )
+    return _adc_topk(cand, luts, m, k)

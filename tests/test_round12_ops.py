@@ -467,3 +467,55 @@ def test_bpe_train_stops_when_pairs_run_out(spark):
     got = bpe_train_merges(df, "text", 5).collect()
     # one merge exhausts the vocabulary (single-symbol words have no pairs)
     assert len(got) == 1
+
+
+def test_ivfpq_index_roundtrip_and_pruning(spark, tmp_path):
+    """build → persist → probe must equal the in-memory composite
+    exactly, and the probe plan must carry the centroid_id partition
+    filter (the storage-level inverted-list seek)."""
+    import re
+
+    from radohydro_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_pq_topk,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = sorted(tuple(r) for r in ivf_pq_topk(emb, q).collect())
+    path = str(tmp_path / "index")
+    build_ivfpq_index(emb, path)
+    per = query_ivfpq_index(spark, path, q)
+    assert sorted(tuple(r) for r in per.collect()) == mem
+    plan = _plan(per)
+    assert re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan)
+
+
+def test_ivfpq_trained_quantizers_path(spark):
+    """Production path: Lloyd-refined centroids + trained codebooks plug
+    into the same plan; contract shape holds and the probe set obeys
+    nprobe."""
+    from radohydro_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_train,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_train(emb, n_centroids=8, iterations=1)
+    books = pq_train(emb, m=8, k=8, iterations=1)
+    out = ivf_pq_topk(emb, q, nprobe=3, k=5, centroids=cents, books=books).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    for qid in (0, 1):
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == qid)
+        assert ranks == [1, 2, 3, 4, 5]
