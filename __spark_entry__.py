@@ -8693,6 +8693,59 @@ LIMIT 20
 """
 
 
+def q_spatial_overlay_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary polygon × polygon overlay (operators.spatial.polygon_overlay
+    — the general form of the reference's gp.overlay intersection,
+    geotools/geotools.py:215-219, with no rect/convexity assumption;
+    geometry/overlay.py signed-fan kernel).  Run here on the reference's
+    own shape — cell rectangles AS WKB POLYGONS × basin polygons — and
+    pinned to the SAME exact oracle as precip_fragments: the general
+    kernel must reproduce the specialized Sutherland-Hodgman rect path
+    bit-for-bit on rect inputs.  The genuinely-general shapes (concave,
+    holes, star polygons, both orders) are property-tested in
+    tests/test_round12_ops.py."""
+    import pandas as pd
+
+    from radohydro_spark.geometry.wkb import wkb_box
+    from radohydro_spark.operators.spatial import polygon_overlay
+
+    _utc(spark)
+    cells = synthetic_cells(spark)
+    basins = synthetic_basins(spark)
+
+    def to_wkb(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "cell_id": pdf["cell_row"] * 10000 + pdf["cell_col"],
+                    "geom": [
+                        wkb_box(l, b, r, t)
+                        for l, b, r, t in zip(
+                            pdf["left"], pdf["bottom"], pdf["right"], pdf["top"]
+                        )
+                    ],
+                }
+            )
+
+    cpoly = cells.mapInPandas(to_wkb, schema="cell_id long, geom binary")
+    frags = polygon_overlay(cpoly, basins, a_id="cell_id", b_id="basin_id")
+    cdim = cells.select(
+        (F.col("cell_row") * 10000 + F.col("cell_col")).alias("cell_id"),
+        "cell_row",
+        "cell_col",
+        ((F.col("right") - F.col("left")) * (F.col("top") - F.col("bottom"))).alias(
+            "cell_area"
+        ),
+    )
+    return frags.join(F.broadcast(cdim), frags.a_id == cdim.cell_id).select(
+        F.col("b_id").alias("basin_id"),
+        "cell_row",
+        "cell_col",
+        F.round("frag_area", 3).alias("frag_area"),
+        "cell_area",
+    )
+
+
 def q_similarity_ivfpq_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF-PQ index lifecycle (operators/similarity.py
     build_ivfpq_index / query_ivfpq_index): m-byte PQ code rows written
@@ -8938,7 +8991,7 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-9: the r12 first-exposure rows — the t-overlap
+        # Positions 0-10: the r12 first-exposure rows — the t-overlap
         # join's design-regime twin (rare-token basket corpus, new this
         # round); sorted-neighborhood blocking, whose DEFINITION
         # changed in r12 (bounded 64-char-prefix blocking key + rank-
@@ -8946,7 +8999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r12 second-wave operators (winnowing fingerprints + MOSS
         # pairs, DSIR importance weights, per-stratum bottom-k, graded
         # contamination coverage, IVF-PQ composite ANN + its persisted
-        # partition-pruned index, multi-round BPE training).
+        # partition-pruned index, multi-round BPE training, and the
+        # general polygon x polygon overlay pinned to the rect-path
+        # oracle).
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
@@ -8957,7 +9012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
         "similarity_ivfpq_index_persist": q_similarity_ivfpq_index_persist,
         "text_bpe_train": q_text_bpe_train,
-        # Positions 10-29 -- last driver-green: r6 (the 20-query r6
+        "spatial_overlay_general": q_spatial_overlay_general,
+        # Positions 11-30 -- last driver-green: r6 (the 20-query r6
         # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -8979,9 +9035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # Positions 30-49 -- last driver-green: r8 (first 20 of the
-        # 49-query r8 cohort; its 29-query tail heads the r13 window —
-        # the 8 rows the second-wave queries displaced lead it) --
+        # Positions 31-49 -- last driver-green: r8 (first 19 of the
+        # 49-query r8 cohort; its 30-query tail heads the r13 window —
+        # the 9 rows the second-wave queries displaced lead it) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -9001,15 +9057,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_gif": q_media_decode_gif,
         "stats_groupwise_ols": q_stats_groupwise_ols,
         "graph_bfs_hops": q_graph_bfs_hops,
-        "events_top_paths": q_events_top_paths,
         # --- end of round-12 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (29,
-        # starting with the 8 rows the r12 second-wave queries
-        # displaced) + the first 21 of the 49-query r9 cohort = the
-        # round-13 50-entry window; the r9 tail (28) + the r10 cohort
+        # round-13 rotation is already front-loaded: the r8 tail (30,
+        # starting with the 9 rows the r12 second-wave queries
+        # displaced) + the first 20 of the 49-query r9 cohort = the
+        # round-13 50-entry window; the r9 tail (29) + the r10 cohort
         # head follow in round 14.
-        # -- last driver-green: r8 (the 29-query cohort tail) --
+        # -- last driver-green: r8 (the 30-query cohort tail) --
+        "events_top_paths": q_events_top_paths,
         "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
         "geo_geohash_bins": q_geo_geohash_bins,
         "geo_haversine_nearest": q_geo_haversine_nearest,
@@ -9213,6 +9269,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
+        # the general polygon-overlay kernel must reproduce the
+        # specialized rect path exactly on the reference's own shape
+        "spatial_overlay_general": oracle_fragments_sql(GRID),
         "precip_weights": oracle_weights_sql(GRID),
         "precip_cellgrid": oracle_cellgrid_sql(GRID),
         "precip_daily_resample": oracle_daily_sql(GRID),

@@ -475,3 +475,73 @@ def nearest_neighbor_join(
         )
         .select(*left_keys, F.col("_nn._nn_id").alias(right_id), F.col("_nn._nn_d2").alias("dist2"))
     )
+
+
+def polygon_overlay(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    a_geom: str = "geom",
+    b_geom: str = "geom",
+) -> DataFrame:
+    """General polygon × polygon overlay-intersection AREA join — the
+    arbitrary-geometry form of the reference's
+    ``gp.overlay(a, b, how='intersection')`` + fragment areas
+    (geotools/geotools.py:215-219, :262), with NO convexity or
+    axis-alignment assumption on either side (the specialized J1
+    :func:`spatial_intersect` remains the fast path for the reference's
+    own rect-cell grids; this closes the documented general-overlay gap
+    for polygon layers that aren't grids).
+
+    Kernel: signed fan decomposition + convex clipping
+    (geometry/overlay.py) — exact for simple polygons with holes and
+    multipolygons, property-tested against the rect kernel (1000 random
+    star polygons, both argument orders), Monte Carlo, and closed-form
+    concave/hole fixtures.
+
+    Plan shape: ``broadcast(b)`` bbox theta-join prunes candidate pairs
+    (b is the dimension side — pass the smaller layer), then the
+    O(|P|·|Q|)-per-pair Arrow kernel runs ONLY on bbox survivors, then
+    ``frag_area > 0``.  Both layers are dimension tables in the
+    reference workload (fact tables never carry geometry); for two
+    genuinely fact-sized polygon layers, tile both sides on a coarse
+    grid first (the spatial_intersect coarse-tile pattern) and feed the
+    per-tile pairs here.
+
+    Returns (a_id, b_id, frag_area).
+    """
+    from radohydro_spark.geometry.overlay import polygon_intersection_area
+
+    aa = with_bbox(
+        a.select(F.col(a_id).alias("_aid"), F.col(a_geom).alias("_ag")), "_ag"
+    ).withColumnsRenamed(
+        {"xmin": "_axmin", "ymin": "_aymin", "xmax": "_axmax", "ymax": "_aymax"}
+    )
+    bb = with_bbox(
+        b.select(F.col(b_id).alias("_bid"), F.col(b_geom).alias("_bg")), "_bg"
+    )
+    cand = aa.join(
+        F.broadcast(bb),
+        (F.col("_axmin") < F.col("xmax"))
+        & (F.col("_axmax") > F.col("xmin"))
+        & (F.col("_aymin") < F.col("ymax"))
+        & (F.col("_aymax") > F.col("ymin")),
+    )
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            areas = [
+                polygon_intersection_area(bytes(ga), bytes(gb))
+                for ga, gb in zip(pdf["_ag"], pdf["_bg"])
+            ]
+            yield pd.DataFrame(
+                {"a_id": pdf["_aid"], "b_id": pdf["_bid"], "frag_area": areas}
+            )
+
+    out = cand.select("_aid", "_ag", "_bid", "_bg").mapInPandas(
+        gen, schema="a_id long, b_id long, frag_area double"
+    )
+    return out.filter(F.col("frag_area") > 0)

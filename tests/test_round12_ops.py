@@ -519,3 +519,144 @@ def test_ivfpq_trained_quantizers_path(spark):
     for qid in (0, 1):
         ranks = sorted(r["rank"] for r in out if r["query_id"] == qid)
         assert ranks == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# General polygon x polygon overlay (geometry/overlay.py)
+
+
+def _star_ring(rng, nmin=3, nmax=14, rmax=3.0, cbox=5.0):
+    """Random SIMPLE polygon: star-shaped around a center — sorted
+    angles (max gap < pi so no edge crosses other wedges), ONE radius
+    per vertex (two independent radii per vertex silently produces
+    self-intersecting rings — the kernel's contract is simple
+    polygons, like the reference's make_valid'd inputs)."""
+    import math
+
+    while True:
+        n = rng.randint(nmin, nmax)
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+        gaps = [angs[i + 1] - angs[i] for i in range(n - 1)] + [
+            angs[0] + 2 * math.pi - angs[-1]
+        ]
+        if max(gaps) < 3.0 and len(set(angs)) == n:
+            break
+    cx, cy = rng.uniform(-cbox, cbox), rng.uniform(-cbox, cbox)
+    ring = []
+    for t in angs:
+        rr = rng.uniform(0.5, rmax)
+        ring.append((cx + rr * math.cos(t), cy + rr * math.sin(t)))
+    ring.append(ring[0])
+    if rng.random() < 0.5:
+        ring = ring[::-1]
+    return ring
+
+
+def test_overlay_kernel_closed_forms():
+    from radohydro_spark.geometry.overlay import polygon_intersection_area
+    from radohydro_spark.geometry.wkb import wkb_polygon
+
+    def poly(pts, holes=()):
+        return wkb_polygon([list(pts)] + [list(h) for h in holes])
+
+    sq = lambda x0, y0, s: [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+    # offset unit squares
+    assert abs(polygon_intersection_area(poly(sq(0, 0, 1)), poly(sq(0.5, 0.5, 1))) - 0.25) < 1e-12
+    # diamond fully inside square
+    sq2 = poly([(-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1)])
+    diam = poly([(1, 0), (0, 1), (-1, 0), (0, -1), (1, 0)])
+    assert abs(polygon_intersection_area(sq2, diam) - 2.0) < 1e-12
+    # concave L x square: 0.75, both orders
+    L = poly([(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2), (0, 0)])
+    c = poly(sq(0.5, 0.5, 1))
+    assert abs(polygon_intersection_area(L, c) - 0.75) < 1e-12
+    assert abs(polygon_intersection_area(c, L) - 0.75) < 1e-12
+    # donut (hole) x square
+    donut = poly(sq(0, 0, 4), holes=[sq(1, 1, 2)])
+    assert abs(polygon_intersection_area(donut, poly(sq(0.5, 0.5, 3))) - 5.0) < 1e-12
+    # C-shape x bar
+    C = poly([(0, 0), (4, 0), (4, 1), (1, 1), (1, 2), (4, 2), (4, 3), (0, 3), (0, 0)])
+    bar = poly([(2, -1), (3, -1), (3, 4), (2, 4), (2, -1)])
+    assert abs(polygon_intersection_area(C, bar) - 2.0) < 1e-12
+    # disjoint
+    assert polygon_intersection_area(poly(sq(0, 0, 1)), poly(sq(5, 5, 1))) == 0.0
+
+
+def test_overlay_kernel_matches_rect_kernel_on_random_polygons():
+    """150 random simple star polygons x random rects: the general
+    kernel must equal the specialized Sutherland-Hodgman rect kernel to
+    float precision, in BOTH argument orders (fan-the-polygon and
+    fan-the-rect exercise different code paths)."""
+    import random
+
+    from radohydro_spark.geometry.clip import rect_clip_polygon_area
+    from radohydro_spark.geometry.overlay import polygon_intersection_area
+    from radohydro_spark.geometry.wkb import wkb_polygon
+
+    rng = random.Random(7)
+    for trial in range(150):
+        ring = _star_ring(rng)
+        l, bt = rng.uniform(-6, 4), rng.uniform(-6, 4)
+        r, tp = l + rng.uniform(0.5, 5), bt + rng.uniform(0.5, 5)
+        rect_ring = [(l, bt), (r, bt), (r, tp), (l, tp), (l, bt)]
+        exp = rect_clip_polygon_area(wkb_polygon([ring]), l, bt, r, tp)
+        got = polygon_intersection_area(wkb_polygon([ring]), wkb_polygon([rect_ring]))
+        assert abs(got - exp) < 1e-9 * max(1.0, exp), (trial, got, exp)
+        got2 = polygon_intersection_area(wkb_polygon([rect_ring]), wkb_polygon([ring]))
+        assert abs(got2 - exp) < 1e-9 * max(1.0, exp), (trial, got2, exp)
+
+
+def test_overlay_kernel_symmetric_and_bounded():
+    import random
+
+    from radohydro_spark.geometry.clip import polygon_area
+    from radohydro_spark.geometry.overlay import polygon_intersection_area
+    from radohydro_spark.geometry.wkb import wkb_polygon
+
+    rng = random.Random(11)
+    for _ in range(40):
+        r1 = _star_ring(rng, cbox=1.0, rmax=2.5)
+        r2 = _star_ring(rng, cbox=1.0, rmax=2.5)
+        a = polygon_intersection_area(wkb_polygon([r1]), wkb_polygon([r2]))
+        b = polygon_intersection_area(wkb_polygon([r2]), wkb_polygon([r1]))
+        assert abs(a - b) < 1e-9
+        assert a <= min(polygon_area([r1[:-1]]), polygon_area([r2[:-1]])) + 1e-9
+        assert a >= 0.0
+
+
+def test_polygon_overlay_operator_matches_spatial_intersect(spark):
+    """The general operator on the reference's own shape (rect cells as
+    WKB polygons x basin boxes) == the specialized J1 path."""
+    import pandas as pd
+
+    from radohydro_spark.geometry.wkb import wkb_box
+    from radohydro_spark.operators.spatial import polygon_overlay, spatial_intersect
+    from radohydro_spark.sources.synthetic import synthetic_basins, synthetic_cells
+
+    cells = synthetic_cells(spark)
+    basins = synthetic_basins(spark)
+
+    def to_wkb(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "cell_id": pdf["cell_row"] * 10000 + pdf["cell_col"],
+                    "geom": [
+                        wkb_box(l, b, r, t)
+                        for l, b, r, t in zip(
+                            pdf["left"], pdf["bottom"], pdf["right"], pdf["top"]
+                        )
+                    ],
+                }
+            )
+
+    cpoly = cells.mapInPandas(to_wkb, schema="cell_id long, geom binary")
+    got = {
+        (r["a_id"], r["b_id"]): round(r["frag_area"], 6)
+        for r in polygon_overlay(cpoly, basins, a_id="cell_id", b_id="basin_id").collect()
+    }
+    exp = {
+        (r["cell_row"] * 10000 + r["cell_col"], r["basin_id"]): round(r["frag_area"], 6)
+        for r in spatial_intersect(cells, basins).collect()
+    }
+    assert got == exp
