@@ -503,11 +503,14 @@ def polygon_overlay(
     Plan shape: ``broadcast(b)`` bbox theta-join prunes candidate pairs
     (b is the dimension side — pass the smaller layer), then the
     O(|P|·|Q|)-per-pair Arrow kernel runs ONLY on bbox survivors, then
-    ``frag_area > 0``.  Both layers are dimension tables in the
-    reference workload (fact tables never carry geometry); for two
-    genuinely fact-sized polygon layers, tile both sides on a coarse
-    grid first (the spatial_intersect coarse-tile pattern) and feed the
-    per-tile pairs here.
+    ``frag_area > 0``.  Measured kernel throughput (single thread):
+    ~28k pairs/s at 8 vertices/side, ~9.7k at 16, ~880 at 64 — the
+    quadratic per-pair cost is why the bbox prefilter and, for grid
+    layers, the specialized rect path exist.  Both layers are dimension
+    tables in the reference workload (fact tables never carry
+    geometry); for two genuinely fact-sized polygon layers, tile both
+    sides on a coarse grid first (the spatial_intersect coarse-tile
+    pattern) and feed the per-tile pairs here.
 
     Returns (a_id, b_id, frag_area).
     """
