@@ -53,7 +53,12 @@ def _stage_totals(spark) -> dict:
     return tot
 
 
-def _corpus(spark, reps: int):
+def _corpus(spark, reps: int, plant_reps: int | None = None):
+    """``plant_reps`` caps how many replicas of a planted doc keep the
+    original text (default: all of them — family pair volume grows as
+    C(R,2) per planted doc, the f² fan-out by construction).  Pass a
+    small constant (e.g. 2) for big-R legs so the planted pair volume
+    stays LINEAR in the corpus while recall stays exactly checkable."""
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
         "doc_id", "text"
     )
@@ -67,13 +72,14 @@ def _corpus(spark, reps: int):
         ),
         " ",
     )
+    keep = F.col("doc_id") % 37 == 0
+    if plant_reps is not None:
+        keep = keep & (F.col("rep") < plant_reps)
     return (
         base.crossJoin(r)
         .select(
             (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
-            F.when(F.col("doc_id") % 37 == 0, F.col("text"))
-            .otherwise(remapped)
-            .alias("text"),
+            F.when(keep, F.col("text")).otherwise(remapped).alias("text"),
         )
         .repartition(64)
         .persist()
@@ -81,7 +87,16 @@ def _corpus(spark, reps: int):
 
 
 def main() -> None:
-    reps = [int(a) for a in sys.argv[1:]] or [1, 10]
+    # "R" runs the full C(R,2) plant; "R:p" caps planted replicas at p
+    # (linear pair volume — the big-R form)
+    args = sys.argv[1:] or ["1", "10"]
+    reps = []
+    for a in args:
+        if ":" in a:
+            rr, pp = a.split(":")
+            reps.append((int(rr), int(pp)))
+        else:
+            reps.append((int(a), None))
     from radohydro_spark import get_spark
     from radohydro_spark.functions.text import tokens
     from radohydro_spark.operators.dedup import winnow_fingerprints, winnow_pairs
@@ -90,8 +105,8 @@ def main() -> None:
         "soak_winnow",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "5000"},
     )
-    for R in reps:
-        corpus = _corpus(spark, R)
+    for R, plant_reps in reps:
+        corpus = _corpus(spark, R, plant_reps)
         n_docs = corpus.count()
         n_pos = corpus.select(
             F.sum(
@@ -124,7 +139,8 @@ def main() -> None:
             .filter(F.col("doc_id") % 37 == 0)
             .count()
         )
-        expected_fam = n_planted * (R * (R - 1) // 2)
+        fam_size = R if plant_reps is None else min(plant_reps, R)
+        expected_fam = n_planted * (fam_size * (fam_size - 1) // 2)
         pairs.unpersist()
 
         print(
