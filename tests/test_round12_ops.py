@@ -660,3 +660,26 @@ def test_polygon_overlay_operator_matches_spatial_intersect(spark):
         for r in spatial_intersect(cells, basins).collect()
     }
     assert got == exp
+
+
+def test_overlay_kernel_identity_adjacency_containment():
+    import random
+
+    from radohydro_spark.geometry.clip import polygon_area
+    from radohydro_spark.geometry.overlay import polygon_intersection_area
+    from radohydro_spark.geometry.wkb import wkb_polygon
+
+    rng = random.Random(23)
+    for _ in range(20):
+        r1 = _star_ring(rng)
+        a_self = polygon_intersection_area(wkb_polygon([r1]), wkb_polygon([r1]))
+        assert abs(a_self - polygon_area([r1[:-1]])) < 1e-9 * max(1.0, a_self)
+    # edge-adjacent squares intersect in a zero-area segment
+    sq1 = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    sq2 = [(1, 0), (2, 0), (2, 1), (1, 1), (1, 0)]
+    assert polygon_intersection_area(wkb_polygon([sq1]), wkb_polygon([sq2])) < 1e-12
+    # full containment: inner polygon's own area
+    outer = [(-5, -5), (5, -5), (5, 5), (-5, 5), (-5, -5)]
+    inner = [(0, 0), (1, 0), (1, 2), (0, 2), (0, 0)]
+    got = polygon_intersection_area(wkb_polygon([outer]), wkb_polygon([inner]))
+    assert abs(got - 2.0) < 1e-12
