@@ -8693,6 +8693,42 @@ LIMIT 20
 """
 
 
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (functions.text.pmi_collocations; Church &
+    Hanks CL'90): top-20 adjacent-token collocations by quantized
+    pointwise mutual information — overflow-safe ratio-of-ratios ln,
+    quantized ONCE to BIGINT (seam audited: pmi_boundary_margin >=
+    4.8e-5 at three scales), min_count=5 hapax/scale guard, counts joins
+    on vocabulary-sized relations, TakeOrderedAndProject top-k."""
+    from radohydro_spark.functions.text import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), "text", min_count=5, k=20)
+
+
+ORACLE_PMI_COLLOCATIONS = r"""
+WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> '' GROUP BY w
+),
+bi AS (
+  SELECT pa, pb, CAST(count(*) AS BIGINT) AS cab FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i])) AS pa,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i+1])) AS pb
+    FROM toks
+  ) WHERE pa <> '' AND pb <> '' GROUP BY pa, pb
+),
+tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n1,
+               (SELECT CAST(sum(cab) AS BIGINT) FROM bi) AS n2)
+SELECT pa, pb, cab,
+       CAST(round(ln( (cab / ua.c) * (n1 / n2) * (n1 / ub.c) ) * 1000000.0) AS BIGINT) AS pmi_micro
+FROM bi JOIN uni ua ON bi.pa = ua.w JOIN uni ub ON bi.pb = ub.w, tot
+WHERE cab >= 5
+ORDER BY pmi_micro DESC, pa, pb
+LIMIT 20
+"""
+
+
 def q_spatial_overlay_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary polygon × polygon overlay (operators.spatial.polygon_overlay
     — the general form of the reference's gp.overlay intersection,
@@ -8991,7 +9027,7 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-10: the r12 first-exposure rows — the t-overlap
+        # Positions 0-11: the r12 first-exposure rows — the t-overlap
         # join's design-regime twin (rare-token basket corpus, new this
         # round); sorted-neighborhood blocking, whose DEFINITION
         # changed in r12 (bounded 64-char-prefix blocking key + rank-
@@ -9001,7 +9037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contamination coverage, IVF-PQ composite ANN + its persisted
         # partition-pruned index, multi-round BPE training, and the
         # general polygon x polygon overlay pinned to the rect-path
-        # oracle).
+        # oracle, PMI collocation mining).
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
@@ -9013,7 +9049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq_index_persist": q_similarity_ivfpq_index_persist,
         "text_bpe_train": q_text_bpe_train,
         "spatial_overlay_general": q_spatial_overlay_general,
-        # Positions 11-30 -- last driver-green: r6 (the 20-query r6
+        "text_pmi_collocations": q_text_pmi_collocations,
+        # Positions 12-31 -- last driver-green: r6 (the 20-query r6
         # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -9035,9 +9072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # Positions 31-49 -- last driver-green: r8 (first 19 of the
-        # 49-query r8 cohort; its 30-query tail heads the r13 window —
-        # the 9 rows the second-wave queries displaced lead it) --
+        # Positions 32-49 -- last driver-green: r8 (first 18 of the
+        # 49-query r8 cohort; its 31-query tail heads the r13 window —
+        # the 10 rows the second-wave queries displaced lead it) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -9056,15 +9093,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg_color": q_media_decode_jpeg_color,
         "media_decode_gif": q_media_decode_gif,
         "stats_groupwise_ols": q_stats_groupwise_ols,
-        "graph_bfs_hops": q_graph_bfs_hops,
         # --- end of round-12 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (30,
-        # starting with the 9 rows the r12 second-wave queries
-        # displaced) + the first 20 of the 49-query r9 cohort = the
-        # round-13 50-entry window; the r9 tail (29) + the r10 cohort
+        # round-13 rotation is already front-loaded: the r8 tail (31,
+        # starting with the 10 rows the r12 second-wave queries
+        # displaced) + the first 19 of the 49-query r9 cohort = the
+        # round-13 50-entry window; the r9 tail (30) + the r10 cohort
         # head follow in round 14.
-        # -- last driver-green: r8 (the 30-query cohort tail) --
+        # -- last driver-green: r8 (the 31-query cohort tail) --
+        "graph_bfs_hops": q_graph_bfs_hops,
         "events_top_paths": q_events_top_paths,
         "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
         "geo_geohash_bins": q_geo_geohash_bins,
@@ -9320,6 +9357,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly — same oracle as similarity_ivfpq_topk
         "similarity_ivfpq_index_persist": ORACLE_IVFPQ_TOPK,
         "text_bpe_train": _bpe_train_oracle(6),
+        "text_pmi_collocations": ORACLE_PMI_COLLOCATIONS,
         "text_contamination_coverage": ORACLE_CONTAMINATION_COVERAGE,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,
         "stats_pca_top_component": _pca_oracle(),

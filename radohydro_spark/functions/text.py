@@ -726,3 +726,131 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, pa string, pb string, n bigint"
     )
+
+
+def _bigram_unigram_counts(df: DataFrame, text_col: str):
+    """Shared corpus statistics for PMI: adjacent-token bigram counts,
+    unigram counts, and the two totals — all exact BIGINTs."""
+    toks = tokens(text_col)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.size(toks)
+    bi = (
+        df.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("pa"),
+                        F.element_at(toks, i + 1).alias("pb"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .filter((F.col("p.pa") != "") & (F.col("p.pb") != ""))
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("cab"))
+    )
+    return bi, uni
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """Pointwise-mutual-information collocation mining (Church & Hanks,
+    CL'90) — the phrase-discovery statistic under multi-word-expression
+    extraction and tokenizer-vocabulary seeding:
+
+        PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+                 = ln( (c_ab/c_a) · (N1/N2) · (N1/c_b) )
+
+    computed in the overflow-safe ratio-of-ratios form (the DSIR
+    discipline: the naive ``c_ab·N1²`` cross-product overflows BIGINT
+    once token counts pass ~10⁶ at corpus scale) and quantized ONCE to
+    ``pmi_micro = round(PMI·scale)`` BIGINT, so the ranking compares
+    exact integers — no float ordering anywhere.  The
+    quantize-after-``ln`` seam is AUDITED (:func:`pmi_boundary_margin`,
+    the BM25/TF-IDF/DSIR treatment).
+
+    ``min_count`` prunes rare bigrams BEFORE the count joins (PMI is
+    notoriously noisy on hapax pairs — the standard filter and the scale
+    guard in one).  Plan: two map-side-combinable count aggregates, the
+    surviving bigram table joins the unigram counts twice on the token
+    key (vocabulary-sized relations — never corpus-sized), top-k via
+    TakeOrderedAndProject.
+
+    Returns (pa, pb, cab, pmi_micro), the top ``k`` by
+    (pmi_micro DESC, pa, pb).
+    """
+    bi, uni = _bigram_unigram_counts(df, text_col)
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    n2 = bi.agg(F.sum("cab").alias("n2"))
+    bi = bi.filter(F.col("cab") >= min_count)
+    scored = (
+        bi.join(uni.select(F.col("w").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(uni.select(F.col("w").alias("pb"), F.col("c").alias("cb")), "pb")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "pa",
+            "pb",
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("ca"))
+                    * (F.col("n1") / F.col("n2"))
+                    * (F.col("n1") / F.col("cb"))
+                )
+                * F.lit(float(scale)),
+                0,
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micro"), "pa", "pb").limit(k)
+
+
+def pmi_boundary_margin(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    scale: int = 1_000_000,
+) -> float:
+    """Cross-engine quantization audit for :func:`pmi_collocations`' one
+    transcendental seam (the BM25/TF-IDF/DSIR treatment): minimum
+    distance of ``PMI·scale`` from a rounding boundary over every
+    surviving bigram's (c_ab, c_a, c_b) point.  Tests pin > 1e-6 on the
+    driver corpora (the 1-ulp ln perturbation is ~1e-8 at these
+    magnitudes)."""
+    bi, uni = _bigram_unigram_counts(df, text_col)
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    n2 = bi.agg(F.sum("cab").alias("n2"))
+    bi = bi.filter(F.col("cab") >= min_count)
+    x = (
+        F.log(
+            (F.col("cab") / F.col("ca"))
+            * (F.col("n1") / F.col("n2"))
+            * (F.col("n1") / F.col("cb"))
+        )
+        * F.lit(float(scale))
+    )
+    fx = x - F.floor(x)
+    row = (
+        bi.join(uni.select(F.col("w").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(uni.select(F.col("w").alias("pb"), F.col("c").alias("cb")), "pb")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(F.abs(fx - F.lit(0.5)).alias("m"))
+        .agg(F.min("m").alias("m"))
+        .first()
+    )
+    return 0.5 if row["m"] is None else float(row["m"])

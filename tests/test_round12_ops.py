@@ -683,3 +683,52 @@ def test_overlay_kernel_identity_adjacency_containment():
     inner = [(0, 0), (1, 0), (1, 2), (0, 2), (0, 0)]
     got = polygon_intersection_area(wkb_polygon([outer]), wkb_polygon([inner]))
     assert abs(got - 2.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+
+
+def test_pmi_collocations_match_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from radohydro_spark.functions.text import pmi_collocations
+
+    docs = [
+        (1, "new york is a big city and new york never sleeps"),
+        (2, "los angeles and new york share big city problems"),
+        (3, "the city of new york has a big harbor"),
+        (4, "big data and big models need big city power"),
+    ]
+    uni, bi = Counter(), Counter()
+    for _, t in docs:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n1, n2 = sum(uni.values()), sum(bi.values())
+    exp = []
+    for (a, b), cab in bi.items():
+        if cab >= 2:
+            pmi = math.log((cab / uni[a]) * (n1 / n2) * (n1 / uni[b]))
+            exp.append((a, b, cab, round(pmi * 1_000_000)))
+    exp.sort(key=lambda r: (-r[3], r[0], r[1]))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [
+        (r["pa"], r["pb"], r["cab"], r["pmi_micro"])
+        for r in pmi_collocations(df, "text", min_count=2, k=10).collect()
+    ]
+    assert got == exp[:10]
+    # 'new york' must out-rank 'big city' (york follows new always;
+    # city follows big only sometimes)
+    ranks = {(r[0], r[1]): i for i, r in enumerate(got)}
+    assert ranks[("new", "york")] < ranks[("big", "city")]
+
+
+def test_pmi_boundary_margin_on_driver_corpora(spark):
+    from radohydro_spark.functions.text import pmi_boundary_margin
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        m = pmi_boundary_margin(d)
+        assert m > 1e-6, (sf, m)
