@@ -44,6 +44,25 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+def gram_array(text_col: Column | str, k: int) -> Column:
+    """POSITIONAL (ordered, non-distinct) k-word-gram array — THE single
+    home of the tokenize / slide / concat_ws law (r12 review: it had
+    drifted into four per-module reimplementations, and the one copy
+    that deviated carried a crash).  Consumers:
+
+    * ``dedup.shingle_array``         — array_distinct of this (set form)
+    * ``dedup._positional_shingles``  — posexplode of this (winnowing)
+    * ``sampling._hashed_gram_buckets`` — explode of this (DSIR counts)
+
+    A document shorter than ``k`` tokens yields ONE short gram; an
+    all-whitespace document yields one '' gram — callers drop '' (the
+    pinned convention every oracle reproduces)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+
+
 BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
@@ -739,11 +758,19 @@ def _bigram_unigram_counts(df: DataFrame, text_col: str):
         .agg(F.count("*").alias("c"))
     )
     n = F.size(toks)
+    # a <=1-token document has no bigrams: explode the EMPTY array, never
+    # sequence(1, 0) — Spark evaluates that as the DESCENDING array
+    # [1, 0] and element_at(toks, 0) aborts the job (found by the r12
+    # code review; the driver corpora have no 1-token docs, so the
+    # strict sweeps never hit it)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     bi = (
         df.select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+                    idx,
                     lambda i: F.struct(
                         F.element_at(toks, i).alias("pa"),
                         F.element_at(toks, i + 1).alias("pb"),

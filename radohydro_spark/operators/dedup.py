@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from radohydro_spark.functions.text import HASH_MOD, portable_hash, tokens
+from radohydro_spark.functions.text import (
+    HASH_MOD,
+    gram_array,
+    portable_hash,
+    tokens,
+)
 
 # fixed affine-hash parameters: h_i(x) = (A_i * x + B_i) mod p.  Small
 # primes chosen once; the oracle embeds the same constants.
@@ -33,19 +38,15 @@ MINHASH_B = [1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613]
 
 def shingle_array(text_col: str, k: int):
     """The distinct-k-word-shingle set of a text column as ONE ARRAY
-    Column — the single place the tokenize / slide / array_distinct /
-    drop-'' law lives.  :func:`word_shingles` explodes this array (the
-    relational form the frequency/prefix operators join on);
-    :func:`sorted_neighborhood_pairs` hashes it un-exploded (its verify
-    joins per-pair arrays, never the exploded relation).  Sharing the
-    expression means the two forms cannot drift."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    Column — the SET form of :func:`functions.text.gram_array` (the
+    single home of the tokenize/slide law).  :func:`word_shingles`
+    explodes this array (the relational form the frequency/prefix
+    operators join on); :func:`sorted_neighborhood_pairs` hashes it
+    un-exploded (its verify joins per-pair arrays, never the exploded
+    relation).  Sharing the expression means the forms cannot drift."""
     # array_distinct makes (doc, shingle) unique BEFORE any explode — no
     # distinct() downstream, which would cost a full extra shuffle
-    return F.array_remove(F.array_distinct(sh), "")
+    return F.array_remove(F.array_distinct(gram_array(text_col, k)), "")
 
 
 def word_shingles(
@@ -1586,19 +1587,14 @@ WINNOW_POS_CAP = 1 << 20
 def _positional_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """POSITIONAL k-word shingles — the ordered, non-distinct sibling of
-    :func:`shingle_array` (same tokenize / slide / concat_ws law, WITHOUT
-    the array_distinct: winnowing selects by position, so repeats must
-    stay).  Emits (doc_id, n_sh, pos, shingle) with ``n_sh`` the full
-    positional count computed from the array before the explode; the
-    only dropped rows are the '' shingles an all-whitespace document
+    """POSITIONAL k-word shingles — :func:`functions.text.gram_array`
+    exploded WITH positions (winnowing selects by position, so repeats
+    must stay).  Emits (doc_id, n_sh, pos, shingle) with ``n_sh`` the
+    full positional count computed from the array before the explode;
+    the only dropped rows are the '' shingles an all-whitespace document
     produces."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return (
-        df.select(F.col(id_col).alias("doc_id"), sh.alias("_sh"))
+        df.select(F.col(id_col).alias("doc_id"), gram_array(text_col, k).alias("_sh"))
         .withColumn("n_sh", F.size("_sh"))
         .select("doc_id", "n_sh", F.posexplode("_sh").alias("pos", "shingle"))
         .filter(F.col("shingle") != "")

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from radohydro_spark.functions.text import portable_hash, tokens
+from radohydro_spark.functions.text import gram_array, portable_hash, tokens
 
 
 def hash_bucket(id_col: Column | str, mod: int = 100) -> Column:
@@ -481,16 +481,15 @@ def _hashed_gram_buckets(
     df: DataFrame, text_col: str, id_col: str, k: int, n_buckets: int
 ) -> DataFrame:
     """Hashed k-gram feature buckets, NON-distinct (counts matter for
-    language-model features, unlike dedup's set semantics): same
-    tokenize/slide/concat_ws law as the dedup shingles, each occurrence
-    hashed into ``portable_hash(gram) mod n_buckets``.  Emits
-    (doc_id, b) one row per gram occurrence."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    language-model features, unlike dedup's set semantics):
+    :func:`functions.text.gram_array` occurrences hashed into
+    ``portable_hash(gram) mod n_buckets``.  Emits (doc_id, b) one row
+    per gram occurrence."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(gram_array(text_col, k)).alias("gram"),
+        )
         .filter(F.col("gram") != "")
         .select("doc_id", (portable_hash("gram") % n_buckets).alias("b"))
     )

@@ -62,7 +62,6 @@ def main() -> None:
 
         def gen(it, world=WORLD):
             for pdf in it:
-                r = random.Random(97)
                 geoms = []
                 for i in pdf["a_id"]:
                     rr = random.Random(int(i) * 2654435761 % (1 << 31))

@@ -732,3 +732,22 @@ def test_pmi_boundary_margin_on_driver_corpora(spark):
         d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
         m = pmi_boundary_margin(d)
         assert m > 1e-6, (sf, m)
+
+
+def test_pmi_short_and_empty_documents_do_not_crash(spark):
+    """r12 review finding: sequence(1, greatest(n-1, 0)) on a <=1-token
+    document is the DESCENDING array [1, 0] and element_at aborted the
+    job — the bigram index must be the empty array instead."""
+    from radohydro_spark.functions.text import pmi_collocations
+
+    docs = [
+        (1, "hello"),
+        (2, ""),
+        (3, "   "),
+        (4, "big city big city big city big city big city"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [
+        (r["pa"], r["pb"]) for r in pmi_collocations(df, "text", min_count=2).collect()
+    ]
+    assert ("big", "city") in got
