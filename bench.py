@@ -109,6 +109,12 @@ HEADLINE = [
     # full-shingle headliners lack; benched so the one-shuffle window +
     # partitioning-reuse plan carries per-round wall evidence.
     "dedup_winnow_pairs",
+    # round-12 second wave: DSIR importance weighting — the
+    # target/source likelihood-ratio scoring shape (two bucket
+    # aggregates + broadcast lr dimension join + one doc-key sum);
+    # benched because its wall is dominated by the portable md5 gram
+    # hash (the oracle-exactness tax measured in SOAK.md).
+    "sample_dsir_weights",
 ]
 
 
