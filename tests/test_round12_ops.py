@@ -751,3 +751,47 @@ def test_pmi_short_and_empty_documents_do_not_crash(spark):
         (r["pa"], r["pb"]) for r in pmi_collocations(df, "text", min_count=2).collect()
     ]
     assert ("big", "city") in got
+
+
+def test_overlay_kernel_random_holes_match_rect_kernel():
+    """Random star polygons WITH a scaled star hole x random rects — the
+    hole inclusion-exclusion path against the rect kernel's independent
+    hole handling."""
+    import random
+
+    from radohydro_spark.geometry.clip import rect_clip_polygon_area
+    from radohydro_spark.geometry.overlay import polygon_intersection_area
+    from radohydro_spark.geometry.wkb import wkb_polygon
+
+    rng = random.Random(31)
+    for trial in range(60):
+        outer = _star_ring(rng, nmin=5, nmax=12, rmax=3.0, cbox=2.0)
+        # hole: the same ring scaled toward its centroid (stays inside —
+        # star-shaped w.r.t. the centroid of its own vertex set)
+        pts = outer[:-1]
+        cx = sum(p[0] for p in pts) / len(pts)
+        cy = sum(p[1] for p in pts) / len(pts)
+        s = rng.uniform(0.2, 0.45)
+        hole = [(cx + (x - cx) * s, cy + (y - cy) * s) for x, y in pts]
+        hole.append(hole[0])
+        poly = [outer, hole]
+        l, bt = rng.uniform(-5, 3), rng.uniform(-5, 3)
+        r, tp = l + rng.uniform(0.5, 5), bt + rng.uniform(0.5, 5)
+        rect_ring = [(l, bt), (r, bt), (r, tp), (l, tp), (l, bt)]
+        exp = rect_clip_polygon_area(wkb_polygon(poly), l, bt, r, tp)
+        got = polygon_intersection_area(wkb_polygon(poly), wkb_polygon([rect_ring]))
+        assert abs(got - exp) < 1e-9 * max(1.0, exp), (trial, got, exp)
+
+
+def test_winnow_window_one_selects_every_position(spark):
+    """Degenerate window=1: every positional shingle is its own window
+    minimum — selection density 1.0 (the no-winnowing identity)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z")], ["doc_id", "text"]
+    )
+    out = winnow_fingerprints(df, "text", "doc_id", k=2, window=1).collect()
+    # doc 1: 7 positional 2-grams, doc 2: 2
+    per = {}
+    for r in out:
+        per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+    assert per == {1: 7, 2: 2}
