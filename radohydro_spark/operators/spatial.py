@@ -81,19 +81,34 @@ _BBOX_SCHEMA = T.StructType(
 @F.pandas_udf(_BBOX_SCHEMA)
 def geom_bbox(wkb: pd.Series) -> pd.DataFrame:
     """Bounding box of a WKB polygon column (A1 spatial-extent aggregate,
-    reference geotools/geotools.py:86 ``total_bounds``)."""
+    reference geotools/geotools.py:86 ``total_bounds``).
+
+    An EMPTY geometry (zero polygons, or a polygon with zero rings)
+    yields NULL bounds instead of crashing the job (r12 review: one
+    MULTIPOLYGON EMPTY row in a 100k-basin shapefile killed every
+    with_bbox consumer).  NULL bounds then drop naturally: bbox join
+    predicates are false on NULL, candidate-index sequences are empty,
+    and min/max aggregates skip NULLs."""
     out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
     for blob in wkb:
         xs: list[float] = []
         ys: list[float] = []
         for rings in parse_wkb_polygons(bytes(blob)):
+            if not rings:
+                continue
             for x, y in rings[0]:
                 xs.append(x)
                 ys.append(y)
-        out["xmin"].append(min(xs))
-        out["ymin"].append(min(ys))
-        out["xmax"].append(max(xs))
-        out["ymax"].append(max(ys))
+        if xs:
+            out["xmin"].append(min(xs))
+            out["ymin"].append(min(ys))
+            out["xmax"].append(max(xs))
+            out["ymax"].append(max(ys))
+        else:
+            out["xmin"].append(None)
+            out["ymin"].append(None)
+            out["xmax"].append(None)
+            out["ymax"].append(None)
     return pd.DataFrame(out)
 
 
@@ -251,11 +266,25 @@ def spatial_intersect(
     """
     b = with_bbox(basins.select("basin_id", "geom"))
     if grid_meta is not None:
+        # the pricing aggregate below AND the candidate explode both
+        # evaluate b — cache it so the WKB-parsing bbox UDF runs once
+        # over the basin dimension, not once per consumer (r12 review)
+        b = b.cache()
+        from radohydro_spark.plans.pipeline import _PERSISTED
+
+        _PERSISTED.append(b)
         ulx, uly, xres, yres = (float(v) for v in grid_meta)
         # inclusive index range of cells whose footprint overlaps the bbox:
-        # open interval semantics match the theta-join's strict < / >
-        col0 = F.floor((F.col("xmin") - ulx) / xres).cast("int")
-        col1 = F.ceil((F.col("xmax") - ulx) / xres).cast("int") - 1
+        # open interval semantics match the theta-join's strict < / >.
+        # Negative resolutions flip which bbox corner maps to index 0 —
+        # handled for BOTH axes (the xres<0 branch was missing until the
+        # r12 review: a west-positive grid silently lost fragments)
+        if xres < 0:
+            col0 = F.floor((F.col("xmax") - ulx) / xres).cast("int")
+            col1 = F.ceil((F.col("xmin") - ulx) / xres).cast("int") - 1
+        else:
+            col0 = F.floor((F.col("xmin") - ulx) / xres).cast("int")
+            col1 = F.ceil((F.col("xmax") - ulx) / xres).cast("int") - 1
         if yres < 0:  # north-up: row 0 at the top
             row0 = F.floor((F.col("ymax") - uly) / yres).cast("int")
             row1 = F.ceil((F.col("ymin") - uly) / yres).cast("int") - 1
@@ -400,7 +429,11 @@ def spatial_intersect(
 
 
 def rasterize(
-    cells: DataFrame, basins: DataFrame, attr: str, fill=None
+    cells: DataFrame,
+    basins: DataFrame,
+    attr: str,
+    fill=None,
+    grid_meta: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """C13 — reverse of J1: burn a polygon attribute onto the pixel grid
     (reference geotools/geotools.py:337-367 ``rasterizegeo``).
@@ -410,10 +443,21 @@ def rasterize(
     cell-center containment — largest-overlap is the long-format analog that
     also matches it for cells fully inside one polygon).  ``fill`` replaces
     the reference's -9999 sentinel (geotools/geotools.py:367) — default NULL.
-    """
+
+    ``attr`` may be ANY basin column: spatial_intersect strips passthrough
+    attributes before its join (deliberately — WKB must not ride the
+    candidate explode), so non-key attributes re-join here on ``basin_id``
+    from the dimension table (r12 review: referencing a stripped column
+    used to crash).  ``grid_meta`` forwards to spatial_intersect so an
+    affine-grid burn takes the equi-join candidate path instead of the
+    nested-loop bbox sweep (the >10k-polygon cliff)."""
     from pyspark.sql import Window as W
 
-    frags = spatial_intersect(cells, basins)
+    frags = spatial_intersect(cells, basins, grid_meta=grid_meta)
+    if attr not in frags.columns:
+        frags = frags.join(
+            F.broadcast(basins.select("basin_id", attr)), "basin_id"
+        )
     w = W.partitionBy("cell_row", "cell_col").orderBy(
         F.desc("frag_area"), F.asc("basin_id")
     )
@@ -514,7 +558,8 @@ def polygon_overlay(
 
     Returns (a_id, b_id, frag_area).
     """
-    from radohydro_spark.geometry.overlay import polygon_intersection_area
+    from radohydro_spark.geometry.overlay import polygon_pair_area
+    from radohydro_spark.geometry.wkb import parse_wkb_polygons
 
     aa = with_bbox(
         a.select(F.col(a_id).alias("_aid"), F.col(a_geom).alias("_ag")), "_ag"
@@ -536,15 +581,37 @@ def polygon_overlay(
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            # memoize parses per batch: the broadcast b-side repeats
+            # across many a-rows (and vice versa) — the rect path's
+            # parse-once-per-distinct-WKB lesson (clip_vec, ~50x there)
+            cache: dict[bytes, list] = {}
+
+            def parsed(blob):
+                key = bytes(blob)
+                got = cache.get(key)
+                if got is None:
+                    got = parse_wkb_polygons(key)
+                    cache[key] = got
+                return got
+
             areas = [
-                polygon_intersection_area(bytes(ga), bytes(gb))
+                sum(
+                    polygon_pair_area(p, q)
+                    for p in parsed(ga)
+                    for q in parsed(gb)
+                )
                 for ga, gb in zip(pdf["_ag"], pdf["_bg"])
             ]
             yield pd.DataFrame(
                 {"a_id": pdf["_aid"], "b_id": pdf["_bid"], "frag_area": areas}
             )
 
+    # output id types follow the INPUT id columns (r12 review: a
+    # hardcoded 'long' broke string-keyed layers, which shapefiles
+    # commonly carry)
+    a_t = a.schema[a_id].dataType.simpleString()
+    b_t = b.schema[b_id].dataType.simpleString()
     out = cand.select("_aid", "_ag", "_bid", "_bg").mapInPandas(
-        gen, schema="a_id long, b_id long, frag_area double"
+        gen, schema=f"a_id {a_t}, b_id {b_t}, frag_area double"
     )
     return out.filter(F.col("frag_area") > 0)

@@ -795,3 +795,103 @@ def test_winnow_window_one_selects_every_position(spark):
     for r in out:
         per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
     assert per == {1: 7, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# r12 review fixes (spatial layer)
+
+
+def test_spatial_intersect_negative_xres_matches_theta_path(spark):
+    """r12 review: the grid_meta equi-join path handled yres<0 but
+    silently computed a wrong candidate window for xres<0 — fragments
+    must match the theta path on a west-positive grid."""
+    from radohydro_spark.operators.spatial import create_cell_grid, spatial_intersect
+    from radohydro_spark.geometry.wkb import wkb_box
+
+    # west-positive grid: x decreases with cell_col
+    cells = create_cell_grid(spark, 4, 6, ulx=100.0, uly=0.0, xres=-10.0, yres=10.0)
+    basins = spark.createDataFrame(
+        [(1, wkb_box(55.0, 5.0, 85.0, 35.0)), (2, wkb_box(92.0, 12.0, 98.0, 18.0))],
+        "basin_id long, geom binary",
+    )
+    theta = {
+        (r["basin_id"], r["cell_row"], r["cell_col"], round(r["frag_area"], 6))
+        for r in spatial_intersect(cells, basins).collect()
+    }
+    fast = {
+        (r["basin_id"], r["cell_row"], r["cell_col"], round(r["frag_area"], 6))
+        for r in spatial_intersect(
+            cells, basins, grid_meta=(100.0, 0.0, -10.0, 10.0)
+        ).collect()
+    }
+    assert theta and fast == theta
+
+
+def test_geom_bbox_empty_geometry_rows_drop_not_crash(spark):
+    """r12 review: one empty geometry used to ValueError inside the bbox
+    UDF and kill the whole pipeline — it must yield NULL bounds and drop
+    out of the join."""
+    import struct
+
+    from radohydro_spark.geometry.wkb import wkb_box
+    from radohydro_spark.operators.spatial import spatial_intersect
+    from radohydro_spark.sources.synthetic import synthetic_cells
+
+    # WKB MULTIPOLYGON with zero polygons
+    empty_mp = struct.pack("<BII", 1, 6, 0)
+    from radohydro_spark.sources.synthetic import GRID
+
+    x0, y0 = GRID.x0, GRID.y0
+    cells = synthetic_cells(spark)
+    basins = spark.createDataFrame(
+        [(1, wkb_box(x0, y0, x0 + 2000.0, y0 + 2000.0)), (2, empty_mp)],
+        "basin_id long, geom binary",
+    )
+    rows = spatial_intersect(cells, basins).collect()
+    assert rows and {r["basin_id"] for r in rows} == {1}
+    # and through the grid_meta path too
+    rows2 = spatial_intersect(
+        cells, basins, grid_meta=(x0, y0, GRID.cell, GRID.cell)
+    ).collect()
+    assert {tuple(r) for r in rows2} == {tuple(r) for r in rows}
+
+
+def test_rasterize_passthrough_attribute(spark):
+    """r12 review: rasterize on a non-key basin attribute used to crash
+    (spatial_intersect strips passthrough attrs); it must re-join them."""
+    from radohydro_spark.geometry.wkb import wkb_box
+    from radohydro_spark.operators.spatial import rasterize
+    from radohydro_spark.sources.synthetic import synthetic_cells
+
+    from radohydro_spark.sources.synthetic import GRID
+
+    x0, y0 = GRID.x0, GRID.y0
+    basins = spark.createDataFrame(
+        [
+            (1, "alpha", wkb_box(x0, y0, x0 + 1500.0, y0 + 1500.0)),
+            (2, "beta", wkb_box(x0 + 1500.0, y0 + 1500.0, x0 + 4000.0, y0 + 4000.0)),
+        ],
+        "basin_id long, name string, geom binary",
+    )
+    out = rasterize(synthetic_cells(spark), basins, "name").collect()
+    burned = {r["burn"] for r in out if r["burn"] is not None}
+    assert burned == {"alpha", "beta"}
+
+
+def test_polygon_overlay_string_ids(spark):
+    """r12 review: the overlay operator's output schema must follow the
+    input id types (string-keyed shapefile layers)."""
+    from radohydro_spark.geometry.wkb import wkb_box
+    from radohydro_spark.operators.spatial import polygon_overlay
+
+    a = spark.createDataFrame(
+        [("A1", wkb_box(0.0, 0.0, 2.0, 2.0)), ("A2", wkb_box(10.0, 10.0, 12.0, 12.0))],
+        "code string, geom binary",
+    )
+    b = spark.createDataFrame(
+        [("B7", wkb_box(1.0, 1.0, 3.0, 3.0))], "zone string, geom binary"
+    )
+    rows = polygon_overlay(a, b, a_id="code", b_id="zone").collect()
+    assert [(r["a_id"], r["b_id"], round(r["frag_area"], 6)) for r in rows] == [
+        ("A1", "B7", 1.0)
+    ]
