@@ -1474,10 +1474,11 @@ SELECT doc_id,
              / CAST(len({_SQL_TOKS}) AS DOUBLE), 6) AS stop_ratio,
        round(len(list_distinct({_SQL_TOKS}))
              / CAST(len({_SQL_TOKS}) AS DOUBLE), 6) AS distinct_ratio,
+       CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
        round(0.4 * least(length(text) / 500.0, 1.0)
              + 0.4 * (len(list_distinct({_SQL_TOKS})) / CAST(len({_SQL_TOKS}) AS DOUBLE))
              + 0.2 * (1.0 - len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOP}))
-                            / CAST(len({_SQL_TOKS}) AS DOUBLE)), 6) AS quality
+                            / CAST(len({_SQL_TOKS}) AS DOUBLE)), 6) END AS quality
 FROM documents
 """
 
@@ -2818,11 +2819,13 @@ c AS (
          COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
   FROM t
+),
+b AS (
+  SELECT doc_id, source, n_tokens, cb, CAST(cb // 256 AS INT) AS bin FROM c
 )
-SELECT doc_id, source, n_tokens,
-       CAST(cb // 256 AS INT) AS bin,
-       CAST(cb % 256 AS BIGINT) AS offset
-FROM c
+SELECT doc_id, source, n_tokens, bin,
+       CAST(cb - MIN(cb) OVER (PARTITION BY source, bin) AS BIGINT) AS offset
+FROM b
 """
 
 
@@ -4287,7 +4290,7 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_INVERTED_INDEX = """
 WITH tok AS (
   SELECT DISTINCT doc_id, term
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
         FROM documents) t
   WHERE term <> ''
 ),
@@ -5789,8 +5792,8 @@ stripped AS (
   SELECT doc_id,
          regexp_replace(
            regexp_replace(
-             regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
            '<[^>]*>', ' ', 'g') AS h
   FROM wrapped
 ),
@@ -9027,7 +9030,7 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-11: the r12 first-exposure rows — the t-overlap
+        # Positions 0-12: the r12 first-exposure/re-pinned rows — the t-overlap
         # join's design-regime twin (rare-token basket corpus, new this
         # round); sorted-neighborhood blocking, whose DEFINITION
         # changed in r12 (bounded 64-char-prefix blocking key + rank-
@@ -9037,7 +9040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contamination coverage, IVF-PQ composite ANN + its persisted
         # partition-pruned index, multi-round BPE training, and the
         # general polygon x polygon overlay pinned to the rect-path
-        # oracle, PMI collocation mining).
+        # oracle, PMI collocation mining, and the re-pinned
+        # text_pack_sequences, whose offset definition changed).
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
@@ -9050,7 +9054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "spatial_overlay_general": q_spatial_overlay_general,
         "text_pmi_collocations": q_text_pmi_collocations,
-        # Positions 12-31 -- last driver-green: r6 (the 20-query r6
+        # re-pinned: pack_sequences' DEFINITION changed in r12 (offset is
+        # now the true position inside the bin's stream, not cum%budget)
+        # — a changed-definition query re-enters the window
+        "text_pack_sequences": q_text_pack_sequences,
+        # Positions 13-32 -- last driver-green: r6 (the 20-query r6
         # cohort tail, staged for this window since r11) --
         "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
         "cube_order_status": _sql(SQL_CUBE, ["orders"]),
@@ -9072,9 +9080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_static_join": q_events_stream_static_join,
         "similarity_recall_eval": q_similarity_recall_eval,
         "storage_file_skipping": q_storage_file_skipping,
-        # Positions 32-49 -- last driver-green: r8 (first 18 of the
-        # 49-query r8 cohort; its 31-query tail heads the r13 window —
-        # the 10 rows the second-wave queries displaced lead it) --
+        # Positions 33-49 -- last driver-green: r8 (first 17 of the
+        # 49-query r8 cohort; its 32-query tail heads the r13 window —
+        # the 11 rows the second-wave queries displaced lead it) --
         "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
         "pyds_shard_sink": q_pyds_shard_sink,
         "text_url_parse": q_text_url_parse,
@@ -9092,15 +9100,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_decode_jpeg_color": q_media_decode_jpeg_color,
         "media_decode_gif": q_media_decode_gif,
-        "stats_groupwise_ols": q_stats_groupwise_ols,
         # --- end of round-12 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (31,
-        # starting with the 10 rows the r12 second-wave queries
-        # displaced) + the first 19 of the 49-query r9 cohort = the
-        # round-13 50-entry window; the r9 tail (30) + the r10 cohort
+        # round-13 rotation is already front-loaded: the r8 tail (32,
+        # starting with the 11 rows the r12 second-wave queries
+        # displaced) + the first 18 of the 49-query r9 cohort = the
+        # round-13 50-entry window; the r9 tail (31) + the r10 cohort
         # head follow in round 14.
-        # -- last driver-green: r8 (the 31-query cohort tail) --
+        # -- last driver-green: r8 (the 32-query cohort tail) --
+        "stats_groupwise_ols": q_stats_groupwise_ols,
         "graph_bfs_hops": q_graph_bfs_hops,
         "events_top_paths": q_events_top_paths,
         "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
@@ -9175,7 +9183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_check": q_text_contamination,
         "text_fingerprint": q_fingerprint,
         "text_lang_id": q_lang_id,
-        "text_pack_sequences": q_text_pack_sequences,
         "text_quality_filter": q_text_quality_filter,
         "text_redact_pii": q_redact_pii,
         "text_repetition_stats": q_text_repetition,

@@ -103,14 +103,21 @@ def distinct_token_ratio(text: Column | str) -> Column:
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1]-ish quality score: rewards mid-length docs with
     diverse vocabulary, penalizes stopword stuffing.  Fixed formula so the
-    oracle can mirror it exactly."""
+    oracle can mirror it exactly.
+
+    Empty/whitespace-only documents score 0 (r12 review: tokens('') is
+    [''], which made distinct_token_ratio a "perfect" 1.0 and scored an
+    EMPTY document 0.6 — above many real documents, so a threshold gate
+    kept empties while dropping prose)."""
     c = F.col(text) if isinstance(text, str) else text
     len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
-    return F.round(
-        0.4 * len_score
-        + 0.4 * distinct_token_ratio(c)
-        + 0.2 * (1.0 - stopword_ratio(c)),
-        6,
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            0.4 * len_score
+            + 0.4 * distinct_token_ratio(c)
+            + 0.2 * (1.0 - stopword_ratio(c)),
+            6,
+        )
     )
 
 
@@ -151,9 +158,12 @@ def text_stats(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",
         (F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))).alias("n_punct"),
         F.round(stopr, 6).alias("stop_ratio"),
         F.round(distr, 6).alias("distinct_ratio"),
-        F.round(0.4 * len_score + 0.4 * distr + 0.2 * (1.0 - stopr), 6).alias(
-            "quality"
-        ),
+        # empty/whitespace docs score 0 — same guard as quality_score
+        F.when(F.length(F.trim(c)) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(0.4 * len_score + 0.4 * distr + 0.2 * (1.0 - stopr), 6)
+        )
+        .alias("quality"),
     )
 
 
@@ -215,12 +225,13 @@ def lang_id(text: Column | str, langs: list[str] | None = None) -> Column:
     # exactly like the SQL CASE twin.
     expr = None
     for lang in langs:
-        cond = None
+        # seed with TRUE so a single-language list builds a valid branch
+        # (F.when(None, ...) raised at expression-build time, r12 review)
+        cond = F.lit(True)
         for other in langs:
             if other == lang:
                 continue
-            ge = scores[lang] >= scores[other]
-            cond = ge if cond is None else (cond & ge)
+            cond = cond & (scores[lang] >= scores[other])
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit(langs[-1]))
 
@@ -337,8 +348,11 @@ def html_to_text(text: Column | str) -> Column:
     regex fast path whose behavior is pinned cross-engine.
     """
     c = F.col(text) if isinstance(text, str) else text
-    c = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " ")
-    c = F.regexp_replace(c, r"(?s)<style[^>]*>.*?</style>", " ")
+    # (?i): legacy crawl HTML carries uppercase <SCRIPT>/<STYLE> tags —
+    # without it the generic tag pass stripped the tags but LEAKED the
+    # script content into the text (r12 review)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"<[^>]*>", " ")
     for ent, ch in (
         ("&lt;", "<"),
@@ -470,10 +484,18 @@ def pack_sequences(
     not split; a bin may overflow by at most one document's tokens, the
     standard greedy-packing tradeoff).
 
-    One window shuffle; with ``group_col`` (e.g. source) packing is
-    per-group and the window partitions by it — at corpus scale that is the
-    natural parallel unit.  Returns (id_col, [group_col], n_tokens, bin,
-    offset) with ``offset`` = token start position inside the bin's stream.
+    One group-key shuffle shared by both windows (the bin-offset window
+    partitions on (group, bin) — a superset of the group partitioning,
+    and bin is monotone in the pack order, so no second exchange); with
+    ``group_col`` (e.g. source) packing is per-group — at corpus scale
+    that is the natural parallel unit.  Returns (id_col, [group_col],
+    n_tokens, bin, offset) with ``offset`` = the document's token start
+    position inside ITS BIN's concatenated stream — computed as
+    ``cum_before − min(cum_before) over the bin``, because bins can
+    overflow (documents are never split): after any overflow,
+    ``cum_before % budget`` is NOT the position in the new bin's stream
+    (r12 review — a consumer placing tokens at that offset wrote the
+    bin's first document at a nonzero position).
     """
     from pyspark.sql import Window as W
 
@@ -489,12 +511,18 @@ def pack_sequences(
         *([F.col(group_col)] if group_col else []),
         n_tok.alias("n_tokens"),
     ).withColumn("_cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    out = out.withColumn(
+        "bin", F.floor(F.col("_cum_before") / budget).cast("int")
+    )
+    w_bin = W.partitionBy(*parts, "bin")
     return out.select(
         id_col,
         *parts,
         "n_tokens",
-        F.floor(F.col("_cum_before") / budget).cast("int").alias("bin"),
-        (F.col("_cum_before") % budget).cast("long").alias("offset"),
+        "bin",
+        (F.col("_cum_before") - F.min("_cum_before").over(w_bin))
+        .cast("long")
+        .alias("offset"),
     )
 
 
@@ -581,10 +609,14 @@ def inverted_index(
     """
     from pyspark.sql import Window as W
 
+    # tokens() — the shared whitespace law — not a bare ' ' split: a
+    # tab/newline-separated document otherwise became one bogus term and
+    # every index lookup through it missed (r12 review; the drift class
+    # gram_array centralization exists to kill)
     tok = (
         docs.select(
             F.col(id_col).alias("_doc"),
-            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+            F.explode(tokens(text_col)).alias("term"),
         )
         .filter(F.col("term") != "")
         .distinct()

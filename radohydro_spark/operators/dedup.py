@@ -231,19 +231,7 @@ def minhash_lsh_pairs(
 
     _PERSISTED.append(wide)
     n_bands = n_hashes // rows_per_band
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"sig_{bi * rows_per_band + j}").cast("string")
-                    for j in range(rows_per_band)
-                ],
-            ).alias("band_key"),
-        )
-        for bi in range(n_bands)
-    ]
+    band_structs = _band_structs(n_hashes, rows_per_band)
     banded = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", "b.band", "b.band_key")
@@ -372,6 +360,13 @@ def embedding_near_dups_lsh(
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
     """
     from radohydro_spark.operators.similarity import cosine, lsh_bucket
+
+    if n_dims is None:
+        raise ValueError(
+            "embedding_near_dups_lsh requires n_dims (the embedding "
+            "dimensionality): the hyperplane components fold into the "
+            "bucket expression as literals, so the width must be static"
+        )
 
     e = embeddings.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
     band_structs = [
@@ -581,6 +576,68 @@ def semdedup(
     )
 
 
+def _band_structs(n_hashes: int, rows_per_band: int, sig_arr: str | None = None):
+    """THE band-key law, in one place (r12 review: it had drifted into
+    four per-call-site copies — the gram_array lesson): band ``bi``'s key
+    is the ``rows_per_band`` signature components of that band,
+    stringified and '_'-joined.  ``sig_arr=None`` reads the wide
+    ``sig_N`` columns (the build/update path); a column name reads
+    components from that signature ARRAY via element_at (the probe
+    path).  Identical strings either way, so index writes and probes
+    cannot desynchronize."""
+    n_bands = n_hashes // rows_per_band
+
+    def comp(bi: int, j: int):
+        if sig_arr is None:
+            return F.col(f"sig_{bi * rows_per_band + j}").cast("string")
+        return F.element_at(sig_arr, bi * rows_per_band + j + 1).cast("string")
+
+    return [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_", *[comp(bi, j) for j in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for bi in range(n_bands)
+    ]
+
+
+def _validate_index_geometry(
+    spark, path: str, sigs: DataFrame, n_hashes: int, rows_per_band: int, caller: str
+) -> None:
+    """Fail loudly when the caller's hash geometry disagrees with the
+    persisted index artifacts (the params are arguments, not persisted):
+    one signature row pins ``n_hashes``; the ``band=`` partition listing
+    (driver-side FS list, O(n_bands)) pins the band count.  Used by BOTH
+    update (a mismatched append corrupts the index) and probe (r12
+    review: a mismatched probe silently collapsed every band key to ''
+    — concat_ws SKIPS the nulls element_at returns past the array end —
+    bucketing the whole corpus together)."""
+    n_bands = n_hashes // rows_per_band
+    one = sigs.select(F.size("sig_arr").alias("n")).first()
+    if one is not None and one["n"] != n_hashes:
+        raise ValueError(
+            f"{caller}: index at {path} holds length-{one['n']} "
+            f"signatures but was called with n_hashes={n_hashes} — pass "
+            "the build-time parameters (or rebuild)"
+        )
+    bands_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/bands")
+    fs = bands_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    built_bands = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(bands_path)
+        if st.isDirectory() and st.getPath().getName().startswith("band=")
+    )
+    if built_bands != list(range(n_bands)):
+        raise ValueError(
+            f"{caller}: index at {path} has band partitions "
+            f"{built_bands} but n_hashes={n_hashes} / rows_per_band="
+            f"{rows_per_band} implies bands 0..{n_bands - 1} — pass the "
+            "build-time parameters (or rebuild)"
+        )
+
+
 def build_lsh_index(
     df: DataFrame,
     path: str,
@@ -611,19 +668,7 @@ def build_lsh_index(
     assert n_hashes % rows_per_band == 0
     wide = minhash_signatures_wide(df, text_col, id_col, n_hashes, k).cache()
     n_bands = n_hashes // rows_per_band
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"sig_{bi * rows_per_band + j}").cast("string")
-                    for j in range(rows_per_band)
-                ],
-            ).alias("band_key"),
-        )
-        for bi in range(n_bands)
-    ]
+    band_structs = _band_structs(n_hashes, rows_per_band)
     banded = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", "b.band", "b.band_key")
@@ -689,28 +734,22 @@ def update_lsh_index(
     O(n_bands)) pins the band count.
     """
     assert n_hashes % rows_per_band == 0  # build_lsh_index's contract
-    n_bands = n_hashes // rows_per_band
     sigs = spark.read.parquet(f"{path}/signatures")
-    one = sigs.select(F.size("sig_arr").alias("n")).first()
-    if one is not None and one["n"] != n_hashes:
-        raise ValueError(
-            f"update_lsh_index: index at {path} holds length-{one['n']} "
-            f"signatures but the update was called with n_hashes="
-            f"{n_hashes} — pass the build-time parameters (or rebuild)"
-        )
-    bands_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/bands")
-    fs = bands_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    built_bands = sorted(
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(bands_path)
-        if st.isDirectory() and st.getPath().getName().startswith("band=")
+    _validate_index_geometry(
+        spark, path, sigs, n_hashes, rows_per_band, "update_lsh_index"
     )
-    if built_bands != list(range(n_bands)):
+    # ONE batch-sized aggregate answers both id contracts: ids must be
+    # new to the index AND unique within the batch (an intra-batch
+    # collision — a retried ingestion message — would otherwise merge two
+    # texts' shingle minima into one fabricated signature, r12 review)
+    counts = new_docs.select(F.col(id_col).alias("doc_id")).agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd")
+    ).first()
+    if counts["n"] != counts["nd"]:
         raise ValueError(
-            f"update_lsh_index: index at {path} has band partitions "
-            f"{built_bands} but n_hashes={n_hashes} / rows_per_band="
-            f"{rows_per_band} implies bands 0..{n_bands - 1} — pass the "
-            "build-time parameters (or rebuild)"
+            f"update_lsh_index: {counts['n'] - counts['nd']} duplicate "
+            "id(s) WITHIN the batch — ids are content keys; deduplicate "
+            "the batch before folding it in"
         )
     n_dup = (
         new_docs.select(F.col(id_col).alias("doc_id"))
@@ -724,19 +763,7 @@ def update_lsh_index(
             "needs a fresh id (or rebuild the index)"
         )
     wide = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes, k).cache()
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"sig_{bi * rows_per_band + j}").cast("string")
-                    for j in range(rows_per_band)
-                ],
-            ).alias("band_key"),
-        )
-        for bi in range(n_bands)
-    ]
+    band_structs = _band_structs(n_hashes, rows_per_band)
     banded = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", "b.band", "b.band_key")
@@ -797,6 +824,12 @@ def query_lsh_index(
     AFTER the joins so no corpus-wide dedup exchange is needed."""
     assert n_hashes % rows_per_band == 0  # same contract as build_lsh_index
     sigs = spark.read.parquet(f"{path}/signatures")
+    # a probe with the wrong geometry would SILENTLY collapse band keys
+    # (element_at past the array end is null, concat_ws skips nulls) and
+    # bucket the whole corpus together — validate like update does (r12)
+    _validate_index_geometry(
+        spark, path, sigs, n_hashes, rows_per_band, "query_lsh_index"
+    )
     probe_ids = queries.select(F.col(id_col).alias("doc_id"))
     known = sigs.join(probe_ids, "doc_id", "left_semi")
     fresh_docs = queries.join(
@@ -828,21 +861,7 @@ def query_lsh_index(
 
     _PERSISTED.append(q_sigs)
     n_bands = n_hashes // rows_per_band
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at("sig_arr", bi * rows_per_band + j + 1).cast(
-                        "string"
-                    )
-                    for j in range(rows_per_band)
-                ],
-            ).alias("band_key"),
-        )
-        for bi in range(n_bands)
-    ]
+    band_structs = _band_structs(n_hashes, rows_per_band, sig_arr="sig_arr")
     q_banded = q_sigs.select(
         F.col("doc_id").alias("_qid"), F.explode(F.array(*band_structs)).alias("b")
     ).select("_qid", "b.band", "b.band_key")
@@ -1644,14 +1663,29 @@ def winnow_fingerprints(
     """
     P = WINNOW_POS_CAP
     sh = _positional_shingles(df, text_col, id_col, k)
+    # the key packing requires pos < 2^20 (~1M shingles/doc) — enforce it
+    # LOUDLY per row (assert_true errors the task) instead of silently
+    # corrupting the min-ordering past the cap (r12 review); the guard
+    # expression costs one comparison inside codegen
     keyed = sh.select(
         "doc_id",
         "n_sh",
         "pos",
-        (
+        F.when(
+            F.col("pos") < P,
             portable_hash("shingle") * F.lit(P)
-            + (F.lit(P - 1) - F.col("pos"))
-        ).alias("sel_key"),
+            + (F.lit(P - 1) - F.col("pos")),
+        )
+        .otherwise(
+            F.assert_true(
+                F.col("pos") < P,
+                F.lit(
+                    "winnow_fingerprints: document exceeds 2^20 positional "
+                    "shingles — chunk it first (sentence_chunks)"
+                ),
+            ).cast("long")
+        )
+        .alias("sel_key"),
     )
     wspec = (
         W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, window - 1)

@@ -895,3 +895,96 @@ def test_polygon_overlay_string_ids(spark):
     assert [(r["a_id"], r["b_id"], round(r["frag_area"], 6)) for r in rows] == [
         ("A1", "B7", 1.0)
     ]
+
+
+# ---------------------------------------------------------------------------
+# r12 review fixes (dedup/text modules)
+
+
+def test_query_lsh_index_rejects_wrong_geometry(spark, tmp_path):
+    from radohydro_spark.operators.dedup import build_lsh_index, query_lsh_index
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with words {i * 7} {i * 13}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(docs, path, n_hashes=8, rows_per_band=2)
+    with pytest.raises(ValueError, match="length-8 signatures"):
+        query_lsh_index(spark, path, docs.limit(2), n_hashes=4, rows_per_band=2)
+    with pytest.raises(ValueError, match="band partitions"):
+        query_lsh_index(spark, path, docs.limit(2), n_hashes=8, rows_per_band=4)
+
+
+def test_update_lsh_index_rejects_intra_batch_duplicates(spark, tmp_path):
+    from radohydro_spark.operators.dedup import build_lsh_index, update_lsh_index
+
+    docs = spark.createDataFrame(
+        [(i, f"base doc {i} tokens {i * 3}") for i in range(10)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(docs, path, n_hashes=8, rows_per_band=2)
+    batch = spark.createDataFrame(
+        [(100, "new text one"), (100, "retried message different text")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="WITHIN the batch"):
+        update_lsh_index(spark, path, batch, n_hashes=8, rows_per_band=2)
+
+
+def test_lang_id_single_language_list(spark):
+    from radohydro_spark.functions.text import lang_id
+
+    df = spark.createDataFrame([(1, "whatever text")], ["doc_id", "text"])
+    rows = df.select(lang_id("text", langs=["en"]).alias("lang")).collect()
+    assert rows[0]["lang"] == "en"
+
+
+def test_pack_sequences_offset_is_position_in_bin(spark):
+    """r12 review: after a bin overflows, the next document STARTS its
+    bin — offset must be 0, not cum_before % budget."""
+    from radohydro_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 150)),  # overflows bin 0
+            (2, " ".join(["w"] * 40)),   # first doc of bin 1
+            (3, " ".join(["w"] * 30)),   # second doc of bin 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["bin"], r["offset"])
+        for r in pack_sequences(docs, budget=100).collect()
+    }
+    assert got == {1: (0, 0), 2: (1, 0), 3: (1, 40)}
+
+
+def test_quality_score_empty_docs_zero(spark):
+    from radohydro_spark.functions.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a genuine sentence with several distinct words")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["quality"] for r in text_stats(df).collect()}
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] > 0.3
+
+
+def test_html_to_text_uppercase_script_content_dropped(spark):
+    from radohydro_spark.functions.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<SCRIPT>var tracker = init();</SCRIPT><P>Hello</P>")],
+        ["doc_id", "text"],
+    )
+    out = df.select(html_to_text("text").alias("t")).collect()[0]["t"]
+    assert out == "Hello"
+
+
+def test_inverted_index_uses_shared_token_law(spark):
+    from radohydro_spark.functions.text import inverted_index
+
+    df = spark.createDataFrame([(1, "foo\tbar\nbaz")], ["doc_id", "text"])
+    terms = {r["term"] for r in inverted_index(df).collect()}
+    assert terms == {"foo", "bar", "baz"}
