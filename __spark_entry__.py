@@ -6418,7 +6418,7 @@ adc AS (
 )
 SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adc, vec_id) AS rank
+                                   ORDER BY round(adc, 6), vec_id) AS rank
       FROM adc) t
 WHERE rank <= 5
 """
@@ -8955,7 +8955,7 @@ adc AS (
 )
 SELECT query_id, vec_id, round(adc, 6) AS adc_dist, rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adc, vec_id) AS rank
+                                   ORDER BY round(adc, 6), vec_id) AS rank
       FROM adc) t
 WHERE rank <= 5
 """

@@ -373,7 +373,7 @@ def embedding_near_dups_lsh(
         F.struct(
             F.lit(b).alias("band"),
             lsh_bucket(
-                e, "v", n_planes, n_dims, plane_offset=b * n_planes
+                "v", n_planes, n_dims, plane_offset=b * n_planes
             ).alias("bucket"),
         )
         for b in range(n_bands)

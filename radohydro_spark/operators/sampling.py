@@ -32,8 +32,13 @@ def hash_sample(df: DataFrame, id_col: str, pct: float, mod: int = 1000) -> Data
     """Deterministic ~pct% sample: keeps rows whose bucket < pct*mod/100.
 
     Unlike ``df.sample()`` the result is a pure function of the id — the
-    same rows survive on every run, every engine, every partition layout."""
-    keep = int(round(pct * mod / 100.0))
+    same rows survive on every run, every engine, every partition layout.
+
+    The kept-bucket count rounds HALF_UP (floor(x + 0.5)) — the same rule
+    ``stratified_hash_sample``'s F.round applies, so the plain and
+    stratified samplers keep identical rows for identical rates (Python's
+    banker's round() disagreed at half-bucket thresholds, r12 review)."""
+    keep = int(pct * mod / 100.0 + 0.5)
     return df.filter(hash_bucket(id_col, mod) < keep)
 
 

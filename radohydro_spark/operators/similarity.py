@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from radohydro_spark.functions.text import HASH_MOD, portable_hash
+from radohydro_spark.functions.text import portable_hash
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -35,7 +35,12 @@ def norm(c: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; a zero-norm (or empty) vector scores 0.0 — under
+    Spark 4's default ANSI mode the unguarded division raised
+    DIVIDE_BY_ZERO and killed every cosine-based operator on the first
+    all-zero embedding (r12 review, reproduced live)."""
+    den = norm(a) * norm(b)
+    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def cosine_topk(
@@ -75,7 +80,6 @@ def _hyperplane_component(plane: int, dim: int) -> Column:
 
 
 def lsh_bucket(
-    df: DataFrame,
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_dims: int | None = None,
@@ -129,7 +133,12 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (argmax cosine via
     ``max_by`` over a broadcast centroid cross join — one narrow stage plus
-    a map-side-combinable aggregate, no corpus shuffle)."""
+    a map-side-combinable aggregate, no corpus shuffle).
+
+    Tie-break is smallest ``centroid_id`` via ``-centroid_id`` in the
+    max_by key — centroid ids are NUMERIC by construction here (every
+    builder derives them from corpus ids or row numbers); a caller
+    supplying string centroid ids would need a rank column instead."""
     c = centroids.select(
         F.col("centroid_id"), F.col(vec_col).alias("_cent")
     )
@@ -178,24 +187,8 @@ def ivf_topk(
         corpus, id_col
     )
 
-    cq = centroids.select("centroid_id", F.col(vec_col).alias("_cent"))
-    qprobe = (
-        queries.crossJoin(F.broadcast(cq))
-        .withColumn("_sim", cosine(F.col(vec_col), F.col("_cent")))
-        .withColumn(
-            "_pr",
-            F.row_number().over(
-                W.partitionBy(query_id_col).orderBy(
-                    F.desc("_sim"), F.asc("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("_pr") <= nprobe)
-        .select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            "centroid_id",
-        )
+    qprobe = _probe_lists(
+        queries, centroids, nprobe, vec_col, query_id_col, with_vec=True
     )
     scored = assigned.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), "centroid_id"
@@ -235,7 +228,7 @@ def ivf_train(
     for _ in range(iterations):
         centroids = centroids.localCheckpoint(eager=True)
         assigned = ivf_assign(corpus, centroids, vec_col, id_col).join(corpus, id_col)
-        centroids = (
+        means = (
             assigned.select("centroid_id", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("centroid_id", "dim")
             .agg(F.avg("x").alias("m"))
@@ -247,7 +240,18 @@ def ivf_train(
             )
             .select(
                 "centroid_id",
-                F.transform(F.col("_dm"), lambda s: s["m"]).alias(vec_col),
+                F.transform(F.col("_dm"), lambda s: s["m"]).alias("_new"),
+            )
+        )
+        # a centroid that attracted ZERO vectors has no mean rows — keep
+        # its previous position instead of silently dropping it (pq_train's
+        # empty-codes convention; r12 review: the centroid table otherwise
+        # SHRANK and the index wrote fewer inverted lists than promised)
+        centroids = (
+            centroids.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new"), F.col(vec_col)).alias(vec_col),
             )
         )
     return centroids
@@ -271,12 +275,12 @@ def ann_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(corpus, vec_col, n_planes, n_dims).alias("bucket"),
+        lsh_bucket(vec_col, n_planes, n_dims).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(queries, vec_col, n_planes, n_dims).alias("bucket"),
+        lsh_bucket(vec_col, n_planes, n_dims).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
@@ -309,6 +313,11 @@ def pq_codebooks(
         .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f"pq_codebooks: corpus has only {len(rows)} vectors but k={k} "
+            "codewords were requested — PQ needs at least k training rows"
+        )
     mat = np.array([r["v"] for r in rows], dtype=np.float64)  # (k, dim)
     dim = mat.shape[1]
     if dim % m:
@@ -421,8 +430,9 @@ def pq_encode(
                 {id_col: pdf[id_col], "codes": [list(map(int, c)) for c in codes]}
             )
 
+    id_t = corpus.schema[id_col].dataType.simpleString()
     return corpus.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} long, codes array<int>"
+        gen, schema=f"{id_col} {id_t}, codes array<int>"
     )
 
 
@@ -448,21 +458,11 @@ def pq_adc_topk(
     import numpy as np
 
     b = np.asarray(books, dtype=np.float64)
-    m, n_codes, ds = b.shape
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    ).collect()
-    q_ids = [int(r["query_id"]) for r in q_rows]
-    luts = {}
-    for r in q_rows:
-        qsub = np.asarray(r["qv"], dtype=np.float64).reshape(m, ds)
-        # lut[j, c] = |q_j|^2 + |c|^2 - 2 q_j.c  (same formula as the oracle)
-        luts[int(r["query_id"])] = (
-            (qsub * qsub).sum(axis=1)[:, None]
-            + (b * b).sum(axis=2)
-            - 2.0 * np.einsum("jd,jcd->jc", qsub, b)
-        )
+    m = b.shape[0]
+    # shared LUT construction (_pq_query_luts — one home for the distance
+    # formula, r12 review) keyed by the raw id value (any id type)
+    luts = _pq_query_luts(queries, b, query_id_col, vec_col)
+    q_ids = list(luts)
 
     codes = pq_encode(corpus, b, id_col, vec_col)
 
@@ -484,10 +484,14 @@ def pq_adc_topk(
                 {"query_id": out_q, "vec_id": out_v, "adc": out_d}
             )
 
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    vid_t = corpus.schema[id_col].dataType.simpleString()
     scored = codes.mapInPandas(
-        gen, schema="query_id long, vec_id long, adc double"
+        gen, schema=f"query_id {qid_t}, vec_id {vid_t}, adc double"
     ).withColumn("adc_dist", F.round("adc", 6))
-    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    # rank on the ROUNDED distance (ties -> vec_id): the raw-double order
+    # was the one cross-engine float-ordering seam (see _adc_topk)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -522,9 +526,9 @@ def ann_topk_lsh_multiprobe(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(corpus, vec_col, n_planes, n_dims).alias("bucket"),
+        lsh_bucket(vec_col, n_planes, n_dims).alias("bucket"),
     )
-    base = lsh_bucket(queries, vec_col, n_planes, n_dims)
+    base = lsh_bucket(vec_col, n_planes, n_dims)
     probes = F.array(
         base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(n_probes - 1)]
     )
@@ -703,24 +707,8 @@ def query_ivf_index(
     exact-rerank the candidates.  Same result contract as the in-memory
     :func:`ivf_topk` with the same deterministic centroids."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    cq = centroids.select("centroid_id", F.col(vec_col).alias("_cent"))
-    qprobe = (
-        queries.crossJoin(F.broadcast(cq))
-        .withColumn("_sim", cosine(F.col(vec_col), F.col("_cent")))
-        .withColumn(
-            "_pr",
-            F.row_number().over(
-                W.partitionBy(query_id_col).orderBy(
-                    F.desc("_sim"), F.asc("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("_pr") <= nprobe)
-        .select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            "centroid_id",
-        )
+    qprobe = _probe_lists(
+        queries, centroids, nprobe, vec_col, query_id_col, with_vec=True
     )
     probed = [
         r["centroid_id"]
@@ -756,7 +744,9 @@ def _pq_query_luts(queries: DataFrame, b, query_id_col: str, vec_col: str):
     luts = {}
     for r in q_rows:
         qsub = np.asarray(r["qv"], dtype=np.float64).reshape(m, ds)
-        luts[int(r["query_id"])] = (
+        # keyed by the RAW id value — any hashable id type works (numpy
+        # ints hash-equal to python ints; strings are strings), r12 review
+        luts[r["query_id"]] = (
             (qsub * qsub).sum(axis=1)[:, None]
             + (b * b).sum(axis=2)
             - 2.0 * np.einsum("jd,jcd->jc", qsub, b)
@@ -767,7 +757,13 @@ def _pq_query_luts(queries: DataFrame, b, query_id_col: str, vec_col: str):
 def _adc_topk(cand: DataFrame, luts, m: int, k: int) -> DataFrame:
     """ADC scoring + per-query top-k over (query_id, vec_id, codes)
     candidate rows: one Arrow kernel pass, then the candidates-only
-    ranking window."""
+    ranking window.  Output id types FOLLOW the candidate frame's
+    (hardcoded BIGINT broke string-keyed layers, r12 review); the rank
+    orders by the 6-dp ROUNDED distance (ties → vec_id) — ranking on the
+    raw double was the one float-ordering seam the cosine paths don't
+    have: numpy BLAS sums and the oracle's sequential folds may differ
+    in the last ulps, and the rounded distance is what both engines
+    pin."""
     import numpy as np
 
     jj = np.arange(m)
@@ -779,16 +775,18 @@ def _adc_topk(cand: DataFrame, luts, m: int, k: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             cmat = np.array([np.asarray(c) for c in pdf["codes"]])  # (n, m)
-            lut3 = np.stack([luts[int(q)] for q in pdf["query_id"]])
+            lut3 = np.stack([luts[q] for q in pdf["query_id"]])
             adc = lut3[np.arange(len(pdf))[:, None], jj[None, :], cmat].sum(axis=1)
             yield pd.DataFrame(
                 {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "adc": adc}
             )
 
+    qid_t = cand.schema["query_id"].dataType.simpleString()
+    vid_t = cand.schema["vec_id"].dataType.simpleString()
     scored = cand.mapInPandas(
-        gen, schema="query_id long, vec_id long, adc double"
+        gen, schema=f"query_id {qid_t}, vec_id {vid_t}, adc double"
     ).withColumn("adc_dist", F.round("adc", 6))
-    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -802,11 +800,15 @@ def _probe_lists(
     nprobe: int,
     vec_col: str,
     query_id_col: str,
+    with_vec: bool = False,
 ) -> DataFrame:
     """Each query's nprobe nearest inverted lists by centroid cosine
-    (ties → smaller centroid_id), as (query_id, centroid_id) rows."""
+    (ties → smaller centroid_id), as (query_id, centroid_id) rows —
+    ``with_vec=True`` also carries the query vector as ``qv`` (the
+    exact-rerank IVF-flat paths need it; the single home of probe
+    selection, r12 review: three inline copies had accumulated)."""
     cq = centroids.select("centroid_id", F.col(vec_col).alias("_cent"))
-    return (
+    probed = (
         queries.crossJoin(F.broadcast(cq))
         .withColumn("_sim", cosine(F.col(vec_col), F.col("_cent")))
         .withColumn(
@@ -818,8 +820,11 @@ def _probe_lists(
             ),
         )
         .filter(F.col("_pr") <= nprobe)
-        .select(F.col(query_id_col).alias("query_id"), "centroid_id")
     )
+    cols = [F.col(query_id_col).alias("query_id")]
+    if with_vec:
+        cols.append(F.col(vec_col).alias("qv"))
+    return probed.select(*cols, "centroid_id")
 
 
 def ivf_pq_topk(
@@ -958,6 +963,7 @@ def query_ivfpq_index(
     queries: DataFrame,
     nprobe: int = 4,
     k: int = 5,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
@@ -986,7 +992,10 @@ def query_ivfpq_index(
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("centroid_id").isin(probed)  # partition-pruning predicate
     )
+    # posting id column follows the BUILD-time id_col (r12 review: the
+    # hardcoded "vec_id" made an index built with id_col="doc_id"
+    # unreadable); the output contract stays (query_id, vec_id, ...)
     cand = codes.join(F.broadcast(qprobe), "centroid_id").select(
-        "query_id", F.col("vec_id"), "codes"
+        "query_id", F.col(id_col).alias("vec_id"), "codes"
     )
     return _adc_topk(cand, luts, m, k)

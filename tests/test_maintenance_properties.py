@@ -107,10 +107,14 @@ def test_packing_bin_invariants(spark, texts, budget):
         key=lambda r: r["doc_id"],
     )
     cum = 0
+    bin_start = {}
     for r in out:
-        # bin/offset fold the running token total before the doc
+        # bin folds the running token total before the doc; offset is the
+        # doc's position inside ITS BIN's stream (r12 fix: after a bin
+        # overflow the next doc STARTS its bin at offset 0)
         assert r["bin"] == cum // budget
-        assert r["offset"] == cum % budget
+        start = bin_start.setdefault(r["bin"], cum)
+        assert r["offset"] == cum - start
         cum += r["n_tokens"]
     bins = [r["bin"] for r in out]
     assert bins == sorted(bins)  # bins monotone in pack order

@@ -243,7 +243,7 @@ def test_lsh_bucket_compact_expression(spark):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    df = e.select("vec_id", lsh_bucket(e, "embedding", 4, 64).alias("bucket"))
+    df = e.select("vec_id", lsh_bucket("embedding", 4, 64).alias("bucket"))
     plan = _final_plan(df)
     # array-literal zip_with/aggregate form: 4 folds, not 256 unrolled
     # multiply terms (which overflowed the JVM 64KB codegen method limit

@@ -988,3 +988,99 @@ def test_inverted_index_uses_shared_token_law(spark):
     df = spark.createDataFrame([(1, "foo\tbar\nbaz")], ["doc_id", "text"])
     terms = {r["term"] for r in inverted_index(df).collect()}
     assert terms == {"foo", "bar", "baz"}
+
+
+# ---------------------------------------------------------------------------
+# r12 review fixes (similarity/sampling modules)
+
+
+def test_cosine_zero_vector_scores_zero_not_crash(spark):
+    """Spark 4 ANSI mode: an all-zero embedding used to DIVIDE_BY_ZERO
+    every cosine operator (reproduced live); it must score 0.0."""
+    from radohydro_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r["cosine"] for r in cosine_topk(corpus, q, k=5).collect()}
+    assert rows[2] == 0.0 and rows[1] > 0
+
+
+def test_pq_path_string_ids(spark):
+    """The PQ/ADC path must accept non-integer ids end to end (schemas
+    follow the inputs; LUTs key by raw id)."""
+    from radohydro_spark.operators.similarity import pq_adc_topk, pq_codebooks
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(32)
+    corpus = base.select(
+        F.concat(F.lit("v-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_codebooks(corpus, m=8, k=16, id_col="vec_id")
+    out = pq_adc_topk(corpus, q, books, k=3, id_col="vec_id").collect()
+    assert len(out) == 6
+    assert all(r["vec_id"].startswith("v-") and r["query_id"].startswith("v-") for r in out)
+
+
+def test_ivfpq_index_custom_id_col(spark, tmp_path):
+    from radohydro_spark.operators.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = emb.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, id_col="doc_id")
+    out = query_ivfpq_index(spark, path, q, id_col="doc_id", k=5).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+
+
+def test_ivf_train_keeps_empty_clusters(spark):
+    """A centroid that attracts zero vectors keeps its previous position
+    instead of silently vanishing (the centroid table must never shrink)."""
+    from radohydro_spark.operators.similarity import ivf_train
+
+    # two duplicate seed vectors: one of the two identical centroids
+    # attracts everything, the other attracts nothing
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0])] + [
+        (i, [1.0 + 0.001 * i, 0.01 * i]) for i in range(2, 20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(emb, n_centroids=2, iterations=2)
+    assert cents.count() == 2
+
+
+def test_pq_codebooks_too_few_rows_raises(spark):
+    from radohydro_spark.operators.similarity import pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(5)
+    with pytest.raises(ValueError, match="only 5 vectors"):
+        pq_codebooks(emb, m=8, k=16)
+
+
+def test_hash_sample_half_bucket_matches_stratified(spark):
+    """hash_sample and stratified_hash_sample must keep the SAME rows for
+    the same rate (the half-bucket rounding used to differ)."""
+    from radohydro_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
+        "s", F.lit("all")
+    )
+    plain = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.25, mod=1000).collect()}
+    strat = {
+        r["doc_id"]
+        for r in stratified_hash_sample(d, "doc_id", "s", {"all": 0.25}, mod=1000).collect()
+    }
+    assert plain == strat
