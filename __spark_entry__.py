@@ -4065,22 +4065,29 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         F.datediff(F.col("anchor"), F.col("last_order")).cast("long"),
     )
+    from radohydro_spark.plans.contracts import bounded_global
+
+    def _ntile4(*order_cols):
+        # customer-dimension global ntile — declared-bounded, cap-asserted
+        # inside the window the plan already pays for (plans/contracts.py)
+        return bounded_global(
+            F.ntile(4), lambda w: w.orderBy(*order_cols), "int", "rfm_segments"
+        )
+
     scored = r.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4)
-        .over(W.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(
-            W.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
-        )
-        .alias("m_score"),
+        _ntile4(F.col("recency_days").asc(), F.col("o_custkey").asc()).alias(
+            "r_score"
+        ),
+        _ntile4(F.col("frequency").desc(), F.col("o_custkey").asc()).alias(
+            "f_score"
+        ),
+        _ntile4(F.col("monetary_cents").desc(), F.col("o_custkey").asc()).alias(
+            "m_score"
+        ),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
@@ -4132,15 +4139,24 @@ def q_stats_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     l = _t(spark, sf_dir, "lineitem")
+    from radohydro_spark.plans.contracts import bounded_global
+
     pts = l.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
         F.round(F.col("l_quantity")).cast("long").alias("qty"),
     ).distinct()
-    w = W.orderBy(F.col("price_c").asc(), F.col("qty").desc()).rowsBetween(
-        W.unboundedPreceding, -1
+    # value-domain-sized distinct pairs — declared-bounded global sweep,
+    # cap-asserted in-plan (plans/contracts.py)
+    prevmax = bounded_global(
+        F.max("qty"),
+        lambda w: w.orderBy(
+            F.col("price_c").asc(), F.col("qty").desc()
+        ).rowsBetween(W.unboundedPreceding, -1),
+        "bigint",
+        "skyline_2d",
     )
     sky = (
-        pts.withColumn("_prevmax", F.max("qty").over(w))
+        pts.withColumn("_prevmax", prevmax)
         .filter(F.col("_prevmax").isNull() | (F.col("qty") > F.col("_prevmax")))
         .select(
             (F.col("price_c") / F.lit(100.0)).alias("price"),

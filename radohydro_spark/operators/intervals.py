@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from radohydro_spark.plans.contracts import bounded_global
+
 
 def concurrency_sweep(
     df: DataFrame,
@@ -39,12 +41,26 @@ def concurrency_sweep(
     )
     ends = df.select(*keys, F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
     sweep = starts.unionByName(ends)
-    w = (
-        W.partitionBy(*keys).orderBy("t", "delta")
-        if keys
-        else W.orderBy("t", "delta")
-    ).rowsBetween(W.unboundedPreceding, 0)
-    return sweep.withColumn("concurrency", F.sum("delta").over(w))
+    if keys:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("t", "delta")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        conc = F.sum("delta").over(w)
+    else:
+        # a keyless sweep is ONE global time-sorted pass by definition —
+        # declared-bounded and cap-asserted in-plan; at fact scale pass
+        # partition_cols (tenant/day) and sweep per key instead
+        conc = bounded_global(
+            F.sum("delta"),
+            lambda w: w.orderBy("t", "delta").rowsBetween(
+                W.unboundedPreceding, 0
+            ),
+            "bigint",
+            "concurrency_sweep",
+        )
+    return sweep.withColumn("concurrency", conc)
 
 
 def peak_concurrency(

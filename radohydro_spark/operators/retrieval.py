@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from radohydro_spark.functions.text import tokens
+from radohydro_spark.plans.contracts import bounded_global
 
 
 def _bm25_term_rows(
@@ -257,9 +258,17 @@ def rrf_fuse(
     for p in parts[1:]:
         u = u.unionByName(p)
     fused = u.groupBy("_id").agg(F.sum("_c").alias("fused_score"))
-    w = W.orderBy(F.desc("fused_score"), F.asc("_id"))
+    # candidates-only relation (union of top-k-sized rankings) — the
+    # global ranking sort is declared-bounded and cap-asserted in-plan
+    rank = bounded_global(
+        F.row_number(),
+        lambda w: w.orderBy(F.desc("fused_score"), F.asc("_id")),
+        "int",
+        "rrf_fuse",
+        cap=1_000_000,
+    )
     return (
-        fused.withColumn("fused_rank", F.row_number().over(w))
+        fused.withColumn("fused_rank", rank)
         .filter(F.col("fused_rank") <= k)
         .select(F.col("_id").alias(id_col), "fused_score", "fused_rank")
     )

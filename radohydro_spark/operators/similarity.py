@@ -38,9 +38,22 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; a zero-norm (or empty) vector scores 0.0 — under
     Spark 4's default ANSI mode the unguarded division raised
     DIVIDE_BY_ZERO and killed every cosine-based operator on the first
-    all-zero embedding (r12 review, reproduced live)."""
-    den = norm(a) * norm(b)
-    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(dot(a, b) / den)
+    all-zero embedding (r12 review, reproduced live).
+
+    The guard is ``try_divide`` + ``coalesce``, NOT a ``when`` on the
+    denominator: higher-order aggregates are CodegenFallback (interpreted,
+    no common-subexpression elimination), so a when-branch that names the
+    denominator twice re-runs BOTH norm aggregates per row — 5 array
+    passes instead of 3, the r12→r13 `similarity_cosine_topk` bench
+    regression.  ``try_divide`` evaluates each side exactly once and
+    yields NULL on /0, which coalesce maps to the 0.0 contract.  The
+    leading when() preserves NULL-vector propagation (NULL in → NULL
+    out) with O(1) null checks only."""
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
+    )
 
 
 def cosine_topk(

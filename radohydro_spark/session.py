@@ -59,6 +59,19 @@ def get_spark(
         # same naive value DuckDB reads
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # plans/contracts.py declares intentionally-global windows by
+        # partitioning on a CONSTANT key (single partition by contract,
+        # cap-asserted in-plan).  EliminateWindowPartitions would fold
+        # that key back to an empty partition spec — semantically
+        # identical, but it erases the declared intent and re-triggers
+        # the WindowExec single-partition warning the declaration exists
+        # to retire; every other partition spec is unaffected (the rule
+        # only ever removes foldable keys)
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "EliminateWindowPartitions",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
