@@ -9043,6 +9043,155 @@ FROM hits h JOIN n_sh n ON h.doc_id = n.doc_id
 """
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup with in-order reassembly
+    (operators.dedup.dedup_paragraphs) — the C4/CCNet boilerplate-removal
+    granularity between whole-document dedup (dedup_exact_groups) and
+    span REPORTING (dedup_duplicate_spans): every paragraph that already
+    occurred earlier in the corpus (ordered by (doc_id, pos)) is dropped
+    and each document is rebuilt from its survivors.  The synthetic
+    corpus has no newlines, so the query first pages each document into
+    12-token paragraphs with the SAME slicing law on both engines; the
+    ~30-word vocabulary makes real cross-document paragraph collisions
+    (~4% at sf0.01).  Plan: one paragraph-key shuffle for the
+    first-occurrence window + one doc-key shuffle for reassembly;
+    collect_list is bounded by a single document's paragraph count."""
+    import radohydro_spark.operators.dedup as DD
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(1), F.greatest(nch, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 12 + 1, 12)),
+    )
+    paged = d.select("doc_id", F.array_join(paras, "\n\n").alias("text"))
+    return DD.dedup_paragraphs(paged, "text", "doc_id", sep="\n\n")
+
+
+ORACLE_DEDUP_PARAGRAPHS = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+paged AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(1, greatest(CAST(ceil(len(t) / 12.0) AS INT), 1) + 1),
+             i -> array_to_string(list_slice(t, (i-1)*12 + 1, (i-1)*12 + 12), ' ')),
+           e'\\n\\n') AS text
+  FROM toks
+),
+sp AS (SELECT doc_id, string_split(text, e'\\n\\n') AS ps FROM paged),
+ex AS (
+  SELECT doc_id,
+         unnest(range(1, len(ps) + 1)) - 1 AS pos,
+         unnest(ps) AS para
+  FROM sp
+),
+ne AS (SELECT * FROM ex WHERE trim(para) <> ''),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM ne
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(para, e'\\n\\n' ORDER BY pos) FILTER (WHERE rn = 1), '')
+         AS text_dedup
+FROM rk GROUP BY doc_id
+"""
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with a corpus-trained merge table
+    (functions.text.bpe_encode): train six merges (text_bpe_train's
+    exact loop), then apply them to every document via the SHARED
+    _bpe_merge_fold law — per-document true token counts, the
+    real-tokenizer upgrade over the 4-chars-per-token estimate.  Encoding
+    is ZERO-shuffle (merges ride as literals; one narrow projection).
+    Oracle: the train oracle's six materialized merge CTEs feed six
+    document-rewrite rounds replaying the identical list_reduce fold."""
+    from radohydro_spark.functions.text import bpe_encode, bpe_train_merges
+
+    d = _docs(spark, sf_dir)
+    merges = bpe_train_merges(d, "text", 6)
+    return bpe_encode(d, merges)
+
+
+def _bpe_encode_oracle(n: int = 6) -> str:
+    """The train oracle's w/p/m round CTEs (merge derivation) plus n
+    document-rewrite rounds d1..dn applying each merge with the same
+    list_reduce fold — AS MATERIALIZED throughout (the graph_kcore
+    lesson).  Precondition shared with the engine: the corpus yields at
+    least n merges (true at every driver scale; the trainer stops early
+    on a dry vocabulary, where a cross join against an empty m-CTE would
+    instead empty the result)."""
+    ctes = [
+        r"""w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(w, ''), ' ') AS sym, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+)""",
+        r"""d0 AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> ''),
+           w -> array_to_string(string_split(w, ''), ' ')) AS syms
+  FROM documents
+)""",
+    ]
+    for r in range(1, n + 1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT pa, pb, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    SELECT unnest(list_transform(range(1, len(s)), i -> s[i])) AS pa,
+           unnest(list_transform(range(1, len(s)), i -> s[i+1])) AS pb,
+           cnt
+    FROM (SELECT string_split(sym, ' ') AS s, cnt FROM w{r - 1}) t
+    WHERE len(s) >= 2
+  ) GROUP BY pa, pb
+)"""
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT pa, pb FROM p{r} ORDER BY n DESC, pa, pb LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT doc_id, list_transform(syms, s -> ltrim(list_reduce(
+           list_prepend('', string_split(s, ' ')),
+           (acc, x) -> CASE WHEN suffix(acc, ' ' || m.pa) AND x = m.pb
+                            THEN acc || m.pb
+                            ELSE acc || ' ' || x END))) AS syms
+  FROM d{r - 1}, m{r} m
+)"""
+        )
+        if r < n:
+            ctes.append(
+                f"""w{r} AS MATERIALIZED (
+  SELECT ltrim(list_reduce(list_prepend('', string_split(sym, ' ')),
+         (acc, x) -> CASE WHEN suffix(acc, ' ' || m.pa) AND x = m.pb
+                          THEN acc || m.pb
+                          ELSE acc || ' ' || x END)) AS sym, cnt
+  FROM w{r - 1}, m{r} m
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id,
+       CAST(len(syms) AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(syms, s -> len(string_split(s, ' ')))), 0) AS BIGINT)
+         AS n_tokens,
+       array_to_string(syms, ' ') AS encoded
+FROM d{n}"""
+    )
+
+
+ORACLE_TEXT_BPE_ENCODE = _bpe_encode_oracle(6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---

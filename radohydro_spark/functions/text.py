@@ -763,19 +763,91 @@ def bpe_train_merges(
             break
         pa, pb, n = top[0]["pa"], top[0]["pb"], int(top[0]["n"])
         merges.append((r, pa, pb, n))
-        # initial acc = '' is the oracle's list_prepend('', ...) seed: both
-        # folds see the same (acc, symbol) sequence
-        fold = F.aggregate(
-            F.split(F.col("sym"), " "),
+        words = words.select(
+            _bpe_merge_fold(F.col("sym"), pa, pb).alias("sym"), "cnt"
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, pa string, pb string, n bigint"
+    )
+
+
+def _bpe_merge_fold(sym: Column, pa: str, pb: str) -> Column:
+    """ONE BPE merge applied to a space-delimited symbol string — the
+    greedy left-to-right fold law shared by :func:`bpe_train_merges`
+    (vocabulary rewrite) and :func:`bpe_encode` (document encoding), so
+    training and encoding can never disagree.  Initial acc = '' is the
+    oracle's ``list_prepend('', ...)`` seed: both folds see the same
+    (acc, symbol) sequence, and overlapping repeats merge left-to-right
+    (``l l l`` + (l,l) → ``ll l``, never ``l ll``)."""
+    return F.ltrim(
+        F.aggregate(
+            F.split(sym, " "),
             F.lit(""),
             lambda acc, x: F.when(
                 acc.endswith(F.lit(" " + pa)) & (x == F.lit(pb)),
                 F.concat(acc, F.lit(pb)),
             ).otherwise(F.concat(acc, F.lit(" "), x)),
         )
-        words = words.select(F.ltrim(fold).alias("sym"), "cnt")
-    return spark.createDataFrame(
-        merges, "merge_rank int, pa string, pb string, n bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table to ENCODE documents — the serving
+    half of :func:`bpe_train_merges` (Sennrich et al. ACL'16): every
+    word char-splits into symbols, then each merge applies in rank order
+    via the shared :func:`_bpe_merge_fold` law, exactly the rewrite the
+    trainer ran on its vocabulary.  The real-tokenizer upgrade over the
+    4-chars-per-token estimate of ``bpe_ish_token_count`` — per-document
+    true token counts are what budget/packing pipelines consume.
+
+    ``merges``: the DataFrame returned by ``bpe_train_merges`` (collected
+    here ordered by merge_rank — a VOCABULARY-scale driver action by the
+    trainer's contract, never corpus-scale) or a pre-collected ordered
+    ``[(pa, pb), ...]`` list.
+
+    Plan shape: ZERO shuffle — the merge table rides the expression tree
+    as literals and every document encodes in one narrow projection
+    (n_merges chained folds per word).  At 100 TB this is the ideal
+    shape: embarrassingly parallel, no exchange, no driver action.
+
+    Returns ``(id_col, n_words, n_tokens, encoded)`` where ``encoded``
+    joins each word's space-delimited symbols with a single space and
+    ``n_tokens`` counts post-merge symbols corpus-wide.
+
+    Reference analog: none — the reference has no text operators; this
+    extends the tokenizer family (SURVEY §2 extension table).
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["pa"], r["pb"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+
+    def enc_word(w: Column) -> Column:
+        sym = F.array_join(F.split(w, ""), " ")
+        for pa, pb in merges:
+            sym = _bpe_merge_fold(sym, pa, pb)
+        return sym
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    enc = F.transform(toks, enc_word)
+    return df.select(
+        F.col(id_col),
+        F.size(enc).cast("long").alias("n_words"),
+        F.aggregate(
+            enc,
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + F.size(F.split(e, " ")).cast("long"),
+        ).alias("n_tokens"),
+        F.array_join(enc, " ").alias("encoded"),
     )
 
 

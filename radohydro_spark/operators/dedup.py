@@ -1802,3 +1802,80 @@ def contamination_coverage(
         )
         .withColumn("coverage_ppm", F.expr("1000000 * n_shared div n_sh"))
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_sep: str | None = None,
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup with in-order reassembly — the
+    segment-granular sibling of :func:`dedup_exact` (whole documents)
+    and :func:`duplicate_spans` (which only REPORTS repeated spans):
+    boilerplate that recurs across documents (headers, footers, license
+    blocks, navigation chrome) is dropped everywhere EXCEPT its first
+    corpus occurrence, and each document is rebuilt from its surviving
+    paragraphs in original order — the C4/CCNet-style dedup granularity
+    between document and span.
+
+    Semantics: split ``text_col`` on the ``sep`` REGEX (``pyspark
+    split``), drop whitespace-only segments, keep a paragraph occurrence
+    iff it is the corpus-FIRST occurrence of that exact string ordered by
+    ``(id, pos)`` — deterministic, so both engines agree — and reassemble
+    with ``out_sep`` (default: ``sep`` taken literally).  Documents whose
+    every segment is whitespace-only vanish from the output (they have no
+    surviving text); callers wanting them back left-join on the id.
+
+    Plan shape — two shuffles, both key-bounded:
+
+    1. first-occurrence ranking: one window partitioned BY PARAGRAPH
+       (``row_number`` over (id, pos)) — the exchange carries (id, pos,
+       para) rows hashed on the paragraph text, exactly the dedup
+       shuffle of :func:`dedup_exact` at paragraph granularity;
+    2. reassembly: one groupBy on the id — ``collect_list`` there is
+       bounded by a single document's paragraph count (the same per-doc
+       contract as pack_sequences), then sorted/joined JVM-side.
+
+    No UDF, no driver action.  Returns ``(id_col, n_paras, n_kept,
+    text_dedup)`` with ``n_paras`` counting the document's non-empty
+    segments before dedup.
+
+    Reference analog: none — the reference has no text operators; this
+    extends the dedup family (SURVEY §2 extension table).
+    """
+    out_sep = sep if out_sep is None else out_sep
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+    w = W.partitionBy("para").orderBy(F.col("_id").asc(), F.col("pos").asc())
+    ranked = paras.withColumn(
+        "_keep", F.row_number().over(w) == F.lit(1)
+    )
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(
+                                    F.col("pos").alias("pos"),
+                                    F.col("para").alias("para"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                out_sep,
+            ).alias("text_dedup"),
+        )
+        .select(F.col("_id").alias(id_col), "n_paras", "n_kept", "text_dedup")
+    )

@@ -132,3 +132,96 @@ def test_mmr_select_one_job_per_round(spark):
     # 1 query-row fetch + k argmax rounds (+1 slack for cache
     # materialization folding); the r12 form ran 2 jobs per round
     assert len(jobs) <= k + 2, jobs
+
+
+# -------------------------------------------------------- dedup_paragraphs
+
+
+def _pd_rows(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_paragraphs_first_occurrence_and_reassembly(spark):
+    from radohydro_spark.operators.dedup import dedup_paragraphs
+
+    df = _pd_rows(
+        spark,
+        [
+            (1, "alpha beta\n\nshared block\n\ngamma"),
+            (2, "shared block\n\ndelta"),  # shared block first seen in doc 1
+            (3, "shared block\n\nalpha beta\n\nepsilon"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_dedup)
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert out[1] == (3, 3, "alpha beta\n\nshared block\n\ngamma")
+    assert out[2] == (2, 1, "delta")
+    assert out[3] == (3, 1, "epsilon")  # order preserved for survivors
+
+
+def test_dedup_paragraphs_all_duplicates_yields_empty_text(spark):
+    from radohydro_spark.operators.dedup import dedup_paragraphs
+
+    df = _pd_rows(spark, [(1, "x y"), (2, "x y")])
+    out = {r.doc_id: (r.n_kept, r.text_dedup) for r in dedup_paragraphs(df).collect()}
+    assert out[1] == (1, "x y")
+    assert out[2] == (0, "")
+
+
+def test_dedup_paragraphs_whitespace_only_doc_vanishes(spark):
+    from radohydro_spark.operators.dedup import dedup_paragraphs
+
+    df = _pd_rows(spark, [(1, "a\n\nb"), (2, "   \n\n  ")])
+    ids = {r.doc_id for r in dedup_paragraphs(df).collect()}
+    assert ids == {1}
+
+
+def test_dedup_paragraphs_plan_two_exchanges_no_udf(spark):
+    from radohydro_spark.operators.dedup import dedup_paragraphs
+
+    df = _pd_rows(spark, [(1, "a\n\nb"), (2, "b\n\nc")])
+    plan = _plan(dedup_paragraphs(df))
+    # paragraph-key window exchange + doc-key aggregate exchange only
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------- bpe_encode
+
+
+def test_bpe_encode_hand_case_and_train_fold_agreement(spark):
+    from radohydro_spark.functions.text import bpe_encode, bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "aaa low")], "doc_id long, text string"
+    )
+    m = bpe_train_merges(df, "text", 3)
+    got = {(r.pa, r.pb) for r in m.collect()}
+    assert got == {("l", "o"), ("lo", "w"), ("a", "a")}
+    out = {r.doc_id: (r.n_words, r.n_tokens, r.encoded) for r in bpe_encode(df, m).collect()}
+    assert out[1] == (3, 8, "low low e r low e s t")
+    # overlapping repeats merge LEFT-to-right: aaa + (a,a) -> "aa a"
+    assert out[2] == (2, 3, "aa a low")
+
+
+def test_bpe_encode_accepts_list_and_empty_doc(spark):
+    from radohydro_spark.functions.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "abab"), (2, "   ")], "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_words, r.n_tokens, r.encoded)
+        for r in bpe_encode(df, [("a", "b"), ("ab", "ab")]).collect()
+    }
+    assert out[1] == (1, 1, "abab")
+    assert out[2] == (0, 0, "")
+
+
+def test_bpe_encode_zero_shuffle_plan(spark):
+    from radohydro_spark.functions.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = _plan(bpe_encode(df, [("x", "y")]))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
