@@ -9192,6 +9192,95 @@ FROM d{n}"""
 ORACLE_TEXT_BPE_ENCODE = _bpe_encode_oracle(6)
 
 
+def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity stratification
+    (functions.text.perplexity_buckets; Wenzek et al. LREC'20): bigram-LM
+    score every document, quantize EACH bigram's ln to BIGINT µnats
+    before summing (the BM25/PMI integer-sum discipline — audited by
+    bigram_lp_boundary_margin ≥ 3.3e-4 at all three scales), integer
+    per-doc average, FIXED head/middle/tail cutpoints (no corpus
+    quantiles, so no global sort and batch-independent bucketing)."""
+    from radohydro_spark.functions.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
+ORACLE_PPL_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, i, lower(tok) AS tok
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+               generate_subscripts({_SQL_TOKS}, 1) AS i
+        FROM documents) t
+  WHERE tok <> ''
+),
+pairs AS (
+  SELECT doc_id, tok, nxt FROM (
+    SELECT doc_id, tok,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+    FROM toks) z
+  WHERE nxt IS NOT NULL
+),
+c2 AS (SELECT tok, nxt, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT tok, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vv FROM toks),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * (SELECT vv FROM v)))
+                    * 1000000.0) AS BIGINT) AS lpm
+  FROM pairs p JOIN c2 USING (tok, nxt) JOIN c1 USING (tok)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lpm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_lp_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_lp_micro,
+       CASE WHEN avg_lp_micro > -3390000 THEN 'head'
+            WHEN avg_lp_micro > -3405000 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM agg
+"""
+
+
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset sampling
+    (operators.sampling.cluster_balanced_sample): nearest-centroid
+    assignment over the deterministic 16-centroid IVF twin (broadcast
+    argmax, no corpus shuffle) + per-cluster bottom-5 by hashed id
+    (WindowGroupLimit pre-trim) — a diverse subset covering every
+    embedding-space region instead of oversampling the dense head."""
+    from radohydro_spark.operators.sampling import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return cluster_balanced_sample(emb, k_per_cluster=5, n_centroids=16)
+
+
+ORACLE_CLUSTER_BALANCED = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.cv)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                      cent.centroid_id ASC) AS rn
+    FROM e, cent) t
+  WHERE rn = 1
+)
+SELECT centroid_id, vec_id, strat_rank FROM (
+  SELECT centroid_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY centroid_id
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS strat_rank
+  FROM assigned) t
+WHERE strat_rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-12 driver window (positions 0-49) ---

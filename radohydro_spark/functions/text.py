@@ -655,6 +655,24 @@ def bigram_logprob(
     """
     from pyspark.sql import Window as W
 
+    scored = _bigram_lp_rows(df, text_col, id_col, alpha)
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("_lp"), 4).alias("sum_logprob"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+
+
+def _bigram_lp_rows(
+    df: DataFrame, text_col: str, id_col: str, alpha: float
+) -> DataFrame:
+    """Shared add-α bigram-LM scoring rows: one ``(id, _lp)`` row per
+    bigram OCCURRENCE, ``_lp = ln((c₂+α)/(c₁+α·V))`` — the single law
+    behind :func:`bigram_logprob` (float sums, the r6 contract) and
+    :func:`perplexity_buckets` (per-row integer quantization), so the
+    two can never drift."""
+    from pyspark.sql import Window as W
+
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.transform(tokens(text_col), F.lower)).alias(
@@ -668,7 +686,7 @@ def bigram_logprob(
     c2 = pairs.groupBy("tok", "nxt").agg(F.count("*").alias("_c2"))
     c1 = pairs.groupBy("tok").agg(F.count("*").alias("_c1"))
     v = toks.agg(F.countDistinct("tok").cast("double").alias("_v"))
-    scored = (
+    return (
         pairs.join(c2, ["tok", "nxt"])
         .join(c1, "tok")
         .crossJoin(F.broadcast(v))
@@ -680,11 +698,84 @@ def bigram_logprob(
             ).alias("_lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.sum("_lp"), 4).alias("sum_logprob"),
-        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    cuts_micro: tuple[int, int] = (-3_405_000, -3_390_000),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style perplexity stratification (Wenzek et al. LREC'20):
+    score every document with the corpus-trained bigram LM and bin it
+    into head / middle / tail quality buckets on FIXED thresholds — the
+    standard pretraining-corpus split (keep head, sample middle, drop or
+    re-filter tail).  Fixed cutpoints, not corpus quantiles: the bucket
+    of a document never depends on what else is in the batch, so
+    incremental ingestion is stable and no global sort exists anywhere.
+
+    EXACT cross-engine: each bigram's ``lp·scale`` quantizes to BIGINT
+    ``lp_micro = round(...)`` BEFORE summing (float sums are partial-
+    aggregation-order dependent; integer sums are not — the BM25/PMI
+    discipline), per-document ``avg_lp_micro = sum div n`` (both engines
+    truncate toward zero), and bucket compares are integer.  The one
+    quantize-after-``ln`` seam is AUDITED by
+    :func:`bigram_lp_boundary_margin` (the fourth op under that audit,
+    after BM25 / TF-IDF / PMI).
+
+    Plan shape: the shared :func:`_bigram_lp_rows` pipeline (one
+    adjacency window + two count aggregates + vocabulary-key joins +
+    a 1-row broadcast) and one doc-key aggregate.  Documents with no
+    bigram (< 2 tokens) have no perplexity and are absent, matching
+    :func:`bigram_logprob`.
+
+    Returns ``(id_col, n_bigrams, avg_lp_micro, ppl_bucket)``.
+    """
+    lo, hi = int(cuts_micro[0]), int(cuts_micro[1])
+    assert lo < hi, "cuts_micro must be (lower, upper) with lower < upper"
+    q = _bigram_lp_rows(df, text_col, id_col, alpha).select(
+        id_col,
+        F.round(F.col("_lp") * F.lit(float(scale)), 0)
+        .cast("long")
+        .alias("_lpm"),
     )
+    agg = q.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(_lpm) div count(*)").alias("avg_lp_micro"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "avg_lp_micro",
+        F.when(F.col("avg_lp_micro") > F.lit(hi), F.lit("head"))
+        .when(F.col("avg_lp_micro") > F.lit(lo), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+def bigram_lp_boundary_margin(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+) -> float:
+    """Cross-engine quantization audit for :func:`perplexity_buckets`'
+    one transcendental seam (the BM25/TF-IDF/PMI treatment): minimum
+    distance of ``lp·scale`` from its rounding boundary over every
+    scored bigram occurrence.  Tests pin > 1e-6 on the driver corpora
+    (the 1-ulp ln perturbation is ~1e-8 at these magnitudes)."""
+    x = F.col("_lp") * F.lit(float(scale))
+    fx = x - F.floor(x)
+    row = (
+        _bigram_lp_rows(df, text_col, "doc_id", alpha)
+        .select(F.abs(fx - F.lit(0.5)).alias("m"))
+        .agg(F.min("m").alias("m"))
+        .first()
+    )
+    return 0.5 if row["m"] is None else float(row["m"])
 
 
 def bpe_train_merges(

@@ -654,3 +654,46 @@ def stratified_bottom_k(
     return df.withColumn("strat_rank", F.row_number().over(w)).filter(
         F.col("strat_rank") <= k
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    k_per_cluster: int,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced coreset sampling over an embedding corpus: assign
+    every vector to its nearest centroid (:func:`ivf_assign` — one
+    broadcast-centroid narrow stage, no corpus shuffle), then take the
+    per-cluster bottom-k by hashed id (:func:`stratified_bottom_k`) —
+    the prototype-balanced curation shape (SemDeDup/DoReMi-adjacent):
+    a diverse subset that covers every region of embedding space instead
+    of oversampling the dense head, with the coordinated/nested/
+    deterministic guarantees of every bottom-k sampler here.
+
+    ``centroids`` defaults to the deterministic first-``n_centroids``
+    corpus vectors by id (the IVF family's SQL-reproducible twin; pass
+    ``ivf_train`` output for production balance).
+
+    Plan shape: the assignment is a broadcast nested-loop over a
+    DIMENSION-sized centroid table + one map-side-combinable argmax
+    aggregate; the sampler is one cluster-key window whose
+    ``row_number <= k`` plans as WindowGroupLimit (map tasks pre-trim to
+    k·clusters rows before the exchange).  No driver action.
+
+    Returns ``(centroid_id, id_col, strat_rank)``.
+    """
+    from radohydro_spark.operators.similarity import ivf_assign
+
+    if centroids is None:
+        centroids = (
+            df.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        )
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    return stratified_bottom_k(
+        assigned, id_col=id_col, strata_col="centroid_id", k=k_per_cluster
+    ).select("centroid_id", id_col, "strat_rank")

@@ -225,3 +225,77 @@ def test_bpe_encode_zero_shuffle_plan(spark):
     plan = _plan(bpe_encode(df, [("x", "y")]))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------ perplexity_buckets
+
+
+def test_perplexity_buckets_hand_case(spark):
+    from radohydro_spark.functions.text import perplexity_buckets
+    import math
+
+    # corpus: "a b" x2, "a c", "z" -> V=4 (vocab counts ALL tokens, z
+    # included), c1(a)=3, c2(a,b)=2, c2(a,c)=1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.avg_lp_micro, r.ppl_bucket)
+           for r in perplexity_buckets(df, cuts_micro=(-900_000, -700_000)).collect()}
+    lp_ab = round(math.log((2 + 0.5) / (3 + 0.5 * 4)) * 1e6)  # -693147
+    lp_ac = round(math.log((1 + 0.5) / (3 + 0.5 * 4)) * 1e6)  # -1203973
+    assert out[1] == (1, lp_ab, "head") and out[2] == (1, lp_ab, "head")
+    assert out[3] == (1, lp_ac, "tail")
+    assert 4 not in out  # single-token doc has no perplexity
+
+
+def test_perplexity_buckets_matches_bigram_logprob_law(spark):
+    # same law, two consumers: avg_lp_micro must track avg_logprob*1e6
+    # within per-bigram rounding (<= 0.5 each, so < 1 after the div)
+    from radohydro_spark.functions.text import bigram_logprob, perplexity_buckets
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    a = {r.doc_id: r.avg_logprob for r in bigram_logprob(df).collect()}
+    b = {r.doc_id: r.avg_lp_micro for r in perplexity_buckets(df).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(b[k] - a[k] * 1e6) <= 1.0 + 1e-6, (k, a[k], b[k])
+
+
+def test_bigram_lp_boundary_margin_on_driver_corpora(spark):
+    """The FOURTH quantize-after-ln op under the boundary-margin audit
+    (BM25 / TF-IDF / PMI precedent): pin every scored bigram's distance
+    from its rounding boundary >> the 1-ulp cross-engine ln risk."""
+    from radohydro_spark.functions.text import bigram_lp_boundary_margin
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        m = bigram_lp_boundary_margin(d)
+        assert m > 1e-6, (sf, m)
+
+
+# ------------------------------------------------- cluster_balanced_sample
+
+
+def test_cluster_balanced_sample_shape_and_plan(spark):
+    from radohydro_spark.operators.sampling import cluster_balanced_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = cluster_balanced_sample(emb, k_per_cluster=3, n_centroids=4)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.centroid_id, []).append(r.strat_rank)
+    assert set().union(*per.values()) <= {1, 2, 3}
+    for cid, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # nested-sample property: bottom-3 per cluster contains bottom-1
+    out1 = {(r.centroid_id, r.vec_id) for r in cluster_balanced_sample(
+        emb, k_per_cluster=1, n_centroids=4).collect()}
+    out3 = {(r.centroid_id, r.vec_id) for r in rows}
+    assert out1 <= out3
+    plan = _plan(out)
+    assert "WindowGroupLimit" in plan, plan          # pre-exchange k-trim
+    assert "BroadcastNestedLoopJoin" in plan, plan   # dimension-sized centroids
