@@ -9283,85 +9283,32 @@ WHERE strat_rank <= 5
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round-12 driver window (positions 0-49) ---
-        # Positions 0-12: the r12 first-exposure/re-pinned rows — the t-overlap
-        # join's design-regime twin (rare-token basket corpus, new this
-        # round); sorted-neighborhood blocking, whose DEFINITION
-        # changed in r12 (bounded 64-char-prefix blocking key + rank-
-        # block verify) and therefore needs fresh driver evidence; and
-        # the r12 second-wave operators (winnowing fingerprints + MOSS
-        # pairs, DSIR importance weights, per-stratum bottom-k, graded
-        # contamination coverage, IVF-PQ composite ANN + its persisted
-        # partition-pruned index, multi-round BPE training, and the
-        # general polygon x polygon overlay pinned to the rect-path
-        # oracle, PMI collocation mining, and the re-pinned
-        # text_pack_sequences, whose offset definition changed).
-        "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
-        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
-        "text_winnow_fingerprints": q_text_winnow_fingerprints,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "sample_dsir_weights": q_sample_dsir_weights,
-        "sample_stratified_bottom_k": q_sample_stratified_bottom_k,
-        "text_contamination_coverage": q_text_contamination_coverage,
-        "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
-        "similarity_ivfpq_index_persist": q_similarity_ivfpq_index_persist,
-        "text_bpe_train": q_text_bpe_train,
-        "spatial_overlay_general": q_spatial_overlay_general,
-        "text_pmi_collocations": q_text_pmi_collocations,
-        # re-pinned: pack_sequences' DEFINITION changed in r12 (offset is
-        # now the true position inside the bin's stream, not cum%budget)
-        # — a changed-definition query re-enters the window
-        "text_pack_sequences": q_text_pack_sequences,
-        # Positions 13-32 -- last driver-green: r6 (the 20-query r6
-        # cohort tail, staged for this window since r11) --
-        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
-        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
-        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
-        "listagg_top_customers": q_listagg_top_customers,
-        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
-        "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
-        "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
-        "scalar_funcs": q_scalar_funcs,
-        "date_sequence": q_date_sequence,
-        "filename_parse": q_filename_parse,
-        "media_decode_jpeg": q_media_decode_jpeg,
-        "media_decode_png": q_media_decode_png,
-        "orders_cdc_apply": q_orders_cdc_apply,
-        "events_concurrency_sweep": q_events_concurrency_sweep,
-        "embedding_random_projection": q_embedding_random_projection,
-        "stats_histogram_orders": q_stats_histogram_orders,
-        "udtf_word_chunks": q_udtf_word_chunks,
-        "events_stream_static_join": q_events_stream_static_join,
-        "similarity_recall_eval": q_similarity_recall_eval,
-        "storage_file_skipping": q_storage_file_skipping,
-        # Positions 33-49 -- last driver-green: r8 (first 17 of the
-        # 49-query r8 cohort; its 32-query tail heads the r13 window —
-        # the 11 rows the second-wave queries displaced lead it) --
-        "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
-        "pyds_shard_sink": q_pyds_shard_sink,
-        "text_url_parse": q_text_url_parse,
-        "media_video_mjpeg": q_media_video_mjpeg,
-        "dq_psi_drift": q_dq_psi_drift,
-        "dq_zscore_outliers": q_dq_zscore_outliers,
-        "graph_triangle_count": q_graph_triangle_count,
-        "events_markov_transitions": q_events_markov_transitions,
-        "stats_correlation": q_stats_correlation,
-        "media_resize_real": q_media_resize_real,
-        "join_fuzzy_blocked": q_join_fuzzy_blocked,
+        # --- round-13 driver window (positions 0-49) ---
+        # Positions 0-3: the four r13 first-exposure operators —
+        # corpus-wide paragraph dedup with in-order reassembly, BPE
+        # document encoding with the corpus-trained merge table,
+        # CCNet-style perplexity head/middle/tail bucketing (integer
+        # micro-nat sums, margin-audited), and cluster-balanced coreset
+        # sampling (nearest-centroid assignment + per-cluster bottom-k).
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_perplexity_buckets": q_text_perplexity_buckets,
+        "sample_cluster_balanced": q_sample_cluster_balanced,
+        # Positions 4-8: r13 re-pins — queries whose ENGINE DEFINITION
+        # changed this round even though outputs are value-identical
+        # (the dedup_sorted_neighborhood lesson): mmr_select's one-job
+        # rounds (literal NOT IN + greatest-of-literal-dots scoring),
+        # rrf_fuse + RFM + skyline on the new cap-asserted
+        # bounded_global windows, and cosine()'s single-evaluation
+        # try_divide guard (cosine_topk re-pins for the whole cosine
+        # family).
+        "sample_mmr_select": q_sample_mmr_select,
+        "search_rrf_fusion": q_search_rrf_fusion,
         "orders_rfm_segments": q_orders_rfm_segments,
         "stats_skyline_2d": q_stats_skyline_2d,
-        "orders_stream_upsert": q_orders_stream_upsert,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "media_decode_jpeg_color": q_media_decode_jpeg_color,
-        "media_decode_gif": q_media_decode_gif,
-        # --- end of round-12 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-13 rotation is already front-loaded: the r8 tail (32,
-        # starting with the 11 rows the r12 second-wave queries
-        # displaced) + the first 18 of the 49-query r9 cohort = the
-        # round-13 50-entry window; the r9 tail (31) + the r10 cohort
-        # head follow in round 14.
-        # -- last driver-green: r8 (the 32-query cohort tail) --
+        "similarity_cosine_topk": q_cosine_topk,
+        # Positions 9-40 -- last driver-green: r8 (the 32-query cohort
+        # tail, staged for this window since r12) --
         "stats_groupwise_ols": q_stats_groupwise_ols,
         "graph_bfs_hops": q_graph_bfs_hops,
         "events_top_paths": q_events_top_paths,
@@ -9394,7 +9341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_order_attribution": q_events_order_attribution,
         "events_conversion_label": q_events_conversion_label,
         "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
-        # -- last driver-green: r9 --
+        # Positions 41-49 -- last driver-green: r9 (the first 9 of the
+        # 49-query r9 cohort; the 4 new + 5 re-pinned r13 head rows
+        # displaced the other 9 staged r9 rows to just past the window —
+        # they lead the r14 rotation) --
         "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
         "text_inverted_index": q_text_inverted_index,
         "corpus_curation_pipeline": q_corpus_curation,
@@ -9404,6 +9354,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        # --- end of round-13 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-14 rotation is already front-loaded: the r9 cohort tail
+        # (40 rows after the 9 in-window above, starting dedup_simhash)
+        # + the first 10 of the r10 cohort = the round-14 50-entry
+        # window (before any r14 first-exposure displacements); the r10
+        # tail + the r11 cohort follow in r15.
+        # -- last driver-green: r9 (the cohort tail) --
         "dedup_simhash": q_simhash,
         "dedup_simhash_hamming_pairs": q_simhash_hamming,
         "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
@@ -9429,7 +9387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_columns": q_profile_orders,
         "sample_split_assign": q_sample_split,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
-        "similarity_cosine_topk": q_cosine_topk,
+        # (similarity_cosine_topk re-pinned into the r13 window head)
         "similarity_ivf_topk": q_ivf_topk,
         "skew_salted_revenue": q_skew_salted_revenue,
         "stats_approx_sketches": q_approx_sketches,
@@ -9505,9 +9463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
         "dedup_lsh_index_update": q_dedup_lsh_index_update,
-        "sample_mmr_select": q_sample_mmr_select,
+        # (sample_mmr_select + search_rrf_fusion re-pinned into the r13
+        # window head after their r13 engine changes)
         "text_bm25_topk": q_text_bm25_topk,
-        "search_rrf_fusion": q_search_rrf_fusion,
         "stats_label_centroids": q_stats_label_centroids,
         "corpus_mixture_plan": q_corpus_mixture_plan,
         "precip_radolan_scale": q_precip_radolan_scale,
@@ -9551,6 +9509,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
         "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
         "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
+        # -- last driver-green: r12 (the round-12 window: the 12
+        # first-exposure/re-pinned second-wave rows + the re-pinned
+        # text_pack_sequences + the 20-query r6 cohort tail + the first
+        # 17 of the r8 cohort; orders_rfm_segments and stats_skyline_2d
+        # moved to the r13 window head after their r13 engine changes —
+        # the freshest evidence in the ledger) --
+        "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "text_winnow_fingerprints": q_text_winnow_fingerprints,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "sample_dsir_weights": q_sample_dsir_weights,
+        "sample_stratified_bottom_k": q_sample_stratified_bottom_k,
+        "text_contamination_coverage": q_text_contamination_coverage,
+        "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
+        "similarity_ivfpq_index_persist": q_similarity_ivfpq_index_persist,
+        "text_bpe_train": q_text_bpe_train,
+        "spatial_overlay_general": q_spatial_overlay_general,
+        "text_pmi_collocations": q_text_pmi_collocations,
+        "text_pack_sequences": q_text_pack_sequences,
+        "grouping_sets_pricing": _sql(SQL_GROUPING_SETS, ["lineitem"]),
+        "cube_order_status": _sql(SQL_CUBE, ["orders"]),
+        "window_ntile_quartiles": _sql(SQL_NTILE, ["customer"]),
+        "listagg_top_customers": q_listagg_top_customers,
+        "events_retention_cohorts": _sql(SQL_RETENTION, ["events"]),
+        "events_funnel_ordered": _sql(SQL_FUNNEL, ["events"]),
+        "distinct_agg_segments": _sql(SQL_DISTINCT_AGG, ["customer"]),
+        "scalar_funcs": q_scalar_funcs,
+        "date_sequence": q_date_sequence,
+        "filename_parse": q_filename_parse,
+        "media_decode_jpeg": q_media_decode_jpeg,
+        "media_decode_png": q_media_decode_png,
+        "orders_cdc_apply": q_orders_cdc_apply,
+        "events_concurrency_sweep": q_events_concurrency_sweep,
+        "embedding_random_projection": q_embedding_random_projection,
+        "stats_histogram_orders": q_stats_histogram_orders,
+        "udtf_word_chunks": q_udtf_word_chunks,
+        "events_stream_static_join": q_events_stream_static_join,
+        "similarity_recall_eval": q_similarity_recall_eval,
+        "storage_file_skipping": q_storage_file_skipping,
+        "corpus_jsonl_badlines": q_corpus_jsonl_badlines,
+        "pyds_shard_sink": q_pyds_shard_sink,
+        "text_url_parse": q_text_url_parse,
+        "media_video_mjpeg": q_media_video_mjpeg,
+        "dq_psi_drift": q_dq_psi_drift,
+        "dq_zscore_outliers": q_dq_zscore_outliers,
+        "graph_triangle_count": q_graph_triangle_count,
+        "events_markov_transitions": q_events_markov_transitions,
+        "stats_correlation": q_stats_correlation,
+        "media_resize_real": q_media_resize_real,
+        "join_fuzzy_blocked": q_join_fuzzy_blocked,
+        "orders_stream_upsert": q_orders_stream_upsert,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "media_decode_jpeg_color": q_media_decode_jpeg_color,
+        "media_decode_gif": q_media_decode_gif,
     }
 
 
@@ -9565,6 +9577,11 @@ def _radolan_scale_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r13 first-exposure operators
+        "dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
+        "text_bpe_encode": ORACLE_TEXT_BPE_ENCODE,
+        "text_perplexity_buckets": ORACLE_PPL_BUCKETS,
+        "sample_cluster_balanced": ORACLE_CLUSTER_BALANCED,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

@@ -71,14 +71,21 @@ def main() -> None:
         n = emb.count()
         release_persisted()
         before = _stage_totals(spark)
+        sc = spark.sparkContext
+        sc.setJobGroup("soak_mmr", "job-count contract")
         t0 = time.time()
-        out = mmr_select(emb, "embedding", "vec_id", query_id=0, k=5).collect()
+        try:
+            out = mmr_select(emb, "embedding", "vec_id", query_id=0, k=5).collect()
+        finally:
+            sc.setJobGroup(None, None)
         wall = time.time() - t0
         after = _stage_totals(spark)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("soak_mmr"))
         results[str(reps)] = {
             "n_vecs": n,
             "wall_s": round(wall, 2),
             "rows_out": len(out),
+            "jobs": n_jobs,  # r13 contract: 1 query fetch + 1 per round
             **{k: round(after[k] - before[k], 1) for k in after},
         }
         print(reps, results[str(reps)], flush=True)
