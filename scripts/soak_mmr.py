@@ -72,7 +72,9 @@ def main() -> None:
         release_persisted()
         before = _stage_totals(spark)
         sc = spark.sparkContext
-        sc.setJobGroup("soak_mmr", "job-count contract")
+        group = f"soak_mmr_{reps}"  # per-leg group: the tracker
+        # accumulates job ids per group across the whole session
+        sc.setJobGroup(group, "job-count contract")
         t0 = time.time()
         try:
             out = mmr_select(emb, "embedding", "vec_id", query_id=0, k=5).collect()
@@ -80,7 +82,7 @@ def main() -> None:
             sc.setJobGroup(None, None)
         wall = time.time() - t0
         after = _stage_totals(spark)
-        n_jobs = len(sc.statusTracker().getJobIdsForGroup("soak_mmr"))
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
         results[str(reps)] = {
             "n_vecs": n,
             "wall_s": round(wall, 2),
