@@ -9281,20 +9281,66 @@ WHERE strat_rank <= 5
 """
 
 
+def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture shares
+    (operators.sampling.temperature_shares; the mT5 sampling law):
+    per-language char-weighted shares at α = 1/2 — exactly portable with
+    NO margin audit because IEEE sqrt is correctly rounded (ln is not),
+    plus largest-remainder integer apportionment to exactly 1000 mille
+    on the declared-bounded stratum window."""
+    from radohydro_spark.operators.sampling import temperature_shares
+
+    return temperature_shares(
+        _docs(spark, sf_dir), "lang", "n_chars", alpha_exp2=1
+    )
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+WITH actual AS (
+  SELECT lang AS stratum, CAST(sum(n_chars) AS BIGINT) AS actual
+  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0
+),
+scaled AS (
+  SELECT stratum, actual,
+         CAST(round(sqrt(CAST(actual AS DOUBLE)) * 1e6) AS BIGINT) AS scaled_micro
+  FROM actual
+),
+tot AS (SELECT CAST(sum(scaled_micro) AS BIGINT) AS s_tot FROM scaled),
+parts AS (
+  SELECT stratum, actual, scaled_micro,
+         (1000 * scaled_micro) // s_tot AS base,
+         (1000 * scaled_micro) % s_tot AS rem
+  FROM scaled, tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk,
+         (SELECT CAST(sum(base) AS BIGINT) FROM parts) AS b_tot
+  FROM parts
+)
+SELECT stratum, actual, scaled_micro,
+       CAST(base + CASE WHEN rk <= 1000 - b_tot THEN 1 ELSE 0 END AS BIGINT)
+         AS share_mille
+FROM ranked
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-13 driver window (positions 0-49) ---
-        # Positions 0-3: the four r13 first-exposure operators —
+        # Positions 0-4: the five r13 first-exposure operators —
         # corpus-wide paragraph dedup with in-order reassembly, BPE
         # document encoding with the corpus-trained merge table,
         # CCNet-style perplexity head/middle/tail bucketing (integer
-        # micro-nat sums, margin-audited), and cluster-balanced coreset
-        # sampling (nearest-centroid assignment + per-cluster bottom-k).
+        # micro-nat sums, margin-audited), cluster-balanced coreset
+        # sampling (nearest-centroid assignment + per-cluster bottom-k),
+        # and temperature-scaled mixture shares (IEEE-sqrt-exact, no
+        # audit needed, largest-remainder apportionment).
         "dedup_paragraphs": q_dedup_paragraphs,
         "text_bpe_encode": q_text_bpe_encode,
         "text_perplexity_buckets": q_text_perplexity_buckets,
         "sample_cluster_balanced": q_sample_cluster_balanced,
-        # Positions 4-8: r13 re-pins — queries whose ENGINE DEFINITION
+        "corpus_temperature_mixture": q_corpus_temperature_mixture,
+        # Positions 5-9: r13 re-pins — queries whose ENGINE DEFINITION
         # changed this round even though outputs are value-identical
         # (the dedup_sorted_neighborhood lesson): mmr_select's one-job
         # rounds (literal NOT IN + greatest-of-literal-dots scoring),
@@ -9341,9 +9387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_order_attribution": q_events_order_attribution,
         "events_conversion_label": q_events_conversion_label,
         "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
-        # Positions 41-49 -- last driver-green: r9 (the first 9 of the
-        # 49-query r9 cohort; the 4 new + 5 re-pinned r13 head rows
-        # displaced the other 9 staged r9 rows to just past the window —
+        # Positions 42-49 -- last driver-green: r9 (the first 8 of the
+        # 49-query r9 cohort; the 5 new + 5 re-pinned r13 head rows
+        # displaced the other 10 staged r9 rows to just past the window —
         # they lead the r14 rotation) --
         "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
         "text_inverted_index": q_text_inverted_index,
@@ -9353,15 +9399,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_exact_dups,
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
         # --- end of round-13 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-14 rotation is already front-loaded: the r9 cohort tail
-        # (40 rows after the 9 in-window above, starting dedup_simhash)
-        # + the first 10 of the r10 cohort = the round-14 50-entry
-        # window (before any r14 first-exposure displacements); the r10
-        # tail + the r11 cohort follow in r15.
+        # (41 rows after the 8 in-window above, starting
+        # dedup_ngram_jaccard) + the first 9 of the r10 cohort = the
+        # round-14 50-entry window (before any r14 first-exposure
+        # displacements); the r10 tail + the r11 cohort follow in r15.
         # -- last driver-green: r9 (the cohort tail) --
+        "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
         "dedup_simhash_hamming_pairs": q_simhash_hamming,
         "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
@@ -9582,6 +9628,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_encode": ORACLE_TEXT_BPE_ENCODE,
         "text_perplexity_buckets": ORACLE_PPL_BUCKETS,
         "sample_cluster_balanced": ORACLE_CLUSTER_BALANCED,
+        "corpus_temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

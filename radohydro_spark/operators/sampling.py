@@ -697,3 +697,88 @@ def cluster_balanced_sample(
     return stratified_bottom_k(
         assigned, id_col=id_col, strata_col="centroid_id", k=k_per_cluster
     ).select("centroid_id", id_col, "strat_rank")
+
+
+def temperature_shares(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    alpha_exp2: int = 1,
+    total_mille: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled mixture shares (the mT5/multilingual-LM
+    sampling law, Xue et al. NAACL'21 / Arivazhagan et al. '19):
+    ``share_i ∝ w_i^α`` with α < 1 flattening the head so low-resource
+    strata are over-sampled relative to their raw mass — the standard
+    step BEFORE :func:`mixture_plan` turns shares into rates.
+
+    EXACT cross-engine with NO margin audit, unlike every ln-based op
+    here: α is restricted to ``2^-alpha_exp2`` (1, 1/2, 1/4, ...) so the
+    power is a chain of IEEE ``sqrt`` calls — sqrt is CORRECTLY ROUNDED
+    by IEEE-754 (ln is not), so both engines produce bit-identical
+    doubles for any input and the one quantization
+    ``round(w^α · 10⁶)`` can never split.  Weights cast exactly to
+    double up to 2^53 (~9e15 tokens — two orders past a 100-TB corpus).
+
+    Shares are apportioned by LARGEST REMAINDER so they sum to exactly
+    ``total_mille``: ``base_i = T·s_i div S``, and the ``T - Σ base``
+    leftover units go to the largest ``(T·s_i) mod S`` (ties → stratum
+    asc) — integer arithmetic end-to-end, deterministic on any engine.
+
+    Shape: one map-side-combinable stratum aggregate; everything after
+    runs on the STRATUM dimension (broadcast totals, one
+    declared-bounded global window for the remainder ranking —
+    cap-asserted via plans/contracts).  Returns
+    ``(stratum, actual, scaled_micro, share_mille)``.
+    """
+    assert 0 <= alpha_exp2 <= 4 and total_mille >= 0
+    from radohydro_spark.plans.contracts import bounded_global
+
+    actual = (
+        df.select(
+            F.col(strata_col).alias("stratum"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        .groupBy("stratum")
+        .agg(F.sum("_w").alias("actual"))
+        .filter(F.col("actual") > 0)
+    )
+    s = F.col("actual").cast("double")
+    for _ in range(alpha_exp2):
+        s = F.sqrt(s)
+    scaled = actual.withColumn(
+        "scaled_micro", F.round(s * F.lit(1e6), 0).cast("long")
+    )
+    tot = scaled.agg(F.sum("scaled_micro").alias("_s_tot"))
+    t = F.lit(int(total_mille)).cast("long")
+    parts = (
+        scaled.crossJoin(F.broadcast(tot))
+        .withColumn("_num", t * F.col("scaled_micro"))
+        .withColumn("base", F.expr("_num div _s_tot"))
+        .withColumn("_rem", F.expr("_num % _s_tot"))
+    )
+    base_tot = parts.agg(F.sum("base").alias("_b_tot"))
+    rank = bounded_global(
+        F.row_number(),
+        lambda w: w.orderBy(F.desc("_rem"), F.asc("stratum")),
+        "int",
+        "temperature_shares",
+        cap=1_000_000,
+    )
+    return (
+        parts.crossJoin(F.broadcast(base_tot))
+        .withColumn("_rank", rank)
+        .select(
+            "stratum",
+            "actual",
+            "scaled_micro",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("_rank") <= t - F.col("_b_tot"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("share_mille"),
+        )
+    )

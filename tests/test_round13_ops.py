@@ -299,3 +299,53 @@ def test_cluster_balanced_sample_shape_and_plan(spark):
     plan = _plan(out)
     assert "WindowGroupLimit" in plan, plan          # pre-exchange k-trim
     assert "BroadcastNestedLoopJoin" in plan, plan   # dimension-sized centroids
+
+
+# --------------------------------------------------- temperature_shares
+
+
+def test_temperature_shares_hand_case_largest_remainder(spark):
+    import math
+    from radohydro_spark.operators.sampling import temperature_shares
+
+    # weights 100 / 400 / 1600: sqrt -> 10/20/40 (exact), shares 1000 *
+    # s_i / 70 = 142.857 / 285.714 / 571.428 -> bases 142/285/571,
+    # leftover 2 goes to the two largest remainders (.857, .714)
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 400), ("c", 1600)], "lang string, w long"
+    )
+    out = {r.stratum: (r.scaled_micro, r.share_mille)
+           for r in temperature_shares(df, "lang", "w").collect()}
+    assert out["a"] == (10_000_000, 143)
+    assert out["b"] == (20_000_000, 286)
+    assert out["c"] == (40_000_000, 571)
+    assert sum(v[1] for v in out.values()) == 1000
+
+
+def test_temperature_shares_alpha_identity_and_flattening(spark):
+    from radohydro_spark.operators.sampling import temperature_shares
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 900)], "lang string, w long"
+    )
+    raw = {r.stratum: r.share_mille
+           for r in temperature_shares(df, "lang", "w", alpha_exp2=0).collect()}
+    assert raw == {"a": 100, "b": 900}  # alpha=1 reproduces raw mass
+    flat = {r.stratum: r.share_mille
+            for r in temperature_shares(df, "lang", "w", alpha_exp2=1).collect()}
+    assert flat == {"a": 250, "b": 750}  # sqrt: 10/30, 30/40 -> flattened
+    flatter = {r.stratum: r.share_mille
+               for r in temperature_shares(df, "lang", "w", alpha_exp2=2).collect()}
+    assert flatter["a"] > flat["a"]  # more temperature, flatter mix
+
+
+def test_temperature_shares_drops_zero_strata_and_sums_exact(spark):
+    from radohydro_spark.operators.sampling import temperature_shares
+
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 13), ("c", 0), ("d", 29)], "lang string, w long"
+    )
+    out = {r.stratum: r.share_mille
+           for r in temperature_shares(df, "lang", "w").collect()}
+    assert "c" not in out
+    assert sum(out.values()) == 1000
