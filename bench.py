@@ -115,6 +115,17 @@ HEADLINE = [
     # benched because its wall is dominated by the portable md5 gram
     # hash (the oracle-exactness tax measured in SOAK.md).
     "sample_dsir_weights",
+    # round-13 additions: corpus-wide paragraph dedup with in-order
+    # reassembly (the C4 boilerplate-removal granularity: one
+    # paragraph-key window exchange + one doc-key reassembly aggregate;
+    # SOAK.md shows linear shuffle to 1M docs), and CCNet perplexity
+    # bucketing (the bigram-LM scoring pipeline — adjacency window,
+    # two count aggregates, vocabulary-key joins — with per-bigram
+    # integer quantization; the margin-audited fourth ln-quantization
+    # op).  Both benched so the round's new text-pipeline shapes carry
+    # per-round wall evidence.
+    "dedup_paragraphs",
+    "text_perplexity_buckets",
 ]
 
 
