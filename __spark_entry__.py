@@ -9087,7 +9087,7 @@ ex AS (
          unnest(ps) AS para
   FROM sp
 ),
-ne AS (SELECT * FROM ex WHERE trim(para) <> ''),
+ne AS (SELECT * FROM ex WHERE regexp_replace(para, '\\s', '', 'g') <> ''),
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
   FROM ne
@@ -9266,8 +9266,11 @@ assigned AS (
     SELECT e.vec_id, cent.centroid_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, cent.cv)
-                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             -- coalesce mirrors the engine's cosine() zero-norm -> 0.0
+             -- law (DuckDB x/0.0 is NULL and would sort LAST under
+             -- DESC, below every negative similarity; r13 review)
+             ORDER BY coalesce(list_dot_product(e.v, cent.cv)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 0.0) DESC,
                       cent.centroid_id ASC) AS rn
     FROM e, cent) t
   WHERE rn = 1

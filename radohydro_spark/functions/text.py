@@ -761,6 +761,7 @@ def bigram_lp_boundary_margin(
     text_col: str = "text",
     alpha: float = 0.5,
     scale: int = 1_000_000,
+    id_col: str = "doc_id",
 ) -> float:
     """Cross-engine quantization audit for :func:`perplexity_buckets`'
     one transcendental seam (the BM25/TF-IDF/PMI treatment): minimum
@@ -770,7 +771,7 @@ def bigram_lp_boundary_margin(
     x = F.col("_lp") * F.lit(float(scale))
     fx = x - F.floor(x)
     row = (
-        _bigram_lp_rows(df, text_col, "doc_id", alpha)
+        _bigram_lp_rows(df, text_col, id_col, alpha)
         .select(F.abs(fx - F.lit(0.5)).alias("m"))
         .agg(F.min("m").alias("m"))
         .first()
@@ -887,6 +888,7 @@ def bpe_encode(
     merges,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_size: int = 32,
 ) -> DataFrame:
     """Apply a learned BPE merge table to ENCODE documents — the serving
     half of :func:`bpe_train_merges` (Sennrich et al. ACL'16): every
@@ -902,9 +904,16 @@ def bpe_encode(
     ``[(pa, pb), ...]`` list.
 
     Plan shape: ZERO shuffle — the merge table rides the expression tree
-    as literals and every document encodes in one narrow projection
-    (n_merges chained folds per word).  At 100 TB this is the ideal
-    shape: embarrassingly parallel, no exchange, no driver action.
+    as literals and documents encode in narrow projections,
+    embarrassingly parallel with no exchange and no driver action.
+    Merges apply in CHUNKS of ``batch_size`` folds per projection with a
+    lazy ``localCheckpoint`` between chunks (the trainer's per-round
+    pattern), so expression depth is BOUNDED at any merge-table size —
+    a production 30k-merge table is ~1000 shallow projections, never one
+    30k-deep interpreted tree (Catalyst analysis would stack-overflow
+    and each row would re-scan its symbols 30k times; r13 review).  A
+    table that fits one chunk (the 6-merge driver query) is exactly the
+    single projection it always was.
 
     Returns ``(id_col, n_words, n_tokens, encoded)`` where ``encoded``
     joins each word's space-delimited symbols with a single space and
@@ -913,24 +922,41 @@ def bpe_encode(
     Reference analog: none — the reference has no text operators; this
     extends the tokenizer family (SURVEY §2 extension table).
     """
+    assert batch_size >= 1
     if isinstance(merges, DataFrame):
         merges = [
             (r["pa"], r["pb"])
             for r in merges.orderBy("merge_rank").collect()
         ]
-
-    def enc_word(w: Column) -> Column:
-        sym = F.array_join(F.split(w, ""), " ")
-        for pa, pb in merges:
-            sym = _bpe_merge_fold(sym, pa, pb)
-        return sym
+    from radohydro_spark.plans.pipeline import _PERSISTED
 
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda w: w != F.lit(""),
     )
-    enc = F.transform(toks, enc_word)
-    return df.select(
+    cur = df.select(
+        F.col(id_col),
+        F.transform(
+            toks, lambda w: F.array_join(F.split(w, ""), " ")
+        ).alias("_enc"),
+    )
+    for i in range(0, len(merges), batch_size):
+        chunk = merges[i : i + batch_size]
+
+        def apply_chunk(e: Column) -> Column:
+            s = e
+            for pa, pb in chunk:
+                s = _bpe_merge_fold(s, pa, pb)
+            return s
+
+        cur = cur.select(
+            F.col(id_col), F.transform(F.col("_enc"), apply_chunk).alias("_enc")
+        )
+        if i + batch_size < len(merges):
+            cur = cur.localCheckpoint(eager=False)
+            _PERSISTED.append(cur)
+    enc = F.col("_enc")
+    return cur.select(
         F.col(id_col),
         F.size(enc).cast("long").alias("n_words"),
         F.aggregate(

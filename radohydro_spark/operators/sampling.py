@@ -717,23 +717,34 @@ def temperature_shares(
     power is a chain of IEEE ``sqrt`` calls — sqrt is CORRECTLY ROUNDED
     by IEEE-754 (ln is not), so both engines produce bit-identical
     doubles for any input and the one quantization
-    ``round(w^α · 10⁶)`` can never split.  Weights cast exactly to
-    double up to 2^53 (~9e15 tokens — two orders past a 100-TB corpus).
+    ``round(w^α · 10⁶)`` can never split.  The α = 1 identity skips the
+    quantization entirely (integer weights are already exact — and
+    ``round(w·10⁶)`` would overflow the BIGINT cast at ~9.3e12, far
+    below the operating range; r13 review).  Per-stratum weight is
+    capped at 2^53 by an in-plan assertion: past that the double cast
+    itself is inexact (and ``total_mille·scaled`` approaches BIGINT
+    range) — two orders past a 100-TB corpus, so the cap is a loud
+    contract, not a limitation.
 
     Shares are apportioned by LARGEST REMAINDER so they sum to exactly
     ``total_mille``: ``base_i = T·s_i div S``, and the ``T - Σ base``
     leftover units go to the largest ``(T·s_i) mod S`` (ties → stratum
     asc) — integer arithmetic end-to-end, deterministic on any engine.
 
-    Shape: one map-side-combinable stratum aggregate; everything after
-    runs on the STRATUM dimension (broadcast totals, one
-    declared-bounded global window for the remainder ranking —
-    cap-asserted via plans/contracts).  Returns
-    ``(stratum, actual, scaled_micro, share_mille)``.
+    Shape: ONE map-side-combinable stratum aggregate over the corpus,
+    cached (the totals and the remainder apportionment would otherwise
+    each re-root the corpus scan; the cached relation is
+    dimension-sized, so everything after is trivial); broadcast totals
+    and one declared-bounded global window for the remainder ranking —
+    cap-asserted via plans/contracts.  Returns
+    ``(stratum, actual, scaled_micro, share_mille)``
+    (``scaled_micro`` = the raw BIGINT weight when α = 1).
     """
     assert 0 <= alpha_exp2 <= 4 and total_mille >= 0
     from radohydro_spark.plans.contracts import bounded_global
+    from radohydro_spark.plans.pipeline import _PERSISTED
 
+    _W_CAP = 1 << 53  # exact-double-cast bound; loud in-plan contract
     actual = (
         df.select(
             F.col(strata_col).alias("stratum"),
@@ -743,12 +754,28 @@ def temperature_shares(
         .agg(F.sum("_w").alias("actual"))
         .filter(F.col("actual") > 0)
     )
-    s = F.col("actual").cast("double")
-    for _ in range(alpha_exp2):
-        s = F.sqrt(s)
+    if alpha_exp2 == 0:
+        s_long = F.col("actual")
+    else:
+        s = F.col("actual").cast("double")
+        for _ in range(alpha_exp2):
+            s = F.sqrt(s)
+        s_long = F.round(s * F.lit(1e6), 0).cast("long")
+    guard = F.col("actual") <= F.lit(_W_CAP)
     scaled = actual.withColumn(
-        "scaled_micro", F.round(s * F.lit(1e6), 0).cast("long")
-    )
+        "scaled_micro",
+        F.when(guard, s_long).otherwise(
+            F.assert_true(
+                guard,
+                F.lit(
+                    "temperature_shares: per-stratum weight exceeds 2^53 "
+                    "— the double cast is no longer exact; pre-scale the "
+                    "weight column (e.g. kilotokens)"
+                ),
+            ).cast("long")
+        ),
+    ).cache()
+    _PERSISTED.append(scaled)
     tot = scaled.agg(F.sum("scaled_micro").alias("_s_tot"))
     t = F.lit(int(total_mille)).cast("long")
     parts = (

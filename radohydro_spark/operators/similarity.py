@@ -47,11 +47,18 @@ def cosine(a: Column, b: Column) -> Column:
     passes instead of 3, the r12→r13 `similarity_cosine_topk` bench
     regression.  ``try_divide`` evaluates each side exactly once and
     yields NULL on /0, which coalesce maps to the 0.0 contract.  The
-    leading when() preserves NULL-vector propagation (NULL in → NULL
-    out) with O(1) null checks only."""
-    return F.when(
-        a.isNull() | b.isNull(), F.lit(None).cast("double")
-    ).otherwise(
+    leading when() preserves NULL propagation — a NULL vector OR a
+    vector containing a NULL element scores NULL, exactly like the
+    pre-r13 form (corrupt/partial embeddings must surface as NULL, not
+    rank as "orthogonal" 0.0; r13 review) — via two cheap
+    short-circuiting exists() passes, not aggregate re-evaluation."""
+    poisoned = (
+        a.isNull()
+        | b.isNull()
+        | F.exists(a, lambda x: x.isNull())
+        | F.exists(b, lambda x: x.isNull())
+    )
+    return F.when(poisoned, F.lit(None).cast("double")).otherwise(
         F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
     )
 
