@@ -9327,23 +9327,78 @@ FROM ranked
 """
 
 
+def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift
+    (operators.profile.ks_drift): order-price distribution before vs
+    from 1997 — the distribution-free sibling of dq_psi_drift (no
+    binning, no smoothing).  Integer CROSS-MULTIPLICATION law:
+    D compares |c1·n2 − c2·n1| in pure BIGINT, so no ratio (and no
+    float seam) exists anywhere; cumulative counts run on the
+    declared-bounded value-domain window (plans/contracts)."""
+    from radohydro_spark.operators.profile import ks_drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_orderdate",
+    )
+    split = F.lit("1997-01-01").cast("date")
+    return ks_drift(
+        o.filter(F.col("o_orderdate") < split),
+        o.filter(F.col("o_orderdate") >= split),
+        "price_c",
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderdate
+  FROM orders
+),
+o AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM base
+      WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1),
+n AS (SELECT v, CAST(count(*) AS BIGINT) AS c2 FROM base
+      WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1),
+m AS (
+  SELECT coalesce(o.v, n.v) AS v,
+         coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+  FROM o FULL OUTER JOIN n ON o.v = n.v
+),
+s AS (
+  SELECT v,
+         CAST(sum(c1) OVER w AS BIGINT) AS f1,
+         CAST(sum(c2) OVER w AS BIGINT) AS f2
+  FROM m WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+t AS (SELECT CAST(max(f1) AS BIGINT) AS n1, CAST(max(f2) AS BIGINT) AS n2 FROM s),
+d AS (SELECT v, abs(f1 * (SELECT n2 FROM t) - f2 * (SELECT n1 FROM t)) AS d FROM s),
+dm AS (SELECT CAST(max(d) AS BIGINT) AS d_num FROM d),
+at AS (SELECT min(v) AS at_value FROM d WHERE d = (SELECT d_num FROM dm))
+SELECT t.n1 AS n_old, t.n2 AS n_new, dm.d_num,
+       CAST((1000000 * dm.d_num) // (t.n1 * t.n2) AS BIGINT) AS ks_ppm,
+       at.at_value
+FROM t, dm, at
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-13 driver window (positions 0-49) ---
-        # Positions 0-4: the five r13 first-exposure operators —
+        # Positions 0-5: the six r13 first-exposure operators —
         # corpus-wide paragraph dedup with in-order reassembly, BPE
         # document encoding with the corpus-trained merge table,
         # CCNet-style perplexity head/middle/tail bucketing (integer
         # micro-nat sums, margin-audited), cluster-balanced coreset
         # sampling (nearest-centroid assignment + per-cluster bottom-k),
-        # and temperature-scaled mixture shares (IEEE-sqrt-exact, no
-        # audit needed, largest-remainder apportionment).
+        # temperature-scaled mixture shares (IEEE-sqrt-exact, no audit
+        # needed, largest-remainder apportionment), and the exact
+        # integer-cross-multiplication two-sample KS drift test.
         "dedup_paragraphs": q_dedup_paragraphs,
         "text_bpe_encode": q_text_bpe_encode,
         "text_perplexity_buckets": q_text_perplexity_buckets,
         "sample_cluster_balanced": q_sample_cluster_balanced,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 5-9: r13 re-pins — queries whose ENGINE DEFINITION
+        "dq_ks_drift": q_dq_ks_drift,
+        # Positions 6-10: r13 re-pins — queries whose ENGINE DEFINITION
         # changed this round even though outputs are value-identical
         # (the dedup_sorted_neighborhood lesson): mmr_select's one-job
         # rounds (literal NOT IN + greatest-of-literal-dots scoring),
@@ -9390,9 +9445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_order_attribution": q_events_order_attribution,
         "events_conversion_label": q_events_conversion_label,
         "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
-        # Positions 42-49 -- last driver-green: r9 (the first 8 of the
-        # 49-query r9 cohort; the 5 new + 5 re-pinned r13 head rows
-        # displaced the other 10 staged r9 rows to just past the window —
+        # Positions 43-49 -- last driver-green: r9 (the first 7 of the
+        # 49-query r9 cohort; the 6 new + 5 re-pinned r13 head rows
+        # displaced the other 11 staged r9 rows to just past the window —
         # they lead the r14 rotation) --
         "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
         "text_inverted_index": q_text_inverted_index,
@@ -9401,15 +9456,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_embedding_near_dups,
         "dedup_exact_groups": q_exact_dups,
         "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         # --- end of round-13 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-14 rotation is already front-loaded: the r9 cohort tail
-        # (41 rows after the 8 in-window above, starting
-        # dedup_ngram_jaccard) + the first 9 of the r10 cohort = the
+        # (42 rows after the 7 in-window above, starting
+        # dedup_minhash_lsh_pairs) + the first 8 of the r10 cohort = the
         # round-14 50-entry window (before any r14 first-exposure
         # displacements); the r10 tail + the r11 cohort follow in r15.
         # -- last driver-green: r9 (the cohort tail) --
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
         "dedup_simhash_hamming_pairs": q_simhash_hamming,
@@ -9632,6 +9687,7 @@ def oracle_sql() -> dict[str, str]:
         "text_perplexity_buckets": ORACLE_PPL_BUCKETS,
         "sample_cluster_balanced": ORACLE_CLUSTER_BALANCED,
         "corpus_temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
+        "dq_ks_drift": ORACLE_KS_DRIFT,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

@@ -352,3 +352,98 @@ def table_fingerprint(
             F.sum("_l2").alias("checksum_b"),
         )
     )
+
+
+def ks_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between two
+    snapshots of a numeric column — the distribution-free drift test
+    next to :func:`psi_drift`'s bucketed PSI: no binning choice, no
+    smoothing epsilon, and sensitive to shifts PSI's ten equi-width
+    buckets wash out.  ``D = max_v |F_old(v) − F_new(v)|``.
+
+    EXACT cross-engine by integer CROSS-MULTIPLICATION: with cumulative
+    counts ``c1(v), c2(v)`` and totals ``n1, n2``, the statistic
+    compares ``|c1·n2 − c2·n1|`` — pure BIGINT, no ratio ever
+    materializes, so engines can never split on a division ulp.
+    Valid while ``n1·n2 < 2^63`` (~3e9 rows per side; document-level
+    drift checks sit far below).  The reported ``ks_ppm`` is the single
+    terminal division, floored the same way on both engines.
+
+    Plan shape: one per-value count aggregate per snapshot (map-side
+    combinable, output = the column's VALUE DOMAIN, not its row count),
+    a full-outer join on the value, cumulative sums over the merged
+    value domain on a declared-bounded global window (the skyline
+    contract — the value domain is the data's property and is
+    cap-asserted in-plan via plans/contracts), and one 1-row max_by
+    aggregate.  Nothing driver-side scales with the data.
+
+    Returns ONE row: ``(n_old, n_new, d_num, ks_ppm, at_value)`` where
+    ``d_num = max |c1·n2 − c2·n1|``, ``ks_ppm = 10⁶·d_num div (n1·n2)``
+    and ``at_value`` is the smallest value attaining the max (the drift
+    location, deterministic under ties).
+    """
+    from radohydro_spark.plans.contracts import bounded_global
+
+    o = (
+        old.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("_c1"))
+    )
+    n = (
+        new.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("_c2"))
+    )
+    merged = o.join(n, "v", "full_outer").select(
+        "v",
+        F.coalesce(F.col("_c1"), F.lit(0)).alias("_c1"),
+        F.coalesce(F.col("_c2"), F.lit(0)).alias("_c2"),
+    )
+
+    def cum(c: str) -> "F.Column":
+        return bounded_global(
+            F.sum(c),
+            lambda w: w.orderBy("v").rowsBetween(W.unboundedPreceding, 0),
+            "bigint",
+            "ks_drift",
+        )
+
+    tot = merged.agg(
+        F.sum("_c1").alias("_n1"), F.sum("_c2").alias("_n2")
+    )
+    scored = (
+        merged.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "_n1",
+            "_n2",
+            cum("_c1").alias("_f1"),
+            cum("_c2").alias("_f2"),
+        )
+        .select(
+            "v",
+            "_n1",
+            "_n2",
+            F.abs(
+                F.col("_f1") * F.col("_n2") - F.col("_f2") * F.col("_n1")
+            ).alias("_d"),
+        )
+    )
+    return scored.groupBy().agg(
+        F.max("_n1").alias("n_old"),
+        F.max("_n2").alias("n_new"),
+        F.max("_d").alias("d_num"),
+        F.expr(
+            "CASE WHEN max(_n1) > 0 AND max(_n2) > 0 "
+            "THEN (1000000 * max(_d)) div (max(_n1) * max(_n2)) END"
+        ).alias("ks_ppm"),
+        # smallest value attaining the max (numeric tie-law: max_by on
+        # (_d, -v) picks max _d then min v)
+        F.max_by(
+            "v", F.struct(F.col("_d").alias("d"), (-F.col("v")).alias("nv"))
+        ).alias("at_value"),
+    )

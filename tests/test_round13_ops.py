@@ -97,10 +97,10 @@ def test_cosine_null_vector_propagates_null(spark):
 
 
 def test_cosine_single_norm_evaluation_in_plan(spark):
-    # the r12 when-guard named the denominator twice; higher-order
-    # aggregates are CodegenFallback (no CSE), so that re-ran both norms
-    # per row.  The try_divide form names each aggregate exactly once —
-    # count the interpreted `aggregate(` nodes in the physical plan.
+    # the r12 when-guard named the denominator twice (5 aggregate nodes;
+    # interpreted subexpr elimination recovered most of the cost at run
+    # time — measured ~6% in an isolated A/B).  The try_divide form
+    # names each aggregate exactly once — pin the plan at 3 nodes.
     df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>")
     plan = _plan(df.select(cosine(F.col("a"), F.col("b")).alias("c")))
     assert plan.count("aggregate(") == 3, plan  # dot + norm(a) + norm(b)
@@ -381,11 +381,13 @@ def test_temperature_shares_alpha1_no_overflow_at_large_weights(spark):
 
 
 def test_temperature_shares_weight_cap_raises_loudly(spark):
-    from pyspark.errors import SparkRuntimeException
     from radohydro_spark.operators.sampling import temperature_shares
 
     df = spark.createDataFrame([("a", (1 << 53) + 2)], "lang string, w long")
-    with pytest.raises(SparkRuntimeException, match="temperature_shares"):
+    # AQE may surface the USER_RAISED_EXCEPTION directly or wrapped in a
+    # STAGE_MATERIALIZATION_MULTIPLE_FAILURES SparkException depending on
+    # which stage materializes first — match the message, not the type
+    with pytest.raises(Exception, match="temperature_shares"):
         temperature_shares(df, "lang", "w").collect()
 
 
@@ -422,3 +424,34 @@ def test_bigram_lp_margin_accepts_custom_id_col(spark):
     )
     m = bigram_lp_boundary_margin(df, id_col="page_id")
     assert 0.0 <= m <= 0.5
+
+
+# ---------------------------------------------------------------- ks_drift
+
+
+def test_ks_drift_hand_case(spark):
+    from radohydro_spark.operators.profile import ks_drift
+
+    old = spark.createDataFrame([(v,) for v in [1, 2, 2, 3, 4]], "x long")
+    new = spark.createDataFrame([(v,) for v in [2, 3, 3, 4, 5, 5]], "x long")
+    r = ks_drift(old, new, "x").collect()[0]
+    # f1: 1,3,4,5,5 ; f2: 0,1,3,4,6 over v=1..5; d=|f1*6-f2*5| max 13 @ v=2
+    assert (r.n_old, r.n_new, r.d_num, r.at_value) == (5, 6, 13, 2)
+    assert r.ks_ppm == (1_000_000 * 13) // 30
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    from radohydro_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame([(v,) for v in range(100)], "x long")
+    r = ks_drift(df, df, "x").collect()[0]
+    assert r.d_num == 0 and r.ks_ppm == 0
+
+
+def test_ks_drift_empty_side_degenerates_to_null_ppm(spark):
+    from radohydro_spark.operators.profile import ks_drift
+
+    old = spark.createDataFrame([(1,), (2,)], "x long")
+    empty = spark.createDataFrame([], "x long")
+    r = ks_drift(old, empty, "x").collect()[0]
+    assert r.n_new == 0 and r.ks_ppm is None
