@@ -2110,8 +2110,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """
 
 _COSINE_SQL = (
-    "round(list_dot_product(qv, cv) / "
-    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+    # coalesce mirrors the engine cosine()'s zero-norm -> 0.0 law
+    # (DuckDB x/0.0 is NULL; r13 latent-alignment pass)
+    "round(coalesce(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 0.0), 6)"
 )
 
 
@@ -2235,8 +2237,8 @@ b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
 scored AS (
   SELECT q.query_id, b.vec_id,
-         round(list_dot_product(qv, v)
-               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+         round(coalesce(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 0.0),
                6) AS cosine
   FROM q JOIN b USING (bucket)
 )
@@ -2611,8 +2613,8 @@ assigned AS (
     SELECT e.vec_id, cent.centroid_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, cent.cv)
-                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             ORDER BY coalesce(list_dot_product(e.v, cent.cv)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 0.0) DESC,
                       cent.centroid_id ASC) AS rn
     FROM e, cent) t
   WHERE rn = 1
@@ -2623,16 +2625,16 @@ qprobe AS (
     SELECT q.query_id, q.qv, cent.centroid_id,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY list_dot_product(q.qv, cent.cv)
-                      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             ORDER BY coalesce(list_dot_product(q.qv, cent.cv)
+                      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 0.0) DESC,
                       cent.centroid_id ASC) AS pr
     FROM q, cent) t
   WHERE pr <= 4
 ),
 scored AS (
   SELECT qprobe.query_id, e.vec_id,
-         round(list_dot_product(qprobe.qv, e.v)
-               / (sqrt(list_dot_product(qprobe.qv, qprobe.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+         round(coalesce(list_dot_product(qprobe.qv, e.v)
+               / (sqrt(list_dot_product(qprobe.qv, qprobe.qv)) * sqrt(list_dot_product(e.v, e.v))), 0.0), 6) AS cosine
   FROM qprobe
   JOIN assigned ON assigned.centroid_id = qprobe.centroid_id
   JOIN e ON e.vec_id = assigned.vec_id
@@ -3112,7 +3114,10 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("v").alias("dim"),
         F.round(n, 6).alias("l2_norm"),
-        F.round(F.element_at("v", 1) / n, 6).alias("u0"),
+        # try_divide: a zero-norm vector yields NULL u0 on BOTH engines
+        # (DuckDB x/0.0 is NULL) instead of crashing under ANSI — the
+        # r13 latent-alignment pass
+        F.round(F.try_divide(F.element_at("v", 1), n), 6).alias("u0"),
     )
 
 
@@ -5293,9 +5298,9 @@ exact AS (
     SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY round(list_dot_product(q.v, c.v)
+             ORDER BY round(coalesce(list_dot_product(q.v, c.v)
                             / (sqrt(list_dot_product(q.v, q.v))
-                               * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                               * sqrt(list_dot_product(c.v, c.v))), 0.0), 6) DESC,
                       c.vec_id ASC) AS rank
     FROM (SELECT * FROM e WHERE vec_id < 3) q, e c) t
   WHERE rank <= {k}
@@ -5311,9 +5316,9 @@ approx AS (
     SELECT c.query_id, c.vec_id,
            row_number() OVER (
              PARTITION BY c.query_id
-             ORDER BY round(list_dot_product(qe.v, ce.v)
+             ORDER BY round(coalesce(list_dot_product(qe.v, ce.v)
                             / (sqrt(list_dot_product(qe.v, qe.v))
-                               * sqrt(list_dot_product(ce.v, ce.v))), 6) DESC,
+                               * sqrt(list_dot_product(ce.v, ce.v))), 0.0), 6) DESC,
                       c.vec_id ASC) AS rank
     FROM cand c
     JOIN e qe ON qe.vec_id = c.query_id
@@ -5755,9 +5760,9 @@ cand AS (
 ),
 scored AS (
   SELECT c.query_id, c.vec_id,
-         round(list_dot_product(qe.v, ce.v)
+         round(coalesce(list_dot_product(qe.v, ce.v)
                / (sqrt(list_dot_product(qe.v, qe.v))
-                  * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+                  * sqrt(list_dot_product(ce.v, ce.v))), 0.0), 6) AS cosine
   FROM cand c
   JOIN e qe ON qe.vec_id = c.query_id
   JOIN e ce ON ce.vec_id = c.vec_id
@@ -6924,8 +6929,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEM_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    # zero-norm -> 0.0, the engine cosine() law (r13 latent-alignment)
+    "coalesce(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 0.0)"
 )
 
 ORACLE_DEDUP_SEMANTIC = f"""
@@ -7875,9 +7881,9 @@ e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
 cos_scored AS (
   SELECT e.vec_id AS doc_id,
-         round(list_dot_product((SELECT qvec FROM qv), e.v)
+         round(coalesce(list_dot_product((SELECT qvec FROM qv), e.v)
                / (sqrt(list_dot_product((SELECT qvec FROM qv), (SELECT qvec FROM qv)))
-                  * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+                  * sqrt(list_dot_product(e.v, e.v))), 0.0), 6) AS cosine
   FROM e
 ),
 cos_topk AS (
@@ -8918,8 +8924,8 @@ assigned AS (
     SELECT e.vec_id, cent.centroid_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, cent.cv)
-                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             ORDER BY coalesce(list_dot_product(e.v, cent.cv)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 0.0) DESC,
                       cent.centroid_id ASC) AS rn
     FROM e, cent) t
   WHERE rn = 1
@@ -8952,8 +8958,8 @@ qprobe AS (
     SELECT q.query_id, cent.centroid_id,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY list_dot_product(q.qv, cent.cv)
-                      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             ORDER BY coalesce(list_dot_product(q.qv, cent.cv)
+                      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 0.0) DESC,
                       cent.centroid_id ASC) AS pr
     FROM q, cent) t
   WHERE pr <= 4
@@ -9398,7 +9404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_cluster_balanced": q_sample_cluster_balanced,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
         "dq_ks_drift": q_dq_ks_drift,
-        # Positions 6-10: r13 re-pins — queries whose ENGINE DEFINITION
+        # Positions 6-11: r13 re-pins — queries whose ENGINE DEFINITION
         # changed this round even though outputs are value-identical
         # (the dedup_sorted_neighborhood lesson): mmr_select's one-job
         # rounds (literal NOT IN + greatest-of-literal-dots scoring),
@@ -9411,6 +9417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm_segments": q_orders_rfm_segments,
         "stats_skyline_2d": q_stats_skyline_2d,
         "similarity_cosine_topk": q_cosine_topk,
+        # re-pin: u0 now guards /0 with try_divide (NULL on a zero-norm
+        # vector, matching DuckDB's x/0.0 NULL — the r13 zero-norm
+        # alignment pass; previously an ANSI crash risk)
+        "embedding_norm_stats": q_embedding_norms,
         # Positions 9-40 -- last driver-green: r8 (the 32-query cohort
         # tail, staged for this window since r12) --
         "stats_groupwise_ols": q_stats_groupwise_ols,
@@ -9445,9 +9455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_order_attribution": q_events_order_attribution,
         "events_conversion_label": q_events_conversion_label,
         "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
-        # Positions 43-49 -- last driver-green: r9 (the first 7 of the
-        # 49-query r9 cohort; the 6 new + 5 re-pinned r13 head rows
-        # displaced the other 11 staged r9 rows to just past the window —
+        # Positions 44-49 -- last driver-green: r9 (the first 6 of the
+        # 49-query r9 cohort; the 6 new + 6 re-pinned r13 head rows
+        # displaced the other 12 staged r9 rows to just past the window —
         # they lead the r14 rotation) --
         "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
         "text_inverted_index": q_text_inverted_index,
@@ -9455,7 +9465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": q_dedup_canonical,
         "dedup_embedding_cosine": q_embedding_near_dups,
         "dedup_exact_groups": q_exact_dups,
-        "dedup_groups_cc": q_dedup_groups_cc,
         # --- end of round-13 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-14 rotation is already front-loaded: the r9 cohort tail
@@ -9464,6 +9473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-14 50-entry window (before any r14 first-exposure
         # displacements); the r10 tail + the r11 cohort follow in r15.
         # -- last driver-green: r9 (the cohort tail) --
+        "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_simhash": q_simhash,
@@ -9536,7 +9546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
         "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
         "dedup_minhash_signatures": q_minhash_sigs,
-        "embedding_norm_stats": q_embedding_norms,
+        # (embedding_norm_stats re-pinned into the r13 window head after
+        # its r13 try_divide engine change)
         "embedding_quantize_int8": q_embedding_quantize,
         "orders_pivot_native": q_orders_pivot_native,
         "precip_csv_roundtrip": q_precip_csv_roundtrip,

@@ -455,3 +455,52 @@ def test_ks_drift_empty_side_degenerates_to_null_ppm(spark):
     empty = spark.createDataFrame([], "x long")
     r = ks_drift(old, empty, "x").collect()[0]
     assert r.n_new == 0 and r.ks_ppm is None
+
+
+def test_cosine_oracle_alignment_with_zero_norm_vector(spark, tmp_path):
+    """The r13 latent-alignment pin: with a ZERO-NORM vector present,
+    the engine's cosine() scores it 0.0 while an unguarded DuckDB
+    division yields NULL (sorts last under DESC) — the guarded oracles
+    must now agree with the engine on ranking."""
+    import duckdb
+    import __spark_entry__ as E
+    from radohydro_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero-norm
+        (2, [-1.0, 0.0, 0.0, 0.0]),  # negative cosine to query
+        (3, [0.5, 0.5, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = str(tmp_path / "emb.parquet")
+    df.write.parquet(p)
+
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in SIM.cosine_topk(df, q, k=5).collect()
+    )
+    # zero-norm vec 1 scores 0.0 -> ranks ABOVE the negative vec 2
+    ranks = {v: rk for (_, v, rk) in got}
+    assert ranks[1] < ranks[2]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{p}/*.parquet'")
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT query_id, e.vec_id, {E._COSINE_SQL.replace('cv', 'e.v')} AS cosine
+  FROM q, e
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+"""
+    orows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == orows, (got, orows)
