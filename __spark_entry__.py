@@ -3115,9 +3115,11 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("v").alias("dim"),
         F.round(n, 6).alias("l2_norm"),
         # try_divide: a zero-norm vector yields NULL u0 on BOTH engines
-        # (DuckDB x/0.0 is NULL) instead of crashing under ANSI — the
-        # r13 latent-alignment pass
-        F.round(F.try_divide(F.element_at("v", 1), n), 6).alias("u0"),
+        # (DuckDB x/0.0 is NULL) instead of crashing under ANSI; F.get
+        # (NULL out-of-bounds) instead of element_at (ANSI throw) so a
+        # ZERO-LENGTH embedding also matches the oracle's embedding[1]
+        # NULL — the r13 latent-alignment pass, both review rounds
+        F.round(F.try_divide(F.get("v", 0), n), 6).alias("u0"),
     )
 
 
@@ -9093,7 +9095,8 @@ ex AS (
          unnest(ps) AS para
   FROM sp
 ),
-ne AS (SELECT * FROM ex WHERE regexp_replace(para, '\\s', '', 'g') <> ''),
+ne AS (SELECT * FROM ex
+       WHERE regexp_replace(para, '[ \\t\\n\\f\\r\\x0B]', '', 'g') <> ''),
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
   FROM ne
@@ -9380,7 +9383,11 @@ d AS (SELECT v, abs(f1 * (SELECT n2 FROM t) - f2 * (SELECT n1 FROM t)) AS d FROM
 dm AS (SELECT CAST(max(d) AS BIGINT) AS d_num FROM d),
 at AS (SELECT min(v) AS at_value FROM d WHERE d = (SELECT d_num FROM dm))
 SELECT t.n1 AS n_old, t.n2 AS n_new, dm.d_num,
-       CAST((1000000 * dm.d_num) // (t.n1 * t.n2) AS BIGINT) AS ks_ppm,
+       CAST(CASE WHEN t.n1 <= 0 OR t.n2 <= 0 THEN NULL
+                 WHEN t.n1 * t.n2 <= 9000000000000
+                 THEN (1000000 * dm.d_num) // (t.n1 * t.n2)
+                 ELSE dm.d_num // ((t.n1 * t.n2) // 1000000)
+            END AS BIGINT) AS ks_ppm,
        at.at_value
 FROM t, dm, at
 """
@@ -9421,7 +9428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vector, matching DuckDB's x/0.0 NULL — the r13 zero-norm
         # alignment pass; previously an ANSI crash risk)
         "embedding_norm_stats": q_embedding_norms,
-        # Positions 9-40 -- last driver-green: r8 (the 32-query cohort
+        # Positions 12-43 -- last driver-green: r8 (the 32-query cohort
         # tail, staged for this window since r12) --
         "stats_groupwise_ols": q_stats_groupwise_ols,
         "graph_bfs_hops": q_graph_bfs_hops,

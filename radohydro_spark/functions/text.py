@@ -906,14 +906,20 @@ def bpe_encode(
     Plan shape: ZERO shuffle — the merge table rides the expression tree
     as literals and documents encode in narrow projections,
     embarrassingly parallel with no exchange and no driver action.
-    Merges apply in CHUNKS of ``batch_size`` folds per projection with a
-    lazy ``localCheckpoint`` between chunks (the trainer's per-round
-    pattern), so expression depth is BOUNDED at any merge-table size —
-    a production 30k-merge table is ~1000 shallow projections, never one
-    30k-deep interpreted tree (Catalyst analysis would stack-overflow
-    and each row would re-scan its symbols 30k times; r13 review).  A
-    table that fits one chunk (the 6-merge driver query) is exactly the
-    single projection it always was.
+    Merges apply in CHUNKS of ``batch_size`` folds per projection with
+    an EAGER ``localCheckpoint`` between chunks, so expression depth is
+    BOUNDED at any merge-table size — a production 30k-merge table is
+    ~1000 shallow projections, never one 30k-deep interpreted tree
+    (Catalyst analysis would stack-overflow and each row would re-scan
+    its symbols 30k times; r13 review).  Each checkpoint UNPERSISTS its
+    predecessor once materialized (safe: the new checkpoint's lineage is
+    truncated at itself, so the old blocks are never re-read), keeping
+    at most TWO corpus copies alive instead of one per chunk — the
+    storage leak a lazy-checkpoint chain would accumulate (second r13
+    review pass); only the final checkpoint outlives the call (released
+    by the session pool like every cached intermediate).  A table that
+    fits one chunk (the 6-merge driver query) is exactly the single
+    projection it always was, no checkpoint at all.
 
     Returns ``(id_col, n_words, n_tokens, encoded)`` where ``encoded``
     joins each word's space-delimited symbols with a single space and
@@ -940,6 +946,7 @@ def bpe_encode(
             toks, lambda w: F.array_join(F.split(w, ""), " ")
         ).alias("_enc"),
     )
+    prev = None
     for i in range(0, len(merges), batch_size):
         chunk = merges[i : i + batch_size]
 
@@ -953,8 +960,12 @@ def bpe_encode(
             F.col(id_col), F.transform(F.col("_enc"), apply_chunk).alias("_enc")
         )
         if i + batch_size < len(merges):
-            cur = cur.localCheckpoint(eager=False)
-            _PERSISTED.append(cur)
+            cur = cur.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = cur
+    if prev is not None:
+        _PERSISTED.append(prev)
     enc = F.col("_enc")
     return cur.select(
         F.col(id_col),

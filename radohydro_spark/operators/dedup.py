@@ -1821,9 +1821,13 @@ def dedup_paragraphs(
     between document and span.
 
     Semantics: split ``text_col`` on the ``sep`` REGEX (``pyspark
-    split``), drop whitespace-only segments (any ``\\s``, not just the
-    ASCII-space-only ``trim`` law — a tab-only segment is not a
-    paragraph; r13 review), keep a paragraph occurrence
+    split``), drop whitespace-only segments — whitespace is the
+    EXPLICIT class ``[ \\t\\n\\f\\r\\x0B]``, not a bare ``\\s``: Java
+    regex ``\\s`` matches vertical tab while RE2's (DuckDB's) does not,
+    so the shorthand is a cross-engine seam; the explicit class is
+    identical on both (both r13 review passes).  A tab-only segment is
+    not a paragraph (the ASCII-space-only ``trim`` law was too narrow).
+    Keep a paragraph occurrence
     iff it is the corpus-FIRST occurrence of that exact string ordered by
     ``(id, pos)`` — deterministic, so both engines agree — and reassemble
     with ``out_sep`` (default: ``sep`` taken literally).  Documents whose
@@ -1851,7 +1855,7 @@ def dedup_paragraphs(
     paras = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
-    ).filter(F.regexp_replace(F.col("para"), r"\s", "") != "")
+    ).filter(F.regexp_replace(F.col("para"), r"[ \t\n\f\r\x0B]", "") != "")
     w = W.partitionBy("para").orderBy(F.col("_id").asc(), F.col("pos").asc())
     ranked = paras.withColumn(
         "_keep", F.row_number().over(w) == F.lit(1)

@@ -371,7 +371,13 @@ def ks_drift(
     materializes, so engines can never split on a division ulp.
     Valid while ``n1·n2 < 2^63`` (~3e9 rows per side; document-level
     drift checks sit far below).  The reported ``ks_ppm`` is the single
-    terminal division, floored the same way on both engines.
+    terminal division, floored the same way on both engines — computed
+    piecewise so the ``10⁶·d`` numerator cannot overflow (d can reach
+    n1·n2, so the naive scaling dies at ~3e6 rows per side; r13 review):
+    below 9e12 it is ``(10⁶·d) div (n1·n2)`` exactly, above it
+    ``d div ((n1·n2) div 10⁶)`` — same law in the oracle, so the
+    off-by-one-ppm truncation difference between the branches can never
+    split engines.
 
     Plan shape: one per-value count aggregate per snapshot (map-side
     combinable, output = the column's VALUE DOMAIN, not its row count),
@@ -438,8 +444,10 @@ def ks_drift(
         F.max("_n2").alias("n_new"),
         F.max("_d").alias("d_num"),
         F.expr(
-            "CASE WHEN max(_n1) > 0 AND max(_n2) > 0 "
-            "THEN (1000000 * max(_d)) div (max(_n1) * max(_n2)) END"
+            "CASE WHEN max(_n1) <= 0 OR max(_n2) <= 0 THEN NULL "
+            "WHEN max(_n1) * max(_n2) <= 9000000000000 "
+            "THEN (1000000 * max(_d)) div (max(_n1) * max(_n2)) "
+            "ELSE max(_d) div ((max(_n1) * max(_n2)) div 1000000) END"
         ).alias("ks_ppm"),
         # smallest value attaining the max (numeric tie-law: max_by on
         # (_d, -v) picks max _d then min v)

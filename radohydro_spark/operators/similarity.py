@@ -55,7 +55,14 @@ def cosine(a: Column, b: Column) -> Column:
     vector containing a NULL element scores NULL, exactly like the
     pre-r13 form (corrupt/partial embeddings must surface as NULL, not
     rank as "orthogonal" 0.0; r13 review) — via two cheap
-    short-circuiting exists() passes, not aggregate re-evaluation."""
+    short-circuiting exists() passes, not aggregate re-evaluation.
+
+    Oracle contract note: the NULL-ELEMENT law is engine-defined only —
+    DuckDB's ``list_dot_product`` ERRORS on a NULL element rather than
+    returning NULL, so a corrupt batch fails the oracle run loudly
+    instead of being silently scored; the driver corpus schema carries
+    non-null elements, and the ZERO-NORM law (the realizable case) is
+    aligned on both engines and dual-engine-tested."""
     poisoned = (
         a.isNull()
         | b.isNull()

@@ -148,6 +148,7 @@ HEADLINE = [
     "text_perplexity_buckets",
     "sample_cluster_balanced",
     "corpus_temperature_mixture",
+    "dq_ks_drift",
 ]
 
 

@@ -504,3 +504,66 @@ FROM scored
 """
     orows = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == orows, (got, orows)
+
+
+# ------------------------------------------------- second review-pass fixes
+
+
+def test_dedup_paragraphs_vertical_tab_law_matches_duckdb(spark):
+    # Java \s matches \x0B, RE2's does not — the explicit class must
+    # drop a vertical-tab-only segment IDENTICALLY on both engines
+    import duckdb
+    from radohydro_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a\n\n\x0b\n\nb")], "doc_id long, text string"
+    )
+    out = dedup_paragraphs(df).collect()[0]
+    assert (out.n_paras, out.n_kept, out.text_dedup) == (2, 2, "a\n\nb")
+    got = duckdb.sql(
+        "SELECT regexp_replace(chr(11), '[ \\t\\n\\f\\r\\x0B]', '', 'g') = ''"
+    ).fetchone()[0]
+    assert got is True  # the oracle's class also strips \x0B
+
+
+def test_ks_drift_large_n_ppm_branch(spark):
+    # past 9e12 pair-products the ppm law switches to d div ((n1*n2) div
+    # 1e6) — feed counts that exercise the branch via pre-aggregated
+    # duplicates (5e6 rows per side would be slow; weight via repeats of
+    # two values with big multiplicity is equivalent for the law)
+    from radohydro_spark.operators.profile import ks_drift
+
+    # n1 = n2 = 4_000_000 via two values repeated — too big to build as
+    # rows; instead verify branch equivalence directly in SQL on both
+    # engines with synthetic totals
+    n1, n2, d = 4_000_000, 4_000_000, 8_000_000_000_000  # d = n1*n2/2
+    spark_val = spark.sql(
+        f"SELECT CASE WHEN {n1}L * {n2}L <= 9000000000000 "
+        f"THEN (1000000 * {d}L) div ({n1}L * {n2}L) "
+        f"ELSE {d}L div (({n1}L * {n2}L) div 1000000) END AS p"
+    ).collect()[0]["p"]
+    import duckdb
+    duck_val = duckdb.sql(
+        f"SELECT CASE WHEN {n1}::BIGINT * {n2} <= 9000000000000 "
+        f"THEN (1000000 * {d}::BIGINT) // ({n1}::BIGINT * {n2}) "
+        f"ELSE {d}::BIGINT // (({n1}::BIGINT * {n2}) // 1000000) END"
+    ).fetchone()[0]
+    assert spark_val == duck_val == 500_000  # exactly half
+
+
+def test_embedding_norms_zero_length_and_zero_norm_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [])],
+        "vec_id long, embedding array<double>",
+    )
+    # exercise the query's projection law directly (q_embedding_norms
+    # reads a fixed table layout; the law is what the fix changed)
+    from radohydro_spark.operators import similarity as SIM
+    e = df.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    n = SIM.norm(F.col("v"))
+    rows = {r.vec_id: (r.dim, r.l2, r.u0) for r in e.select(
+        "vec_id", F.size("v").alias("dim"), F.round(n, 6).alias("l2"),
+        F.round(F.try_divide(F.get("v", 0), n), 6).alias("u0")).collect()}
+    assert rows[0] == (2, 5.0, 0.6)
+    assert rows[1] == (2, 0.0, None)   # zero-norm -> NULL, no ANSI crash
+    assert rows[2] == (0, 0.0, None)   # zero-length -> NULL, no ANSI crash
