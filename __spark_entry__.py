@@ -9343,7 +9343,11 @@ def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binning, no smoothing).  Integer CROSS-MULTIPLICATION law:
     D compares |c1·n2 − c2·n1| in pure BIGINT, so no ratio (and no
     float seam) exists anywhere; cumulative counts run on the
-    declared-bounded value-domain window (plans/contracts)."""
+    global_rank RANGE-PARTITION machinery (r14 — per-range local
+    windows + one n_parts-row subtotal collect), so a near-distinct
+    continuous column (this one: cents prices) never sorts on one
+    core and there is no row cap — the n1·n2 < 2^63 validity bound
+    raises a named contract instead (r13 ADVICE)."""
     from radohydro_spark.operators.profile import ks_drift
 
     o = _t(spark, sf_dir, "orders").select(

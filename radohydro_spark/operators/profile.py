@@ -358,6 +358,7 @@ def ks_drift(
     old: DataFrame,
     new: DataFrame,
     col: str,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov distance between two
     snapshots of a numeric column — the distribution-free drift test
@@ -370,30 +371,53 @@ def ks_drift(
     compares ``|c1·n2 − c2·n1|`` — pure BIGINT, no ratio ever
     materializes, so engines can never split on a division ulp.
     Valid while ``n1·n2 < 2^63`` (~3e9 rows per side; document-level
-    drift checks sit far below).  The reported ``ks_ppm`` is the single
-    terminal division, floored the same way on both engines — computed
-    piecewise so the ``10⁶·d`` numerator cannot overflow (d can reach
-    n1·n2, so the naive scaling dies at ~3e6 rows per side; r13 review):
-    below 9e12 it is ``(10⁶·d) div (n1·n2)`` exactly, above it
+    drift checks sit far below) — NOW AN ENFORCED contract: the totals
+    are driver-side longs (one number per range partition, see below),
+    so the bound raises a named ``ValueError`` instead of an opaque
+    ANSI ARITHMETIC_OVERFLOW deep in a task (r13 ADVICE).  The reported
+    ``ks_ppm`` is the single terminal division, floored the same way on
+    both engines — computed piecewise so the ``10⁶·d`` numerator cannot
+    overflow (d can reach n1·n2, so the naive scaling dies at ~3e6 rows
+    per side; r13 review): below 9e12 pair-products it is
+    ``(10⁶·d) div (n1·n2)`` exactly, above it
     ``d div ((n1·n2) div 10⁶)`` — same law in the oracle, so the
     off-by-one-ppm truncation difference between the branches can never
     split engines.
 
-    Plan shape: one per-value count aggregate per snapshot (map-side
-    combinable, output = the column's VALUE DOMAIN, not its row count),
-    a full-outer join on the value, cumulative sums over the merged
-    value domain on a declared-bounded global window (the skyline
-    contract — the value domain is the data's property and is
-    cap-asserted in-plan via plans/contracts), and one 1-row max_by
-    aggregate.  Nothing driver-side scales with the data.
+    Plan shape (r14 — the scale-safe rework of the round-13 weak spot):
+    one per-value count aggregate per snapshot (map-side combinable,
+    output = the column's VALUE DOMAIN), a full-outer join on the
+    value, then cumulative counts via the :func:`~radohydro_spark.
+    operators.dedup.global_rank` RANGE-PARTITION machinery instead of a
+    single-partition global window: range-partition the merged domain
+    on ``v``, per-partition running sums (a window partitioned by the
+    physical partition id — each task sorts only its own range), and
+    ONE dimension-sized driver collect of per-partition subtotals
+    (``n_parts`` rows, two longs each) whose prefix sums become literal
+    offsets.  On a near-distinct continuous column (the r13 verdict's
+    case: cents-quantized prices, value domain ≈ row count) no single
+    core ever sorts the whole relation and there is no 10M-row cap —
+    the cumulation is a pure function of the total ``v`` order, so the
+    output is identical for ANY ``n_parts`` (the global_rank argument;
+    property-tested against the hand case).  The subtotal collect also
+    yields ``n1``/``n2`` for free, so the old totals-aggregate +
+    broadcast cross-join stage disappears.
+
+    ``n_parts`` defaults to the session's
+    ``spark.sql.shuffle.partitions`` (the global_rank convention: a
+    cluster sized for 100 TB raises it, and each range partition must
+    fit one task's sort).
 
     Returns ONE row: ``(n_old, n_new, d_num, ks_ppm, at_value)`` where
     ``d_num = max |c1·n2 − c2·n1|``, ``ks_ppm = 10⁶·d_num div (n1·n2)``
     and ``at_value`` is the smallest value attaining the max (the drift
     location, deterministic under ties).
     """
-    from radohydro_spark.plans.contracts import bounded_global
-
+    spark = old.sparkSession
+    if n_parts is None:
+        n_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     o = (
         old.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("v"))
@@ -409,49 +433,89 @@ def ks_drift(
         F.coalesce(F.col("_c1"), F.lit(0)).alias("_c1"),
         F.coalesce(F.col("_c2"), F.lit(0)).alias("_c2"),
     )
+    v_type = merged.schema["v"].dataType
 
-    def cum(c: str) -> "F.Column":
-        return bounded_global(
-            F.sum(c),
-            lambda w: w.orderBy("v").rowsBetween(W.unboundedPreceding, 0),
-            "bigint",
-            "ks_drift",
-        )
+    m = merged.repartitionByRange(n_parts, F.col("v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = (
+        W.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = (
+        m.withColumn("_l1", F.sum("_c1").over(wloc))
+        .withColumn("_l2", F.sum("_c2").over(wloc))
+        .cache()
+    )
+    from radohydro_spark.plans.pipeline import _PERSISTED
 
-    tot = merged.agg(
-        F.sum("_c1").alias("_n1"), F.sum("_c2").alias("_n2")
+    _PERSISTED.append(m)
+    parts = sorted(
+        (r["_pid"], r["s1"], r["s2"])
+        for r in m.groupBy("_pid")
+        .agg(F.sum("_c1").alias("s1"), F.sum("_c2").alias("s2"))
+        .collect()
     )
-    scored = (
-        merged.crossJoin(F.broadcast(tot))
-        .select(
-            "v",
-            "_n1",
-            "_n2",
-            cum("_c1").alias("_f1"),
-            cum("_c2").alias("_f2"),
+    if not parts:
+        # empty merged domain: preserve the pre-r14 degenerate row
+        # (aggregating an empty relation yielded one all-NULL row)
+        return spark.range(1).select(
+            F.lit(None).cast("long").alias("n_old"),
+            F.lit(None).cast("long").alias("n_new"),
+            F.lit(None).cast("long").alias("d_num"),
+            F.lit(None).cast("long").alias("ks_ppm"),
+            F.lit(None).cast(v_type).alias("at_value"),
+        )
+    n1 = sum(s1 for _, s1, _ in parts)
+    n2 = sum(s2 for _, _, s2 in parts)
+    if n1 * n2 >= (1 << 63):
+        raise ValueError(
+            f"ks_drift: n1*n2 = {n1}*{n2} exceeds the BIGINT "
+            "cross-multiplication domain (2^63) — pre-quantize the "
+            "column (psi_drift-style bucketing) or sample a side "
+            "(operators/profile.py)"
+        )
+    off1, off2, a1, a2 = {}, {}, 0, 0
+    for pid, s1, s2 in parts:
+        off1[pid], off2[pid] = a1, a2
+        a1 += s1
+        a2 += s2
+    map1 = F.create_map(
+        *[F.lit(x) for pid in sorted(off1) for x in (pid, off1[pid])]
+    )
+    map2 = F.create_map(
+        *[F.lit(x) for pid in sorted(off2) for x in (pid, off2[pid])]
+    )
+    scored = m.select(
+        "v",
+        F.abs(
+            (F.col("_l1") + map1[F.col("_pid")]) * F.lit(n2)
+            - (F.col("_l2") + map2[F.col("_pid")]) * F.lit(n1)
+        ).alias("_d"),
+    )
+    if n1 <= 0 or n2 <= 0:
+        ppm = F.lit(None).cast("long")
+    elif n1 * n2 <= 9_000_000_000_000:
+        ppm = F.expr(f"(1000000 * d_num) div {n1 * n2}")
+    else:
+        ppm = F.expr(f"d_num div {(n1 * n2) // 1_000_000}")
+    return (
+        scored.groupBy()
+        .agg(
+            F.max("_d").alias("d_num"),
+            # smallest value attaining the max (numeric tie-law: max_by
+            # on (_d, -v) picks max _d then min v)
+            F.max_by(
+                "v",
+                F.struct(F.col("_d").alias("d"), (-F.col("v")).alias("nv")),
+            ).alias("at_value"),
         )
         .select(
-            "v",
-            "_n1",
-            "_n2",
-            F.abs(
-                F.col("_f1") * F.col("_n2") - F.col("_f2") * F.col("_n1")
-            ).alias("_d"),
+            F.lit(n1).cast("long").alias("n_old"),
+            F.lit(n2).cast("long").alias("n_new"),
+            "d_num",
+            ppm.cast("long").alias("ks_ppm"),
+            "at_value",
         )
-    )
-    return scored.groupBy().agg(
-        F.max("_n1").alias("n_old"),
-        F.max("_n2").alias("n_new"),
-        F.max("_d").alias("d_num"),
-        F.expr(
-            "CASE WHEN max(_n1) <= 0 OR max(_n2) <= 0 THEN NULL "
-            "WHEN max(_n1) * max(_n2) <= 9000000000000 "
-            "THEN (1000000 * max(_d)) div (max(_n1) * max(_n2)) "
-            "ELSE max(_d) div ((max(_n1) * max(_n2)) div 1000000) END"
-        ).alias("ks_ppm"),
-        # smallest value attaining the max (numeric tie-law: max_by on
-        # (_d, -v) picks max _d then min v)
-        F.max_by(
-            "v", F.struct(F.col("_d").alias("d"), (-F.col("v")).alias("nv"))
-        ).alias("at_value"),
     )

@@ -457,6 +457,87 @@ def test_ks_drift_empty_side_degenerates_to_null_ppm(spark):
     assert r.n_new == 0 and r.ks_ppm is None
 
 
+def test_ks_drift_both_sides_empty_all_null_row(spark):
+    from radohydro_spark.operators.profile import ks_drift
+
+    empty = spark.createDataFrame([], "x long")
+    rows = ks_drift(empty, empty, "x").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_old, r.n_new, r.d_num, r.ks_ppm, r.at_value) == (
+        None,
+        None,
+        None,
+        None,
+        None,
+    )
+
+
+def test_ks_drift_output_invariant_to_n_parts(spark):
+    """The r14 range-partition rework: the cumulation is a pure function
+    of the total v-order, so ANY n_parts (including the degenerate
+    single-partition form) yields the identical row — the global_rank
+    determinism argument, pinned."""
+    import random
+
+    from radohydro_spark.operators.profile import ks_drift
+
+    rng = random.Random(14)
+    old = spark.createDataFrame(
+        [(rng.randrange(0, 40),) for _ in range(300)], "x long"
+    )
+    new = spark.createDataFrame(
+        [(rng.randrange(10, 55),) for _ in range(250)], "x long"
+    )
+    rows = {
+        p: tuple(ks_drift(old, new, "x", n_parts=p).collect()[0])
+        for p in (1, 3, 32)
+    }
+    assert rows[1] == rows[3] == rows[32]
+    assert rows[1][0] == 300 and rows[1][1] == 250
+
+
+def test_ks_drift_no_single_partition_window_in_plan(spark):
+    """The r13 weak spot: the cumulative counts must NOT run on a
+    constant-keyed (single-partition) window — the plan partitions the
+    window by the physical range-partition id."""
+    from radohydro_spark.operators.profile import ks_drift
+
+    old = spark.createDataFrame([(v,) for v in range(50)], "x long")
+    new = spark.createDataFrame([(v,) for v in range(10, 60)], "x long")
+    plan = ks_drift(old, new, "x")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(v" in plan
+    assert "partitionbyexpression=[0]" not in plan.lower().replace(" ", "")
+
+
+def test_ks_drift_cross_mult_domain_guard_raises_named(spark):
+    """r13 ADVICE #3: past n1*n2 >= 2^63 the operator must raise its
+    OWN named contract, not an opaque ANSI overflow mid-task.  Totals
+    are driver-side longs, so the guard is a plain ValueError."""
+    import pytest
+    from unittest import mock
+
+    from radohydro_spark.operators import profile as P
+
+    old = spark.createDataFrame([(1,), (2,)], "x long")
+    new = spark.createDataFrame([(2,), (3,)], "x long")
+    # the guard fires on the collected subtotals — fake one partition
+    # with 2^32 rows per side (n1*n2 = 2^64) without generating them
+    real_collect = None
+
+    class _FakeRow(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    fake = [_FakeRow(_pid=0, s1=1 << 32, s2=1 << 32)]
+    with mock.patch(
+        "pyspark.sql.classic.dataframe.DataFrame.collect",
+        return_value=fake,
+    ):
+        with pytest.raises(ValueError, match="ks_drift: n1\\*n2"):
+            P.ks_drift(old, new, "x")
+
+
 def test_cosine_oracle_alignment_with_zero_norm_vector(spark, tmp_path):
     """The r13 latent-alignment pin: with a ZERO-NORM vector present,
     the engine's cosine() scores it 0.0 while an unguarded DuckDB
