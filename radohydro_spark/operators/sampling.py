@@ -312,6 +312,12 @@ def mmr_select(
 
     Returns ``(sel_round, <id_col>, score)`` — score is the scaled
     integer MMR objective (round 1: lam_num·rel).
+
+    Contract: ``k·dim ≤ 250_000`` (loud ValueError past it, r14
+    ADVICE) — the literal-plan design re-analyzes O(k·dim) literals per
+    round, so unbounded k·dim is the same expression-tree failure mode
+    ``bpe_encode`` chunks against; larger selections belong on the
+    broadcast-join redundancy form.
     """
     assert k >= 1 and 0 < lam_num < lam_den
     spark = df.sparkSession
@@ -342,6 +348,21 @@ def mmr_select(
     if not qrow:
         raise ValueError(f"mmr_select: query_id {query_id!r} not in corpus")
     qvec = qrow[0]["_qv"]
+    # The per-round redundancy term embeds ≤k·dim integer literals and
+    # Catalyst re-analyzes the greatest() tree every round, so total
+    # analysis work grows O(k²·dim) — bounded by a loud contract (r14
+    # ADVICE), the temperature_shares cap pattern.  Past the budget,
+    # selected vectors belong in a broadcast-joined table (score via a
+    # groupBy-max over the ≤k-row build side) instead of literals.
+    _LIT_BUDGET = 250_000
+    if k * len(qvec) > _LIT_BUDGET:
+        raise ValueError(
+            f"mmr_select: k*dim = {k}*{len(qvec)} exceeds the "
+            f"literal-plan budget ({_LIT_BUDGET}) — per-round plans "
+            "embed k*dim literals and analysis cost grows O(k^2*dim); "
+            "reduce k or switch the redundancy term to the "
+            "broadcast-join form (operators/sampling.py)"
+        )
 
     def _idot(a, b):
         return F.aggregate(
@@ -720,11 +741,16 @@ def temperature_shares(
     ``round(w^α · 10⁶)`` can never split.  The α = 1 identity skips the
     quantization entirely (integer weights are already exact — and
     ``round(w·10⁶)`` would overflow the BIGINT cast at ~9.3e12, far
-    below the operating range; r13 review).  Per-stratum weight is
-    capped at 2^53 by an in-plan assertion: past that the double cast
-    itself is inexact (and ``total_mille·scaled`` approaches BIGINT
-    range) — two orders past a 100-TB corpus, so the cap is a loud
-    contract, not a limitation.
+    below the operating range; r13 review).  TWO in-plan caps guard the
+    integer domain loudly (r13 review + r14 ADVICE): per-stratum weight
+    ≤ 2^53 (past that the double cast itself is inexact), AND
+    ``scaled_micro ≤ (2^63−1) div total_mille`` so the apportionment
+    numerator ``total_mille·scaled_micro`` can never overflow BIGINT —
+    the second cap folds ``total_mille`` in, so an α = 1 run with
+    near-2^53 weights and total_mille > ~1000 fails with THIS
+    operator's named message, never an opaque ANSI
+    ARITHMETIC_OVERFLOW.  Both are two orders past a 100-TB corpus at
+    the default granularity: loud contracts, not limitations.
 
     Shares are apportioned by LARGEST REMAINDER so they sum to exactly
     ``total_mille``: ``base_i = T·s_i div S``, and the ``T - Σ base``
@@ -761,7 +787,14 @@ def temperature_shares(
         for _ in range(alpha_exp2):
             s = F.sqrt(s)
         s_long = F.round(s * F.lit(1e6), 0).cast("long")
-    guard = F.col("actual") <= F.lit(_W_CAP)
+    # the apportionment numerator is total_mille·scaled_micro — fold
+    # total_mille into the cap so it can never overflow BIGINT (r14
+    # ADVICE: with α=1 and weights near 2^53, total_mille > ~1000
+    # previously surfaced as an opaque ANSI overflow)
+    _NUM_CAP = ((1 << 63) - 1) // max(int(total_mille), 1)
+    guard = (F.col("actual") <= F.lit(_W_CAP)) & (
+        s_long <= F.lit(min(_W_CAP, _NUM_CAP))
+    )
     scaled = actual.withColumn(
         "scaled_micro",
         F.when(guard, s_long).otherwise(
@@ -769,8 +802,10 @@ def temperature_shares(
                 guard,
                 F.lit(
                     "temperature_shares: per-stratum weight exceeds 2^53 "
-                    "— the double cast is no longer exact; pre-scale the "
-                    "weight column (e.g. kilotokens)"
+                    "or scaled_micro exceeds (2^63-1) div total_mille — "
+                    "the double cast or the total_mille*scaled_micro "
+                    "apportionment numerator is no longer exact; "
+                    "pre-scale the weight column (e.g. kilotokens)"
                 ),
             ).cast("long")
         ),

@@ -391,6 +391,44 @@ def test_temperature_shares_weight_cap_raises_loudly(spark):
         temperature_shares(df, "lang", "w").collect()
 
 
+def test_temperature_shares_total_mille_folded_into_cap(spark):
+    # r14 ADVICE: alpha=1 with a near-2^53 weight and total_mille=10^4
+    # previously overflowed total_mille*scaled_micro as an opaque ANSI
+    # ARITHMETIC_OVERFLOW — now the operator's own named contract fires
+    from radohydro_spark.operators.sampling import temperature_shares
+
+    df = spark.createDataFrame(
+        [("a", 1 << 52), ("b", 7)], "lang string, w long"
+    )
+    with pytest.raises(Exception, match="temperature_shares"):
+        temperature_shares(
+            df, "lang", "w", alpha_exp2=0, total_mille=10_000
+        ).collect()
+    # and a big-but-in-domain total_mille still apportions exactly
+    small = spark.createDataFrame(
+        [("a", 1), ("b", 3)], "lang string, w long"
+    )
+    out = {
+        r.stratum: r.share_mille
+        for r in temperature_shares(
+            small, "lang", "w", alpha_exp2=0, total_mille=10_000
+        ).collect()
+    }
+    assert out == {"a": 2_500, "b": 7_500}
+
+
+def test_mmr_select_literal_budget_raises_named(spark):
+    # r14 ADVICE: k*dim literal growth is O(k^2*dim) analysis work —
+    # loud contract past the budget, never a silent slow plan
+    from radohydro_spark.operators.sampling import mmr_select
+
+    dim = 64
+    rows = [(i, [float(i == j) for j in range(dim)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match=r"mmr_select: k\*dim"):
+        mmr_select(df, "embedding", "vec_id", query_id=0, k=4_000)
+
+
 def test_bpe_encode_chunked_equals_single_projection(spark):
     # batch_size=2 over 5 merges (3 chunks + 2 checkpoints) must equal
     # the single-chunk form bit-for-bit
