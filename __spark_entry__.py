@@ -9063,7 +9063,12 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30-word vocabulary makes real cross-document paragraph collisions
     (~4% at sf0.01).  Plan: one paragraph-key shuffle for the
     first-occurrence window + one doc-key shuffle for reassembly;
-    collect_list is bounded by a single document's paragraph count."""
+    collect_list is bounded by a single document's paragraph count.
+    (A fingerprint=True exchange-key option exists — xxhash64 keys,
+    exact text as the in-partition tie-law, row-identical by
+    construction — but measured wall-neutral and +1-10% shuffle bytes
+    on every tested regime incl. shared-prefix boilerplate, so the
+    query stays on the default; SOAK.md r14.)"""
     import radohydro_spark.operators.dedup as DD
 
     d = _docs(spark, sf_dir)

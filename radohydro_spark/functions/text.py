@@ -783,6 +783,8 @@ def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
+    batch_top: int = 1,
+    cand_factor: int = 4,
 ) -> "DataFrame":
     """Multi-round BPE vocabulary induction (Sennrich et al. ACL'16) —
     the iterative generalization of the one-round pair count the

@@ -42,7 +42,10 @@ def _stage_totals(spark) -> dict:
 
 
 def main() -> None:
-    replica_counts = [int(a) for a in sys.argv[1:]] or [20, 200]
+    long_paras = "--long" in sys.argv[1:]
+    replica_counts = [
+        int(a) for a in sys.argv[1:] if not a.startswith("--")
+    ] or [20, 200]
     from radohydro_spark import get_spark
     from radohydro_spark.functions.text import tokens
     from radohydro_spark.operators.dedup import dedup_paragraphs
@@ -51,15 +54,28 @@ def main() -> None:
         "soak_paragraphs",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "5000"},
     )
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if long_paras:
+        # --long (r14): ~0.8 KB paragraphs — the regime where the
+        # fingerprint key law pays (partitioner hashing + window-sort
+        # comparisons on full paragraph bytes vs 8-byte longs)
+        src = src.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.array_repeat(F.trim(F.col("text")), 12)
+            ).alias("text"),
+        )
+        page = 120.0
+    else:
+        page = 12.0
     toks = tokens("text")
-    nch = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    nch = F.ceil(F.size(toks) / F.lit(page)).cast("int")
+    p = int(page)
     paras = F.transform(
         F.sequence(F.lit(1), F.greatest(nch, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 12 + 1, 12)),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * p + 1, p)),
     )
-    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", F.array_join(paras, "\n\n").alias("text")
-    )
+    base = src.select("doc_id", F.array_join(paras, "\n\n").alias("text"))
     results = {}
     for reps in replica_counts:
         rep = spark.range(0, reps).select(F.col("id").alias("rep"))
@@ -67,26 +83,42 @@ def main() -> None:
             (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"), "text"
         ).persist()
         n = corpus.count()
-        before = _stage_totals(spark)
-        t0 = time.time()
-        out = dedup_paragraphs(corpus)
-        agg = out.agg(
-            F.sum("n_paras").alias("paras"),
-            F.sum("n_kept").alias("kept"),
-            F.count("*").alias("docs"),
-        ).collect()[0]
-        wall = time.time() - t0
-        after = _stage_totals(spark)
-        results[str(reps)] = {
-            "n_docs": n,
-            "paras": int(agg["paras"]),
-            "kept": int(agg["kept"]),
-            "wall_s": round(wall, 2),
-            **{k: round(after[k] - before[k], 1) for k in after},
-        }
-        print(reps, results[str(reps)], flush=True)
+        # r14: measure BOTH exchange-key laws — raw paragraph text vs
+        # the xxhash64 fingerprint (exact tie-law) — and assert the
+        # survivor aggregate identical
+        for mode, fp in (("raw", False), ("fingerprint", True)):
+            before = _stage_totals(spark)
+            t0 = time.time()
+            out = dedup_paragraphs(corpus, fingerprint=fp)
+            agg = out.agg(
+                F.sum("n_paras").alias("paras"),
+                F.sum("n_kept").alias("kept"),
+                F.count("*").alias("docs"),
+            ).collect()[0]
+            wall = time.time() - t0
+            after = _stage_totals(spark)
+            results[f"{reps}_{mode}"] = {
+                "n_docs": n,
+                "paras": int(agg["paras"]),
+                "kept": int(agg["kept"]),
+                "wall_s": round(wall, 2),
+                **{k: round(after[k] - before[k], 1) for k in after},
+            }
+            print(reps, mode, results[f"{reps}_{mode}"], flush=True)
+        assert (
+            results[f"{reps}_raw"]["kept"]
+            == results[f"{reps}_fingerprint"]["kept"]
+        )
         corpus.unpersist()
-    print(json.dumps({"base": "sf0.1 documents paged @12 tokens", "sweep": results}))
+    print(
+        json.dumps(
+            {
+                "base": f"sf0.1 documents paged @{p} tokens"
+                + (" (x12 repeated text)" if long_paras else ""),
+                "sweep": results,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -178,6 +178,57 @@ def test_dedup_paragraphs_whitespace_only_doc_vanishes(spark):
     assert ids == {1}
 
 
+def test_dedup_paragraphs_fingerprint_row_identical_random(spark):
+    """r14 (VERDICT r13 #7): fingerprint=True swaps the paragraph-text
+    exchange key for xxhash64 with exact text as the in-partition
+    tie-law — property-tested row-identical to the default path on
+    random duplicate-heavy corpora."""
+    import random
+
+    from radohydro_spark.operators.dedup import dedup_paragraphs
+
+    rng = random.Random(1414)
+    pool = [f"para {i} " + "w" * rng.randrange(1, 9) for i in range(12)]
+    rows = []
+    for doc in range(60):
+        k = rng.randrange(0, 5)
+        paras = [rng.choice(pool) for _ in range(k)]
+        if rng.random() < 0.2:
+            paras.append("   ")  # whitespace-only segment
+        rng.shuffle(paras)
+        rows.append((doc, "\n\n".join(paras)))
+    df = _pd_rows(spark, rows)
+    base = sorted(map(tuple, dedup_paragraphs(df).collect()))
+    fp = sorted(
+        map(tuple, dedup_paragraphs(df, fingerprint=True).collect())
+    )
+    assert base == fp
+
+
+def test_dedup_paragraphs_fingerprint_matches_on_driver_corpus(spark):
+    from radohydro_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(map(tuple, dedup_paragraphs(df, sep=r"\. ").collect()))
+    fp = sorted(
+        map(
+            tuple,
+            dedup_paragraphs(df, sep=r"\. ", fingerprint=True).collect(),
+        )
+    )
+    assert base == fp
+
+
+def test_dedup_paragraphs_fingerprint_exchange_keys_are_hash(spark):
+    # the first exchange must hash the 8-byte fingerprint, not the
+    # paragraph text
+    from radohydro_spark.operators.dedup import dedup_paragraphs
+
+    df = _pd_rows(spark, [(1, "a\n\nb"), (2, "b\n\nc")])
+    plan = _plan(dedup_paragraphs(df, fingerprint=True))
+    assert "xxhash64(para" in plan
+
+
 def test_dedup_paragraphs_plan_two_exchanges_no_udf(spark):
     from radohydro_spark.operators.dedup import dedup_paragraphs
 
