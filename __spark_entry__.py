@@ -8898,6 +8898,131 @@ def _bpe_train_oracle(n: int = 6) -> str:
     )
 
 
+def q_text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED-selection BPE training (functions.text.bpe_train_merges
+    batch_top=4; the standard scalable-BPE compromise — serial BPE is
+    inherently round-serial, so a 30k-merge production vocabulary at
+    ~0.15 s/round is hours; batching accepts up to B mutually
+    symbol-disjoint pairs per round for ~B× fewer rounds): 12 merges in
+    3 static rounds, candidates = top 16 by (n DESC, pa, pb), GREEDY
+    acceptance in rank order against the already-ACCEPTED symbol set
+    (the standard batched-BPE law — evaluated driver-side over the ≤16
+    collected rows, and by the oracle as a RECURSIVE CTE walking the
+    same candidate window with a space-delimited accepted-symbol
+    string, position()-matched because symbols may contain LIKE
+    wildcards), accepted merges applied sequentially through the
+    shared _bpe_merge_fold law.  A conflict-starved round yields fewer
+    total merges, never extra rounds (static, generated-CTE-replayable
+    structure).  Oracle: per round, candidate CTE + greedy recursion +
+    up to 4 chained list_reduce rewrite steps, each LEFT JOIN ON TRUE
+    against its accepted-rank merge (absent rank ⇒ identity rewrite),
+    AS MATERIALIZED where referenced twice."""
+    from radohydro_spark.functions.text import bpe_train_merges
+
+    return bpe_train_merges(
+        _docs(spark, sf_dir), "text", 12, batch_top=4
+    ).orderBy("merge_rank")
+
+
+def _bpe_train_batched_oracle(
+    n_merges: int = 12, batch_top: int = 4, cand_factor: int = 4
+) -> str:
+    """Generated per-round CTEs replaying the batched-selection law
+    (see q_text_bpe_train_batched): candidates ranked by
+    (n DESC, pa, pb), GREEDY accepted-set acceptance via a recursive
+    CTE (accepted symbols carried as a space-delimited string —
+    symbols never contain spaces; position() matching because symbols
+    may contain LIKE wildcards), sequential per-accepted-rank
+    list_reduce rewrites.  Vocabulary/pair CTEs AS MATERIALIZED (the
+    graph_kcore lesson)."""
+    cap_c = cand_factor * batch_top
+    n_rounds = -(-n_merges // batch_top)
+    ctes = [
+        r"""w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(w, ''), ' ') AS sym, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        b_r = min(batch_top, n_merges - (r - 1) * batch_top)
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT pa, pb, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    SELECT unnest(list_transform(range(1, len(s)), i -> s[i])) AS pa,
+           unnest(list_transform(range(1, len(s)), i -> s[i+1])) AS pb,
+           cnt
+    FROM (SELECT string_split(sym, ' ') AS s, cnt FROM {prev}) t
+    WHERE len(s) >= 2
+  ) GROUP BY pa, pb
+)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT pa, pb, n, cand_rank FROM (
+    SELECT pa, pb, n,
+           row_number() OVER (ORDER BY n DESC, pa, pb) AS cand_rank
+    FROM p{r}) WHERE cand_rank <= {cap_c}
+)"""
+        )
+        ctes.append(
+            f"""g{r} AS (
+  SELECT 0 AS rank, CAST(' ' AS VARCHAR) AS syms, 0 AS taken,
+         CAST(NULL AS VARCHAR) AS acc_pa, CAST(NULL AS VARCHAR) AS acc_pb,
+         CAST(NULL AS BIGINT) AS acc_n
+  UNION ALL
+  SELECT rank,
+         CASE WHEN ok THEN syms || pa || ' ' || pb || ' ' ELSE syms END,
+         taken + CASE WHEN ok THEN 1 ELSE 0 END,
+         CASE WHEN ok THEN pa END, CASE WHEN ok THEN pb END,
+         CASE WHEN ok THEN n END
+  FROM (
+    SELECT c.cand_rank AS rank, c.pa, c.pb, c.n, g.syms, g.taken,
+           (g.taken < {b_r}
+            AND position(' ' || c.pa || ' ' IN g.syms) = 0
+            AND position(' ' || c.pb || ' ' IN g.syms) = 0) AS ok
+    FROM g{r} g JOIN c{r} c ON c.cand_rank = g.rank + 1) t
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT acc_pa AS pa, acc_pb AS pb, acc_n AS n,
+         row_number() OVER (ORDER BY rank) AS accepted_rank
+  FROM g{r} WHERE acc_pa IS NOT NULL
+)"""
+        )
+        if r < n_rounds:
+            step_prev = prev
+            for b in range(1, b_r + 1):
+                step = f"w{r}" if b == b_r else f"w{r}s{b}"
+                ctes.append(
+                    f"""{step} AS MATERIALIZED (
+  SELECT CASE WHEN m.pa IS NULL THEN sym
+         ELSE ltrim(list_reduce(list_prepend('', string_split(sym, ' ')),
+              (acc, x) -> CASE WHEN suffix(acc, ' ' || m.pa) AND x = m.pb
+                               THEN acc || m.pb
+                               ELSE acc || ' ' || x END)) END AS sym, cnt
+  FROM {step_prev} LEFT JOIN
+       (SELECT pa, pb FROM a{r} WHERE accepted_rank = {b}) m ON TRUE
+)"""
+                )
+                step_prev = step
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, pa, pb, n, accepted_rank FROM a{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(row_number() OVER (ORDER BY round, accepted_rank)"
+        + " AS INT) AS merge_rank,\n"
+        + "       CAST(round AS INT) AS round, pa, pb, n\nFROM ("
+        + sel
+        + ") ORDER BY merge_rank"
+    )
+
+
 def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN (operators.similarity.ivf_pq_topk; the FAISS
     IVFPQ layout, Jégou et al. TPAMI'11): inverted-list pruning (nprobe=4
@@ -9404,91 +9529,24 @@ FROM t, dm, at
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round-13 driver window (positions 0-49) ---
-        # Positions 0-5: the six r13 first-exposure operators —
-        # corpus-wide paragraph dedup with in-order reassembly, BPE
-        # document encoding with the corpus-trained merge table,
-        # CCNet-style perplexity head/middle/tail bucketing (integer
-        # micro-nat sums, margin-audited), cluster-balanced coreset
-        # sampling (nearest-centroid assignment + per-cluster bottom-k),
-        # temperature-scaled mixture shares (IEEE-sqrt-exact, no audit
-        # needed, largest-remainder apportionment), and the exact
-        # integer-cross-multiplication two-sample KS drift test.
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "text_bpe_encode": q_text_bpe_encode,
-        "text_perplexity_buckets": q_text_perplexity_buckets,
-        "sample_cluster_balanced": q_sample_cluster_balanced,
-        "corpus_temperature_mixture": q_corpus_temperature_mixture,
+        # --- round-14 driver window (positions 0-49) ---
+        # Position 0: the r14 first-exposure operator — BATCHED-selection
+        # BPE training (top-B mutually symbol-disjoint pairs per round,
+        # the standard scalable-BPE compromise: ~B× fewer rounds for the
+        # same vocabulary; greedy accepted-set law replayed by the
+        # oracle's recursive CTE over the candidate window).
+        "text_bpe_train_batched": q_text_bpe_train_batched,
+        # Positions 1-2: r14 re-pins — queries whose ENGINE DEFINITION
+        # changed this round with value-identical output (the
+        # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
+        # moved off the single-partition value-domain window onto the
+        # global_rank range-partition machinery (the r13 verdict's one
+        # `weak`), and temperature_shares' in-plan cap now folds
+        # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
-        # Positions 6-11: r13 re-pins — queries whose ENGINE DEFINITION
-        # changed this round even though outputs are value-identical
-        # (the dedup_sorted_neighborhood lesson): mmr_select's one-job
-        # rounds (literal NOT IN + greatest-of-literal-dots scoring),
-        # rrf_fuse + RFM + skyline on the new cap-asserted
-        # bounded_global windows, and cosine()'s single-evaluation
-        # try_divide guard (cosine_topk re-pins for the whole cosine
-        # family).
-        "sample_mmr_select": q_sample_mmr_select,
-        "search_rrf_fusion": q_search_rrf_fusion,
-        "orders_rfm_segments": q_orders_rfm_segments,
-        "stats_skyline_2d": q_stats_skyline_2d,
-        "similarity_cosine_topk": q_cosine_topk,
-        # re-pin: u0 now guards /0 with try_divide (NULL on a zero-norm
-        # vector, matching DuckDB's x/0.0 NULL — the r13 zero-norm
-        # alignment pass; previously an ANSI crash risk)
-        "embedding_norm_stats": q_embedding_norms,
-        # Positions 12-43 -- last driver-green: r8 (the 32-query cohort
-        # tail, staged for this window since r12) --
-        "stats_groupwise_ols": q_stats_groupwise_ols,
-        "graph_bfs_hops": q_graph_bfs_hops,
-        "events_top_paths": q_events_top_paths,
-        "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
-        "geo_geohash_bins": q_geo_geohash_bins,
-        "geo_haversine_nearest": q_geo_haversine_nearest,
-        "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
-        "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
-        "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
-        "events_interval_overlap": q_events_interval_overlap,
-        "storage_time_travel": q_storage_time_travel,
-        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
-        "precip_fragments": q_precip_fragments,
-        "precip_cellgrid": q_precip_cellgrid,
-        "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
-        "crs_radolan_project": q_crs_radolan,
-        "precip_ascii_decode_pipeline": q_precip_ascii_decode,
-        "tpch_q2_min_cost_supplier": _sql( SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"] ),
-        "precip_regnie_scale": q_precip_regnie_scale,
-        "orders_market_basket": q_orders_market_basket,
-        "storage_table_changes": q_storage_table_changes,
-        "dq_mad_outliers": q_dq_mad_outliers,
-        "corpus_quality_mixture": q_corpus_quality_mixture,
-        "window_range_frame": _sql(SQL_RANGE_FRAME, ["orders"]),
-        "join_bloom_prefilter": q_join_bloom_prefilter,
-        "dedup_semantic": q_dedup_semantic,
-        "text_bpe_first_merges": q_text_bpe_first_merges,
-        "embedding_feature_scaling": q_embedding_feature_scaling,
-        "similarity_index_persist": q_similarity_index_persist,
-        "events_order_attribution": q_events_order_attribution,
-        "events_conversion_label": q_events_conversion_label,
-        "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
-        # Positions 44-49 -- last driver-green: r9 (the first 6 of the
-        # 49-query r9 cohort; the 6 new + 6 re-pinned r13 head rows
-        # displaced the other 12 staged r9 rows to just past the window —
-        # they lead the r14 rotation) --
-        "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
-        "text_inverted_index": q_text_inverted_index,
-        "corpus_curation_pipeline": q_corpus_curation,
-        "dedup_canonical_docs": q_dedup_canonical,
-        "dedup_embedding_cosine": q_embedding_near_dups,
-        "dedup_exact_groups": q_exact_dups,
-        # --- end of round-13 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-14 rotation is already front-loaded: the r9 cohort tail
-        # (42 rows after the 7 in-window above, starting
-        # dedup_minhash_lsh_pairs) + the first 8 of the r10 cohort = the
-        # round-14 50-entry window (before any r14 first-exposure
-        # displacements); the r10 tail + the r11 cohort follow in r15.
-        # -- last driver-green: r9 (the cohort tail) --
+        "corpus_temperature_mixture": q_corpus_temperature_mixture,
+        # Positions 3-44 -- last driver-green: r9 (the 42-query cohort
+        # tail, staged for this window since r13) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -9532,14 +9590,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_tfidf_top_terms": q_text_tfidf,
         "text_token_budget": q_token_budget,
-        # -- last driver-green: r10 (the round-10 window: 19 first-
-        # exposure rows + 31 re-greened r5-cohort rows — the freshest
-        # evidence in the ledger) --
+        # Positions 45-49 -- last driver-green: r10 (the first 5 of the
+        # r10 cohort) --
         "sample_group_kfold": q_sample_group_kfold,
         "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
         "text_ngram_containment": q_text_ngram_containment,
         "stats_pca_top_component": q_stats_pca_top_component,
         "window_distinct_running": q_window_distinct_running,
+        # --- end of round-14 driver window ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-15 rotation is already front-loaded: the r10 cohort tail
+        # (45 rows, starting text_tfidf_cosine_pairs) + the first 5 of
+        # the r11 cohort = the round-15 50-entry window (before any r15
+        # first-exposure displacements); the r11 tail + the r12 window
+        # rows follow in r16.
+        # -- last driver-green: r10 (the cohort tail) --
         "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
         "events_interval_coalesce": q_events_interval_coalesce,
         "stats_weighted_median": q_stats_weighted_median,
@@ -9694,6 +9759,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_decode_jpeg_color": q_media_decode_jpeg_color,
         "media_decode_gif": q_media_decode_gif,
+        # -- last driver-green: r13 (the round-13 window: the six r13
+        # first-exposure operators + six r13 re-pins — dq_ks_drift and
+        # corpus_temperature_mixture re-pinned into the r14 head after
+        # their r14 engine changes — plus the 32-query r8 cohort tail
+        # and the first 6 of the r9 cohort; the freshest evidence in
+        # the ledger) --
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_perplexity_buckets": q_text_perplexity_buckets,
+        "sample_cluster_balanced": q_sample_cluster_balanced,
+        "sample_mmr_select": q_sample_mmr_select,
+        "search_rrf_fusion": q_search_rrf_fusion,
+        "orders_rfm_segments": q_orders_rfm_segments,
+        "stats_skyline_2d": q_stats_skyline_2d,
+        "similarity_cosine_topk": q_cosine_topk,
+        "embedding_norm_stats": q_embedding_norms,
+        "stats_groupwise_ols": q_stats_groupwise_ols,
+        "graph_bfs_hops": q_graph_bfs_hops,
+        "events_top_paths": q_events_top_paths,
+        "corpus_zip_roundtrip": q_corpus_zip_roundtrip,
+        "geo_geohash_bins": q_geo_geohash_bins,
+        "geo_haversine_nearest": q_geo_haversine_nearest,
+        "window_percent_rank": _sql(SQL_PERCENT_RANK, ["customer"]),
+        "window_nth_value": _sql(SQL_NTH_VALUE, ["orders"]),
+        "scalar_null_semantics": _sql(SQL_NULL_SEMANTICS, ["orders"]),
+        "events_interval_overlap": q_events_interval_overlap,
+        "storage_time_travel": q_storage_time_travel,
+        "events_hourly": _sql(SQL_EVENTS_HOURLY, ["events"]),
+        "precip_fragments": q_precip_fragments,
+        "precip_cellgrid": q_precip_cellgrid,
+        "precip_cellgrid_roundtrip": q_precip_cellgrid_roundtrip,
+        "crs_radolan_project": q_crs_radolan,
+        "precip_ascii_decode_pipeline": q_precip_ascii_decode,
+        "tpch_q2_min_cost_supplier": _sql( SQL_Q2, ["lineitem", "part", "supplier", "nation", "region"] ),
+        "precip_regnie_scale": q_precip_regnie_scale,
+        "orders_market_basket": q_orders_market_basket,
+        "storage_table_changes": q_storage_table_changes,
+        "dq_mad_outliers": q_dq_mad_outliers,
+        "corpus_quality_mixture": q_corpus_quality_mixture,
+        "window_range_frame": _sql(SQL_RANGE_FRAME, ["orders"]),
+        "join_bloom_prefilter": q_join_bloom_prefilter,
+        "dedup_semantic": q_dedup_semantic,
+        "text_bpe_first_merges": q_text_bpe_first_merges,
+        "embedding_feature_scaling": q_embedding_feature_scaling,
+        "similarity_index_persist": q_similarity_index_persist,
+        "events_order_attribution": q_events_order_attribution,
+        "events_conversion_label": q_events_conversion_label,
+        "corpus_xml_roundtrip": q_corpus_xml_roundtrip,
+        "set_ops_all": _sql(SQL_SETOPS_ALL, ["lineitem"]),
+        "text_inverted_index": q_text_inverted_index,
+        "corpus_curation_pipeline": q_corpus_curation,
+        "dedup_canonical_docs": q_dedup_canonical,
+        "dedup_embedding_cosine": q_embedding_near_dups,
+        "dedup_exact_groups": q_exact_dups,
     }
 
 
@@ -9768,6 +9887,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly — same oracle as similarity_ivfpq_topk
         "similarity_ivfpq_index_persist": ORACLE_IVFPQ_TOPK,
         "text_bpe_train": _bpe_train_oracle(6),
+        "text_bpe_train_batched": _bpe_train_batched_oracle(12, 4, 4),
         "text_pmi_collocations": ORACLE_PMI_COLLOCATIONS,
         "text_contamination_coverage": ORACLE_CONTAMINATION_COVERAGE,
         "text_ngram_containment": ORACLE_NGRAM_CONTAINMENT,

@@ -161,10 +161,19 @@ def main() -> None:
         .count()
     )
 
-    # best of 5 runs per query: the machine shares cores with other tenants
+    # best-of-N runs per query: the machine shares cores with other tenants
     # and whole BENCH RUNS land anywhere in a 0.76x-1.42x band purely from
     # host load (measured round 5: identical code, same day); min over
-    # repetitions reports steady-state (first run still pays codegen)
+    # repetitions reports steady-state (first run still pays codegen).
+    # NOISE BAND (r14, measured round 13: committed-vs-reproduced runs
+    # swung individual sub-2s queries +/-20-30% IN BOTH DIRECTIONS while
+    # the 32-query total reproduced to 0.1%): queries whose best is
+    # under FAST_THRESHOLD_S get extra repetitions (9 total instead of
+    # 5) to tighten the min, and every query reports its steady-state
+    # SPREAD ((max-min)/min over the post-warmup runs) so a future
+    # round can separate a code regression from tenancy mechanically:
+    # a mover inside its own recorded spread is noise, not a story.
+    RUNS_BASE, RUNS_FAST, FAST_THRESHOLD_S = 5, 9, 2.0
     from radohydro_spark.plans.pipeline import release_persisted
 
     # Per-query error isolation: one broken query must never zero the whole
@@ -172,16 +181,19 @@ def main() -> None:
     # AnalysisException).  Failures land in "errors" and are excluded from
     # the total; a partial record beats none.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        runs: list[float] = []
         try:
-            for _ in range(5):
+            while len(runs) < RUNS_BASE or (
+                min(runs) < FAST_THRESHOLD_S and len(runs) < RUNS_FAST
+            ):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
@@ -189,9 +201,11 @@ def main() -> None:
             # precip queries persist pruned fact slices for intra-query
             # reuse; release between queries so the session doesn't
             # accumulate cached slices (repeat runs of the SAME query keep
-            # the warm cache — min-of-3 reports steady state)
+            # the warm cache — min over repetitions reports steady state)
             release_persisted()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        steady = runs[1:]  # first run pays codegen/analysis
+        spreads[name] = round((max(steady) - min(steady)) / min(steady), 3)
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -201,9 +215,17 @@ def main() -> None:
         "value": total if not errors else None,
         "unit": "sec",
         "queries": timings,
+        # steady-state run-to-run spread per query ((max-min)/min over
+        # post-warmup runs) — the per-query noise band movers must be
+        # judged against
+        "spread": spreads,
         "queries_ok": len(timings),
         "queries_total": len(HEADLINE),
-        "runs_per_query": 5,
+        "runs_per_query": {
+            "base": RUNS_BASE,
+            "fast": RUNS_FAST,
+            "fast_threshold_s": FAST_THRESHOLD_S,
+        },
         "sf": sf,
     }
     if errors:
