@@ -9492,6 +9492,54 @@ def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_auc_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC via the Mann–Whitney rank statistic
+    (operators.profile.auc_mann_whitney): how well line-item price
+    "predicts" the returned flag — the classifier-eval primitive next
+    to dq_ks_drift, on the SAME r14 range-partition cumulative
+    machinery (_ranged_cumsums: value-domain counts, per-range local
+    windows, one n_parts-row subtotal collect — no single-partition
+    sort, no row cap).  Pure-BIGINT law: doubled tie-averaged rank-sum
+    2·R⁺ = Σ_v c_pos·(2·C(v) + c_tot + 1); auc_ppm by the ks_drift
+    piecewise floored division."""
+    from radohydro_spark.operators.profile import auc_mann_whitney
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_returned"),
+    )
+    return auc_mann_whitney(li, "price_c", "is_returned")
+
+
+ORACLE_AUC_RETURNS = """
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS ct,
+             CAST(sum(y) AS BIGINT) AS cp
+      FROM base GROUP BY v),
+s AS (SELECT v, ct, cp,
+             CAST(coalesce(sum(ct) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM g),
+t AS (SELECT CAST(sum(cp * (2 * cb + ct + 1)) AS BIGINT) AS r2,
+             CAST(sum(cp) AS BIGINT) AS np,
+             CAST(sum(ct) AS BIGINT) AS nt
+      FROM s)
+SELECT np AS n_pos, CAST(nt - np AS BIGINT) AS n_neg,
+       r2 AS rank_sum_pos_x2,
+       CAST(CASE WHEN np = 0 OR nt - np = 0 THEN NULL
+                 WHEN 2 * np * (nt - np) <= 9000000000000
+                 THEN (1000000 * (r2 - np * (np + 1))) // (2 * np * (nt - np))
+                 ELSE (r2 - np * (np + 1)) // ((2 * np * (nt - np)) // 1000000)
+            END AS BIGINT) AS auc_ppm
+FROM t
+"""
+
+
 ORACLE_KS_DRIFT = """
 WITH base AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderdate
@@ -9536,7 +9584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same vocabulary; greedy accepted-set law replayed by the
         # oracle's recursive CTE over the candidate window).
         "text_bpe_train_batched": q_text_bpe_train_batched,
-        # Positions 1-2: r14 re-pins — queries whose ENGINE DEFINITION
+        # Position 1: exact tie-corrected Mann–Whitney ROC-AUC — the
+        # classifier-eval primitive on the same range-partition
+        # cumulative machinery as the reworked ks_drift.
+        "dq_auc_returns": q_dq_auc_returns,
+        # Positions 2-3: r14 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
         # moved off the single-partition value-domain window onto the
@@ -9545,7 +9597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 3-44 -- last driver-green: r9 (the 42-query cohort
+        # Positions 4-45 -- last driver-green: r9 (the 42-query cohort
         # tail, staged for this window since r13) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -9590,21 +9642,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_tfidf_top_terms": q_text_tfidf,
         "text_token_budget": q_token_budget,
-        # Positions 45-49 -- last driver-green: r10 (the first 5 of the
+        # Positions 46-49 -- last driver-green: r10 (the first 4 of the
         # r10 cohort) --
         "sample_group_kfold": q_sample_group_kfold,
         "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
         "text_ngram_containment": q_text_ngram_containment,
         "stats_pca_top_component": q_stats_pca_top_component,
-        "window_distinct_running": q_window_distinct_running,
         # --- end of round-14 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-15 rotation is already front-loaded: the r10 cohort tail
-        # (45 rows, starting text_tfidf_cosine_pairs) + the first 5 of
+        # (46 rows, starting window_distinct_running) + the first 4 of
         # the r11 cohort = the round-15 50-entry window (before any r15
         # first-exposure displacements); the r11 tail + the r12 window
         # rows follow in r16.
         # -- last driver-green: r10 (the cohort tail) --
+        "window_distinct_running": q_window_distinct_running,
         "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
         "events_interval_coalesce": q_events_interval_coalesce,
         "stats_weighted_median": q_stats_weighted_median,
@@ -9834,6 +9886,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_cluster_balanced": ORACLE_CLUSTER_BALANCED,
         "corpus_temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "dq_ks_drift": ORACLE_KS_DRIFT,
+        "dq_auc_returns": ORACLE_AUC_RETURNS,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

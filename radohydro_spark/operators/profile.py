@@ -354,6 +354,173 @@ def table_fingerprint(
     )
 
 
+def _ranged_cumsums(
+    df: DataFrame,
+    order_col: str,
+    cols: list[str],
+    n_parts: int,
+) -> tuple[DataFrame, dict[str, int]] | None:
+    """Range-partitioned cumulative sums — the scale-safe replacement
+    for a single-partition global window (the :func:`~radohydro_spark.
+    operators.dedup.global_rank` machinery generalized to k measures):
+    range-partition on ``order_col``, per-partition running sums (each
+    task sorts only its own range), ONE dimension-sized driver collect
+    of per-partition subtotals (``n_parts`` rows × k longs) whose
+    prefix sums become literal offsets.  The cumulation is a pure
+    function of the total order, so the output is identical for ANY
+    ``n_parts``.
+
+    Returns ``(df_with_cums, totals)`` where each input col ``c`` gains
+    ``_cum_<c>`` (INCLUSIVE cumulative) and ``totals[c]`` is the
+    driver-side grand total — or ``None`` on empty input.  Shared by
+    :func:`ks_drift` (two-sided CDFs) and :func:`auc_mann_whitney`
+    (tie-averaged rank sums)."""
+    m = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = (
+        W.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in cols:
+        m = m.withColumn(f"_loc_{c}", F.sum(c).over(wloc))
+    m = m.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(m)
+    parts = sorted(
+        (r["_pid"], *[r[c] for c in cols])
+        for r in m.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in cols])
+        .collect()
+    )
+    if not parts:
+        return None
+    totals = {c: sum(p[i + 1] for p in parts) for i, c in enumerate(cols)}
+    out = m
+    for i, c in enumerate(cols):
+        acc, offs = 0, {}
+        for p in parts:
+            offs[p[0]] = acc
+            acc += p[i + 1]
+        omap = F.create_map(
+            *[F.lit(x) for pid in sorted(offs) for x in (pid, offs[pid])]
+        )
+        out = out.withColumn(
+            f"_cum_{c}", F.col(f"_loc_{c}") + omap[F.col("_pid")]
+        )
+    return out.drop(*[f"_loc_{c}" for c in cols]), totals
+
+
+def auc_mann_whitney(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann–Whitney U rank statistic — the
+    classifier-quality twin of :func:`ks_drift` (same value-domain
+    decomposition, same range-partition machinery): AUC is the
+    probability a random positive outranks a random negative,
+    ``(R⁺ − n₊(n₊+1)/2) / (n₊·n₋)`` with R⁺ the rank-sum of positives
+    under AVERAGE ranks for ties — the standard tie-corrected
+    definition, equal to (concordant + ties/2)/total pairs.
+
+    EXACT cross-engine in pure BIGINTs: group the relation by DISTINCT
+    SCORE VALUE (c_tot(v) rows, c_pos(v) positives per value), take the
+    EXCLUSIVE cumulative count C(v) over the value order, and note the
+    tie-averaged rank of every row at value v is
+    ``C(v) + (c_tot(v)+1)/2`` — so the DOUBLED rank-sum
+    ``2·R⁺ = Σ_v c_pos(v)·(2·C(v) + c_tot(v) + 1)`` is an integer and
+    no half ever materializes.  The reported ``auc_ppm`` is ONE
+    terminal floored division with the :func:`ks_drift` piecewise
+    overflow law: denominator ``2·n₊·n₋`` below 9e12 scales the
+    numerator by 10⁶ exactly, above it divides first — same law in the
+    oracle, identical truncation.  Validity bound ``2·n₊·n₋ < 2^63``
+    (~2e9 rows balanced) raises this operator's NAMED ValueError (the
+    totals are driver-side longs), never an opaque ANSI overflow.
+
+    Plan shape: one per-value count aggregate (map-side combinable,
+    output = the score's value domain), cumulative counts via
+    :func:`_ranged_cumsums` (range partition + per-range local window +
+    one n_parts-row subtotal collect — no single-partition sort, no row
+    cap, the r14 ks_drift rework shared), one 1-row sum.  A
+    near-distinct continuous score (the common case: model logits,
+    prices) is exactly the regime the range partitioning exists for.
+
+    Returns ONE row ``(n_pos, n_neg, rank_sum_pos_x2, auc_ppm)``;
+    ``auc_ppm`` is NULL when either class is empty, and the degenerate
+    empty input yields the all-NULL row (the ks_drift convention).
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    g = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("v"))
+        .agg(
+            F.count("*").alias("_ct"),
+            F.sum(F.col(label_col).cast("long")).alias("_cp"),
+        )
+    )
+    # _cp rides the subtotal collect so n_pos is free (no extra job);
+    # its cumulative column is simply unused
+    cum = _ranged_cumsums(g, "v", ["_ct", "_cp"], n_parts)
+    if cum is None:
+        return spark.range(1).select(
+            F.lit(None).cast("long").alias("n_pos"),
+            F.lit(None).cast("long").alias("n_neg"),
+            F.lit(None).cast("long").alias("rank_sum_pos_x2"),
+            F.lit(None).cast("long").alias("auc_ppm"),
+        )
+    m, totals = cum
+    n_tot = totals["_ct"]
+    n_pos = totals["_cp"]
+    n_neg = n_tot - n_pos
+    den = 2 * n_pos * n_neg
+    if den >= (1 << 63):
+        raise ValueError(
+            f"auc_mann_whitney: 2*n_pos*n_neg = 2*{n_pos}*{n_neg} "
+            "exceeds the BIGINT rank-statistic domain (2^63) — sample "
+            "a class or pre-quantize the score (operators/profile.py)"
+        )
+    r2 = m.select(
+        F.sum(
+            F.col("_cp")
+            * (
+                F.lit(2) * (F.col("_cum__ct") - F.col("_ct"))
+                + F.col("_ct")
+                + F.lit(1)
+            )
+        ).alias("r2")
+    )
+    if n_pos == 0 or n_neg == 0:
+        ppm = F.lit(None).cast("long")
+    else:
+        # numerator = 2*R+ - n_pos*(n_pos+1) <= den, so the 10^6 scale
+        # is exact below 9e12 pair-products (the ks_drift law)
+        if den <= 9_000_000_000_000:
+            ppm = F.expr(
+                f"(1000000 * (r2 - {n_pos * (n_pos + 1)})) div {den}"
+            )
+        else:
+            ppm = F.expr(
+                f"(r2 - {n_pos * (n_pos + 1)}) div {den // 1_000_000}"
+            )
+    return r2.select(
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        F.col("r2").cast("long").alias("rank_sum_pos_x2"),
+        ppm.cast("long").alias("auc_ppm"),
+    )
+
+
 def ks_drift(
     old: DataFrame,
     new: DataFrame,
@@ -435,29 +602,8 @@ def ks_drift(
     )
     v_type = merged.schema["v"].dataType
 
-    m = merged.repartitionByRange(n_parts, F.col("v")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    wloc = (
-        W.partitionBy("_pid")
-        .orderBy("v")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    m = (
-        m.withColumn("_l1", F.sum("_c1").over(wloc))
-        .withColumn("_l2", F.sum("_c2").over(wloc))
-        .cache()
-    )
-    from radohydro_spark.plans.pipeline import _PERSISTED
-
-    _PERSISTED.append(m)
-    parts = sorted(
-        (r["_pid"], r["s1"], r["s2"])
-        for r in m.groupBy("_pid")
-        .agg(F.sum("_c1").alias("s1"), F.sum("_c2").alias("s2"))
-        .collect()
-    )
-    if not parts:
+    cum = _ranged_cumsums(merged, "v", ["_c1", "_c2"], n_parts)
+    if cum is None:
         # empty merged domain: preserve the pre-r14 degenerate row
         # (aggregating an empty relation yielded one all-NULL row)
         return spark.range(1).select(
@@ -467,8 +613,8 @@ def ks_drift(
             F.lit(None).cast("long").alias("ks_ppm"),
             F.lit(None).cast(v_type).alias("at_value"),
         )
-    n1 = sum(s1 for _, s1, _ in parts)
-    n2 = sum(s2 for _, _, s2 in parts)
+    m, totals = cum
+    n1, n2 = totals["_c1"], totals["_c2"]
     if n1 * n2 >= (1 << 63):
         raise ValueError(
             f"ks_drift: n1*n2 = {n1}*{n2} exceeds the BIGINT "
@@ -476,22 +622,10 @@ def ks_drift(
             "column (psi_drift-style bucketing) or sample a side "
             "(operators/profile.py)"
         )
-    off1, off2, a1, a2 = {}, {}, 0, 0
-    for pid, s1, s2 in parts:
-        off1[pid], off2[pid] = a1, a2
-        a1 += s1
-        a2 += s2
-    map1 = F.create_map(
-        *[F.lit(x) for pid in sorted(off1) for x in (pid, off1[pid])]
-    )
-    map2 = F.create_map(
-        *[F.lit(x) for pid in sorted(off2) for x in (pid, off2[pid])]
-    )
     scored = m.select(
         "v",
         F.abs(
-            (F.col("_l1") + map1[F.col("_pid")]) * F.lit(n2)
-            - (F.col("_l2") + map2[F.col("_pid")]) * F.lit(n1)
+            F.col("_cum__c1") * F.lit(n2) - F.col("_cum__c2") * F.lit(n1)
         ).alias("_d"),
     )
     if n1 <= 0 or n2 <= 0:

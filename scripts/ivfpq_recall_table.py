@@ -13,7 +13,13 @@ SQL-reproducible driver queries use) and Lloyd-trained quantizers
 (``ivf_train`` + ``pq_train``, the production build).  Ground truth is
 exact ``cosine_topk`` over the raw doubles.
 
-Emits one JSON line; the committed table lives in SOAK.md.
+Two corpora (r14, VERDICT r13 #6): the sf0.1 embeddings table
+(near-ISOTROPIC synthetic vectors — the adversarial regime for
+inverted lists: cluster structure barely exists, so pruning must lose
+neighbors) and a mixture-of-Gaussians corpus with 16 well-separated
+clusters (the regime IVF is built for — fixed-nprobe recall should
+rise markedly).  One JSON line per corpus; both committed tables live
+in SOAK.md.
 
     python scripts/ivfpq_recall_table.py [n_queries]
 """
@@ -34,17 +40,28 @@ N_CENTROIDS = 16
 N_CODES = 16
 
 
-def main() -> None:
-    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    from radohydro_spark import get_spark
+def _mog_corpus(spark, n: int = 2000, dim: int = 64, g: int = 16, seed: int = 14):
+    """Mixture-of-Gaussians embedding corpus: ``g`` well-separated
+    cluster centers (uniform on [-1,1]^dim, scaled 4×) plus N(0, 0.15)
+    per-coordinate noise — the regime inverted-list pruning is built
+    for.  Deterministic (fixed seed), generated driver-side (soak-sized:
+    n·dim doubles) and parallelized for the scan."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = (rng.uniform(-1.0, 1.0, size=(g, dim)) * 4.0).astype("float64")
+    labels = rng.integers(0, g, size=n)
+    pts = centers[labels] + rng.normal(0.0, 0.15, size=(n, dim))
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(32)
+
+
+def _recall_table(spark, e, corpus_tag: str, n_queries: int) -> dict:
     from radohydro_spark.operators import similarity as SIM
 
-    spark = get_spark("ivfpq_recall")
-    e = (
-        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
-        .cache()
-    )
+    e = e.cache()
     n_corpus = e.count()
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -56,7 +73,7 @@ def main() -> None:
 
     out = {
         "metric": "ivfpq_recall_at_5",
-        "sf": 0.1,
+        "corpus": corpus_tag,
         "n_corpus": n_corpus,
         "n_queries": n_queries,
         "n_centroids": N_CENTROIDS,
@@ -69,6 +86,28 @@ def main() -> None:
             if trained
             else None
         )
+        # LIST-level candidate recall (r14): is the true neighbor's
+        # inverted list probed AT ALL — the IVF-pruning lever isolated
+        # from PQ distortion (independent of m)
+        cents = (
+            centroids
+            if centroids is not None
+            else e.orderBy("vec_id")
+            .limit(N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"), "embedding")
+        )
+        assigned = SIM.ivf_assign(e, cents)
+        list_recall = {}
+        for nprobe in (1, 2, 4, 8):
+            qp = SIM._probe_lists(
+                queries, cents, nprobe, "embedding", "query_id"
+            )
+            lh = (
+                exact.join(assigned, "vec_id")
+                .join(qp, ["query_id", "centroid_id"])
+                .count()
+            )
+            list_recall[nprobe] = round(lh / n_exact, 4)
         for m in (4, 8, 16):
             books = (
                 SIM.pq_train(e, m=m, k=N_CODES, iterations=5)
@@ -135,9 +174,25 @@ def main() -> None:
                         "scan_fraction": round(nprobe / N_CENTROIDS, 4),
                         "recall_at_5": round(hits / n_exact, 4),
                         "rerank50_recall_at_5": round(rr_hits / n_exact, 4),
+                        "list_recall_at_5": list_recall[nprobe],
                     }
                 )
-    print(json.dumps(out))
+    exact.unpersist()
+    e.unpersist()
+    return out
+
+
+def main() -> None:
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    from radohydro_spark import get_spark
+
+    spark = get_spark("ivfpq_recall")
+    iso = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    print(json.dumps(_recall_table(spark, iso, "sf0.1-isotropic", n_queries)))
+    mog = _mog_corpus(spark)
+    print(json.dumps(_recall_table(spark, mog, "mog-16-clusters", n_queries)))
 
 
 if __name__ == "__main__":

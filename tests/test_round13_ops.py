@@ -618,7 +618,7 @@ def test_ks_drift_cross_mult_domain_guard_raises_named(spark):
         def __getitem__(self, k):
             return dict.__getitem__(self, k)
 
-    fake = [_FakeRow(_pid=0, s1=1 << 32, s2=1 << 32)]
+    fake = [_FakeRow(_pid=0, _c1=1 << 32, _c2=1 << 32)]
     with mock.patch(
         "pyspark.sql.classic.dataframe.DataFrame.collect",
         return_value=fake,

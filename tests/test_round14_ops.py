@@ -16,6 +16,95 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+# ----------------------------------------------------- Mann-Whitney AUC
+
+
+def test_auc_hand_case_with_ties(spark):
+    from radohydro_spark.operators.profile import auc_mann_whitney
+
+    # scores [1,2,2,3], labels [0,0,1,1]: ranks 1, 2.5, 2.5, 4 ->
+    # R+ = 6.5, 2R+ = 13, AUC = (6.5 - 3)/(2*2) = 0.875
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (2, 1), (3, 1)], "s long, y long"
+    )
+    r = auc_mann_whitney(df, "s", "y").collect()[0]
+    assert tuple(r) == (2, 2, 13, 875_000)
+
+
+def test_auc_matches_brute_force_pair_count(spark):
+    import random
+
+    from radohydro_spark.operators.profile import auc_mann_whitney
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 50), rng.randrange(0, 2)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    r = auc_mann_whitney(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    conc2 = 2 * sum(1 for p in pos for n in neg if p > n) + sum(
+        1 for p in pos for n in neg if p == n
+    )
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert r.auc_ppm == (conc2 * 1_000_000) // (2 * len(pos) * len(neg))
+
+
+def test_auc_perfect_and_reversed_separation(spark):
+    from radohydro_spark.operators.profile import auc_mann_whitney
+
+    df = spark.createDataFrame(
+        [(i, 1 if i >= 50 else 0) for i in range(100)], "s long, y long"
+    )
+    assert auc_mann_whitney(df, "s", "y").collect()[0].auc_ppm == 1_000_000
+    rev = df.select((-F.col("s")).alias("s"), "y")
+    assert auc_mann_whitney(rev, "s", "y").collect()[0].auc_ppm == 0
+
+
+def test_auc_single_class_null_ppm_and_empty_row(spark):
+    from radohydro_spark.operators.profile import auc_mann_whitney
+
+    ones = spark.createDataFrame([(1, 1), (2, 1)], "s long, y long")
+    r = auc_mann_whitney(ones, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_ppm) == (2, 0, None)
+    empty = spark.createDataFrame([], "s long, y long")
+    e = auc_mann_whitney(empty, "s", "y").collect()
+    assert len(e) == 1 and tuple(e[0]) == (None, None, None, None)
+
+
+def test_auc_invariant_to_n_parts(spark):
+    import random
+
+    from radohydro_spark.operators.profile import auc_mann_whitney
+
+    rng = random.Random(99)
+    rows = [(rng.randrange(0, 1000), rng.randrange(0, 2)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    got = {
+        p: tuple(auc_mann_whitney(df, "s", "y", n_parts=p).collect()[0])
+        for p in (1, 3, 32)
+    }
+    assert got[1] == got[3] == got[32]
+
+
+def test_auc_domain_guard_raises_named(spark):
+    from unittest import mock
+
+    from radohydro_spark.operators import profile as P
+
+    df = spark.createDataFrame([(1, 0), (2, 1)], "s long, y long")
+    fake = [dict(_pid=0, _ct=1 << 32, _cp=1 << 31)]
+
+    class _R(dict):
+        pass
+
+    with mock.patch(
+        "pyspark.sql.classic.dataframe.DataFrame.collect",
+        return_value=[_R(fake[0])],
+    ):
+        with pytest.raises(ValueError, match=r"auc_mann_whitney: 2\*n_pos"):
+            P.auc_mann_whitney(df, "s", "y")
+
+
 # --------------------------------------------- perplexity cut calibration
 
 
