@@ -9540,6 +9540,75 @@ FROM t
 """
 
 
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + point queries
+    (operators.sketch.count_min_table / count_min_estimate; Cormode &
+    Muthukrishnan 2005): 4×256 counters summarize per-user event
+    frequencies in bounded space, then the 10 heaviest users are
+    point-queried and compared against their exact counts — the
+    verification shape (estimate ≥ truth always; overcount = hash
+    collisions).  Deterministic end-to-end: row d hashes
+    portable_hash(d||':'||key) mod width, so sketch and estimates are
+    bit-identical in SQL.  Build shuffle ≤ depth·width counters per
+    task regardless of input; estimates broadcast the sketch and never
+    touch the corpus."""
+    from radohydro_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = count_min_table(ev, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
+    est = count_min_estimate(
+        sk, top.select("user_id"), "user_id", depth=4, width=256
+    )
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _cms_oracle() -> str:
+    h_build = _ph_sql("concat(CAST(dd.range AS VARCHAR), ':', k)")
+    h_query = _ph_sql(
+        "concat(CAST(dd.range AS VARCHAR), ':', CAST(t.user_id AS VARCHAR))"
+    )
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+            WHERE user_id IS NOT NULL),
+sk AS (
+  SELECT d, bucket, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT dd.range AS d,
+           CAST(({h_build}) % 256 AS INT) AS bucket
+    FROM ev, range(4) dd) GROUP BY d, bucket
+),
+ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM events
+       WHERE user_id IS NOT NULL GROUP BY 1),
+top AS (SELECT * FROM ex ORDER BY exact_n DESC, user_id LIMIT 10),
+q AS (
+  SELECT t.user_id, dd.range AS d,
+         CAST(({h_query}) % 256 AS INT) AS bucket
+  FROM top t, range(4) dd
+),
+est AS (
+  SELECT q.user_id, CAST(min(coalesce(s.n, 0)) AS BIGINT) AS cms_n
+  FROM q LEFT JOIN sk s ON s.d = q.d AND s.bucket = q.bucket GROUP BY 1
+)
+SELECT t.user_id, t.exact_n, e.cms_n,
+       CAST(e.cms_n - t.exact_n AS BIGINT) AS overcount
+FROM top t JOIN est e ON e.user_id = t.user_id
+ORDER BY t.user_id
+"""
+
+
 ORACLE_KS_DRIFT = """
 WITH base AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderdate
@@ -9588,7 +9657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier-eval primitive on the same range-partition
         # cumulative machinery as the reworked ks_drift.
         "dq_auc_returns": q_dq_auc_returns,
-        # Positions 2-3: r14 re-pins — queries whose ENGINE DEFINITION
+        # Position 2: Count-Min sketch build + verified point queries
+        # (bounded-space frequency estimation, deterministic md5-prefix
+        # hash rows, est >= truth one-sided guarantee).
+        "sketch_count_min": q_sketch_count_min,
+        # Positions 3-4: r14 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
         # moved off the single-partition value-domain window onto the
@@ -9597,7 +9670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 4-45 -- last driver-green: r9 (the 42-query cohort
+        # Positions 5-46 -- last driver-green: r9 (the 42-query cohort
         # tail, staged for this window since r13) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -9642,20 +9715,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_tfidf_top_terms": q_text_tfidf,
         "text_token_budget": q_token_budget,
-        # Positions 46-49 -- last driver-green: r10 (the first 4 of the
+        # Positions 47-49 -- last driver-green: r10 (the first 3 of the
         # r10 cohort) --
         "sample_group_kfold": q_sample_group_kfold,
         "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
         "text_ngram_containment": q_text_ngram_containment,
-        "stats_pca_top_component": q_stats_pca_top_component,
         # --- end of round-14 driver window ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-15 rotation is already front-loaded: the r10 cohort tail
-        # (46 rows, starting window_distinct_running) + the first 4 of
+        # (47 rows, starting stats_pca_top_component) + the first 3 of
         # the r11 cohort = the round-15 50-entry window (before any r15
         # first-exposure displacements); the r11 tail + the r12 window
         # rows follow in r16.
         # -- last driver-green: r10 (the cohort tail) --
+        "stats_pca_top_component": q_stats_pca_top_component,
         "window_distinct_running": q_window_distinct_running,
         "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
         "events_interval_coalesce": q_events_interval_coalesce,
@@ -9887,6 +9960,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "dq_ks_drift": ORACLE_KS_DRIFT,
         "dq_auc_returns": ORACLE_AUC_RETURNS,
+        "sketch_count_min": _cms_oracle(),
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

@@ -296,3 +296,97 @@ def exact_quantiles(
         assert 0 <= k
         out_rows.append((num, den, inside[k] if k < len(inside) else hi))
     return spark.createDataFrame(out_rows, f"num long, den long, value {vtype}")
+
+
+def count_min_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch BUILD (Cormode & Muthukrishnan, J.Alg 2005):
+    ``depth`` hash rows × ``width`` counters summarizing the frequency
+    of every key in bounded space — the mergeable point-query sibling
+    of :func:`heavy_hitters` (MG answers "which keys are hot",
+    CM answers "how often is THIS key", with a one-sided
+    ``est ≥ true`` guarantee and ``est ≤ true + εN`` w.h.p. at
+    ``width = ⌈e/ε⌉``).
+
+    DETERMINISTIC cross-engine: row ``d``'s hash is
+    ``portable_hash(d || ':' || key) mod width`` (the md5-prefix hash
+    every coordinated sampler here uses), so the sketch — and every
+    estimate — is bit-identical on any engine and replayable in SQL.
+
+    Plan shape: one ``explode(sequence(0, depth−1))`` projection and
+    ONE map-side-combinable aggregate whose output is ≤ depth·width
+    rows REGARDLESS of input size — the shuffle carries at most
+    depth·width partial counters per task, never the key domain.  The
+    sketch is a broadcastable dimension table by construction; merging
+    two corpora's sketches is summing counters (same groupBy).
+
+    Returns ``(d, bucket, n)``.
+
+    Reference analog: none — extends the sketch family
+    (SURVEY §2 extension table).
+    """
+    assert depth >= 1 and width >= 1
+    from radohydro_spark.functions.text import portable_hash
+
+    rows = df.select(F.col(key_col).cast("string").alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    exploded = rows.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), "_k"
+    )
+    bucket = F.pmod(
+        portable_hash(
+            F.concat(F.col("d").cast("string"), F.lit(":"), F.col("_k"))
+        ),
+        F.lit(width),
+    ).cast("int")
+    return (
+        exploded.select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a :func:`count_min_table` sketch for every key in
+    ``keys`` (a dimension-sized relation): estimate =
+    ``min_d sketch[d][h_d(key)]``, 0 for a key hashing to an untouched
+    counter.  The sketch (≤ depth·width rows) broadcasts; the query is
+    a broadcast left join + one key-grouped min — no corpus access at
+    all, which is the point: at 100 TB the sketch is built once in the
+    ingest pass and every later "how frequent is X?" costs nothing.
+
+    Returns ``(<key_col>, cms_n)`` with the one-sided
+    ``cms_n ≥ true count`` guarantee."""
+    from radohydro_spark.functions.text import portable_hash
+
+    k = keys.select(F.col(key_col)).withColumn(
+        "_k", F.col(key_col).cast("string")
+    )
+    q = k.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        F.pmod(
+            portable_hash(
+                F.concat(F.col("d").cast("string"), F.lit(":"), F.col("_k"))
+            ),
+            F.lit(width),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        q.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n"))
+    )

@@ -16,6 +16,79 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+# ------------------------------------------------------ Count-Min sketch
+
+
+def test_cms_one_sided_and_exact_without_collisions(spark):
+    import random
+
+    from radohydro_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(0, 40),) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "k long")
+    exact = {}
+    for (v,) in rows:
+        exact[v] = exact.get(v, 0) + 1
+    keys = spark.createDataFrame([(v,) for v in exact], "k long")
+    # narrow sketch: estimates must be one-sided overestimates
+    sk = count_min_table(df, "k", depth=4, width=16)
+    est = {
+        r.k: r.cms_n
+        for r in count_min_estimate(sk, keys, "k", depth=4, width=16).collect()
+    }
+    assert all(est[v] >= exact[v] for v in exact)
+    # wide sketch: 40 keys in 4x4096 counters -> collisions vanishingly
+    # unlikely with the md5 hash; estimates equal exact counts
+    skw = count_min_table(df, "k", depth=4, width=4096)
+    estw = {
+        r.k: r.cms_n
+        for r in count_min_estimate(
+            skw, keys, "k", depth=4, width=4096
+        ).collect()
+    }
+    assert estw == exact
+
+
+def test_cms_sketch_size_bounded_and_absent_key_zero(spark):
+    from radohydro_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([(i % 7,) for i in range(500)], "k long")
+    sk = count_min_table(df, "k", depth=3, width=8)
+    assert sk.count() <= 3 * 8
+    ghost = spark.createDataFrame([(999_999,)], "k long")
+    est = count_min_estimate(sk, ghost, "k", depth=3, width=8).collect()[0]
+    # an absent key can only overcount via collisions; with 7 live keys
+    # in 8 buckets the min over 3 rows is very likely 0, but the
+    # GUARANTEE is only est >= 0 — pin determinism instead
+    again = count_min_estimate(sk, ghost, "k", depth=3, width=8).collect()[0]
+    assert est.cms_n == again.cms_n >= 0
+
+
+def test_cms_merge_is_counter_sum(spark):
+    # sketches of two corpus halves sum counter-wise to the full sketch
+    from radohydro_spark.operators.sketch import count_min_table
+
+    df = spark.createDataFrame([(i % 11,) for i in range(400)], "k long")
+    a = df.filter(F.col("k") < 5)
+    b = df.filter(F.col("k") >= 5)
+    full = {
+        (r.d, r.bucket): r.n
+        for r in count_min_table(df, "k", 4, 32).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in count_min_table(part, "k", 4, 32).collect():
+            merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.n
+    assert merged == full
+
+
 # ----------------------------------------------------- Mann-Whitney AUC
 
 
