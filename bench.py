@@ -126,6 +126,15 @@ HEADLINE = [
     # per-round wall evidence.
     "dedup_paragraphs",
     "text_perplexity_buckets",
+    # round-14 additions: the range-partitioned value-domain cumulative
+    # machinery (_ranged_cumsums) under its two consumers — the reworked
+    # exact KS drift (the r13 verdict's one `weak`, now no
+    # single-partition sort at any domain size) and the new exact
+    # Mann-Whitney AUC (same machinery, rank-sum law) — so the shared
+    # plan shape carries per-round wall evidence on the near-distinct
+    # cents-price domain.
+    "dq_ks_drift",
+    "dq_auc_returns",
 ]
 
 
