@@ -149,6 +149,10 @@ HEADLINE = [
     "sample_cluster_balanced",
     "corpus_temperature_mixture",
     "dq_ks_drift",
+    # r14: the two _ranged_cumsums consumers (no single-partition sort
+    # on value-domain cumulatives) and the bounded-shuffle CMS
+    "dq_auc_returns",
+    "sketch_count_min",
 ]
 
 
