@@ -9644,14 +9644,323 @@ FROM t, dm, at
 """
 
 
+def q_dq_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact categorical total-variation-distance drift
+    (operators.profile.tvd_drift): order-priority mix of early (≤1994)
+    vs late (≥1995) orders — the fourth drift leg (PSI bucketed / KS
+    continuous / AUC label-separation / TVD categorical) on the shared
+    pure-BIGINT cross-multiplication law: TVD·2·n1·n2 =
+    Σ|c1·n2 − c2·n1| with the piecewise ppm division, top drifting
+    category under the smallest-on-ties law.  No window at all — two
+    map-side-combinable domain-sized counts, one scalar aggregate."""
+    from radohydro_spark.operators.profile import tvd_drift
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.year("o_orderdate") <= 1994)
+    new = o.filter(F.year("o_orderdate") >= 1995)
+    return tvd_drift(old, new, "o_orderpriority")
+
+
+ORACLE_TVD_DRIFT = """
+WITH o AS (SELECT CAST(o_orderpriority AS VARCHAR) AS cat,
+                  CAST(count(*) AS BIGINT) AS c1
+           FROM orders
+           WHERE year(o_orderdate) <= 1994 AND o_orderpriority IS NOT NULL
+           GROUP BY 1),
+n AS (SELECT CAST(o_orderpriority AS VARCHAR) AS cat,
+             CAST(count(*) AS BIGINT) AS c2
+      FROM orders
+      WHERE year(o_orderdate) >= 1995 AND o_orderpriority IS NOT NULL
+      GROUP BY 1),
+m AS (SELECT coalesce(o.cat, n.cat) AS cat,
+             coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+      FROM o FULL OUTER JOIN n ON o.cat = n.cat),
+t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM m),
+s AS (SELECT cat, abs(c1 * t.n2 - c2 * t.n1) AS d FROM m, t)
+SELECT t.n1 AS n_old, t.n2 AS n_new,
+       CAST((SELECT sum(d) FROM s) AS BIGINT) AS tvd_num,
+       CAST(CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+                 WHEN 2 * t.n1 * t.n2 <= 9000000000000
+                 THEN (1000000 * (SELECT sum(d) FROM s)) // (2 * t.n1 * t.n2)
+                 ELSE (SELECT sum(d) FROM s) // ((2 * t.n1 * t.n2) // 1000000)
+            END AS BIGINT) AS tvd_ppm,
+       (SELECT cat FROM s ORDER BY d DESC, cat LIMIT 1) AS top_category,
+       CAST((SELECT max(d) FROM s) AS BIGINT) AS top_num
+FROM t
+"""
+
+
+def q_sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch with verified one-sided contract
+    (operators.sketch.bloom_table / bloom_membership; Bloom 1970): the
+    order-holding customer-key set is summarized into 4096 bits (128
+    32-bit-lane BIGINT words, bit_or-mergeable), then EVERY customer is
+    probed and scored against the exact semi-join truth — the
+    verification shape (zero false negatives always; false positives =
+    the bits saturating).  Deterministic end-to-end: hash j's position
+    is portable_hash(j||':'||key) mod 4096, so the word table and every
+    probe are bit-identical in SQL.  Build shuffle ≤ 128 words per task
+    regardless of input; probes broadcast the sketch."""
+    from radohydro_spark.operators.sketch import (
+        bloom_membership,
+        bloom_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    sk = bloom_table(orders, "o_custkey", num_bits=4096, num_hashes=4)
+    hits = bloom_membership(
+        sk, customer.select("c_custkey"), "c_custkey",
+        num_bits=4096, num_hashes=4,
+    )
+    truth = (
+        customer.select("c_custkey")
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+            .withColumn("_has", F.lit(1)),
+            "c_custkey",
+            "left",
+        )
+        .select("c_custkey", F.coalesce("_has", F.lit(0)).alias("has_order"))
+    )
+    n_keys = orders.filter(F.col("o_custkey").isNotNull()).agg(
+        F.countDistinct("o_custkey").alias("n_keys")
+    )
+    joined = hits.join(truth, "c_custkey")
+    return (
+        joined.agg(
+            F.count("*").alias("n_probes"),
+            F.sum("has_order").alias("n_true"),
+            F.sum("bloom_hit").alias("n_bloom_hits"),
+            F.sum(
+                F.col("bloom_hit") * (F.lit(1) - F.col("has_order"))
+            ).alias("false_positives"),
+            F.sum(
+                (F.lit(1) - F.col("bloom_hit")) * F.col("has_order")
+            ).alias("false_negatives"),
+        )
+        .crossJoin(n_keys)
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_bloom_hits").cast("long").alias("n_bloom_hits"),
+            F.col("false_positives").cast("long").alias("false_positives"),
+            F.col("false_negatives").cast("long").alias("false_negatives"),
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    h_build = _ph_sql("concat(CAST(jj.range AS VARCHAR), ':', k)")
+    h_probe = _ph_sql(
+        "concat(CAST(jj.range AS VARCHAR), ':', CAST(c.c_custkey AS VARCHAR))"
+    )
+    return f"""
+WITH keyrows AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+                 WHERE o_custkey IS NOT NULL),
+sk AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM (SELECT CAST(({h_build}) % 4096 AS INT) AS pos
+        FROM keyrows, range(4) jj)
+  GROUP BY 1
+),
+q AS (
+  SELECT c.c_custkey, CAST(({h_probe}) % 4096 AS INT) AS pos
+  FROM customer c, range(4) jj
+),
+hits AS (
+  SELECT q.c_custkey,
+         CAST(min((coalesce(s.bits, 0) >> CAST(q.pos % 32 AS INT)) % 2)
+              AS INT) AS bloom_hit
+  FROM q LEFT JOIN sk s ON s.word = q.pos // 32
+  GROUP BY 1
+),
+truth AS (
+  SELECT c.c_custkey,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)
+              THEN 1 ELSE 0 END AS has_order
+  FROM customer c
+)
+SELECT (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        WHERE o_custkey IS NOT NULL) AS n_keys,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(t.has_order) AS BIGINT) AS n_true,
+       CAST(sum(h.bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(h.bloom_hit * (1 - t.has_order)) AS BIGINT)
+         AS false_positives,
+       CAST(sum((1 - h.bloom_hit) * t.has_order) AS BIGINT)
+         AS false_negatives
+FROM hits h JOIN truth t ON t.c_custkey = h.c_custkey
+"""
+
+
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-overlap sketch with exact verification
+    (operators.sketch.kmv_sketch / kmv_overlap; Beyer et al. SIGMOD
+    2007): the order-holding customer keys and the acctbal>500 customer
+    keys are each summarized to their 256 smallest portable-hash
+    values, then union / intersection / Jaccard are ESTIMATED from the
+    two sketches alone (pure-BIGINT estimators: (k−1)·2³² div theta)
+    and laid next to the exact distinct counts — the corpus-overlap
+    audit shape (at 100 TB the two key domains are never rejoined;
+    here the exact columns verify the estimators).  TakeOrdered
+    bottom-k, never a global sort."""
+    from radohydro_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rich = customer.filter(F.col("c_acctbal") > 500)
+    sk_a = kmv_sketch(orders, "o_custkey", k=256)
+    sk_b = kmv_sketch(rich, "c_custkey", k=256)
+    est = kmv_overlap(sk_a, sk_b, k=256)
+    da = orders.select(F.col("o_custkey").alias("ck")).distinct()
+    db = rich.select(F.col("c_custkey").alias("ck")).distinct()
+    exacts = (
+        da.agg(F.count("*").alias("exact_a"))
+        .crossJoin(db.agg(F.count("*").alias("exact_b")))
+        .crossJoin(da.join(db, "ck").agg(F.count("*").alias("exact_inter")))
+    )
+    return est.crossJoin(exacts).select(
+        "n_a", "n_b", "theta", "n_union_sketch", "n_common",
+        "union_est", "inter_est", "jaccard_ppm",
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+    )
+
+
+def _kmv_oracle() -> str:
+    h_a = _ph_sql("CAST(o_custkey AS VARCHAR)")
+    h_b = _ph_sql("CAST(c_custkey AS VARCHAR)")
+    dom = (1 << 32) * 255
+    return f"""
+WITH a AS (SELECT DISTINCT ({h_a}) AS hv FROM orders
+           WHERE o_custkey IS NOT NULL ORDER BY hv LIMIT 256),
+b AS (SELECT DISTINCT ({h_b}) AS hv FROM customer
+      WHERE c_acctbal > 500 AND c_custkey IS NOT NULL
+      ORDER BY hv LIMIT 256),
+u AS (SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b)
+      ORDER BY hv LIMIT 256),
+fl AS (SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+              CAST(max(hv) AS BIGINT) AS theta,
+              CAST(sum(CASE WHEN hv IN (SELECT hv FROM a)
+                             AND hv IN (SELECT hv FROM b)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       FROM u),
+est AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+         theta, n_union_sketch, n_common,
+         CAST(CASE WHEN n_union_sketch < 256 THEN n_union_sketch
+                   ELSE {dom} // nullif(theta, 0) END AS BIGINT)
+           AS union_est
+  FROM fl
+)
+SELECT n_a, n_b, theta, n_union_sketch, n_common, union_est,
+       CAST((n_common * union_est) // nullif(n_union_sketch, 0)
+            AS BIGINT) AS inter_est,
+       CAST((1000000 * n_common) // nullif(n_union_sketch, 0)
+            AS BIGINT) AS jaccard_ppm,
+       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        WHERE o_custkey IS NOT NULL) AS exact_a,
+       (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        WHERE c_acctbal > 500) AS exact_b,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT o_custkey FROM orders) x
+          JOIN (SELECT DISTINCT c_custkey FROM customer
+                WHERE c_acctbal > 500) y
+          ON x.o_custkey = y.c_custkey) AS exact_inter
+FROM est
+"""
+
+
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the mean order value
+    (operators.aggregate.poisson_bootstrap_ci; Hanley & MacGibbon
+    2006): 100 replicates, each row's replicate weight the Poisson(1)
+    inverse CDF of portable_hash(b||':'||o_orderkey) against FIXED
+    integer thresholds — no RNG, no resample materialization,
+    bit-identical in SQL.  One explode + ONE map-side-combinable
+    groupBy(b) bounding the shuffle at B rows per task; replicate
+    means in exact micro-units under the shared piecewise ppm law;
+    rank-picked percentile bounds on the B-row table."""
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return poisson_bootstrap_ci(
+        o, "price_c", ["o_orderkey"], n_replicates=100
+    )
+
+
+def _bootstrap_oracle() -> str:
+    h = _ph_sql("concat(CAST(b AS VARCHAR), ':', key)")
+    t = _POISSON1_T32
+    return f"""
+WITH rows_ AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS key,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+fan AS (SELECT key, x, CAST(bb.range AS BIGINT) AS b
+        FROM rows_, range(-1, 100) bb),
+hashed AS (SELECT b, x, ({h}) AS u FROM fan),
+wtd AS (
+  SELECT b, x,
+         CASE WHEN b = -1 THEN 1
+              WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1
+              WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3
+              WHEN u < {t[4]} THEN 4 WHEN u < {t[5]} THEN 5
+              WHEN u < {t[6]} THEN 6 WHEN u < {t[7]} THEN 7
+              ELSE 8 END AS w
+  FROM hashed
+),
+reps AS (SELECT b, CAST(sum(w * x) AS BIGINT) AS swx,
+                CAST(sum(w) AS BIGINT) AS sw,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM wtd GROUP BY b),
+means AS (
+  SELECT b, n_rows,
+         CAST(CASE WHEN sw = 0 THEN NULL
+                   WHEN abs(swx) <= 9000000000000
+                   THEN (1000000 * swx) // sw
+                   ELSE swx // (sw // 1000000) END AS BIGINT) AS mean_micro
+  FROM reps
+),
+ranked AS (SELECT mean_micro,
+                  row_number() OVER (ORDER BY mean_micro, b) AS r
+           FROM means WHERE b >= 0)
+SELECT CAST(100 AS BIGINT) AS n_replicates,
+       CAST(coalesce((SELECT n_rows FROM means WHERE b = -1), 0)
+            AS BIGINT) AS n_rows,
+       (SELECT mean_micro FROM means WHERE b = -1) AS point_micro,
+       (SELECT mean_micro FROM ranked WHERE r = 3) AS lo_micro,
+       (SELECT mean_micro FROM ranked WHERE r = 98) AS hi_micro
+"""
+
+
+# the fixed Poisson(1) CDF thresholds, shared with the engine
+from radohydro_spark.operators.aggregate import (  # noqa: E402
+    _POISSON1_CUM_T32 as _POISSON1_T32,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-14 driver window (positions 0-49) ---
-        # Position 0: the r14 first-exposure operator — BATCHED-selection
-        # BPE training (top-B mutually symbol-disjoint pairs per round,
-        # the standard scalable-BPE compromise: ~B× fewer rounds for the
-        # same vocabulary; greedy accepted-set law replayed by the
-        # oracle's recursive CTE over the candidate window).
+        # Positions 0-6: the seven r14 first-exposure operators.
+        # Position 0: BATCHED-selection BPE training (top-B mutually
+        # symbol-disjoint pairs per round, the standard scalable-BPE
+        # compromise: ~B× fewer rounds for the same vocabulary; greedy
+        # accepted-set law replayed by the oracle's recursive CTE over
+        # the candidate window).
         "text_bpe_train_batched": q_text_bpe_train_batched,
         # Position 1: exact tie-corrected Mann–Whitney ROC-AUC — the
         # classifier-eval primitive on the same range-partition
@@ -9661,7 +9970,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bounded-space frequency estimation, deterministic md5-prefix
         # hash rows, est >= truth one-sided guarantee).
         "sketch_count_min": q_sketch_count_min,
-        # Positions 3-4: r14 re-pins — queries whose ENGINE DEFINITION
+        # Position 3: exact categorical TVD drift — the fourth drift
+        # leg (PSI/KS/AUC/TVD) on the shared BIGINT cross-mul law.
+        "dq_tvd_drift": q_dq_tvd_drift,
+        # Position 4: Bloom membership sketch with the verified
+        # zero-false-negative contract (32-bit-lane words, bit_or-
+        # mergeable, SQL-replayable md5-prefix hashes).
+        "sketch_bloom_filter": q_sketch_bloom_filter,
+        # Position 5: KMV bottom-k distinct-overlap sketch — union /
+        # intersection / Jaccard estimated from two 256-row sketches,
+        # laid next to the exact counts.
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        # Position 6: deterministic Poisson-bootstrap CI for the mean
+        # (fixed integer inverse-CDF thresholds on the coordinated
+        # hash; one groupBy(b) bounding the shuffle at B rows/task).
+        "stats_bootstrap_ci": q_stats_bootstrap_ci,
+        # Positions 7-8: r14 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
         # moved off the single-partition value-domain window onto the
@@ -9670,8 +9994,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 5-46 -- last driver-green: r9 (the 42-query cohort
-        # tail, staged for this window since r13) --
+        # Positions 9-49 -- last driver-green: r9 (the 42-query cohort
+        # tail, staged for this window since r13; its last row plus the
+        # three r10 head rows were displaced past position 49 by the
+        # four extra first-exposure operators and lead the r15 window
+        # instead) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -9714,19 +10041,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentence_chunks": q_text_sentence_chunks,
         "text_stats": q_text_stats,
         "text_tfidf_top_terms": q_text_tfidf,
+        # --- end of round-14 driver window (position 49 = the 41st r9
+        # row above, text_tfidf_top_terms) ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-15 rotation is already front-loaded: the last r9 row +
+        # three r10 head rows displaced from this window by the four
+        # extra first-exposure operators, then the r10 cohort tail
+        # (47 rows, starting stats_pca_top_component) = the round-15
+        # 50-entry window (before any r15 first-exposure
+        # displacements); the r11 cohort + the r12 window rows follow.
+        # -- last driver-green: r9/r10 (displaced window tail) --
         "text_token_budget": q_token_budget,
-        # Positions 47-49 -- last driver-green: r10 (the first 3 of the
-        # r10 cohort) --
         "sample_group_kfold": q_sample_group_kfold,
         "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
         "text_ngram_containment": q_text_ngram_containment,
-        # --- end of round-14 driver window ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-15 rotation is already front-loaded: the r10 cohort tail
-        # (47 rows, starting stats_pca_top_component) + the first 3 of
-        # the r11 cohort = the round-15 50-entry window (before any r15
-        # first-exposure displacements); the r11 tail + the r12 window
-        # rows follow in r16.
         # -- last driver-green: r10 (the cohort tail) --
         "stats_pca_top_component": q_stats_pca_top_component,
         "window_distinct_running": q_window_distinct_running,
@@ -9961,6 +10289,10 @@ def oracle_sql() -> dict[str, str]:
         "dq_ks_drift": ORACLE_KS_DRIFT,
         "dq_auc_returns": ORACLE_AUC_RETURNS,
         "sketch_count_min": _cms_oracle(),
+        "dq_tvd_drift": ORACLE_TVD_DRIFT,
+        "sketch_bloom_filter": _bloom_oracle(),
+        "sketch_kmv_overlap": _kmv_oracle(),
+        "stats_bootstrap_ci": _bootstrap_oracle(),
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

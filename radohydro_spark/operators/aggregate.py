@@ -469,3 +469,155 @@ def time_weighted_avg(
             "total_seconds",
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to the 32-bit hash domain:
+# floor(P(X <= j) * 2^32) for j = 0..7 (P(X <= 7) = 0.99999, weights cap
+# at 8).  FIXED integer constants, not computed at runtime — the whole
+# point is that both engines compare the same literals against the same
+# deterministic hash, so the "random" weights are bit-identical in SQL.
+_POISSON1_CUM_T32 = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    n_replicates: int = 100,
+    lo_q: int = 25,
+    hi_q: int = 975,
+) -> DataFrame:
+    """Bootstrap confidence interval for a mean WITHOUT resampling —
+    the Poisson bootstrap (Hanley & MacGibbon 2006; the
+    bag-of-little-bootstraps ancestor every large-scale A/B platform
+    uses): instead of drawing n rows with replacement (impossible to
+    coordinate across executors), each (row, replicate) pair draws an
+    independent Poisson(1) WEIGHT — for n → ∞ the two schemes have the
+    same distribution, and the weighted form is embarrassingly
+    parallel: one projection, one map-side-combinable aggregate.
+
+    DETERMINISTIC cross-engine: replicate ``b``'s weight for a row is
+    the Poisson(1) inverse CDF applied to
+    ``portable_hash(b || ':' || key)`` (key = the ``id_cols`` joined
+    with '-'), thresholded against the FIXED integer constants
+    ``_POISSON1_CUM_T32`` — no RNG, no float CDF, bit-identical in
+    SQL and across retries/partitionings (the coordinated-sampling
+    discipline every sampler here follows).
+
+    ``value_col`` must be INTEGRAL (pre-quantize: cents, micro-units —
+    the auc_mann_whitney convention).  Each replicate's mean is
+    reported in exact micro-units by ONE floored division under the
+    shared ks_drift piecewise overflow law: below 9e12 summed units
+    ``(10⁶·Σwx) div Σw`` exactly, above it ``Σwx div (Σw div 10⁶)``
+    (validity there needs Σw ≥ 10⁶ — i.e. ≥ ~10⁶ rows, exactly the
+    regime where sums are that large; outside it both engines raise
+    the same division error, loudly).
+
+    Plan shape: ``explode(sequence(0, B−1))`` fans each row to B
+    replicate contributions, then ONE groupBy(b) whose map-side
+    partials bound the shuffle at B rows per task — no corpus copy,
+    no resample materialization.  The final rank-pick runs on the
+    B-row replicate table (dimension-bounded by the B literal — a
+    window there is deliberate, not a scale hole).  The point
+    estimate rides the same aggregate as replicate −1 with weight 1
+    (no separate scan).
+
+    Returns ONE row ``(n_replicates, n_rows, point_micro, lo_micro,
+    hi_micro)``: the full-data mean and the ``lo_q/1000``,
+    ``hi_q/1000`` bootstrap-percentile bounds (ranks
+    ``ceil(q·B/1000)`` over replicate means ordered by
+    ``(mean_micro, b)`` — deterministic under ties).  Empty input
+    yields the all-NULL row.
+
+    Reference analog: none — extends the stats family
+    (SURVEY §2 extension table).
+    """
+    from radohydro_spark.functions.text import portable_hash
+
+    assert n_replicates >= 2 and 0 < lo_q < hi_q < 1000
+    key = F.concat_ws("-", *[F.col(c).cast("string") for c in id_cols])
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        key.alias("_key"), F.col(value_col).cast("long").alias("_x")
+    )
+    fan = rows.select(
+        "_key",
+        "_x",
+        F.explode(F.sequence(F.lit(-1), F.lit(n_replicates - 1))).alias("b"),
+    )
+    u = portable_hash(
+        F.concat(F.col("b").cast("string"), F.lit(":"), F.col("_key"))
+    )
+    w = F.lit(len(_POISSON1_CUM_T32)).cast("long")
+    for j in range(len(_POISSON1_CUM_T32) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CUM_T32[j]), F.lit(j).cast("long")).otherwise(w)
+    # replicate -1 is the point estimate: every row with weight 1
+    w = F.when(F.col("b") == F.lit(-1), F.lit(1).cast("long")).otherwise(w)
+    reps = (
+        fan.select("b", w.alias("_w"), "_x")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("swx"),
+            F.sum("_w").alias("sw"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn(
+            "mean_micro",
+            F.expr(
+                "CASE WHEN sw = 0 THEN NULL"
+                "     WHEN abs(swx) <= 9000000000000"
+                "     THEN (1000000 * swx) div sw"
+                "     ELSE swx div (sw div 1000000) END"
+            ).cast("long"),
+        )
+    )
+    # the B+1-row replicate table feeds both the rank-pick and the point
+    # row — persist it so the corpus aggregate runs ONCE (session pool)
+    reps = reps.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(reps)
+    from pyspark.sql import Window as W
+
+    # B+1 rows total: the global window is bounded by the B literal
+    ranked = (
+        reps.filter(F.col("b") >= 0)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy().orderBy("mean_micro", "b")
+            ),
+        )
+    )
+    lo_rank = -(-lo_q * n_replicates // 1000)  # ceil
+    hi_rank = -(-hi_q * n_replicates // 1000)
+    bounds = ranked.agg(
+        F.max(F.when(F.col("_r") == lo_rank, F.col("mean_micro"))).alias(
+            "lo_micro"
+        ),
+        F.max(F.when(F.col("_r") == hi_rank, F.col("mean_micro"))).alias(
+            "hi_micro"
+        ),
+    )
+    # global aggregates emit exactly ONE row even on empty input, so the
+    # all-NULL degenerate row (n_rows coalesced to 0) falls out with no
+    # driver-side emptiness probe
+    point = reps.filter(F.col("b") == -1).agg(
+        F.max("mean_micro").alias("point_micro"),
+        F.max("n_rows").alias("n_rows"),
+    )
+    return point.crossJoin(bounds).select(
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        "point_micro",
+        "lo_micro",
+        "hi_micro",
+    )

@@ -653,3 +653,128 @@ def ks_drift(
             "at_value",
         )
     )
+
+
+def tvd_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Exact total-variation distance between two snapshots of a
+    CATEGORICAL column — the fourth leg of the drift family:
+    :func:`psi_drift` (bucketed numeric, smoothing-epsilon PSI),
+    :func:`ks_drift` (ordered/continuous, CDF sup-distance),
+    :func:`auc_mann_whitney` (label separation), and TVD here for
+    unordered category domains where a CDF is meaningless and PSI's
+    equi-width grid does not apply.  ``TVD = ½·Σ_i |p1_i − p2_i|``
+    (half the L1 distance; 0 = identical mixtures, 1 = disjoint
+    support) — the standard categorical drift monitor for a corpus
+    mixture (language / source / license shares) before a retrain.
+
+    EXACT cross-engine in pure BIGINTs (the ks_drift law): with
+    per-category counts ``c1_i, c2_i`` and totals ``n1, n2``,
+    ``TVD = Σ_i |c1_i·n2 − c2_i·n1| / (2·n1·n2)`` — no ratio ever
+    materializes.  Each term is ≤ n1·n2 and the sum is ≤ 2·n1·n2, so
+    the ENFORCED validity bound is ``2·n1·n2 < 2^63`` (driver-side
+    longs → a named ValueError, never an opaque ANSI overflow; the
+    auc_mann_whitney convention).  The reported ``tvd_ppm`` is one
+    terminal floored division under the shared piecewise overflow law:
+    below 9e12 pair-products ``(10⁶·num) div (2·n1·n2)`` exactly,
+    above it ``num div ((2·n1·n2) div 10⁶)``.
+
+    Plan shape: one map-side-combinable count aggregate per snapshot
+    (output = the CATEGORY DOMAIN, by definition small for a
+    categorical column), a full-outer join on the category, one scalar
+    aggregate.  NO window at all (unlike ks_drift, TVD needs no
+    cumulation — the absolute differences sum directly), and the only
+    driver action is a 1-row totals collect.  At 100 TB the shuffle
+    carries at most |domain| partial counters per task.
+
+    NULL categories are EXCLUDED on both sides (the ks_drift
+    convention) — pre-coalesce to a sentinel label to track them.
+
+    Returns ONE row ``(n_old, n_new, tvd_num, tvd_ppm, top_category,
+    top_num)`` where ``tvd_num = Σ|c1·n2 − c2·n1|`` and
+    ``top_category`` is the single category with the largest
+    per-category numerator (smallest category on ties — the drift
+    locus, the at_value convention); empty inputs yield the all-NULL
+    row.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    spark = old.sparkSession
+    o = (
+        old.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").alias("_c1"))
+    )
+    n = (
+        new.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").alias("_c2"))
+    )
+    merged = o.join(n, "cat", "full_outer").select(
+        "cat",
+        F.coalesce(F.col("_c1"), F.lit(0)).alias("_c1"),
+        F.coalesce(F.col("_c2"), F.lit(0)).alias("_c2"),
+    )
+    merged = merged.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(merged)
+    tot = merged.agg(
+        F.sum("_c1").alias("n1"), F.sum("_c2").alias("n2")
+    ).collect()[0]
+    if tot["n1"] is None:  # empty category domain on both sides
+        return spark.range(1).select(
+            F.lit(None).cast("long").alias("n_old"),
+            F.lit(None).cast("long").alias("n_new"),
+            F.lit(None).cast("long").alias("tvd_num"),
+            F.lit(None).cast("long").alias("tvd_ppm"),
+            F.lit(None).cast("string").alias("top_category"),
+            F.lit(None).cast("long").alias("top_num"),
+        )
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+    den = 2 * n1 * n2
+    if den >= (1 << 63):
+        raise ValueError(
+            f"tvd_drift: 2*n1*n2 = 2*{n1}*{n2} exceeds the BIGINT "
+            "cross-multiplication domain (2^63) — sample a side "
+            "(operators/profile.py)"
+        )
+    scored = merged.select(
+        "cat",
+        F.abs(
+            F.col("_c1") * F.lit(n2) - F.col("_c2") * F.lit(n1)
+        ).alias("_d"),
+    )
+    if n1 == 0 or n2 == 0:
+        # one side empty: proportions undefined on that side
+        ppm = F.lit(None).cast("long")
+    elif den <= 9_000_000_000_000:
+        ppm = F.expr(f"(1000000 * tvd_num) div {den}")
+    else:
+        ppm = F.expr(f"tvd_num div {den // 1_000_000}")
+    return (
+        scored.groupBy()
+        .agg(
+            F.sum("_d").alias("tvd_num"),
+            # largest per-category numerator, smallest category on ties
+            # (string tie-law: max_by on (_d, reversed-rank-by-cat) is
+            # not expressible with -cat, so min_by over (-_d, cat))
+            F.min_by(
+                "cat",
+                F.struct((-F.col("_d")).alias("nd"), F.col("cat")),
+            ).alias("top_category"),
+            F.max("_d").alias("top_num"),
+        )
+        .select(
+            F.lit(n1).cast("long").alias("n_old"),
+            F.lit(n2).cast("long").alias("n_new"),
+            "tvd_num",
+            ppm.cast("long").alias("tvd_ppm"),
+            "top_category",
+            "top_num",
+        )
+    )

@@ -390,3 +390,246 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n"))
     )
+
+
+def bloom_table(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter BUILD (Bloom, CACM 1970; distinct from operators/bloom.py's driver-collected xxhash64 join-prefilter — THIS form is engine-portable, mergeable and SQL-replayable) — the set-MEMBERSHIP
+    sibling of :func:`count_min_table` (CM answers "how often", Bloom
+    answers "was this key EVER present" in ``num_bits`` bits with a
+    one-sided guarantee: no false negatives, false-positive rate
+    ``(1 − e^{−kn/m})^k``).  The canonical 100 TB use: build once over
+    a join key's domain in the ingest pass, then broadcast it as a
+    pre-filter so later scans skip rows that cannot match
+    (operators/joins.py's bloom-prefilter join does exactly this with
+    Spark's native BloomFilter; THIS build is the engine-portable,
+    SQL-replayable form with a verified contract).
+
+    DETERMINISTIC cross-engine: hash ``j``'s bit position is
+    ``portable_hash(j || ':' || key) mod num_bits`` (the md5-prefix
+    hash every coordinated sketch here uses).  The bit array is stored
+    as ``num_bits/32`` BIGINT words holding 32-BIT LANES
+    (``word = pos div 32``, ``mask = 1 << (pos mod 32)``) — masks stay
+    below 2^32, so no shift ever touches the sign bit and DuckDB's
+    checked BIGINT ``<<`` can never range-error on the oracle side.
+
+    Plan shape: one ``explode(sequence(0, k−1))`` projection and ONE
+    map-side-combinable ``bit_or`` aggregate whose output is
+    ≤ num_bits/32 rows REGARDLESS of input size.  Broadcastable by
+    construction; merging two corpora's filters is ``bit_or`` of their
+    word tables (same groupBy).
+
+    Returns ``(word, bits)`` — only touched words appear (an absent
+    word is all-zero).
+
+    Reference analog: none — extends the sketch family
+    (SURVEY §2 extension table).
+    """
+    assert num_hashes >= 1 and num_bits >= 32 and num_bits % 32 == 0
+    from radohydro_spark.functions.text import portable_hash
+
+    rows = df.select(F.col(key_col).cast("string").alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    exploded = rows.select(
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
+        "_k",
+    )
+    pos = F.pmod(
+        portable_hash(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("_k"))
+        ),
+        F.lit(num_bits),
+    )
+    return (
+        exploded.select(
+            (pos / F.lit(32)).cast("int").alias("word"),
+            # shiftleft's Python signature wants a literal int shift;
+            # call_function resolves the SQL builtin taking a column
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(pos, F.lit(32)).cast("int"),
+            ).alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_membership(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Membership-query a :func:`bloom_table` filter for every key in
+    ``keys``: hit iff ALL ``num_hashes`` bit positions are set (an
+    absent word is all-zero).  The word table (≤ num_bits/32 rows)
+    broadcasts; the probe is a broadcast left join + one key-grouped
+    min — no corpus access at all.
+
+    Returns ``(<key_col>, bloom_hit)`` with the one-sided guarantee:
+    ``bloom_hit = 1`` for every key that was in the build input
+    (never a false negative); a hit for an absent key is a
+    false positive whose rate shrinks with ``num_bits``."""
+    from radohydro_spark.functions.text import portable_hash
+
+    k = keys.select(F.col(key_col)).withColumn(
+        "_k", F.col(key_col).cast("string")
+    )
+    pos = F.pmod(
+        portable_hash(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("_k"))
+        ),
+        F.lit(num_bits),
+    )
+    q = k.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
+        "_k",
+    ).select(
+        key_col,
+        (pos / F.lit(32)).cast("int").alias("word"),
+        F.pmod(pos, F.lit(32)).cast("int").alias("_bit"),
+    )
+    hit_j = F.pmod(
+        F.call_function(
+            "shiftright", F.coalesce(F.col("bits"), F.lit(0)), F.col("_bit")
+        ),
+        F.lit(2),
+    )
+    return (
+        q.join(F.broadcast(sketch), ["word"], "left")
+        .groupBy(key_col)
+        .agg(F.min(hit_j).cast("int").alias("bloom_hit"))
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k, a.k.a. the theta-sketch core;
+    Bar-Yossef et al., RANDOM 2002; Beyer et al., SIGMOD 2007) — the
+    DISTINCT-CARDINALITY-AND-OVERLAP sibling of the sketch family:
+    Count-Min answers "how often", Bloom answers "was it present",
+    KMV answers "how many distinct — and how many SHARED with that
+    other corpus" from two k-row summaries, which neither CM nor HLL
+    supports (HLL unions but cannot intersect without
+    inclusion-exclusion error blowup).  The canonical LLM-pipeline
+    use: estimate vocabulary / shard overlap between two corpus drops
+    without ever joining them.
+
+    The sketch is simply the ``k`` SMALLEST ``portable_hash`` values
+    of the key domain — deterministic cross-engine, order-insensitive,
+    and MERGEABLE (union = bottom-k of the concatenation).  Distinct
+    keys colliding to one 32-bit hash merge (the standard KMV caveat,
+    ~n²/2³³ expected collisions — immaterial below ~10⁶ distinct).
+
+    Plan shape: one map-side-combinable distinct on the hash, then
+    ``orderBy(hv).limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k heaps + a k-row driver merge), NOT a global
+    sort.  Output ≤ k rows regardless of input size.
+
+    Returns ``(hv)`` — ascending-unique 32-bit hash values.
+
+    Reference analog: none — extends the sketch family
+    (SURVEY §2 extension table).
+    """
+    assert k >= 2
+    from radohydro_spark.functions.text import portable_hash
+
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            portable_hash(F.col(key_col).cast("string")).alias("hv")
+        )
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_overlap(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Estimate distinct-union, distinct-intersection and Jaccard of
+    two key sets from their :func:`kmv_sketch` summaries alone (Beyer
+    et al., SIGMOD 2007): the union sketch is the bottom-k of the
+    merged hash sets with threshold ``theta`` = its largest retained
+    hash; every estimate is then a pure-BIGINT expression of three
+    tiny counters —
+
+    * ``union_est = (k−1)·2³² div theta`` (the classic KMV estimator;
+      EXACT ``n_union`` when fewer than k distinct hashes exist, i.e.
+      the sketch saw everything),
+    * ``inter_est = n_common · union_est div n_union_sketch`` (the
+      fraction of the union sketch present in BOTH sketches scales the
+      union estimate),
+    * ``jaccard_ppm = 10⁶·n_common div n_union_sketch``.
+
+    All divisions are terminal floored BIGINT ops ((k−1)·2³² < 2⁶³ for
+    any practical k), so the result is bit-identical in SQL.  The
+    whole computation touches only the two ≤ k-row sketches — at
+    100 TB the corpora are never rejoined.
+
+    Returns ONE row ``(n_a, n_b, theta, n_union_sketch, n_common,
+    union_est, inter_est, jaccard_ppm)``; empty sketches yield the
+    all-NULL estimate columns."""
+    a = sk_a.select(F.col("hv").alias("hv"), F.lit(1).alias("_ina"))
+    b = sk_b.select(F.col("hv").alias("hv"), F.lit(1).alias("_inb"))
+    u = (
+        sk_a.select("hv")
+        .union(sk_b.select("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+    flagged = (
+        u.join(F.broadcast(a), "hv", "left")
+        .join(F.broadcast(b), "hv", "left")
+        .agg(
+            F.count("*").alias("n_union_sketch"),
+            F.max("hv").alias("theta"),
+            F.sum(
+                F.coalesce(F.col("_ina"), F.lit(0))
+                * F.coalesce(F.col("_inb"), F.lit(0))
+            ).alias("n_common"),
+        )
+    )
+    n_a = sk_a.agg(F.count("*").alias("n_a"))
+    n_b = sk_b.agg(F.count("*").alias("n_b"))
+    dom = (1 << 32) * (k - 1)
+    union_est = F.when(
+        F.col("n_union_sketch") < F.lit(k), F.col("n_union_sketch")
+    ).otherwise(
+        F.expr(f"{dom} div nullif(theta, 0)")
+    )
+    out = flagged.crossJoin(n_a).crossJoin(n_b).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("theta").cast("long").alias("theta"),
+        F.col("n_union_sketch").cast("long").alias("n_union_sketch"),
+        F.col("n_common").cast("long").alias("n_common"),
+        union_est.cast("long").alias("union_est"),
+    )
+    return out.select(
+        "*",
+        F.expr(
+            "CAST((n_common * union_est) div nullif(n_union_sketch, 0)"
+            " AS BIGINT)"
+        ).alias("inter_est"),
+        F.expr(
+            "CAST((1000000 * n_common) div nullif(n_union_sketch, 0)"
+            " AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )

@@ -1,0 +1,262 @@
+"""Round-14 second batch: categorical TVD drift, the Bloom membership
+sketch, the KMV bottom-k overlap sketch, and the deterministic
+Poisson-bootstrap CI."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ph(s: str) -> int:
+    """Python twin of functions.text.portable_hash."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ------------------------------------------------------------ TVD drift
+
+
+def _tvd(spark, old_rows, new_rows):
+    from radohydro_spark.operators.profile import tvd_drift
+
+    o = spark.createDataFrame([(c,) for c in old_rows], "cat string")
+    n = spark.createDataFrame([(c,) for c in new_rows], "cat string")
+    return tvd_drift(o, n, "cat").collect()[0]
+
+
+def test_tvd_hand_case(spark):
+    # old {a:2, b:1}, new {b:2, c:1}: num = |2*3-0| + |3-6| + |0-3| = 12
+    # den = 2*3*3 = 18 -> tvd = 2/3 -> 666666 ppm (floored)
+    r = _tvd(spark, ["a", "a", "b"], ["b", "b", "c"])
+    assert (r.n_old, r.n_new, r.tvd_num, r.tvd_ppm) == (3, 3, 12, 666666)
+    assert (r.top_category, r.top_num) == ("a", 6)
+
+
+def test_tvd_identical_and_disjoint(spark):
+    r = _tvd(spark, ["x", "y", "y"], ["x", "y", "y"])
+    assert r.tvd_num == 0 and r.tvd_ppm == 0
+    r = _tvd(spark, ["a", "a"], ["b", "b"])
+    # disjoint support: tvd = 1.0 exactly
+    assert r.tvd_ppm == 1000000
+
+
+def test_tvd_tie_law_smallest_category(spark):
+    # both categories drift by the same numerator: the smaller one wins
+    r = _tvd(spark, ["a", "b"], ["b", "a"])
+    assert r.tvd_num == 0  # same counts both sides
+    r = _tvd(spark, ["a"], ["b"])
+    assert r.top_category == "a" and r.tvd_ppm == 1000000
+
+
+def test_tvd_one_side_empty_and_both_empty(spark):
+    from radohydro_spark.operators.profile import tvd_drift
+
+    o = spark.createDataFrame([], "cat string")
+    n = spark.createDataFrame([("x",), ("y",)], "cat string")
+    r = tvd_drift(o, n, "cat").collect()[0]
+    assert r.n_old == 0 and r.n_new == 2 and r.tvd_ppm is None
+    r = tvd_drift(o, spark.createDataFrame([], "cat string"), "cat").collect()[0]
+    assert all(
+        r[c] is None
+        for c in ["n_old", "n_new", "tvd_num", "tvd_ppm", "top_category"]
+    )
+
+
+def test_tvd_nulls_excluded_and_matches_python(spark):
+    import random
+
+    rng = random.Random(7)
+    cats = ["de", "en", "fr", "it", None]
+    old = [rng.choice(cats) for _ in range(400)]
+    new = [rng.choice(cats[:3]) for _ in range(300)]
+    r = _tvd(spark, old, new)
+    from collections import Counter
+
+    c1 = Counter(c for c in old if c is not None)
+    c2 = Counter(c for c in new if c is not None)
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    num = sum(
+        abs(c1.get(c, 0) * n2 - c2.get(c, 0) * n1) for c in set(c1) | set(c2)
+    )
+    assert (r.n_old, r.n_new, r.tvd_num) == (n1, n2, num)
+    assert r.tvd_ppm == (1_000_000 * num) // (2 * n1 * n2)
+
+
+# ----------------------------------------------------- Bloom membership
+
+
+def _bloom(spark, keys, probes, num_bits=1024, num_hashes=4):
+    from radohydro_spark.operators.sketch import bloom_membership, bloom_table
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    pdf = spark.createDataFrame([(p,) for p in probes], "k string")
+    sk = bloom_table(kdf, "k", num_bits=num_bits, num_hashes=num_hashes)
+    return {
+        r.k: r.bloom_hit
+        for r in bloom_membership(
+            sk, pdf, "k", num_bits=num_bits, num_hashes=num_hashes
+        ).collect()
+    }
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = [f"key{i}" for i in range(200)]
+    hits = _bloom(spark, keys, keys, num_bits=2048)
+    assert all(hits[k] == 1 for k in keys)
+
+
+def test_bloom_absent_keys_mostly_miss_when_sized(spark):
+    keys = [f"key{i}" for i in range(50)]
+    absent = [f"other{i}" for i in range(200)]
+    # m/n = 4096/50 -> fp rate ~ 1e-5: expect zero hits among 200 probes
+    hits = _bloom(spark, keys, absent, num_bits=4096)
+    assert sum(hits.values()) == 0
+    # saturated filter: 32 bits for 50 keys x 4 hashes -> everything hits
+    sat = _bloom(spark, keys, absent, num_bits=32)
+    assert all(v == 1 for v in sat.values())
+
+
+def test_bloom_words_mergeable_and_bounded(spark):
+    from radohydro_spark.operators.sketch import bloom_table
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(80)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(80)], "k string")
+    full = a.union(b)
+    merged = (
+        bloom_table(a, "k", 512, 4)
+        .union(bloom_table(b, "k", 512, 4))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    want = {
+        (r.word, r.bits) for r in bloom_table(full, "k", 512, 4).collect()
+    }
+    got = {(r.word, r.bits) for r in merged.collect()}
+    assert got == want
+    assert len(want) <= 512 // 32
+    # 32-bit lanes: no word ever sets the BIGINT sign region
+    assert all(0 <= bits < (1 << 32) for _, bits in want)
+
+
+# ------------------------------------------------------- KMV overlap
+
+
+def test_kmv_exact_below_k(spark):
+    from radohydro_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(60)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(40, 90)], "k long")
+    sa, sb = kmv_sketch(a, "k", k=256), kmv_sketch(b, "k", k=256)
+    r = kmv_overlap(sa, sb, k=256).collect()[0]
+    # fewer distinct than k on both sides: everything is exact
+    assert (r.n_a, r.n_b) == (60, 50)
+    assert r.n_union_sketch == 90 and r.union_est == 90
+    assert r.n_common == 20 and r.inter_est == 20
+    assert r.jaccard_ppm == (1_000_000 * 20) // 90
+
+
+def test_kmv_estimates_above_k(spark):
+    from radohydro_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(2500, 7500)], "k long")
+    sa, sb = kmv_sketch(a, "k", k=256), kmv_sketch(b, "k", k=256)
+    r = kmv_overlap(sa, sb, k=256).collect()[0]
+    assert r.n_a == 256 and r.n_b == 256 and r.n_union_sketch == 256
+    # true union 7500, intersection 2500, jaccard 1/3: KMV with k=256
+    # has ~1/sqrt(k) ~ 6% relative error; allow 25%
+    assert abs(r.union_est - 7500) / 7500 < 0.25
+    assert abs(r.inter_est - 2500) / 2500 < 0.35
+    assert abs(r.jaccard_ppm - 333333) / 333333 < 0.35
+
+
+def test_kmv_sketch_mergeable_and_takeordered(spark):
+    from radohydro_spark.operators.sketch import kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], "k long")
+    direct = [r.hv for r in kmv_sketch(a.union(b), "k", k=64).collect()]
+    merged = (
+        kmv_sketch(a, "k", k=64)
+        .union(kmv_sketch(b, "k", k=64))
+        .distinct()
+        .orderBy("hv")
+        .limit(64)
+    )
+    assert [r.hv for r in merged.collect()] == direct
+    # bottom-k plans TakeOrderedAndProject, never a global Sort+Limit
+    plan = kmv_sketch(a, "k", k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_hash_matches_python(spark):
+    from radohydro_spark.operators.sketch import kmv_sketch
+
+    vals = [f"tok{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = [r.hv for r in kmv_sketch(df, "k", k=10).collect()]
+    want = sorted({_ph(v) for v in vals})[:10]
+    assert got == want
+
+
+# --------------------------------------------- Poisson bootstrap CI
+
+
+def _poisson_w(b: int, key: str) -> int:
+    from radohydro_spark.operators.aggregate import _POISSON1_CUM_T32
+
+    if b == -1:
+        return 1
+    u = _ph(f"{b}:{key}")
+    for j, t in enumerate(_POISSON1_CUM_T32):
+        if u < t:
+            return j
+    return len(_POISSON1_CUM_T32)
+
+
+def test_bootstrap_point_is_exact_mean_and_replicates_match_python(spark):
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci
+
+    rows = [(i, 100 + (i * 37) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long")
+    r = poisson_bootstrap_ci(df, "x", ["id"], n_replicates=20).collect()[0]
+    xs = [x for _, x in rows]
+    assert r.n_rows == 500 and r.n_replicates == 20
+    assert r.point_micro == (1_000_000 * sum(xs)) // len(xs)
+    # replay every replicate in python and pick the same ranks
+    means = []
+    for b in range(20):
+        swx = sum(_poisson_w(b, str(i)) * x for i, x in rows)
+        sw = sum(_poisson_w(b, str(i)) for i, _ in rows)
+        means.append(((1_000_000 * swx) // sw, b))
+    means.sort()
+    lo = means[-(-25 * 20 // 1000) - 1][0]
+    hi = means[-(-975 * 20 // 1000) - 1][0]
+    assert (r.lo_micro, r.hi_micro) == (lo, hi)
+    assert r.lo_micro <= r.point_micro <= r.hi_micro
+
+
+def test_bootstrap_partitioning_invariant_and_weights_poisson_like(spark):
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci
+
+    rows = [(i, (i * 13) % 97) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, x long")
+    r1 = poisson_bootstrap_ci(df, "x", ["id"], n_replicates=30).collect()[0]
+    r2 = poisson_bootstrap_ci(
+        df.repartition(17), "x", ["id"], n_replicates=30
+    ).collect()[0]
+    assert r1 == r2
+    # the deterministic weights behave like Poisson(1): mean ~ 1
+    total_w = sum(_poisson_w(b, str(i)) for b in range(5) for i, _ in rows)
+    assert abs(total_w / (5 * 800) - 1.0) < 0.05
+
+
+def test_bootstrap_empty_input_all_null_row(spark):
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([], "id long, x long")
+    r = poisson_bootstrap_ci(df, "x", ["id"], n_replicates=10).collect()[0]
+    assert r.n_rows == 0 and r.point_micro is None
+    assert r.lo_micro is None and r.hi_micro is None
