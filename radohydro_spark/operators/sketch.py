@@ -533,10 +533,19 @@ def kmv_sketch(
     keys colliding to one 32-bit hash merge (the standard KMV caveat,
     ~n²/2³³ expected collisions — immaterial below ~10⁶ distinct).
 
-    Plan shape: one map-side-combinable distinct on the hash, then
-    ``orderBy(hv).limit(k)`` — Spark plans TakeOrderedAndProject
-    (per-partition top-k heaps + a k-row driver merge), NOT a global
-    sort.  Output ≤ k rows regardless of input size.
+    Plan shape — the streaming-KMV design, NOT a global distinct: a
+    naive ``distinct().orderBy(hv).limit(k)`` shuffles the ENTIRE hash
+    domain (measured linear: 27 → 277 MB at 10× input in the r14
+    soak — exactly the count-distinct cost KMV exists to avoid).
+    Instead each partition maintains a running ≤ k-row bottom-k
+    candidate set across its Arrow batches (one vectorized
+    ``mapInPandas`` pass; the per-partition bottom-k union is a
+    guaranteed superset of the global bottom-k — every global winner
+    is also a winner in its own partition), then the global
+    distinct + ``orderBy(hv).limit(k)`` (TakeOrderedAndProject:
+    per-partition heaps + a k-row driver merge, never a global sort)
+    runs on ≤ k·n_partitions candidate rows.  Shuffle is
+    dimension-bounded regardless of key-domain size.
 
     Returns ``(hv)`` — ascending-unique 32-bit hash values.
 
@@ -546,15 +555,26 @@ def kmv_sketch(
     assert k >= 2
     from radohydro_spark.functions.text import portable_hash
 
-    return (
-        df.filter(F.col(key_col).isNotNull())
-        .select(
-            portable_hash(F.col(key_col).cast("string")).alias("hv")
-        )
-        .distinct()
-        .orderBy("hv")
-        .limit(k)
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
+        portable_hash(F.col(key_col).cast("string")).alias("hv")
     )
+
+    def _prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        best: "np.ndarray | None" = None
+        for pdf in batches:
+            vals = pdf["hv"].to_numpy()
+            cand = np.unique(
+                vals if best is None else np.concatenate([best, vals])
+            )
+            best = cand[:k]
+        yield pd.DataFrame(
+            {"hv": best if best is not None else np.array([], dtype="int64")}
+        )
+
+    candidates = hashed.mapInPandas(_prune, "hv long")
+    return candidates.distinct().orderBy("hv").limit(k)
 
 
 def kmv_overlap(

@@ -153,6 +153,12 @@ HEADLINE = [
     # on value-domain cumulatives) and the bounded-shuffle CMS
     "dq_auc_returns",
     "sketch_count_min",
+    # r14 second batch: windowless TVD drift, broadcast-probe Bloom,
+    # TakeOrdered KMV bottom-k, B-rows-per-task bootstrap fan
+    "dq_tvd_drift",
+    "sketch_bloom_filter",
+    "sketch_kmv_overlap",
+    "stats_bootstrap_ci",
 ]
 
 
