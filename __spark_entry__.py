@@ -2593,6 +2593,79 @@ GROUP BY 1, 2
 """
 
 
+# the fixed reference mix for the streaming drift monitor: uniform over
+# the five event types (a deliberate LITERAL — the monitor's reference
+# must be batch-independent, like perplexity_buckets' pinned cutpoints)
+_DRIFT_REFERENCE = {
+    "click": 1, "error": 1, "purchase": 1, "signup": 1, "view": 1,
+}
+
+
+def q_events_stream_tvd_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming categorical-drift monitor
+    (streaming.stream_category_drift): per-hour exact TVD (ppm) of the
+    event-type mix against a pinned uniform reference — the
+    Structured-Streaming twin of dq_tvd_drift (same pure-BIGINT
+    cross-multiplication law), ONE stateful window aggregate with the
+    per-category counts as conditional columns over the literal
+    reference (state = |categories|+1 longs per window, never rows),
+    TVD a stateless integer projection.  availableNow drain returns
+    the batch-identical rows the oracle recomputes."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import (
+        run_available_now,
+        stream_category_drift,
+    )
+
+    raw_schema = _probe_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    drift = stream_category_drift(
+        stream, "ts", "event_type", "1 hour", _DRIFT_REFERENCE,
+        watermark="1 hour",
+    )
+    name = "stream_tvd_" + uuid.uuid4().hex[:8]
+    out = run_available_now(drift, name, tempfile.mkdtemp(prefix="ck_"), "complete")
+    return out.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        "tvd_num",
+        "tvd_ppm",
+    )
+
+
+ORACLE_STREAM_TVD = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c0,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS c2,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS c3,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c4
+  FROM events
+  WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+  GROUP BY 1
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+       CAST(abs(c0 * 5 - n) + abs(c1 * 5 - n) + abs(c2 * 5 - n)
+            + abs(c3 * 5 - n) + abs(c4 * 5 - n) AS BIGINT) AS tvd_num,
+       CAST(CASE WHEN n > 0 THEN
+              (1000000 * (abs(c0 * 5 - n) + abs(c1 * 5 - n)
+               + abs(c2 * 5 - n) + abs(c3 * 5 - n) + abs(c4 * 5 - n)))
+              // (2 * n * 5)
+            END AS BIGINT) AS tvd_ppm
+FROM w
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: first-16 centroids, nprobe=4, exact rerank in probed
     lists.  Deterministic coarse quantizer -> strong DuckDB oracle."""
@@ -9952,10 +10025,64 @@ from radohydro_spark.operators.aggregate import (  # noqa: E402
 )
 
 
+def q_orders_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact truncated EWMA (operators.aggregate.ewma_halving): daily
+    revenue per order priority smoothed with decay ½ over 12 lags —
+    the adjust=True closed form in pure BIGINTs (integer weights
+    2^(11-j), present-lag denominator, one terminal floored 10⁶
+    division), 12 lag() expressions sharing ONE window (one exchange on
+    the priority key), the |x| domain bound enforced by the named
+    in-plan assert."""
+    from radohydro_spark.operators.aggregate import ewma_halving
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_c"),
+    )
+    daily = o.groupBy("o_orderpriority", "day").agg(
+        F.sum("rev_c").alias("revenue_c")
+    )
+    return ewma_halving(
+        daily, ["o_orderpriority"], "day", "revenue_c", lags=12
+    )
+
+
+def _ewma_oracle(lags: int = 12) -> str:
+    cols = ",\n         ".join(
+        f"lag(revenue_c, {j}) OVER w AS x{j}" for j in range(lags)
+    )
+    num = " + ".join(
+        f"coalesce(x{j}, 0) * {1 << (lags - 1 - j)}" for j in range(lags)
+    )
+    den = " + ".join(
+        f"CASE WHEN x{j} IS NOT NULL THEN {1 << (lags - 1 - j)} ELSE 0 END"
+        for j in range(lags)
+    )
+    return f"""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+l AS (
+  SELECT o_orderpriority, day, revenue_c,
+         {cols}
+  FROM daily
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+)
+SELECT o_orderpriority, day, revenue_c,
+       CAST((1000000 * ({num})) // ({den}) AS BIGINT) AS ewma_micro
+FROM l
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-14 driver window (positions 0-49) ---
-        # Positions 0-6: the seven r14 first-exposure operators.
+        # Positions 0-8: the nine r14 first-exposure operators.
         # Position 0: BATCHED-selection BPE training (top-B mutually
         # symbol-disjoint pairs per round, the standard scalable-BPE
         # compromise: ~B× fewer rounds for the same vocabulary; greedy
@@ -9985,7 +10112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (fixed integer inverse-CDF thresholds on the coordinated
         # hash; one groupBy(b) bounding the shuffle at B rows/task).
         "stats_bootstrap_ci": q_stats_bootstrap_ci,
-        # Positions 7-8: r14 re-pins — queries whose ENGINE DEFINITION
+        # Position 7: the streaming twin of the TVD monitor — per-hour
+        # category-mix drift vs a pinned reference, ONE stateful window
+        # aggregate (state = |categories|+1 longs per window).
+        "events_stream_tvd_monitor": q_events_stream_tvd_monitor,
+        # Position 8: exact truncated EWMA (decay 1/2, 12 integer-weight
+        # lags sharing one window, named in-plan domain assert).
+        "orders_ewma_daily": q_orders_ewma_daily,
+        # Positions 9-10: r14 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
         # moved off the single-partition value-domain window onto the
@@ -9994,11 +10128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 9-49 -- last driver-green: r9 (the 42-query cohort
-        # tail, staged for this window since r13; its last row plus the
-        # three r10 head rows were displaced past position 49 by the
-        # four extra first-exposure operators and lead the r15 window
-        # instead) --
+        # Positions 11-49 -- last driver-green: r9 (the 42-query cohort
+        # tail, staged for this window since r13; its last three rows
+        # plus the three r10 head rows were displaced past position 49
+        # by the six extra first-exposure operators and lead the r15
+        # window instead) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -10039,18 +10173,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_redact_pii,
         "text_repetition_stats": q_text_repetition,
         "text_sentence_chunks": q_text_sentence_chunks,
+        # --- end of round-14 driver window (position 49 = the 39th r9
+        # row above, text_sentence_chunks) ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-15 rotation is already front-loaded: the last three r9
+        # rows + three r10 head rows displaced from this window by the
+        # six extra first-exposure operators, then the r10 cohort tail
+        # (starting stats_pca_top_component) = the round-15 50-entry
+        # window (before any r15 first-exposure displacements); the
+        # r11 cohort + the r12 window rows follow.
+        # -- last driver-green: r9/r10 (displaced window tail) --
         "text_stats": q_text_stats,
         "text_tfidf_top_terms": q_text_tfidf,
-        # --- end of round-14 driver window (position 49 = the 41st r9
-        # row above, text_tfidf_top_terms) ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-15 rotation is already front-loaded: the last r9 row +
-        # three r10 head rows displaced from this window by the four
-        # extra first-exposure operators, then the r10 cohort tail
-        # (47 rows, starting stats_pca_top_component) = the round-15
-        # 50-entry window (before any r15 first-exposure
-        # displacements); the r11 cohort + the r12 window rows follow.
-        # -- last driver-green: r9/r10 (displaced window tail) --
         "text_token_budget": q_token_budget,
         "sample_group_kfold": q_sample_group_kfold,
         "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
@@ -10293,6 +10427,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_bloom_filter": _bloom_oracle(),
         "sketch_kmv_overlap": _kmv_oracle(),
         "stats_bootstrap_ci": _bootstrap_oracle(),
+        "events_stream_tvd_monitor": ORACLE_STREAM_TVD,
+        "orders_ewma_daily": _ewma_oracle(),
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

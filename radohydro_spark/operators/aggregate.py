@@ -621,3 +621,97 @@ def poisson_bootstrap_ci(
         "lo_micro",
         "hi_micro",
     )
+
+
+def ewma_halving(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lags: int = 12,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average with decay ½ —
+    the classic smoothing/monitoring pass over a per-key series (daily
+    revenue, error rates, ingest volumes), EXACT in pure BIGINTs: the
+    recursive ``ewma_t = ewma_{t-1}/2 + x_t/2`` has no scalable
+    distributed form (it is order-serial), but its ``adjust=True``
+    closed form ``Σ w_j·x_{t-j} / Σ w_j`` with ``w_j = 2^{-j}``
+    truncates after ``lags`` terms to integer weights ``2^{lags-1-j}``
+    — so numerator and denominator are BIGINT window sums and the
+    reported ``ewma_micro = (10⁶·num) div den`` is ONE terminal floored
+    division, bit-identical in SQL.  Truncation keeps ≥ 1−2^{−lags} of
+    the weight mass (lags=12: 99.976%) and is part of the operator's
+    LAW, not an approximation seam: both engines compute the same 12
+    terms.
+
+    The denominator counts only PRESENT lags (series heads normalize
+    over the weights that exist — pandas ``adjust=True`` semantics), so
+    the first rows are unbiased means of their available history.
+    ``value_col`` must be integral (pre-quantize — the
+    poisson_bootstrap_ci convention) with ``|x| < 2^63 / (10⁶·2^lags)``
+    (lags=12: ~2.2e9 units), ENFORCED in-plan by a named
+    ``assert_true`` so the contract fails loudly, never as an opaque
+    ANSI overflow (num ≤ max|x|·2^lags, so the 10⁶ scaling is then
+    always exact — no piecewise branch needed).
+
+    Plan shape: ``lags`` lag() expressions SHARING one window (one
+    Exchange on the group key, one in-partition sort — Catalyst plans a
+    single Window node); no self-join, no per-row Python.  Rows with
+    NULL values are EXCLUDED before the window (the weighted_median
+    convention — a NULL would otherwise shift every downstream lag).
+
+    Returns the group/order/value columns plus ``ewma_micro``.
+
+    Reference analog: none — extends the stats family
+    (SURVEY §2 extension table).
+    """
+    assert 1 <= lags <= 32
+    bound = (1 << 63) // (1_000_000 << lags)
+    w = W.partitionBy(*group_cols).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    # the winnow/temperature loud-contract shape: the assert lives in
+    # the value expression's otherwise-branch, so it costs one codegen
+    # comparison per row and cannot be pruned
+    guard = F.abs(x) < F.lit(bound)
+    x_checked = F.when(guard, x).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                f"ewma_halving: |{value_col}| exceeds the exact-ppm "
+                f"domain 2^63/(10^6*2^{lags}) = {bound} — pre-scale the "
+                "units or lower `lags` (operators/aggregate.py)"
+            ),
+        ).cast("long")
+    )
+    num = None
+    den = None
+    for j in range(lags):
+        lx = F.lag(x, j).over(w)
+        wt = 1 << (lags - 1 - j)
+        t_num = F.coalesce(lx, F.lit(0)) * F.lit(wt)
+        t_den = F.when(lx.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            order_col,
+            x_checked.alias(value_col),
+        )
+        .select(
+            *group_cols,
+            order_col,
+            value_col,
+            num.alias("_num"),
+            den.alias("_den"),
+        )
+    )
+    return staged.select(
+        *group_cols,
+        order_col,
+        value_col,
+        F.expr("CAST((1000000 * _num) div _den AS BIGINT)").alias(
+            "ewma_micro"
+        ),
+    )

@@ -6,6 +6,7 @@ from radohydro_spark.streaming.streams import (
     streaming_dedup,
     streaming_precip,
     stateful_running_total,
+    stream_category_drift,
     stream_stream_join,
     tumbling_agg,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_precip",
     "stateful_running_total",
+    "stream_category_drift",
     "stream_stream_join",
     "tumbling_agg",
 ]

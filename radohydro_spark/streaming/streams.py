@@ -453,3 +453,75 @@ def stateful_user_profile_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_category_drift(
+    stream: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    window: str,
+    reference: dict[str, int],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming categorical-drift monitor — the Structured-Streaming
+    twin of :func:`~radohydro_spark.operators.profile.tvd_drift`: per
+    tumbling window, the exact total-variation distance (ppm) between
+    the window's category mix and a FIXED reference mix — the
+    ingest-time data-quality gate that flags a drop whose source /
+    language / event mix shifted before it lands in the corpus.
+
+    ``reference`` maps category → integer reference weight (shares in
+    any common unit; only ratios matter).  The law is the shared
+    pure-BIGINT cross-multiplication: with window counts ``c_i``,
+    window total ``n = Σc_i``, reference weights ``r_i`` and
+    ``R = Σr_i``, ``tvd_ppm = 10⁶·Σ|c_i·R − r_i·n| div (2·n·R)`` —
+    floored the same way in any engine, no float proportion ever
+    materializes.  Rows whose category is OUTSIDE the reference are
+    EXCLUDED (pre-coalesce to a sentinel to track them — the batch
+    tvd_drift NULL convention generalized).
+
+    Plan shape: ONE stateful operator (the watermarked window
+    aggregate), with the per-category counts as conditional-count
+    columns over the LITERAL reference categories — no second
+    aggregation, no stream pivot (both unsupported/stateful); the TVD
+    is a stateless integer projection on the ≤ |windows| output.
+    State per window is |reference|+1 longs, so a 100 TB/day stream
+    holds state proportional to windows·categories, never rows.
+
+    Returns ``(ts, n, tvd_num, tvd_ppm)`` per window.
+    """
+    cats = sorted(reference)
+    r_tot = sum(reference.values())
+    assert r_tot > 0 and all(v >= 0 for v in reference.values())
+    wm = stream.withWatermark(ts_col, watermark).filter(
+        F.col(cat_col).isin(cats)
+    )
+    agg = wm.groupBy(F.window(F.col(ts_col), window)).agg(
+        F.count("*").alias("n"),
+        *[
+            F.count(F.when(F.col(cat_col) == c, 1)).alias(f"_c{i}")
+            for i, c in enumerate(cats)
+        ],
+    )
+    num = None
+    for i, c in enumerate(cats):
+        term = F.abs(
+            F.col(f"_c{i}") * F.lit(r_tot) - F.lit(reference[c]) * F.col("n")
+        )
+        num = term if num is None else num + term
+    return agg.select(
+        F.col("window.start").alias("ts"),
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("tvd_num"),
+        F.when(F.col("n") > 0, (F.lit(1_000_000) * num).cast("long"))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("_scaled"),
+    ).select(
+        "ts",
+        "n",
+        "tvd_num",
+        F.expr(f"CAST(_scaled div (2 * n * {r_tot}) AS BIGINT)").alias(
+            "tvd_ppm"
+        ),
+    )

@@ -260,3 +260,114 @@ def test_bootstrap_empty_input_all_null_row(spark):
     r = poisson_bootstrap_ci(df, "x", ["id"], n_replicates=10).collect()[0]
     assert r.n_rows == 0 and r.point_micro is None
     assert r.lo_micro is None and r.hi_micro is None
+
+
+# ----------------------------------------------------- EWMA (halving)
+
+
+def test_ewma_hand_case(spark):
+    from radohydro_spark.operators.aggregate import ewma_halving
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 2), ("g", 3, 4)], "g string, t int, x long"
+    )
+    out = {
+        r.t: r.ewma_micro
+        for r in ewma_halving(df, ["g"], "t", "x", lags=3).collect()
+    }
+    # weights 4,2,1; present-lag denominator
+    assert out[1] == 1_000_000            # 4/4
+    assert out[2] == (1_000_000 * 10) // 6   # (2*4+1*2)/6
+    assert out[3] == 3_000_000            # (4*4+2*2+1)/7 = 21/7
+
+
+def test_ewma_matches_python_and_null_excluded(spark):
+    from radohydro_spark.operators.aggregate import ewma_halving
+
+    rows = [
+        ("a", t, None if t % 7 == 3 else (t * 31) % 100) for t in range(40)
+    ] + [("b", t, (t * 17) % 50) for t in range(25)]
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    got = {
+        (r.g, r.t): r.ewma_micro
+        for r in ewma_halving(df, ["g"], "t", "x", lags=12).collect()
+    }
+    series = {}
+    for g, t, x in rows:
+        if x is not None:
+            series.setdefault(g, []).append((t, x))
+    want = {}
+    for g, pts in series.items():
+        pts.sort()
+        for i, (t, _) in enumerate(pts):
+            num = den = 0
+            for j in range(12):
+                if i - j < 0:
+                    break
+                wt = 1 << (11 - j)
+                num += pts[i - j][1] * wt
+                den += wt
+            want[(g, t)] = (1_000_000 * num) // den
+    assert got == want
+
+
+def test_ewma_domain_assert_and_single_window(spark):
+    from radohydro_spark.operators.aggregate import ewma_halving
+
+    bad = spark.createDataFrame(
+        [("g", 1, 1 << 52)], "g string, t int, x long"
+    )
+    with pytest.raises(Exception, match="ewma_halving"):
+        ewma_halving(bad, ["g"], "t", "x", lags=12).collect()
+    ok = spark.createDataFrame(
+        [("g", t, t) for t in range(5)], "g string, t int, x long"
+    )
+    plan = (
+        ewma_halving(ok, ["g"], "t", "x", lags=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all 12 lags share ONE Window node (one exchange, one sort)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+
+
+# ------------------------------------------- streaming TVD monitor
+
+
+def test_stream_category_drift_matches_batch_law(spark, tmp_path):
+    import datetime
+
+    from radohydro_spark.streaming import (
+        run_available_now,
+        stream_category_drift,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hour 0: uniform mix -> tvd 0; hour 1: all 'a' -> tvd = 1 - 1/3
+    for i, c in enumerate(["a", "b", "c"] * 4):
+        rows.append((base + datetime.timedelta(minutes=i), c))
+    for i in range(6):
+        rows.append((base + datetime.timedelta(hours=1, minutes=i), "a"))
+    # out-of-reference category: excluded entirely
+    rows.append((base + datetime.timedelta(hours=1, minutes=30), "zz"))
+    df = spark.createDataFrame(rows, "ts timestamp, cat string")
+    src = str(tmp_path / "cat_events")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    drift = stream_category_drift(
+        stream, "ts", "cat", "1 hour", {"a": 1, "b": 1, "c": 1}
+    )
+    got = {
+        r.ts: (r.n, r.tvd_num, r.tvd_ppm)
+        for r in run_available_now(
+            drift, "tvd_mon", str(tmp_path / "ck"), "complete"
+        ).collect()
+    }
+    assert got[base] == (12, 0, 0)
+    # hour 1: counts (6,0,0), n=6, R=3: num = |18-6| + 6 + 6 = 24
+    # tvd = 24 / (2*6*3) = 2/3
+    h1 = base + datetime.timedelta(hours=1)
+    assert got[h1] == (6, 24, 666666)
+    assert len(got) == 2
