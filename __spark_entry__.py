@@ -10079,10 +10079,114 @@ FROM l
 """
 
 
+def q_dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein drift (operators.profile.wasserstein_drift):
+    the same cents-price snapshot split as dq_ks_drift, under the
+    magnitude-sensitive integral law — emd_num = Σ|c1·n2 − c2·n1|·Δv on
+    the shared _ranged_cumsums machinery (third consumer), the
+    partition-boundary lead(v) stitched from the same dimension-sized
+    subtotal collect, n1·n2·range < 2^63 as the named contract."""
+    from radohydro_spark.operators.profile import wasserstein_drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_orderdate",
+    )
+    old = o.filter(F.col("o_orderdate") < "1997-01-01")
+    new = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    return wasserstein_drift(old, new, "price_c")
+
+
+ORACLE_W1_DRIFT = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderdate
+  FROM orders
+),
+o AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM base
+      WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1),
+n AS (SELECT v, CAST(count(*) AS BIGINT) AS c2 FROM base
+      WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1),
+m AS (
+  SELECT coalesce(o.v, n.v) AS v,
+         coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+  FROM o FULL OUTER JOIN n ON o.v = n.v
+),
+s AS (
+  SELECT v,
+         CAST(sum(c1) OVER w AS BIGINT) AS f1,
+         CAST(sum(c2) OVER w AS BIGINT) AS f2,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM m WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+t AS (SELECT CAST(max(f1) AS BIGINT) AS n1,
+             CAST(max(f2) AS BIGINT) AS n2 FROM s),
+d AS (SELECT CAST(sum(abs(f1 * t.n2 - f2 * t.n1)
+                      * coalesce(nv - v, 0)) AS BIGINT) AS emd_num
+      FROM s, t)
+SELECT t.n1 AS n_old, t.n2 AS n_new, d.emd_num,
+       CAST(CASE WHEN t.n1 <= 0 OR t.n2 <= 0 THEN NULL
+                 WHEN d.emd_num <= 9000000000000
+                 THEN (1000000 * d.emd_num) // (t.n1 * t.n2)
+                 ELSE d.emd_num // ((t.n1 * t.n2) // 1000000)
+            END AS BIGINT) AS emd_micro
+FROM t, d
+"""
+
+
+def q_stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of per-customer revenue
+    (operators.profile.gini_coefficient): how concentrated order value
+    is across customers — the grouped Lorenz-trapezoid law
+    B = Σ(2·c·S − c²·v) in pure BIGINTs on the _ranged_cumsums
+    machinery (fourth consumer), n·T < 2^63 named contract, negative
+    values rejected by the named in-plan assert."""
+    from radohydro_spark.operators.profile import gini_coefficient
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    return gini_coefficient(rev, "rev_c")
+
+
+ORACLE_GINI = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(v) AS BIGINT) AS s
+      FROM rev GROUP BY v),
+cum AS (
+  SELECT v, c,
+         CAST(sum(s) OVER w AS BIGINT) AS s_incl
+  FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS tt
+      FROM g),
+b AS (SELECT CAST(sum(2 * c * s_incl - c * c * v) AS BIGINT) AS b FROM cum)
+SELECT t.n AS n_rows, t.tt AS total,
+       CAST(t.n * t.tt - b.b AS BIGINT) AS gini_num,
+       CAST(CASE WHEN t.n * t.tt <= 0 THEN NULL
+                 WHEN t.n * t.tt <= 9000000000000
+                 THEN (1000000 * (t.n * t.tt - b.b)) // (t.n * t.tt)
+                 ELSE (t.n * t.tt - b.b) // ((t.n * t.tt) // 1000000)
+            END AS BIGINT) AS gini_ppm
+FROM t, b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-14 driver window (positions 0-49) ---
-        # Positions 0-8: the nine r14 first-exposure operators.
+        # Positions 0-10: the eleven r14 first-exposure operators.
         # Position 0: BATCHED-selection BPE training (top-B mutually
         # symbol-disjoint pairs per round, the standard scalable-BPE
         # compromise: ~B× fewer rounds for the same vocabulary; greedy
@@ -10119,7 +10223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Position 8: exact truncated EWMA (decay 1/2, 12 integer-weight
         # lags sharing one window, named in-plan domain assert).
         "orders_ewma_daily": q_orders_ewma_daily,
-        # Positions 9-10: r14 re-pins — queries whose ENGINE DEFINITION
+        # Position 9: exact 1-Wasserstein drift — the magnitude-
+        # sensitive integral law on the shared cumulative machinery.
+        "dq_wasserstein_drift": q_dq_wasserstein_drift,
+        # Position 10: exact Gini concentration — the grouped Lorenz
+        # trapezoid, fourth _ranged_cumsums consumer.
+        "stats_gini_revenue": q_stats_gini_revenue,
+        # Positions 11-12: r14 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
         # moved off the single-partition value-domain window onto the
@@ -10128,10 +10238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 11-49 -- last driver-green: r9 (the 42-query cohort
-        # tail, staged for this window since r13; its last three rows
+        # Positions 13-49 -- last driver-green: r9 (the 42-query cohort
+        # tail, staged for this window since r13; its last five rows
         # plus the three r10 head rows were displaced past position 49
-        # by the six extra first-exposure operators and lead the r15
+        # by the eight extra first-exposure operators and lead the r15
         # window instead) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10171,18 +10281,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_quality_filter": q_text_quality_filter,
         "text_redact_pii": q_redact_pii,
+        # --- end of round-14 driver window (position 49 = the 37th r9
+        # row above, text_redact_pii) ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-15 rotation is already front-loaded: the last five r9
+        # rows + three r10 head rows displaced from this window by the
+        # eight extra first-exposure operators, then the r10 cohort
+        # tail (starting stats_pca_top_component) = the round-15
+        # 50-entry window (before any r15 first-exposure
+        # displacements); the r11 cohort + the r12 window rows follow.
+        # -- last driver-green: r9/r10 (displaced window tail) --
         "text_repetition_stats": q_text_repetition,
         "text_sentence_chunks": q_text_sentence_chunks,
-        # --- end of round-14 driver window (position 49 = the 39th r9
-        # row above, text_sentence_chunks) ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-15 rotation is already front-loaded: the last three r9
-        # rows + three r10 head rows displaced from this window by the
-        # six extra first-exposure operators, then the r10 cohort tail
-        # (starting stats_pca_top_component) = the round-15 50-entry
-        # window (before any r15 first-exposure displacements); the
-        # r11 cohort + the r12 window rows follow.
-        # -- last driver-green: r9/r10 (displaced window tail) --
         "text_stats": q_text_stats,
         "text_tfidf_top_terms": q_text_tfidf,
         "text_token_budget": q_token_budget,
@@ -10429,6 +10539,8 @@ def oracle_sql() -> dict[str, str]:
         "stats_bootstrap_ci": _bootstrap_oracle(),
         "events_stream_tvd_monitor": ORACLE_STREAM_TVD,
         "orders_ewma_daily": _ewma_oracle(),
+        "dq_wasserstein_drift": ORACLE_W1_DRIFT,
+        "stats_gini_revenue": ORACLE_GINI,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

@@ -135,6 +135,14 @@ HEADLINE = [
     # cents-price domain.
     "dq_ks_drift",
     "dq_auc_returns",
+    # round-14 second batch: the coordinated-hash replicate fan (Poisson
+    # bootstrap — one explode x B, one map-side-combinable groupBy(b)
+    # bounding the shuffle at B rows/task; wall is the md5 portability
+    # tax, linear in rows x B per SOAK.md) and the streaming-KMV
+    # bottom-k prune (per-partition Arrow candidates -> 0.7 MB flat
+    # shuffle at any key-domain size — the negative-result rework).
+    "stats_bootstrap_ci",
+    "sketch_kmv_overlap",
 ]
 
 

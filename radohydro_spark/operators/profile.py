@@ -778,3 +778,224 @@ def tvd_drift(
             "top_num",
         )
     )
+
+
+def wasserstein_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two snapshots
+    of an integral numeric column — the FIFTH drift leg: where
+    :func:`ks_drift` reports the sup-norm CDF gap (insensitive to HOW
+    FAR the mass moved), W₁ integrates it over the value domain,
+    ``W₁ = ∫ |F_old − F_new| dv`` — the drift monitor that
+    distinguishes "1% of prices shifted one cent" from "1% of prices
+    shifted 10⁴×".
+
+    EXACT cross-engine in pure BIGINTs (the ks_drift law extended by
+    the domain measure): with cumulative counts ``c1(v), c2(v)``,
+    totals ``n1, n2`` and consecutive distinct values ``v_i``,
+    ``emd_num = Σ_i |c1(v_i)·n2 − c2(v_i)·n1| · (v_{i+1} − v_i)`` and
+    ``W₁ = emd_num / (n1·n2)`` — reported as ``emd_micro`` (micro
+    value-units) by the shared piecewise floored division.  The
+    ENFORCED validity bound is ``n1·n2·(v_max − v_min) < 2^63`` (every
+    term and the sum are ≤ it; totals and extent are driver-side longs
+    → a named ValueError — pre-quantize to coarser units past it).
+
+    Plan shape: the :func:`ks_drift` pipeline plus one per-range
+    ``lead(v)`` whose partition-boundary default is the NEXT
+    partition's first value (carried by the same dimension-sized
+    subtotal collect — no extra corpus pass); the last global value's
+    term is provably zero (both CDFs are 1 there), so the missing lead
+    at the very end drops nothing.
+
+    Returns ONE row ``(n_old, n_new, emd_num, emd_micro)``; empty
+    inputs yield the all-NULL row.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    spark = old.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    o = (
+        old.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("long").alias("v"))
+        .agg(F.count("*").alias("_c1"))
+    )
+    n = (
+        new.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("long").alias("v"))
+        .agg(F.count("*").alias("_c2"))
+    )
+    merged = o.join(n, "v", "full_outer").select(
+        "v",
+        F.coalesce(F.col("_c1"), F.lit(0)).alias("_c1"),
+        F.coalesce(F.col("_c2"), F.lit(0)).alias("_c2"),
+    )
+    cum = _ranged_cumsums(merged, "v", ["_c1", "_c2"], n_parts)
+    if cum is None:
+        return spark.range(1).select(
+            F.lit(None).cast("long").alias("n_old"),
+            F.lit(None).cast("long").alias("n_new"),
+            F.lit(None).cast("long").alias("emd_num"),
+            F.lit(None).cast("long").alias("emd_micro"),
+        )
+    m, totals = cum
+    n1, n2 = totals["_c1"], totals["_c2"]
+    # per-partition value extents: one dimension-sized collect (the
+    # _ranged_cumsums convention) yields the boundary-stitch heads AND
+    # the global extent for the overflow contract
+    ext = sorted(
+        (r["_pid"], r["lo"], r["hi"])
+        for r in m.groupBy("_pid")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    v_min, v_max = ext[0][1], ext[-1][2]
+    if n1 > 0 and n2 > 0 and n1 * n2 * max(v_max - v_min, 1) >= (1 << 63):
+        raise ValueError(
+            f"wasserstein_drift: n1*n2*(v_max-v_min) = {n1}*{n2}*"
+            f"{v_max - v_min} exceeds the BIGINT integration domain "
+            "(2^63) — pre-quantize the column to coarser units "
+            "(operators/profile.py)"
+        )
+    next_head = {
+        pid: ext[i + 1][1] for i, (pid, _, _) in enumerate(ext[:-1])
+    }
+    if next_head:
+        head_map = F.create_map(
+            *[
+                F.lit(x)
+                for pid in sorted(next_head)
+                for x in (pid, next_head[pid])
+            ]
+        )
+        boundary = head_map[F.col("_pid")]
+    else:  # single populated range partition: no boundary to stitch
+        boundary = F.lit(None).cast("long")
+    wl = W.partitionBy("_pid").orderBy("v")
+    gap = F.coalesce(F.lead("v").over(wl), boundary) - F.col("v")
+    scored = m.select(
+        F.abs(
+            F.col("_cum__c1") * F.lit(n2) - F.col("_cum__c2") * F.lit(n1)
+        ).alias("_d"),
+        gap.alias("_gap"),
+    )
+    if n1 <= 0 or n2 <= 0:
+        micro = F.lit(None).cast("long")
+    else:
+        # unlike ks/auc the numerator is bounded by n1*n2*RANGE, not
+        # n1*n2 — so the piecewise branch keys on the NUMERATOR (the
+        # poisson_bootstrap_ci pattern), in-plan per row
+        micro = F.expr(
+            "CASE WHEN emd_num <= 9000000000000"
+            f"     THEN (1000000 * emd_num) div {n1 * n2}"
+            f"     ELSE emd_num div {(n1 * n2) // 1_000_000} END"
+        )
+    return (
+        scored.agg(
+            F.sum(
+                F.col("_d") * F.coalesce(F.col("_gap"), F.lit(0))
+            ).alias("emd_num")
+        )
+        .select(
+            F.lit(n1).cast("long").alias("n_old"),
+            F.lit(n2).cast("long").alias("n_new"),
+            F.col("emd_num").cast("long").alias("emd_num"),
+            micro.cast("long").alias("emd_micro"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact Gini concentration coefficient of a NONNEGATIVE integral
+    column — the inequality/concentration monitor (how concentrated is
+    revenue over customers, tokens over documents, traffic over keys):
+    0 = perfectly uniform, →1 = one row holds everything.  The
+    fourth consumer of the ``_ranged_cumsums`` machinery (ks / auc /
+    w1 / gini — one shared range-partition cumulation, no
+    single-partition sort at any domain size).
+
+    EXACT in pure BIGINTs via the grouped Lorenz trapezoid: with
+    per-value counts ``c(v)``, value sums ``s(v) = c·v``, INCLUSIVE
+    cumulative sum ``S(v)``, total count ``n`` and total sum ``T``,
+    the Lorenz area term is ``B = Σ_v (2·c·S − c²·v)`` (the tied-group
+    trapezoid collapses to inclusive cumulatives — no prev-row
+    needed) and ``gini_ppm = 10⁶·(n·T − B) div (n·T)`` under the
+    shared piecewise overflow law.  Validity ``n·T < 2^63`` raises the
+    named ValueError (driver-side longs); negative values raise the
+    named in-plan assert (Gini is undefined below zero).
+
+    Plan shape: one map-combinable per-value count/sum aggregate
+    (output = the value domain), the range-partitioned cumulation, one
+    scalar aggregate.
+
+    Returns ONE row ``(n_rows, total, gini_num, gini_ppm)``; empty
+    input yields the all-NULL row.
+
+    Reference analog: none — extends the stats family
+    (SURVEY §2 extension table).
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    x = F.col(value_col).cast("long")
+    guard = x >= 0
+    checked = F.when(guard, x).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                f"gini_coefficient: {value_col} is negative — Gini is "
+                "defined for nonnegative values only "
+                "(operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(checked.alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("_c"), F.sum("v").alias("_s"))
+    )
+    cum = _ranged_cumsums(g, "v", ["_c", "_s"], n_parts)
+    if cum is None:
+        return spark.range(1).select(
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("total"),
+            F.lit(None).cast("long").alias("gini_num"),
+            F.lit(None).cast("long").alias("gini_ppm"),
+        )
+    m, totals = cum
+    n_tot, t_tot = totals["_c"], totals["_s"]
+    nt = n_tot * t_tot
+    if nt >= (1 << 63):
+        raise ValueError(
+            f"gini_coefficient: n*T = {n_tot}*{t_tot} exceeds the "
+            "BIGINT Lorenz domain (2^63) — pre-quantize the column to "
+            "coarser units (operators/profile.py)"
+        )
+    b = m.agg(
+        F.sum(
+            F.lit(2) * F.col("_c") * F.col("_cum__s")
+            - F.col("_c") * F.col("_c") * F.col("v")
+        ).alias("b")
+    )
+    if nt <= 0:
+        ppm = F.lit(None).cast("long")
+    elif nt <= 9_000_000_000_000:
+        ppm = F.expr(f"(1000000 * ({nt} - b)) div {nt}")
+    else:
+        ppm = F.expr(f"({nt} - b) div {nt // 1_000_000}")
+    return b.select(
+        F.lit(n_tot).cast("long").alias("n_rows"),
+        F.lit(t_tot).cast("long").alias("total"),
+        F.expr(f"CAST({nt} - b AS BIGINT)").alias("gini_num"),
+        ppm.cast("long").alias("gini_ppm"),
+    )

@@ -159,6 +159,14 @@ HEADLINE = [
     "sketch_bloom_filter",
     "sketch_kmv_overlap",
     "stats_bootstrap_ci",
+    # r14 third batch: single-Window EWMA and the two further
+    # _ranged_cumsums consumers (W1 integral, Lorenz/Gini).  The
+    # streaming drift monitor drains to a memory table (its final frame
+    # is a local scan, like the other stream queries — the informative
+    # stateful-agg plan is documented in stream_category_drift)
+    "orders_ewma_daily",
+    "dq_wasserstein_drift",
+    "stats_gini_revenue",
 ]
 
 

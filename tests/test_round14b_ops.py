@@ -371,3 +371,107 @@ def test_stream_category_drift_matches_batch_law(spark, tmp_path):
     h1 = base + datetime.timedelta(hours=1)
     assert got[h1] == (6, 24, 666666)
     assert len(got) == 2
+
+
+# ------------------------------------------- Wasserstein-1 drift
+
+
+def _w1(spark, old_vals, new_vals, n_parts=None):
+    from radohydro_spark.operators.profile import wasserstein_drift
+
+    o = spark.createDataFrame([(v,) for v in old_vals], "v long")
+    n = spark.createDataFrame([(v,) for v in new_vals], "v long")
+    return wasserstein_drift(o, n, "v", n_parts=n_parts).collect()[0]
+
+
+def test_w1_hand_case_and_shift_sensitivity(spark):
+    # point mass at 1 vs point mass at 3: W1 = 2 exactly
+    r = _w1(spark, [1, 1], [3])
+    assert (r.n_old, r.n_new, r.emd_num) == (2, 1, 4)
+    assert r.emd_micro == 2_000_000
+    # KS cannot tell these apart (both D=1); W1 scales with the move
+    far = _w1(spark, [1, 1], [1003])
+    assert far.emd_micro == 1_002_000_000  # moved 1002 units
+
+
+def test_w1_identical_and_n_parts_invariance(spark):
+    vals = [(i * 37) % 1000 for i in range(500)]
+    assert _w1(spark, vals, vals).emd_num == 0
+    shifted = [v + 5 for v in vals]
+    rs = [_w1(spark, vals, shifted, n_parts=p) for p in (1, 3, 32)]
+    assert len({(r.emd_num, r.emd_micro) for r in rs}) == 1
+    # constant shift by 5: W1 = 5 exactly
+    assert rs[0].emd_micro == 5_000_000
+
+
+def test_w1_matches_python_and_empty(spark):
+    import random
+
+    from radohydro_spark.operators.profile import wasserstein_drift
+
+    rng = random.Random(11)
+    old = [rng.randrange(0, 200) for _ in range(300)]
+    new = [rng.randrange(50, 300) for _ in range(200)]
+    r = _w1(spark, old, new)
+    n1, n2 = len(old), len(new)
+    dom = sorted(set(old) | set(new))
+    from collections import Counter
+
+    c1, c2 = Counter(old), Counter(new)
+    f1 = f2 = num = 0
+    for i, v in enumerate(dom[:-1]):
+        f1 += c1.get(v, 0)
+        f2 += c2.get(v, 0)
+        num += abs(f1 * n2 - f2 * n1) * (dom[i + 1] - v)
+    assert (r.n_old, r.n_new, r.emd_num) == (n1, n2, num)
+    assert r.emd_micro == (1_000_000 * num) // (n1 * n2)
+    e = spark.createDataFrame([], "v long")
+    out = wasserstein_drift(e, e, "v").collect()[0]
+    assert all(out[c] is None for c in out.asDict())
+
+
+# ----------------------------------------------------- Gini
+
+
+def _gini(spark, vals, n_parts=None):
+    from radohydro_spark.operators.profile import gini_coefficient
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    return gini_coefficient(df, "v", n_parts=n_parts).collect()[0]
+
+
+def test_gini_hand_cases(spark):
+    # [1,1,2]: gini = 1/6
+    r = _gini(spark, [1, 1, 2])
+    assert (r.n_rows, r.total) == (3, 4)
+    assert r.gini_ppm == 1_000_000 // 6
+    # perfectly uniform -> 0
+    assert _gini(spark, [7] * 20).gini_ppm == 0
+    # one row holds everything: gini = (n-1)/n
+    r = _gini(spark, [0] * 9 + [100])
+    assert r.gini_ppm == 900_000
+
+
+def test_gini_matches_python_and_invariance(spark):
+    import random
+
+    rng = random.Random(13)
+    vals = [rng.randrange(0, 10_000) for _ in range(400)]
+    rs = [_gini(spark, vals, n_parts=p) for p in (1, 5, 32)]
+    assert len({(r.gini_num, r.gini_ppm) for r in rs}) == 1
+    xs = sorted(vals)
+    n, t = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    assert rs[0].gini_num == num
+    assert rs[0].gini_ppm == (1_000_000 * num) // (n * t)
+
+
+def test_gini_negative_asserts_and_empty(spark):
+    from radohydro_spark.operators.profile import gini_coefficient
+
+    bad = spark.createDataFrame([(1,), (-2,)], "v long")
+    with pytest.raises(Exception, match="gini_coefficient"):
+        gini_coefficient(bad, "v").collect()
+    e = spark.createDataFrame([], "v long")
+    out = gini_coefficient(e, "v").collect()[0]
+    assert all(out[c] is None for c in out.asDict())
