@@ -10125,8 +10125,10 @@ d AS (SELECT CAST(sum(abs(f1 * t.n2 - f2 * t.n1)
       FROM s, t)
 SELECT t.n1 AS n_old, t.n2 AS n_new, d.emd_num,
        CAST(CASE WHEN t.n1 <= 0 OR t.n2 <= 0 THEN NULL
-                 WHEN d.emd_num <= 9000000000000
-                 THEN (1000000 * d.emd_num) // (t.n1 * t.n2)
+                 WHEN t.n1 * t.n2 <= 9000000000000
+                 THEN 1000000 * (d.emd_num // (t.n1 * t.n2))
+                      + (1000000 * (d.emd_num % (t.n1 * t.n2)))
+                        // (t.n1 * t.n2)
                  ELSE d.emd_num // ((t.n1 * t.n2) // 1000000)
             END AS BIGINT) AS emd_micro
 FROM t, d

@@ -592,8 +592,14 @@ def poisson_bootstrap_ci(
         reps.filter(F.col("b") >= 0)
         .withColumn(
             "_r",
+            # asc_nulls_last: a zero-weight replicate (possible at tiny
+            # n: P = e^-n each) reports mean_micro NULL, and Spark
+            # windows default NULLS FIRST while the ANSI/DuckDB oracle
+            # sorts NULLS LAST — pin the oracle's order (r14 review)
             F.row_number().over(
-                W.partitionBy().orderBy("mean_micro", "b")
+                W.partitionBy().orderBy(
+                    F.col("mean_micro").asc_nulls_last(), "b"
+                )
             ),
         )
     )

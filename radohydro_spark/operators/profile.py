@@ -862,6 +862,14 @@ def wasserstein_drift(
             "(2^63) — pre-quantize the column to coarser units "
             "(operators/profile.py)"
         )
+    if v_max - v_min > 9_000_000_000_000:
+        # W1 <= range, and emd_micro must itself fit: 10^6 * range
+        # < 2^63 keeps every term of the decomposed division law exact
+        raise ValueError(
+            f"wasserstein_drift: value range {v_max - v_min} exceeds "
+            "the exact micro-unit output domain (9e12) — pre-quantize "
+            "the column to coarser units (operators/profile.py)"
+        )
     next_head = {
         pid: ext[i + 1][1] for i, (pid, _, _) in enumerate(ext[:-1])
     }
@@ -886,15 +894,21 @@ def wasserstein_drift(
     )
     if n1 <= 0 or n2 <= 0:
         micro = F.lit(None).cast("long")
-    else:
-        # unlike ks/auc the numerator is bounded by n1*n2*RANGE, not
-        # n1*n2 — so the piecewise branch keys on the NUMERATOR (the
-        # poisson_bootstrap_ci pattern), in-plan per row
+    elif n1 * n2 <= 9_000_000_000_000:
+        # decomposed EXACT floor(10^6*e/d): 10^6*(e div d) +
+        # (10^6*(e mod d)) div d — valid for ANY numerator (the naive
+        # 10^6*e scaling dies once e > 9e12, and the old
+        # else-branch divisor (d div 10^6) was ZERO for d < 10^6: the
+        # r14 review's div-by-zero inside the documented contract).
+        # Both addends fit: e div d <= range <= 9e12 (enforced above),
+        # e mod d < d <= 9e12.
         micro = F.expr(
-            "CASE WHEN emd_num <= 9000000000000"
-            f"     THEN (1000000 * emd_num) div {n1 * n2}"
-            f"     ELSE emd_num div {(n1 * n2) // 1_000_000} END"
+            f"1000000 * (emd_num div {n1 * n2})"
+            f" + (1000000 * (emd_num % {n1 * n2})) div {n1 * n2}"
         )
+    else:
+        # d > 9e12: the shared floored-divisor law (divisor >= 9e6)
+        micro = F.expr(f"emd_num div {(n1 * n2) // 1_000_000}")
     return (
         scored.agg(
             F.sum(
@@ -975,9 +989,12 @@ def gini_coefficient(
     m, totals = cum
     n_tot, t_tot = totals["_c"], totals["_s"]
     nt = n_tot * t_tot
-    if nt >= (1 << 63):
+    if 2 * nt >= (1 << 63):
+        # the per-group trapezoid term 2*c*S is bounded by 2*n*T, so
+        # THAT is the domain (nT < 2^63 alone still let 2cS overflow in
+        # the top half — r14 review)
         raise ValueError(
-            f"gini_coefficient: n*T = {n_tot}*{t_tot} exceeds the "
+            f"gini_coefficient: 2*n*T = 2*{n_tot}*{t_tot} exceeds the "
             "BIGINT Lorenz domain (2^63) — pre-quantize the column to "
             "coarser units (operators/profile.py)"
         )

@@ -507,7 +507,12 @@ def bloom_membership(
     return (
         q.join(F.broadcast(sketch), ["word"], "left")
         .groupBy(key_col)
-        .agg(F.min(hit_j).cast("int").alias("bloom_hit"))
+        # a NULL probe key hashes to NULL positions: the build side
+        # excludes NULL keys, so the one-sided answer is 0 (definitely
+        # absent), never NULL (r14 review)
+        .agg(
+            F.min(F.coalesce(hit_j, F.lit(0))).cast("int").alias("bloom_hit")
+        )
     )
 
 

@@ -493,6 +493,18 @@ def stream_category_drift(
     cats = sorted(reference)
     r_tot = sum(reference.values())
     assert r_tot > 0 and all(v >= 0 for v in reference.values())
+    # 10^6 * num with num <= 2*n*R must stay in BIGINT: bound the
+    # per-window count n in-plan (named assert — n is runtime state, R
+    # is compile-time) and reject reference weights that leave no
+    # usable n headroom at build time (r14 review)
+    n_bound = (1 << 63) // (2 * r_tot * 1_000_000)
+    if n_bound < 1_000:
+        raise ValueError(
+            f"stream_category_drift: sum(reference) = {r_tot} leaves "
+            f"a per-window row bound of only {n_bound} before the "
+            "10^6-scaled TVD numerator overflows BIGINT — normalize "
+            "the reference weights (only ratios matter)"
+        )
     wm = stream.withWatermark(ts_col, watermark).filter(
         F.col(cat_col).isin(cats)
     )
@@ -509,9 +521,21 @@ def stream_category_drift(
             F.col(f"_c{i}") * F.lit(r_tot) - F.lit(reference[c]) * F.col("n")
         )
         num = term if num is None else num + term
+    n_guard = F.col("n") <= F.lit(n_bound)
+    n_checked = F.when(n_guard, F.col("n")).otherwise(
+        F.assert_true(
+            n_guard,
+            F.lit(
+                "stream_category_drift: window row count exceeds "
+                f"{n_bound} — the 10^6-scaled TVD numerator would "
+                "overflow BIGINT; shrink the window or normalize the "
+                "reference weights (streaming/streams.py)"
+            ),
+        ).cast("long")
+    )
     return agg.select(
         F.col("window.start").alias("ts"),
-        F.col("n").cast("long").alias("n"),
+        n_checked.cast("long").alias("n"),
         num.cast("long").alias("tvd_num"),
         F.when(F.col("n") > 0, (F.lit(1_000_000) * num).cast("long"))
         .otherwise(F.lit(None))

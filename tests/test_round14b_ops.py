@@ -475,3 +475,84 @@ def test_gini_negative_asserts_and_empty(spark):
     e = spark.createDataFrame([], "v long")
     out = gini_coefficient(e, "v").collect()[0]
     assert all(out[c] is None for c in out.asDict())
+
+
+# ---------------------------------------- r14 review regression pins
+
+
+def test_w1_wide_range_small_n_no_div_zero(spark):
+    # r14 review #1: emd_num > 9e12 with n1*n2 < 1e6 hit 'div 0' in the
+    # old else branch; the decomposed law is exact here
+    r = _w1(spark, [0] * 100, [10**12] * 100)
+    assert r.emd_num == 100 * 100 * 10**12
+    assert r.emd_micro == 10**12 * 1_000_000  # W1 = 10^12 units exactly
+
+
+def test_w1_range_contract_named(spark):
+    from radohydro_spark.operators.profile import wasserstein_drift
+
+    o = spark.createDataFrame([(0,)], "v long")
+    n = spark.createDataFrame([(10**13,)], "v long")
+    with pytest.raises(ValueError, match="wasserstein_drift.*range"):
+        wasserstein_drift(o, n, "v").collect()
+
+
+def test_bootstrap_zero_weight_replicate_nulls_last(spark):
+    # r14 review #2: tiny n makes zero-weight replicates (mean NULL)
+    # likely; the rank-pick must sort them LAST (the oracle's order)
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci
+
+    rows = [(i, 10) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, x long")
+    r = poisson_bootstrap_ci(df, "x", ["id"], n_replicates=200).collect()[0]
+    # python replay with NULLs-last ordering
+    means = []
+    for b in range(200):
+        sw = sum(_poisson_w(b, str(i)) for i, _ in rows)
+        swx = sum(_poisson_w(b, str(i)) * x for i, x in rows)
+        means.append(
+            (1, 0, b) if sw == 0 else (0, (1_000_000 * swx) // sw, b)
+        )
+    means.sort()  # (null_flag, value, b): nulls last
+    assert any(m[0] == 1 for m in means), "fixture lost its zero-weight case"
+
+    def pick(rank):
+        t = means[rank - 1]
+        return None if t[0] else t[1]
+
+    assert (r.lo_micro, r.hi_micro) == (pick(5), pick(195))
+
+
+def test_gini_guard_is_2nt_and_top_half_domain_works(spark):
+    from radohydro_spark.operators.profile import gini_coefficient
+
+    # 2nT in [2^62, 2^63): must raise the NAMED error, not ANSI overflow
+    bad = spark.createDataFrame([(1 << 60,), (1 << 60,)], "v long")
+    with pytest.raises(ValueError, match="gini_coefficient.*2\\*n\\*T"):
+        gini_coefficient(bad, "v").collect()
+    # just under the (corrected) bound: runs clean
+    ok = spark.createDataFrame([(1 << 59,), (1 << 59,)], "v long")
+    r = gini_coefficient(ok, "v").collect()[0]
+    assert r.gini_ppm == 0
+
+
+def test_stream_drift_reference_weight_guard():
+    from radohydro_spark.streaming import stream_category_drift
+
+    with pytest.raises(ValueError, match="stream_category_drift"):
+        stream_category_drift(
+            None, "ts", "cat", "1 hour", {"a": 10**10, "b": 10**10}
+        )
+
+
+def test_bloom_null_probe_key_is_zero_not_null(spark):
+    from radohydro_spark.operators.sketch import bloom_membership, bloom_table
+
+    kdf = spark.createDataFrame([("x",), ("y",)], "k string")
+    sk = bloom_table(kdf, "k", num_bits=1024, num_hashes=4)
+    probes = spark.createDataFrame([("x",), (None,)], "k string")
+    got = {
+        r.k: r.bloom_hit
+        for r in bloom_membership(sk, probes, "k", 1024, 4).collect()
+    }
+    assert got["x"] == 1 and got[None] == 0
