@@ -37,8 +37,15 @@ def _stage_totals(spark) -> dict:
 def main() -> None:
     replica_counts = [int(a) for a in sys.argv[1:]] or [10, 100]
     from radohydro_spark import get_spark
-    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci
-    from radohydro_spark.operators.profile import tvd_drift
+    from radohydro_spark.operators.aggregate import (
+        ewma_halving,
+        poisson_bootstrap_ci,
+    )
+    from radohydro_spark.operators.profile import (
+        gini_coefficient,
+        tvd_drift,
+        wasserstein_drift,
+    )
     from radohydro_spark.operators.sketch import (
         bloom_membership,
         bloom_table,
@@ -102,6 +109,51 @@ def main() -> None:
                 lambda: poisson_bootstrap_ci(
                     fact, "price_c", ["ok"], n_replicates=100
                 ).collect(),
+            ),
+            # third batch: W1 on the same snapshot split (the cumulative
+            # machinery + boundary stitch at a replica-grown value
+            # domain), Gini over the grown key domain, 12-lag EWMA over
+            # per-(priority, day) daily sums
+            # the pre-quantize knobs below are the operators' documented
+            # contracts in action: at 100x replicas raw cents trip the
+            # named n1*n2*range / 2nT / |x| bounds, coarser units fit
+            (
+                "wasserstein",
+                lambda: wasserstein_drift(
+                    old.select(
+                        F.expr("price_c div 1000").alias("price_m")
+                    ),
+                    new.select(
+                        F.expr("price_c div 1000").alias("price_m")
+                    ),
+                    "price_m",
+                ).collect(),
+            ),
+            (
+                "gini",
+                lambda: gini_coefficient(
+                    fact.groupBy("ck").agg(
+                        # tens of dollars: at 100x replicas n=1.5M keys
+                        # and dollar totals trip the named 2nT < 2^63
+                        # contract (measured) — the documented
+                        # pre-quantize knob
+                        F.expr("sum(price_c) div 10000").alias("rev_td")
+                    ),
+                    "rev_td",
+                ).collect(),
+            ),
+            (
+                "ewma",
+                lambda: ewma_halving(
+                    fact.groupBy(
+                        "o_orderpriority",
+                        F.to_date("o_orderdate").alias("day"),
+                    ).agg(F.expr("sum(price_c) div 100").alias("revenue_d")),
+                    ["o_orderpriority"],
+                    "day",
+                    "revenue_d",
+                    lags=12,
+                ).agg(F.count("*"), F.sum("ewma_micro")).collect(),
             ),
         ]:
             before = _stage_totals(spark)
