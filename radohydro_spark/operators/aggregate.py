@@ -495,6 +495,7 @@ def poisson_bootstrap_ci(
     n_replicates: int = 100,
     lo_q: int = 25,
     hi_q: int = 975,
+    portable: bool = True,
 ) -> DataFrame:
     """Bootstrap confidence interval for a mean WITHOUT resampling —
     the Poisson bootstrap (Hanley & MacGibbon 2006; the
@@ -521,6 +522,10 @@ def poisson_bootstrap_ci(
     (validity there needs Σw ≥ 10⁶ — i.e. ≥ ~10⁶ rows, exactly the
     regime where sums are that large; outside it both engines raise
     the same division error, loudly).
+
+    ``portable=False`` swaps the md5 hash for JVM xxhash64 (same law
+    shape, deterministic, NOT SQL-replayable) — the measured fast path
+    when no cross-engine oracle is needed.
 
     Plan shape: ``explode(sequence(0, B−1))`` fans each row to B
     replicate contributions, then ONE groupBy(b) whose map-side
@@ -553,9 +558,17 @@ def poisson_bootstrap_ci(
         "_x",
         F.explode(F.sequence(F.lit(-1), F.lit(n_replicates - 1))).alias("b"),
     )
-    u = portable_hash(
-        F.concat(F.col("b").cast("string"), F.lit(":"), F.col("_key"))
-    )
+    if portable:
+        u = portable_hash(
+            F.concat(F.col("b").cast("string"), F.lit(":"), F.col("_key"))
+        )
+    else:
+        # FAST PATH: JVM xxhash64 folded to the same 32-bit threshold
+        # domain — identical law shape and determinism, but NOT
+        # SQL-replayable (no DuckDB twin), so no oracle.  The md5 form
+        # is an ORACLE TAX, not a design cost: the soak measures the
+        # gap (scripts/soak_r14b.py bootstrap_fast leg).
+        u = F.pmod(F.xxhash64(F.col("b"), F.col("_key")), F.lit(1 << 32))
     w = F.lit(len(_POISSON1_CUM_T32)).cast("long")
     for j in range(len(_POISSON1_CUM_T32) - 1, -1, -1):
         w = F.when(u < F.lit(_POISSON1_CUM_T32[j]), F.lit(j).cast("long")).otherwise(w)

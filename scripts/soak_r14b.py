@@ -110,6 +110,13 @@ def main() -> None:
                     fact, "price_c", ["ok"], n_replicates=100
                 ).collect(),
             ),
+            (
+                "bootstrap_fast",
+                lambda: poisson_bootstrap_ci(
+                    fact, "price_c", ["ok"], n_replicates=100,
+                    portable=False,
+                ).collect(),
+            ),
             # third batch: W1 on the same snapshot split (the cumulative
             # machinery + boundary stitch at a replica-grown value
             # domain), Gini over the grown key domain, 12-lag EWMA over

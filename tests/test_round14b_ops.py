@@ -556,3 +556,22 @@ def test_bloom_null_probe_key_is_zero_not_null(spark):
         for r in bloom_membership(sk, probes, "k", 1024, 4).collect()
     }
     assert got["x"] == 1 and got[None] == 0
+
+
+def test_bootstrap_fast_path_deterministic_and_poisson_like(spark):
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci
+
+    rows = [(i, 100 + (i * 7) % 31) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x long")
+    fast = lambda d: poisson_bootstrap_ci(
+        d, "x", ["id"], n_replicates=30, portable=False
+    ).collect()[0]
+    r1, r2 = fast(df), fast(df.repartition(13))
+    assert r1 == r2  # deterministic + partitioning-invariant
+    # same point estimate as the portable path (weight-1 replicate)
+    slow = poisson_bootstrap_ci(df, "x", ["id"], n_replicates=30).collect()[0]
+    assert r1.point_micro == slow.point_micro
+    # xxhash64 weights are Poisson(1)-like too: CI brackets the mean
+    assert r1.lo_micro <= r1.point_micro <= r1.hi_micro
+    # and the interval is in the same ballpark as the portable one
+    assert abs(r1.lo_micro - slow.lo_micro) < 5 * (slow.hi_micro - slow.lo_micro)
