@@ -10079,6 +10079,78 @@ FROM l
 """
 
 
+def q_stats_bootstrap_ci_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Poisson-bootstrap CI
+    (operators.aggregate.poisson_bootstrap_ci_by): one 95% CI per
+    order-priority class from the same single pass — the A/B-per-arm
+    shape.  Same fixed-threshold weights / exact micro-unit law /
+    NULLS-LAST ranks as stats_bootstrap_ci; ONE groupBy(group, b)
+    bounding the shuffle at |groups|·B rows per task; the per-group
+    rank-pick is a window over exactly B rows per group."""
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci_by
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return poisson_bootstrap_ci_by(
+        o, "price_c", ["o_orderkey"], ["o_orderpriority"], n_replicates=100
+    ).orderBy("o_orderpriority")
+
+
+def _bootstrap_by_oracle() -> str:
+    h = _ph_sql("concat(CAST(b AS VARCHAR), ':', key)")
+    t = _POISSON1_T32
+    return f"""
+WITH rows_ AS (
+  SELECT o_orderpriority AS g, CAST(o_orderkey AS VARCHAR) AS key,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+fan AS (SELECT g, key, x, CAST(bb.range AS BIGINT) AS b
+        FROM rows_, range(-1, 100) bb),
+hashed AS (SELECT g, b, x, ({h}) AS u FROM fan),
+wtd AS (
+  SELECT g, b, x,
+         CASE WHEN b = -1 THEN 1
+              WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1
+              WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3
+              WHEN u < {t[4]} THEN 4 WHEN u < {t[5]} THEN 5
+              WHEN u < {t[6]} THEN 6 WHEN u < {t[7]} THEN 7
+              ELSE 8 END AS w
+  FROM hashed
+),
+reps AS (SELECT g, b, CAST(sum(w * x) AS BIGINT) AS swx,
+                CAST(sum(w) AS BIGINT) AS sw,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM wtd GROUP BY g, b),
+means AS (
+  SELECT g, b, n_rows,
+         CAST(CASE WHEN sw = 0 THEN NULL
+                   WHEN abs(swx) <= 9000000000000
+                   THEN (1000000 * swx) // sw
+                   ELSE swx // (sw // 1000000) END AS BIGINT) AS mean_micro
+  FROM reps
+),
+ranked AS (SELECT g, mean_micro,
+                  row_number() OVER (PARTITION BY g
+                                     ORDER BY mean_micro, b) AS r
+           FROM means WHERE b >= 0),
+bounds AS (
+  SELECT g,
+         max(CASE WHEN r = 3 THEN mean_micro END) AS lo_micro,
+         max(CASE WHEN r = 98 THEN mean_micro END) AS hi_micro
+  FROM ranked GROUP BY g
+),
+pt AS (SELECT g, mean_micro AS point_micro, n_rows FROM means WHERE b = -1)
+SELECT pt.g AS o_orderpriority, CAST(100 AS BIGINT) AS n_replicates,
+       pt.n_rows, pt.point_micro, b.lo_micro, b.hi_micro
+FROM pt JOIN bounds b ON b.g = pt.g
+ORDER BY pt.g
+"""
+
+
 def q_dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-Wasserstein drift (operators.profile.wasserstein_drift):
     the same cents-price snapshot split as dq_ks_drift, under the
@@ -10188,7 +10260,7 @@ FROM t, b
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-14 driver window (positions 0-49) ---
-        # Positions 0-10: the eleven r14 first-exposure operators.
+        # Positions 0-11: the twelve r14 first-exposure operators.
         # Position 0: BATCHED-selection BPE training (top-B mutually
         # symbol-disjoint pairs per round, the standard scalable-BPE
         # compromise: ~B× fewer rounds for the same vocabulary; greedy
@@ -10231,7 +10303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Position 10: exact Gini concentration — the grouped Lorenz
         # trapezoid, fourth _ranged_cumsums consumer.
         "stats_gini_revenue": q_stats_gini_revenue,
-        # Positions 11-12: r14 re-pins — queries whose ENGINE DEFINITION
+        # Position 11: per-group bootstrap CI — the A/B-per-arm shape,
+        # shuffle bounded at |groups|*B rows per task.
+        "stats_bootstrap_ci_by": q_stats_bootstrap_ci_by,
+        # Positions 12-13: r14 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
         # moved off the single-partition value-domain window onto the
@@ -10240,10 +10315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 13-49 -- last driver-green: r9 (the 42-query cohort
-        # tail, staged for this window since r13; its last five rows
+        # Positions 14-49 -- last driver-green: r9 (the 42-query cohort
+        # tail, staged for this window since r13; its last six rows
         # plus the three r10 head rows were displaced past position 49
-        # by the eight extra first-exposure operators and lead the r15
+        # by the nine extra first-exposure operators and lead the r15
         # window instead) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10282,17 +10357,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "text_lang_id": q_lang_id,
         "text_quality_filter": q_text_quality_filter,
-        "text_redact_pii": q_redact_pii,
-        # --- end of round-14 driver window (position 49 = the 37th r9
-        # row above, text_redact_pii) ---
+        # --- end of round-14 driver window (position 49 = the 36th r9
+        # row above, text_quality_filter) ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-15 rotation is already front-loaded: the last five r9
+        # round-15 rotation is already front-loaded: the last six r9
         # rows + three r10 head rows displaced from this window by the
-        # eight extra first-exposure operators, then the r10 cohort
+        # nine extra first-exposure operators, then the r10 cohort
         # tail (starting stats_pca_top_component) = the round-15
         # 50-entry window (before any r15 first-exposure
         # displacements); the r11 cohort + the r12 window rows follow.
         # -- last driver-green: r9/r10 (displaced window tail) --
+        "text_redact_pii": q_redact_pii,
         "text_repetition_stats": q_text_repetition,
         "text_sentence_chunks": q_text_sentence_chunks,
         "text_stats": q_text_stats,
@@ -10543,6 +10618,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_ewma_daily": _ewma_oracle(),
         "dq_wasserstein_drift": ORACLE_W1_DRIFT,
         "stats_gini_revenue": ORACLE_GINI,
+        "stats_bootstrap_ci_by": _bootstrap_by_oracle(),
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

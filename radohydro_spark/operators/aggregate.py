@@ -734,3 +734,119 @@ def ewma_halving(
             "ewma_micro"
         ),
     )
+
+
+def poisson_bootstrap_ci_by(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    group_cols: list[str],
+    n_replicates: int = 100,
+    lo_q: int = 25,
+    hi_q: int = 975,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-GROUP Poisson-bootstrap CI — the A/B-platform shape proper:
+    one confidence interval per experiment arm / segment / priority
+    class, from the same single pass :func:`poisson_bootstrap_ci`
+    makes over the whole corpus (same fixed-threshold Poisson(1)
+    weights on the coordinated hash, same exact micro-unit piecewise
+    mean law, same NULLS-LAST rank law — see that docstring for the
+    cross-engine discipline).
+
+    Plan shape: one ``explode × B`` projection and ONE map-side-
+    combinable ``groupBy(group, b)`` bounding the shuffle at
+    ``|groups|·B`` rows per task; every group that exists carries ALL
+    B+1 replicates by construction (each row fans to every b), so the
+    per-group rank-pick is a window over exactly B rows per group —
+    dimension-bounded by the B literal × group domain, never by rows.
+    Groups with no rows simply do not appear (per-group outputs have
+    no degenerate all-NULL convention; the global form covers that).
+
+    Returns one row per group:
+    ``(<group_cols>, n_replicates, n_rows, point_micro, lo_micro,
+    hi_micro)``.
+
+    Reference analog: none — extends the stats family
+    (SURVEY §2 extension table).
+    """
+    from radohydro_spark.functions.text import portable_hash
+
+    assert n_replicates >= 2 and 0 < lo_q < hi_q < 1000
+    key = F.concat_ws("-", *[F.col(c).cast("string") for c in id_cols])
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        key.alias("_key"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    fan = rows.select(
+        *group_cols,
+        "_key",
+        "_x",
+        F.explode(F.sequence(F.lit(-1), F.lit(n_replicates - 1))).alias("b"),
+    )
+    if portable:
+        u = portable_hash(
+            F.concat(F.col("b").cast("string"), F.lit(":"), F.col("_key"))
+        )
+    else:
+        u = F.pmod(F.xxhash64(F.col("b"), F.col("_key")), F.lit(1 << 32))
+    w = F.lit(len(_POISSON1_CUM_T32)).cast("long")
+    for j in range(len(_POISSON1_CUM_T32) - 1, -1, -1):
+        w = F.when(
+            u < F.lit(_POISSON1_CUM_T32[j]), F.lit(j).cast("long")
+        ).otherwise(w)
+    w = F.when(F.col("b") == F.lit(-1), F.lit(1).cast("long")).otherwise(w)
+    reps = (
+        fan.select(*group_cols, "b", w.alias("_w"), "_x")
+        .groupBy(*group_cols, "b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("swx"),
+            F.sum("_w").alias("sw"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn(
+            "mean_micro",
+            F.expr(
+                "CASE WHEN sw = 0 THEN NULL"
+                "     WHEN abs(swx) <= 9000000000000"
+                "     THEN (1000000 * swx) div sw"
+                "     ELSE swx div (sw div 1000000) END"
+            ).cast("long"),
+        )
+    )
+    reps = reps.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(reps)
+    wrank = W.partitionBy(*group_cols).orderBy(
+        F.col("mean_micro").asc_nulls_last(), "b"
+    )
+    lo_rank = -(-lo_q * n_replicates // 1000)
+    hi_rank = -(-hi_q * n_replicates // 1000)
+    bounds = (
+        reps.filter(F.col("b") >= 0)
+        .withColumn("_r", F.row_number().over(wrank))
+        .groupBy(*group_cols)
+        .agg(
+            F.max(
+                F.when(F.col("_r") == lo_rank, F.col("mean_micro"))
+            ).alias("lo_micro"),
+            F.max(
+                F.when(F.col("_r") == hi_rank, F.col("mean_micro"))
+            ).alias("hi_micro"),
+        )
+    )
+    point = reps.filter(F.col("b") == -1).select(
+        *group_cols,
+        F.col("mean_micro").alias("point_micro"),
+        F.col("n_rows").alias("n_rows"),
+    )
+    return point.join(bounds, list(group_cols)).select(
+        *group_cols,
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "point_micro",
+        "lo_micro",
+        "hi_micro",
+    )

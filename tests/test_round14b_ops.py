@@ -575,3 +575,54 @@ def test_bootstrap_fast_path_deterministic_and_poisson_like(spark):
     assert r1.lo_micro <= r1.point_micro <= r1.hi_micro
     # and the interval is in the same ballpark as the portable one
     assert abs(r1.lo_micro - slow.lo_micro) < 5 * (slow.hi_micro - slow.lo_micro)
+
+
+def test_bootstrap_by_group_matches_global_on_single_group(spark):
+    from radohydro_spark.operators.aggregate import (
+        poisson_bootstrap_ci,
+        poisson_bootstrap_ci_by,
+    )
+
+    rows = [("g", i, 100 + (i * 37) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    by = poisson_bootstrap_ci_by(
+        df, "x", ["id"], ["g"], n_replicates=20
+    ).collect()[0]
+    glob = poisson_bootstrap_ci(
+        df.drop("g"), "x", ["id"], n_replicates=20
+    ).collect()[0]
+    # one group == the global operator (same hash keys, same ranks)
+    assert (by.point_micro, by.lo_micro, by.hi_micro, by.n_rows) == (
+        glob.point_micro,
+        glob.lo_micro,
+        glob.hi_micro,
+        glob.n_rows,
+    )
+    assert by.g == "g"
+
+
+def test_bootstrap_by_group_independent_arms(spark):
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci_by
+
+    rows = [("a", i, 100) for i in range(300)] + [
+        ("b", i + 1000, 500 + (i % 9)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    out = {
+        r.g: r
+        for r in poisson_bootstrap_ci_by(
+            df, "x", ["id"], ["g"], n_replicates=40
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    # constant arm: every replicate mean is exactly 100
+    assert (
+        out["a"].point_micro
+        == out["a"].lo_micro
+        == out["a"].hi_micro
+        == 100_000_000
+    )
+    # arms do not bleed into each other
+    assert out["b"].lo_micro <= out["b"].point_micro <= out["b"].hi_micro
+    assert out["b"].point_micro > 500_000_000
+    assert (out["a"].n_rows, out["b"].n_rows) == (300, 300)
