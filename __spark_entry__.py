@@ -10151,6 +10151,54 @@ ORDER BY pt.g
 """
 
 
+def q_dq_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability/response table (operators.profile.calibration_bins):
+    P(returned) by extended-price decile — the diagnostic sibling of
+    dq_auc_returns on the same score/label pair (AUC says IF the score
+    ranks returns; this shows WHERE the response curve moves).  Exact
+    BIGINT bucket law over driver-literal extents, one map-combinable
+    groupBy(bin) bounded at n_bins rows."""
+    from radohydro_spark.operators.profile import calibration_bins
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_returned"),
+    )
+    return calibration_bins(li, "price_c", "is_returned", n_bins=10).orderBy(
+        "bin"
+    )
+
+
+ORACLE_CALIBRATION = """
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+),
+ext AS (SELECT CAST(min(s) AS BIGINT) AS lo, CAST(max(s) AS BIGINT) AS hi
+        FROM base),
+binned AS (
+  SELECT CASE WHEN e.hi = e.lo THEN 0
+              ELSE least(((b.s - e.lo) * 10) // (e.hi - e.lo), 9) END AS bin,
+         b.y
+  FROM base b, ext e
+),
+agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM binned GROUP BY bin)
+SELECT CAST(a.bin AS BIGINT) AS bin,
+       CAST(e.lo + (a.bin * (e.hi - e.lo)) // 10 AS BIGINT) AS bin_lo,
+       CAST(CASE WHEN a.bin = 9 THEN e.hi
+                 ELSE e.lo + ((a.bin + 1) * (e.hi - e.lo)) // 10
+            END AS BIGINT) AS bin_hi,
+       a.n, a.n_pos,
+       CAST((1000000 * a.n_pos) // a.n AS BIGINT) AS pos_ppm
+FROM agg a, ext e
+ORDER BY a.bin
+"""
+
+
 def q_dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-Wasserstein drift (operators.profile.wasserstein_drift):
     the same cents-price snapshot split as dq_ks_drift, under the
@@ -10260,7 +10308,7 @@ FROM t, b
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-14 driver window (positions 0-49) ---
-        # Positions 0-11: the twelve r14 first-exposure operators.
+        # Positions 0-12: the thirteen r14 first-exposure operators.
         # Position 0: BATCHED-selection BPE training (top-B mutually
         # symbol-disjoint pairs per round, the standard scalable-BPE
         # compromise: ~B× fewer rounds for the same vocabulary; greedy
@@ -10306,7 +10354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Position 11: per-group bootstrap CI — the A/B-per-arm shape,
         # shuffle bounded at |groups|*B rows per task.
         "stats_bootstrap_ci_by": q_stats_bootstrap_ci_by,
-        # Positions 12-13: r14 re-pins — queries whose ENGINE DEFINITION
+        # Position 12: reliability/response table — the AUC's
+        # diagnostic sibling, n_bins-bounded groupBy.
+        "dq_calibration_bins": q_dq_calibration_bins,
+        # Positions 13-14: r14 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
         # moved off the single-partition value-domain window onto the
@@ -10315,10 +10366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 14-49 -- last driver-green: r9 (the 42-query cohort
-        # tail, staged for this window since r13; its last six rows
+        # Positions 15-49 -- last driver-green: r9 (the 42-query cohort
+        # tail, staged for this window since r13; its last seven rows
         # plus the three r10 head rows were displaced past position 49
-        # by the nine extra first-exposure operators and lead the r15
+        # by the ten extra first-exposure operators and lead the r15
         # window instead) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10356,17 +10407,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_check": q_text_contamination,
         "text_fingerprint": q_fingerprint,
         "text_lang_id": q_lang_id,
-        "text_quality_filter": q_text_quality_filter,
-        # --- end of round-14 driver window (position 49 = the 36th r9
-        # row above, text_quality_filter) ---
+        # --- end of round-14 driver window (position 49 = the 35th r9
+        # row above, text_lang_id) ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-15 rotation is already front-loaded: the last six r9
+        # round-15 rotation is already front-loaded: the last seven r9
         # rows + three r10 head rows displaced from this window by the
-        # nine extra first-exposure operators, then the r10 cohort
+        # ten extra first-exposure operators, then the r10 cohort
         # tail (starting stats_pca_top_component) = the round-15
         # 50-entry window (before any r15 first-exposure
         # displacements); the r11 cohort + the r12 window rows follow.
         # -- last driver-green: r9/r10 (displaced window tail) --
+        "text_quality_filter": q_text_quality_filter,
         "text_redact_pii": q_redact_pii,
         "text_repetition_stats": q_text_repetition,
         "text_sentence_chunks": q_text_sentence_chunks,
@@ -10619,6 +10670,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_wasserstein_drift": ORACLE_W1_DRIFT,
         "stats_gini_revenue": ORACLE_GINI,
         "stats_bootstrap_ci_by": _bootstrap_by_oracle(),
+        "dq_calibration_bins": ORACLE_CALIBRATION,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

@@ -1016,3 +1016,92 @@ def gini_coefficient(
         F.expr(f"CAST({nt} - b AS BIGINT)").alias("gini_num"),
         ppm.cast("long").alias("gini_ppm"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability / response-rate table — the DIAGNOSTIC sibling of
+    :func:`auc_mann_whitney` (AUC collapses ranking quality to one
+    number; this shows WHERE the score is miscalibrated): the score's
+    observed range is split into ``n_bins`` equal-width bins and each
+    bin reports its positive rate — for a probability-like score the
+    calibration diagram (compare ``pos_ppm`` to the bin midpoint), for
+    an arbitrary score the monotonicity/response curve.
+
+    EXACT cross-engine in pure BIGINTs: ``score_col`` must be integral
+    (the auc convention); the bin index is
+    ``min(((s − lo)·n_bins) div (hi − lo), n_bins−1)`` over
+    driver-side literal extents (one 1-row aggregate — the edges fold
+    into the plan as constants), and ``pos_ppm = 10⁶·n_pos div n`` is
+    one terminal floored division.  A constant score (hi == lo)
+    collapses everything into bin 0; the ``(hi − lo)·n_bins < 2^63``
+    domain raises the named driver-side ValueError.
+
+    Plan shape: one 1-row extent aggregate, then ONE map-side
+    combinable ``groupBy(bin)`` whose output is ≤ n_bins rows — at
+    100 TB the shuffle carries n_bins partial counters per task.
+    Empty bins do not appear (no rows — the SQL-oracle convention).
+
+    Returns ``(bin, bin_lo, bin_hi, n, n_pos, pos_ppm)`` where
+    ``[bin_lo, bin_hi)`` are the bin's value bounds (last bin closed).
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    assert 2 <= n_bins <= 10_000
+    rows = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    ext = rows.agg(F.min("_s").alias("lo"), F.max("_s").alias("hi")).collect()[0]
+    if ext["lo"] is None:
+        spark = df.sparkSession
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("bin"),
+            F.lit(0).cast("long").alias("bin_lo"),
+            F.lit(0).cast("long").alias("bin_hi"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("n_pos"),
+            F.lit(0).cast("long").alias("pos_ppm"),
+        )
+    lo, hi = int(ext["lo"]), int(ext["hi"])
+    rng = hi - lo
+    if rng * n_bins >= (1 << 63):
+        raise ValueError(
+            f"calibration_bins: (hi-lo)*n_bins = {rng}*{n_bins} exceeds "
+            "the BIGINT binning domain (2^63) — pre-quantize the score "
+            "(operators/profile.py)"
+        )
+    if rng == 0:
+        b = F.lit(0).cast("long")
+    else:
+        b = F.least(
+            F.expr(f"((_s - {lo}) * {n_bins}) div {rng}"),
+            F.lit(n_bins - 1),
+        ).cast("long")
+    out = (
+        rows.select(b.alias("bin"), "_y")
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("_y").alias("n_pos"))
+    )
+    # bin bounds are pure functions of the literal extents: lo_k =
+    # lo + (k*rng) div n_bins (floor), matching the bucket law's
+    # preimage; the last bin's hi is the true max (closed)
+    bin_lo = F.expr(f"{lo} + (bin * {rng}) div {n_bins}")
+    bin_hi = F.when(
+        F.col("bin") == F.lit(n_bins - 1), F.lit(hi)
+    ).otherwise(F.expr(f"{lo} + ((bin + 1) * {rng}) div {n_bins}"))
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        bin_lo.cast("long").alias("bin_lo"),
+        bin_hi.cast("long").alias("bin_hi"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("CAST((1000000 * n_pos) div n AS BIGINT)").alias("pos_ppm"),
+    )

@@ -167,6 +167,8 @@ HEADLINE = [
     "orders_ewma_daily",
     "dq_wasserstein_drift",
     "stats_gini_revenue",
+    "stats_bootstrap_ci_by",
+    "dq_calibration_bins",
 ]
 
 

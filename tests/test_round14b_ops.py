@@ -626,3 +626,60 @@ def test_bootstrap_by_group_independent_arms(spark):
     assert out["b"].lo_micro <= out["b"].point_micro <= out["b"].hi_micro
     assert out["b"].point_micro > 500_000_000
     assert (out["a"].n_rows, out["b"].n_rows) == (300, 300)
+
+
+# -------------------------------------------------- calibration bins
+
+
+def test_calibration_hand_case_and_edges(spark):
+    from radohydro_spark.operators.profile import calibration_bins
+
+    # scores 0..99, label = score >= 50: bucket law s*10 div 99 puts
+    # 0..49 in bins 0-4 and 50..99 in bins 5-9 — a clean step function
+    rows = [(s, 1 if s >= 50 else 0) for s in range(100)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    out = {r.bin: r for r in calibration_bins(df, "s", "y", 10).collect()}
+    assert len(out) == 10
+    assert all(out[b].pos_ppm == 0 for b in range(5))
+    assert all(out[b].pos_ppm == 1_000_000 for b in range(5, 10))
+    assert out[0].bin_lo == 0 and out[9].bin_hi == 99
+    assert sum(out[b].n for b in out) == 100
+
+
+def test_calibration_constant_score_and_empty(spark):
+    from radohydro_spark.operators.profile import calibration_bins
+
+    const = spark.createDataFrame([(7, 1), (7, 0)], "s long, y long")
+    r = calibration_bins(const, "s", "y", 10).collect()
+    assert len(r) == 1 and r[0].bin == 0 and r[0].pos_ppm == 500_000
+    empty = spark.createDataFrame([], "s long, y long")
+    assert calibration_bins(empty, "s", "y", 10).collect() == []
+
+
+def test_calibration_matches_python(spark):
+    import random
+
+    from radohydro_spark.operators.profile import calibration_bins
+
+    rng = random.Random(5)
+    rows = [
+        (rng.randrange(-50, 1000), rng.randrange(0, 2)) for _ in range(700)
+    ]
+    df = spark.createDataFrame(rows, "s long, y long")
+    got = {
+        r.bin: (r.n, r.n_pos, r.pos_ppm)
+        for r in calibration_bins(df, "s", "y", 10).collect()
+    }
+    lo = min(s for s, _ in rows)
+    hi = max(s for s, _ in rows)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for s, y in rows:
+        b = min((s - lo) * 10 // (hi - lo), 9)
+        agg[b][0] += 1
+        agg[b][1] += y
+    want = {
+        b: (n, p, 1_000_000 * p // n) for b, (n, p) in agg.items()
+    }
+    assert got == want
