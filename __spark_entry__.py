@@ -10188,9 +10188,9 @@ agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(y) AS BIGINT) AS n_pos
         FROM binned GROUP BY bin)
 SELECT CAST(a.bin AS BIGINT) AS bin,
-       CAST(e.lo + (a.bin * (e.hi - e.lo)) // 10 AS BIGINT) AS bin_lo,
+       CAST(e.lo + (a.bin * (e.hi - e.lo) + 9) // 10 AS BIGINT) AS bin_lo,
        CAST(CASE WHEN a.bin = 9 THEN e.hi
-                 ELSE e.lo + ((a.bin + 1) * (e.hi - e.lo)) // 10
+                 ELSE e.lo + ((a.bin + 1) * (e.hi - e.lo) + 9) // 10
             END AS BIGINT) AS bin_hi,
        a.n, a.n_pos,
        CAST((1000000 * a.n_pos) // a.n AS BIGINT) AS pos_ppm

@@ -488,6 +488,119 @@ _POISSON1_CUM_T32 = (
 )
 
 
+_BOOTSTRAP_RESERVED = frozenset(
+    {
+        "b", "_key", "_x", "_w", "_r", "swx", "sw", "n_rows",
+        "mean_micro", "n_replicates", "point_micro", "lo_micro",
+        "hi_micro",
+    }
+)
+
+
+def _poisson_replicate_means(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    group_cols: list[str],
+    n_replicates: int,
+    portable: bool,
+) -> DataFrame:
+    """Shared core of :func:`poisson_bootstrap_ci` and
+    :func:`poisson_bootstrap_ci_by` — ONE copy of the coordinated-hash
+    key law, the fixed Poisson(1) threshold ladder, the b = −1
+    point-estimate override, and the exact micro-unit piecewise mean
+    law (so the laws can never drift between the global and per-group
+    forms — r14 review).  Returns the CACHED replicate table
+    ``(*group_cols, b, swx, sw, n_rows, mean_micro)``.
+
+    The mean law's overflow branch ``swx div (sw div 10⁶)`` needs
+    ``sw ≥ 10⁶``; per-group that regime is REACHABLE (one small arm
+    with huge values), so the invalid combination raises this
+    operator's NAMED raise_error in-plan instead of an opaque ANSI
+    divide-by-zero (r14 review) — the SQL oracles fail their own
+    division there, so the valid domains still agree.
+    """
+    from radohydro_spark.functions.text import portable_hash
+
+    clash = _BOOTSTRAP_RESERVED.intersection(group_cols)
+    if clash:
+        raise ValueError(
+            "poisson_bootstrap: group column(s) "
+            f"{sorted(clash)} collide with internal/output names "
+            f"{sorted(_BOOTSTRAP_RESERVED)} — alias them first "
+            "(operators/aggregate.py)"
+        )
+    key = F.concat_ws("-", *[F.col(c).cast("string") for c in id_cols])
+    keep = F.col(value_col).isNotNull()
+    for g in group_cols:
+        # NULL group keys are EXCLUDED (the tvd_drift convention):
+        # they would otherwise survive the whole pipeline and then
+        # silently vanish in the null-unsafe point/bounds join
+        # (r14 review) — pre-coalesce to a sentinel to track them
+        keep = keep & F.col(g).isNotNull()
+    rows = df.filter(keep).select(
+        *group_cols,
+        key.alias("_key"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    fan = rows.select(
+        *group_cols,
+        "_key",
+        "_x",
+        F.explode(F.sequence(F.lit(-1), F.lit(n_replicates - 1))).alias("b"),
+    )
+    if portable:
+        u = portable_hash(
+            F.concat(F.col("b").cast("string"), F.lit(":"), F.col("_key"))
+        )
+    else:
+        # FAST PATH: JVM xxhash64 folded to the same 32-bit threshold
+        # domain — identical law shape and determinism, but NOT
+        # SQL-replayable (no DuckDB twin), so no oracle.  The md5 form
+        # is an ORACLE TAX, not a design cost: the soak measures the
+        # gap (scripts/soak_r14b.py bootstrap_fast leg: 104 -> 7.6 s).
+        u = F.pmod(F.xxhash64(F.col("b"), F.col("_key")), F.lit(1 << 32))
+    w = F.lit(len(_POISSON1_CUM_T32)).cast("long")
+    for j in range(len(_POISSON1_CUM_T32) - 1, -1, -1):
+        w = F.when(
+            u < F.lit(_POISSON1_CUM_T32[j]), F.lit(j).cast("long")
+        ).otherwise(w)
+    # replicate -1 is the point estimate: every row with weight 1
+    w = F.when(F.col("b") == F.lit(-1), F.lit(1).cast("long")).otherwise(w)
+    reps = (
+        fan.select(*group_cols, "b", w.alias("_w"), "_x")
+        .groupBy(*group_cols, "b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("swx"),
+            F.sum("_w").alias("sw"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn(
+            "mean_micro",
+            F.expr(
+                "CASE WHEN sw = 0 THEN NULL"
+                "     WHEN abs(swx) <= 9000000000000"
+                "     THEN (1000000 * swx) div sw"
+                "     WHEN sw >= 1000000"
+                "     THEN swx div (sw div 1000000)"
+                "     ELSE CAST(raise_error('poisson_bootstrap: a "
+                "replicate has |sum(w*x)| > 9e12 with sum(w) < 10^6 — "
+                "the exact micro-unit mean law has no valid branch; "
+                "pre-scale the value units (operators/aggregate.py)') "
+                "AS BIGINT) END"
+            ).cast("long"),
+        )
+    )
+    # the (groups x B+1)-row replicate table feeds both the rank-pick
+    # and the point rows — persist it so the corpus aggregate runs
+    # ONCE (session pool)
+    reps = reps.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(reps)
+    return reps
+
+
 def poisson_bootstrap_ci(
     df: DataFrame,
     value_col: str,
@@ -546,58 +659,10 @@ def poisson_bootstrap_ci(
     Reference analog: none — extends the stats family
     (SURVEY §2 extension table).
     """
-    from radohydro_spark.functions.text import portable_hash
-
     assert n_replicates >= 2 and 0 < lo_q < hi_q < 1000
-    key = F.concat_ws("-", *[F.col(c).cast("string") for c in id_cols])
-    rows = df.filter(F.col(value_col).isNotNull()).select(
-        key.alias("_key"), F.col(value_col).cast("long").alias("_x")
+    reps = _poisson_replicate_means(
+        df, value_col, id_cols, [], n_replicates, portable
     )
-    fan = rows.select(
-        "_key",
-        "_x",
-        F.explode(F.sequence(F.lit(-1), F.lit(n_replicates - 1))).alias("b"),
-    )
-    if portable:
-        u = portable_hash(
-            F.concat(F.col("b").cast("string"), F.lit(":"), F.col("_key"))
-        )
-    else:
-        # FAST PATH: JVM xxhash64 folded to the same 32-bit threshold
-        # domain — identical law shape and determinism, but NOT
-        # SQL-replayable (no DuckDB twin), so no oracle.  The md5 form
-        # is an ORACLE TAX, not a design cost: the soak measures the
-        # gap (scripts/soak_r14b.py bootstrap_fast leg).
-        u = F.pmod(F.xxhash64(F.col("b"), F.col("_key")), F.lit(1 << 32))
-    w = F.lit(len(_POISSON1_CUM_T32)).cast("long")
-    for j in range(len(_POISSON1_CUM_T32) - 1, -1, -1):
-        w = F.when(u < F.lit(_POISSON1_CUM_T32[j]), F.lit(j).cast("long")).otherwise(w)
-    # replicate -1 is the point estimate: every row with weight 1
-    w = F.when(F.col("b") == F.lit(-1), F.lit(1).cast("long")).otherwise(w)
-    reps = (
-        fan.select("b", w.alias("_w"), "_x")
-        .groupBy("b")
-        .agg(
-            F.sum(F.col("_w") * F.col("_x")).alias("swx"),
-            F.sum("_w").alias("sw"),
-            F.count("*").alias("n_rows"),
-        )
-        .withColumn(
-            "mean_micro",
-            F.expr(
-                "CASE WHEN sw = 0 THEN NULL"
-                "     WHEN abs(swx) <= 9000000000000"
-                "     THEN (1000000 * swx) div sw"
-                "     ELSE swx div (sw div 1000000) END"
-            ).cast("long"),
-        )
-    )
-    # the B+1-row replicate table feeds both the rank-pick and the point
-    # row — persist it so the corpus aggregate runs ONCE (session pool)
-    reps = reps.cache()
-    from radohydro_spark.plans.pipeline import _PERSISTED
-
-    _PERSISTED.append(reps)
     from pyspark.sql import Window as W
 
     # B+1 rows total: the global window is bounded by the B literal
@@ -761,7 +826,11 @@ def poisson_bootstrap_ci_by(
     per-group rank-pick is a window over exactly B rows per group —
     dimension-bounded by the B literal × group domain, never by rows.
     Groups with no rows simply do not appear (per-group outputs have
-    no degenerate all-NULL convention; the global form covers that).
+    no degenerate all-NULL convention; the global form covers that);
+    rows whose GROUP KEY is NULL are excluded (the tvd_drift
+    convention — pre-coalesce to a sentinel to track them), and group
+    columns colliding with the operator's internal/output names raise
+    a named ValueError (r14 review).
 
     Returns one row per group:
     ``(<group_cols>, n_replicates, n_rows, point_micro, lo_micro,
@@ -770,55 +839,10 @@ def poisson_bootstrap_ci_by(
     Reference analog: none — extends the stats family
     (SURVEY §2 extension table).
     """
-    from radohydro_spark.functions.text import portable_hash
-
     assert n_replicates >= 2 and 0 < lo_q < hi_q < 1000
-    key = F.concat_ws("-", *[F.col(c).cast("string") for c in id_cols])
-    rows = df.filter(F.col(value_col).isNotNull()).select(
-        *group_cols,
-        key.alias("_key"),
-        F.col(value_col).cast("long").alias("_x"),
+    reps = _poisson_replicate_means(
+        df, value_col, id_cols, list(group_cols), n_replicates, portable
     )
-    fan = rows.select(
-        *group_cols,
-        "_key",
-        "_x",
-        F.explode(F.sequence(F.lit(-1), F.lit(n_replicates - 1))).alias("b"),
-    )
-    if portable:
-        u = portable_hash(
-            F.concat(F.col("b").cast("string"), F.lit(":"), F.col("_key"))
-        )
-    else:
-        u = F.pmod(F.xxhash64(F.col("b"), F.col("_key")), F.lit(1 << 32))
-    w = F.lit(len(_POISSON1_CUM_T32)).cast("long")
-    for j in range(len(_POISSON1_CUM_T32) - 1, -1, -1):
-        w = F.when(
-            u < F.lit(_POISSON1_CUM_T32[j]), F.lit(j).cast("long")
-        ).otherwise(w)
-    w = F.when(F.col("b") == F.lit(-1), F.lit(1).cast("long")).otherwise(w)
-    reps = (
-        fan.select(*group_cols, "b", w.alias("_w"), "_x")
-        .groupBy(*group_cols, "b")
-        .agg(
-            F.sum(F.col("_w") * F.col("_x")).alias("swx"),
-            F.sum("_w").alias("sw"),
-            F.count("*").alias("n_rows"),
-        )
-        .withColumn(
-            "mean_micro",
-            F.expr(
-                "CASE WHEN sw = 0 THEN NULL"
-                "     WHEN abs(swx) <= 9000000000000"
-                "     THEN (1000000 * swx) div sw"
-                "     ELSE swx div (sw div 1000000) END"
-            ).cast("long"),
-        )
-    )
-    reps = reps.cache()
-    from radohydro_spark.plans.pipeline import _PERSISTED
-
-    _PERSISTED.append(reps)
     wrank = W.partitionBy(*group_cols).orderBy(
         F.col("mean_micro").asc_nulls_last(), "b"
     )

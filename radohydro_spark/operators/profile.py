@@ -1090,13 +1090,17 @@ def calibration_bins(
         .groupBy("bin")
         .agg(F.count("*").alias("n"), F.sum("_y").alias("n_pos"))
     )
-    # bin bounds are pure functions of the literal extents: lo_k =
-    # lo + (k*rng) div n_bins (floor), matching the bucket law's
-    # preimage; the last bin's hi is the true max (closed)
-    bin_lo = F.expr(f"{lo} + (bin * {rng}) div {n_bins}")
+    # bin bounds are the bucket law's TRUE integer preimage: bucket(s)
+    # >= k  <=>  (s-lo)*n_bins >= k*rng  <=>  s >= lo + ceil(k*rng/n),
+    # so lo_k uses CEIL, not floor (floor put every interior boundary
+    # value in the wrong bin — r14 review); the last bin's hi is the
+    # true max (closed)
+    bin_lo = F.expr(f"{lo} + (bin * {rng} + {n_bins - 1}) div {n_bins}")
     bin_hi = F.when(
         F.col("bin") == F.lit(n_bins - 1), F.lit(hi)
-    ).otherwise(F.expr(f"{lo} + ((bin + 1) * {rng}) div {n_bins}"))
+    ).otherwise(
+        F.expr(f"{lo} + ((bin + 1) * {rng} + {n_bins - 1}) div {n_bins}")
+    )
     return out.select(
         F.col("bin").cast("long").alias("bin"),
         bin_lo.cast("long").alias("bin_lo"),
