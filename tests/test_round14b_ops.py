@@ -763,3 +763,79 @@ def test_calibration_bounds_are_true_preimage(spark):
         # exclusive hi: the last member is bin_hi-1 (last bin closed)
         top = r.bin_hi if r.bin == 9 else r.bin_hi - 1
         assert min((top - lo) * n // rng, n - 1) == r.bin
+
+
+# --------------------------- hypothesis property pins (integer laws)
+
+from hypothesis import given, settings, strategies as st
+
+_cats = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(old=_cats, new=_cats)
+def test_tvd_law_property(spark, old, new):
+    from collections import Counter
+
+    r = _tvd(spark, old, new)
+    c1, c2 = Counter(old), Counter(new)
+    n1, n2 = len(old), len(new)
+    if n1 == 0 and n2 == 0:
+        assert r.tvd_num is None
+        return
+    num = sum(
+        abs(c1.get(c, 0) * n2 - c2.get(c, 0) * n1) for c in set(c1) | set(c2)
+    )
+    assert (r.n_old, r.n_new, r.tvd_num) == (n1, n2, num)
+    if n1 and n2:
+        assert r.tvd_ppm == (1_000_000 * num) // (2 * n1 * n2)
+    else:
+        assert r.tvd_ppm is None
+
+
+_vals = st.lists(st.integers(min_value=-500, max_value=500), max_size=25)
+
+
+@settings(max_examples=20, deadline=None)
+@given(old=_vals, new=_vals)
+def test_w1_law_property(spark, old, new):
+    from collections import Counter
+
+    r = _w1(spark, old, new)
+    n1, n2 = len(old), len(new)
+    if n1 == 0 and n2 == 0:
+        assert r.emd_num is None
+        return
+    dom = sorted(set(old) | set(new))
+    c1, c2 = Counter(old), Counter(new)
+    f1 = f2 = num = 0
+    for i, v in enumerate(dom[:-1]):
+        f1 += c1.get(v, 0)
+        f2 += c2.get(v, 0)
+        num += abs(f1 * n2 - f2 * n1) * (dom[i + 1] - v)
+    assert (r.n_old, r.n_new, r.emd_num) == (n1, n2, num)
+    if n1 and n2:
+        d = n1 * n2
+        assert r.emd_micro == 1_000_000 * (num // d) + (
+            1_000_000 * (num % d)
+        ) // d
+    else:
+        assert r.emd_micro is None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), max_size=25)
+)
+def test_gini_law_property(spark, vals):
+    r = _gini(spark, vals)
+    if not vals:
+        assert r.gini_ppm is None
+        return
+    xs = sorted(vals)
+    n, t = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    assert (r.n_rows, r.total, r.gini_num) == (n, t, num)
+    assert r.gini_ppm == ((1_000_000 * num) // (n * t) if t else None)
