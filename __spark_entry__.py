@@ -10199,6 +10199,55 @@ ORDER BY a.bin
 """
 
 
+def q_dq_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM change-point scan
+    (operators.profile.cusum_changepoint): where did the order-value
+    series' mean shift — max_t |n·S(t) − c(t)·T| over date boundaries,
+    the WITHIN-series complement of the snapshot drift family, on the
+    shared _ranged_cumsums machinery (fifth consumer); smallest
+    boundary on ties via the timestamp-safe broadcast-max + min(v)
+    law; 2·n·Σ|x| < 2^63 named contract."""
+    from radohydro_spark.operators.profile import cusum_changepoint
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return cusum_changepoint(o, "o_orderdate", "price_c")
+
+
+ORACLE_CUSUM = """
+WITH base AS (
+  SELECT o_orderdate AS v,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM base GROUP BY v),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS tt,
+             (SELECT CAST(sum(abs(x)) AS BIGINT) FROM base) AS aa
+      FROM g),
+cumt AS (
+  SELECT v, CAST(sum(c) OVER w AS BIGINT) AS cc,
+         CAST(sum(s) OVER w AS BIGINT) AS cs
+  FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+d AS (SELECT v, abs(t.n * cs - cc * t.tt) AS d FROM cumt, t),
+dm AS (SELECT CAST(max(d) AS BIGINT) AS cusum_num FROM d),
+at AS (SELECT min(v) AS at_value FROM d WHERE d = (SELECT cusum_num FROM dm))
+SELECT t.n AS n_rows, t.tt AS total, dm.cusum_num,
+       CAST(CASE WHEN t.n * t.aa = 0 THEN NULL
+                 WHEN dm.cusum_num <= 9000000000000
+                 THEN (1000000 * dm.cusum_num) // (t.n * t.aa)
+                 ELSE dm.cusum_num // ((t.n * t.aa) // 1000000)
+            END AS BIGINT) AS cusum_micro,
+       at.at_value
+FROM t, dm, at
+"""
+
+
 def q_dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-Wasserstein drift (operators.profile.wasserstein_drift):
     the same cents-price snapshot split as dq_ks_drift, under the
@@ -10308,7 +10357,7 @@ FROM t, b
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-14 driver window (positions 0-49) ---
-        # Positions 0-12: the thirteen r14 first-exposure operators.
+        # Positions 0-13: the fourteen r14 first-exposure operators.
         # Position 0: BATCHED-selection BPE training (top-B mutually
         # symbol-disjoint pairs per round, the standard scalable-BPE
         # compromise: ~B× fewer rounds for the same vocabulary; greedy
@@ -10357,7 +10406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Position 12: reliability/response table — the AUC's
         # diagnostic sibling, n_bins-bounded groupBy.
         "dq_calibration_bins": q_dq_calibration_bins,
-        # Positions 13-14: r14 re-pins — queries whose ENGINE DEFINITION
+        # Position 13: CUSUM change-point scan — the within-series
+        # complement of the drift family, fifth cumulation consumer.
+        "dq_cusum_changepoint": q_dq_cusum_changepoint,
+        # Positions 14-15: r14 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
         # moved off the single-partition value-domain window onto the
@@ -10366,10 +10418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # total_mille into the overflow guard (r13 ADVICE).
         "dq_ks_drift": q_dq_ks_drift,
         "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 15-49 -- last driver-green: r9 (the 42-query cohort
-        # tail, staged for this window since r13; its last seven rows
+        # Positions 16-49 -- last driver-green: r9 (the 42-query cohort
+        # tail, staged for this window since r13; its last eight rows
         # plus the three r10 head rows were displaced past position 49
-        # by the ten extra first-exposure operators and lead the r15
+        # by the eleven extra first-exposure operators and lead the r15
         # window instead) --
         "dedup_groups_cc": q_dedup_groups_cc,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10406,17 +10458,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_trimmed_mean": q_stats_trimmed_mean,
         "text_contamination_check": q_text_contamination,
         "text_fingerprint": q_fingerprint,
-        "text_lang_id": q_lang_id,
-        # --- end of round-14 driver window (position 49 = the 35th r9
-        # row above, text_lang_id) ---
+        # --- end of round-14 driver window (position 49 = the 34th r9
+        # row above, text_fingerprint) ---
         # Remainder ordered by ascending driver-evidence age so the
-        # round-15 rotation is already front-loaded: the last seven r9
+        # round-15 rotation is already front-loaded: the last eight r9
         # rows + three r10 head rows displaced from this window by the
-        # ten extra first-exposure operators, then the r10 cohort
+        # eleven extra first-exposure operators, then the r10 cohort
         # tail (starting stats_pca_top_component) = the round-15
         # 50-entry window (before any r15 first-exposure
         # displacements); the r11 cohort + the r12 window rows follow.
         # -- last driver-green: r9/r10 (displaced window tail) --
+        "text_lang_id": q_lang_id,
         "text_quality_filter": q_text_quality_filter,
         "text_redact_pii": q_redact_pii,
         "text_repetition_stats": q_text_repetition,
@@ -10671,6 +10723,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_gini_revenue": ORACLE_GINI,
         "stats_bootstrap_ci_by": _bootstrap_by_oracle(),
         "dq_calibration_bins": ORACLE_CALIBRATION,
+        "dq_cusum_changepoint": ORACLE_CUSUM,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

@@ -1109,3 +1109,113 @@ def calibration_bins(
         F.col("n_pos").cast("long").alias("n_pos"),
         F.expr("CAST((1000000 * n_pos) div n AS BIGINT)").alias("pos_ppm"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact CUSUM change-point scan over an ordered integral series —
+    the WITHIN-series complement of the drift family (psi/ks/tvd/w1
+    compare two snapshots; this finds WHERE a single series' mean
+    shifted): the classic at-most-one-change statistic
+    ``max_t |S(t) − (t/n)·T|`` (cumulative sum minus its expected
+    share under no change — Page 1954; the first split of binary
+    segmentation), maximized over every prefix boundary.
+
+    EXACT cross-engine in pure BIGINTs by clearing the ratio: the
+    reported ``cusum_num = max_t |n·S(t) − c(t)·T|`` (n rows total, T
+    total sum, S/c inclusive cumulative sum/count per distinct order
+    value — ties group first, so the scan is over DISTINCT boundaries
+    and order-insensitive).  ``at_value`` is the smallest boundary
+    attaining the max (the change location).  The normalized
+    ``cusum_micro = 10⁶·cusum_num div (n·Σ|x|)`` (NULL when all values
+    are zero) normalizes by the scan's own bound — the ratio is ≤
+    2·10⁶ and, because ``cusum_num ≤ 2·n·Σ|x|``, the piecewise branch
+    KEYED ON THE NUMERATOR (the w1 lesson) can never divide by zero:
+    past 9e12 the divisor ``(n·Σ|x|) div 10⁶`` is ≥ 4.5e6 by
+    construction.  Validity ``2·n·(Σ|x|) < 2^63`` raises the named
+    driver-side ValueError (pre-quantize to coarser units — the
+    drift-family convention).
+
+    Plan shape: the FIFTH ``_ranged_cumsums`` consumer (ks/auc/w1/gini
+    and now cusum share the one range-partitioned cumulation — no
+    single-partition sort at any domain size): one per-boundary
+    count/sum aggregate (map-combinable, output = the order domain),
+    the range cumulation, one scalar aggregate.
+
+    Returns ONE row ``(n_rows, total, cusum_num, cusum_micro,
+    at_value)``; empty input yields the all-NULL row.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    g = (
+        df.filter(
+            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(order_col).alias("v"))
+        .agg(
+            F.count("*").alias("_c"),
+            F.sum(F.col(value_col).cast("long")).alias("_s"),
+            F.sum(F.abs(F.col(value_col).cast("long"))).alias("_a"),
+        )
+    )
+    v_type = g.schema["v"].dataType
+    cum = _ranged_cumsums(g, "v", ["_c", "_s", "_a"], n_parts)
+    if cum is None:
+        return spark.range(1).select(
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("total"),
+            F.lit(None).cast("long").alias("cusum_num"),
+            F.lit(None).cast("long").alias("cusum_micro"),
+            F.lit(None).cast(v_type).alias("at_value"),
+        )
+    m, totals = cum
+    n_tot, t_tot, a_tot = totals["_c"], totals["_s"], totals["_a"]
+    # the scan term |n·S − c·T| is bounded by 2·n·Σ|x| (each side by
+    # n·Σ|x|), so THAT is the domain — the gini-guard lesson applied
+    # up front
+    if 2 * n_tot * max(a_tot, 1) >= (1 << 63):
+        raise ValueError(
+            f"cusum_changepoint: 2*n*sum(|x|) = 2*{n_tot}*{a_tot} "
+            "exceeds the BIGINT scan domain (2^63) — pre-quantize the "
+            "value column to coarser units (operators/profile.py)"
+        )
+    scored = m.select(
+        "v",
+        F.abs(
+            F.lit(n_tot) * F.col("_cum__s") - F.col("_cum__c") * F.lit(t_tot)
+        ).alias("_d"),
+    )
+    den = n_tot * a_tot
+    if den == 0:
+        micro = F.lit(None).cast("long")
+    else:
+        micro = F.expr(
+            "CASE WHEN cusum_num <= 9000000000000"
+            f"     THEN (1000000 * cusum_num) div {den}"
+            f"     ELSE cusum_num div {den // 1_000_000} END"
+        )
+    # smallest boundary attaining the max — via broadcast-max +
+    # min(v), NOT the ks max_by(-v) trick: order columns here may be
+    # timestamps/dates, which cannot be negated (scored derives from
+    # the cached cumulation, so the second pass is in-memory)
+    mx = scored.agg(F.max("_d").alias("_mx"))
+    sel = scored.crossJoin(F.broadcast(mx)).filter(
+        F.col("_d") == F.col("_mx")
+    )
+    return sel.agg(
+        F.max("_d").alias("cusum_num"), F.min("v").alias("at_value")
+    ).select(
+        F.lit(n_tot).cast("long").alias("n_rows"),
+        F.lit(t_tot).cast("long").alias("total"),
+        F.col("cusum_num").cast("long").alias("cusum_num"),
+        micro.cast("long").alias("cusum_micro"),
+        "at_value",
+    )

@@ -169,6 +169,7 @@ HEADLINE = [
     "stats_gini_revenue",
     "stats_bootstrap_ci_by",
     "dq_calibration_bins",
+    "dq_cusum_changepoint",
 ]
 
 

@@ -839,3 +839,80 @@ def test_gini_law_property(spark, vals):
     num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
     assert (r.n_rows, r.total, r.gini_num) == (n, t, num)
     assert r.gini_ppm == ((1_000_000 * num) // (n * t) if t else None)
+
+
+# ------------------------------------------------ CUSUM change-point
+
+
+def _cusum(spark, pairs, n_parts=None):
+    from radohydro_spark.operators.profile import cusum_changepoint
+
+    df = spark.createDataFrame(pairs, "t long, x long")
+    return cusum_changepoint(df, "t", "x", n_parts=n_parts).collect()[0]
+
+
+def test_cusum_finds_the_step(spark):
+    # mean 10 for t<50, mean 30 for t>=50: the scan peaks at t=49
+    pairs = [(t, 10 if t < 50 else 30) for t in range(100)]
+    r = _cusum(spark, pairs)
+    assert r.at_value == 49
+    # |n*S(49) - c*T| = |100*500 - 50*2000| = 50000
+    assert r.cusum_num == 50_000 and (r.n_rows, r.total) == (100, 2000)
+    assert r.cusum_micro == (1_000_000 * 50_000) // (100 * 2000)
+
+
+def test_cusum_constant_series_and_invariance(spark):
+    pairs = [(t, 7) for t in range(60)]
+    assert _cusum(spark, pairs).cusum_num == 0
+    import random
+
+    rng = random.Random(3)
+    data = [(t, rng.randrange(-50, 100)) for t in range(200)]
+    rs = [_cusum(spark, data, n_parts=p) for p in (1, 4, 32)]
+    assert len({(r.cusum_num, r.at_value, r.cusum_micro) for r in rs}) == 1
+    # python replay
+    data.sort()
+    n = len(data)
+    tot = sum(x for _, x in data)
+    s = c = best = 0
+    at = None
+    for t, x in data:
+        s += x
+        c += 1
+        d = abs(n * s - c * tot)
+        if d > best:
+            best, at = d, t
+    assert (rs[0].cusum_num, rs[0].at_value) == (best, at)
+
+
+def test_cusum_mixed_sign_zero_total_and_contract(spark):
+    from radohydro_spark.operators.profile import cusum_changepoint
+
+    # T = 0 but Sigma|x| > 0: the n*|T| normalization would have been
+    # degenerate; the n*Sigma|x| law stays finite
+    pairs = [(0, -5), (1, -5), (2, 5), (3, 5)]
+    r = _cusum(spark, pairs)
+    assert r.total == 0 and r.cusum_num == 40 and r.at_value == 1
+    assert r.cusum_micro == (1_000_000 * 40) // (4 * 20)
+    bad = spark.createDataFrame([(1, 1 << 61), (2, 1 << 61)], "t long, x long")
+    with pytest.raises(ValueError, match="cusum_changepoint"):
+        cusum_changepoint(bad, "t", "x").collect()
+    e = spark.createDataFrame([], "t long, x long")
+    out = cusum_changepoint(e, "t", "x").collect()[0]
+    assert all(out[c] is None for c in out.asDict())
+
+
+def test_cusum_timestamp_order_column(spark):
+    import datetime
+
+    from radohydro_spark.operators.profile import cusum_changepoint
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), 1 if h < 10 else 3)
+        for h in range(20)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, x long")
+    r = cusum_changepoint(df, "ts", "x").collect()[0]
+    # the argmin tie law must survive a non-negatable order type
+    assert r.at_value == base + datetime.timedelta(hours=9)
