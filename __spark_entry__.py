@@ -10193,7 +10193,9 @@ SELECT CAST(a.bin AS BIGINT) AS bin,
                  ELSE e.lo + ((a.bin + 1) * (e.hi - e.lo) + 9) // 10
             END AS BIGINT) AS bin_hi,
        a.n, a.n_pos,
-       CAST((1000000 * a.n_pos) // a.n AS BIGINT) AS pos_ppm
+       CAST(CASE WHEN a.n_pos <= 9000000000000
+                 THEN (1000000 * a.n_pos) // a.n
+                 ELSE a.n_pos // (a.n // 1000000) END AS BIGINT) AS pos_ppm
 FROM agg a, ext e
 ORDER BY a.bin
 """

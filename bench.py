@@ -225,10 +225,16 @@ def main() -> None:
         spreads[name] = round((max(steady) - min(steady)) / min(steady), 3)
 
     total = round(sum(timings.values()), 3)
-    record = {
+    # FULL record (timings + per-query noise spreads + run policy) goes
+    # to a committed sidecar; the PRINTED line is a compact subset.  The
+    # driver captures only the last ~2000 stdout chars, and the r14
+    # record (36 queries x timings + the spread map) outgrew it — the
+    # round's headline total was lost to a truncated, unparseable
+    # artifact (VERDICT r14 #2).  The spread map is the part a human
+    # audits, not the part the driver parses, so it lives in the
+    # sidecar next to this script.
+    full = {
         "metric": "headline_query_wall_time",
-        # a partial round must not read as a fast round: value is null
-        # unless every headline query completed (errors are still listed)
         "value": total if not errors else None,
         "unit": "sec",
         "queries": timings,
@@ -246,9 +252,44 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        full["errors"] = errors
+        full["partial_total"] = total
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not kill the printed record
+    record = {
+        "metric": "headline_query_wall_time",
+        # a partial round must not read as a fast round: value is null
+        # unless every headline query completed (errors are still listed)
+        "value": total if not errors else None,
+        "unit": "sec",
+        "queries": timings,
+        "queries_ok": len(timings),
+        "queries_total": len(HEADLINE),
+        "sf": sf,
+    }
+    if errors:
         record["errors"] = errors
         record["partial_total"] = total
-    print(json.dumps(record))
+    line = json.dumps(record)
+    if len(line) > 1900:
+        # still too wide for the capture window (e.g. a long errors
+        # map): drop per-query detail from the PRINTED line — it
+        # survives in the sidecar — and keep the headline total parseable
+        record["queries"] = "see BENCH_SPREAD.json"
+        if "errors" in record:
+            record["errors"] = {
+                k: v[:80] for k, v in list(record["errors"].items())[:5]
+            }
+        line = json.dumps(record)
+    # LAST line of stdout: the driver tails stdout for the record
+    print(line)
 
 
 if __name__ == "__main__":

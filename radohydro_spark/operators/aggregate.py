@@ -519,6 +519,15 @@ def _poisson_replicate_means(
     operator's NAMED raise_error in-plan instead of an opaque ANSI
     divide-by-zero (r14 review) — the SQL oracles fail their own
     division there, so the valid domains still agree.
+
+    DIVISION SEMANTICS (r15, r14 ADVICE): every ``div`` here — like
+    DuckDB's integer ``//`` (verified on 1.0.0: ``-7 // 2 = -3``) —
+    TRUNCATES TOWARD ZERO.  For NEGATIVE ``swx`` (a legal integral
+    value_col) this is NOT floor division: a python replay must use
+    ``math.trunc(a / b)``-style ``abs``-folded division, never
+    python's floor ``//`` (pinned by the negative-value hypothesis
+    test).  Cross-engine the law is still exact — both engines
+    truncate identically.
     """
     from radohydro_spark.functions.text import portable_hash
 
@@ -628,9 +637,13 @@ def poisson_bootstrap_ci(
     discipline every sampler here follows).
 
     ``value_col`` must be INTEGRAL (pre-quantize: cents, micro-units —
-    the auc_mann_whitney convention).  Each replicate's mean is
-    reported in exact micro-units by ONE floored division under the
-    shared ks_drift piecewise overflow law: below 9e12 summed units
+    the auc_mann_whitney convention); negative values are legal, and
+    the terminal division then TRUNCATES TOWARD ZERO in both engines
+    (Spark ``div`` == DuckDB ``//``; see
+    :func:`_poisson_replicate_means` — NOT python floor ``//``).
+    Each replicate's mean is reported in exact micro-units by ONE
+    truncating division under the shared ks_drift piecewise overflow
+    law: below 9e12 summed units
     ``(10⁶·Σwx) div Σw`` exactly, above it ``Σwx div (Σw div 10⁶)``
     (validity there needs Σw ≥ 10⁶ — i.e. ≥ ~10⁶ rows, exactly the
     regime where sums are that large; outside it both engines raise
@@ -722,8 +735,11 @@ def ewma_halving(
     closed form ``Σ w_j·x_{t-j} / Σ w_j`` with ``w_j = 2^{-j}``
     truncates after ``lags`` terms to integer weights ``2^{lags-1-j}``
     — so numerator and denominator are BIGINT window sums and the
-    reported ``ewma_micro = (10⁶·num) div den`` is ONE terminal floored
-    division, bit-identical in SQL.  Truncation keeps ≥ 1−2^{−lags} of
+    reported ``ewma_micro = (10⁶·num) div den`` is ONE terminal
+    integer division TRUNCATING TOWARD ZERO (Spark ``div`` == DuckDB
+    ``//``; for a NEGATIVE numerator this is NOT floor — python
+    replays must trunc, r14 ADVICE), bit-identical in SQL.
+    Truncation of the weight TAIL keeps ≥ 1−2^{−lags} of
     the weight mass (lags=12: 99.976%) and is part of the operator's
     LAW, not an approximation seam: both engines compute the same 12
     terms.
@@ -743,6 +759,14 @@ def ewma_halving(
     single Window node); no self-join, no per-row Python.  Rows with
     NULL values are EXCLUDED before the window (the weighted_median
     convention — a NULL would otherwise shift every downstream lag).
+
+    ``order_col`` must be UNIQUE per group among the surviving rows
+    (every caller pre-aggregates to one row per (group, day)):
+    duplicate (group, order) pairs would make the lag sequence — and
+    hence ``ewma_micro`` — tie-order-dependent across engines, so a
+    duplicate raises this operator's named in-plan ``assert_true``
+    (detected by ONE extra lag on the SAME window — no second
+    exchange; r14 ADVICE).
 
     Returns the group/order/value columns plus ``ewma_micro``.
 
@@ -776,6 +800,26 @@ def ewma_halving(
         t_den = F.when(lx.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
         num = t_num if num is None else num + t_num
         den = t_den if den is None else den + t_den
+    # duplicate (group, order) detection rides the SAME window (one
+    # more lag — no second exchange, no sort change): the previous row
+    # in the group order carrying the SAME order value means order_col
+    # is not unique per group and every downstream lag is tie-order-
+    # dependent (r14 ADVICE) — fail loudly
+    dup_here = F.lag(F.col(order_col), 1).over(w).eqNullSafe(
+        F.col(order_col)
+    )
+    dup_checked = F.when(~dup_here, F.lit(1)).otherwise(
+        F.assert_true(
+            ~dup_here,
+            F.lit(
+                f"ewma_halving: duplicate ({', '.join(group_cols)}, "
+                f"{order_col}) pair — order_col must be unique per "
+                "group (pre-aggregate to one row per key) or the lag "
+                "sequence is tie-order-dependent "
+                "(operators/aggregate.py)"
+            ),
+        ).cast("int")
+    )
     staged = (
         df.filter(F.col(value_col).isNotNull())
         .select(
@@ -789,15 +833,17 @@ def ewma_halving(
             value_col,
             num.alias("_num"),
             den.alias("_den"),
+            dup_checked.alias("_uniq"),
         )
     )
     return staged.select(
         *group_cols,
         order_col,
         value_col,
-        F.expr("CAST((1000000 * _num) div _den AS BIGINT)").alias(
-            "ewma_micro"
-        ),
+        F.when(
+            F.col("_uniq") == 1,
+            F.expr("CAST((1000000 * _num) div _den AS BIGINT)"),
+        ).alias("ewma_micro"),
     )
 
 

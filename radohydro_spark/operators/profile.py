@@ -1036,8 +1036,14 @@ def calibration_bins(
     (the auc convention); the bin index is
     ``min(((s − lo)·n_bins) div (hi − lo), n_bins−1)`` over
     driver-side literal extents (one 1-row aggregate — the edges fold
-    into the plan as constants), and ``pos_ppm = 10⁶·n_pos div n`` is
-    one terminal floored division.  A constant score (hi == lo)
+    into the plan as constants), and ``pos_ppm`` is one terminal
+    floored division under the family's shared piecewise overflow law
+    (below 9e12 positives ``(10⁶·n_pos) div n`` exactly, above it
+    ``n_pos div (n div 10⁶)`` — n ≥ n_pos > 9e12 makes the divisor
+    valid; r14 ADVICE closed the unguarded 10⁶·n_pos overflow).
+    ``label_col`` must be 0/1 — any other value silently inflated
+    pos_ppm past 10⁶, so it now raises the named in-plan
+    ``assert_true`` (r14 ADVICE).  A constant score (hi == lo)
     collapses everything into bin 0; the ``(hi − lo)·n_bins < 2^63``
     domain raises the named driver-side ValueError.
 
@@ -1053,11 +1059,23 @@ def calibration_bins(
     (SURVEY §2 extension table).
     """
     assert 2 <= n_bins <= 10_000
+    y = F.col(label_col).cast("long")
+    y_guard = (y == 0) | (y == 1)
+    y_checked = F.when(y_guard, y).otherwise(
+        F.assert_true(
+            y_guard,
+            F.lit(
+                f"calibration_bins: {label_col} outside the 0/1 label "
+                "domain — a label of 2 would inflate pos_ppm past 10^6 "
+                "(operators/profile.py)"
+            ),
+        ).cast("long")
+    )
     rows = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
         F.col(score_col).cast("long").alias("_s"),
-        F.col(label_col).cast("long").alias("_y"),
+        y_checked.alias("_y"),
     )
     ext = rows.agg(F.min("_s").alias("lo"), F.max("_s").alias("hi")).collect()[0]
     if ext["lo"] is None:
@@ -1107,7 +1125,13 @@ def calibration_bins(
         bin_hi.cast("long").alias("bin_hi"),
         F.col("n").cast("long").alias("n"),
         F.col("n_pos").cast("long").alias("n_pos"),
-        F.expr("CAST((1000000 * n_pos) div n AS BIGINT)").alias("pos_ppm"),
+        # the family's shared piecewise law: n >= n_pos, so past 9e12
+        # positives the divisor (n div 10^6) is >= 9e6 — always valid
+        F.expr(
+            "CAST(CASE WHEN n_pos <= 9000000000000"
+            "          THEN (1000000 * n_pos) div n"
+            "          ELSE n_pos div (n div 1000000) END AS BIGINT)"
+        ).alias("pos_ppm"),
     )
 
 
@@ -1217,5 +1241,251 @@ def cusum_changepoint(
         F.lit(t_tot).cast("long").alias("total"),
         F.col("cusum_num").cast("long").alias("cusum_num"),
         micro.cast("long").alias("cusum_micro"),
+        "at_value",
+    )
+
+
+def tvd_drift_by(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-GROUP exact total-variation drift — :func:`tvd_drift`'s
+    segmented form, the shape production drift monitoring actually
+    runs (one TVD per language / source / experiment arm, not one
+    global number that averages a localized shift away).  Same
+    pure-BIGINT cross-multiplication law per group: with per-(group,
+    category) counts ``c1, c2`` and per-group totals ``n1, n2``,
+    ``tvd_num = Σ_cat |c1·n2 − c2·n1|`` and ``tvd_ppm`` is the shared
+    piecewise floored division over ``2·n1·n2`` — computed IN-PLAN per
+    group (the totals are runtime values here, not driver-side longs),
+    with the ``2·n1·n2 < 2^63`` validity bound enforced by this
+    operator's named in-plan ``assert_true`` (the loud-contract
+    convention for runtime-known totals).
+
+    Rows whose GROUP KEY is NULL are EXCLUDED up front (the
+    poisson_bootstrap_ci_by contract — pre-coalesce to a sentinel to
+    track them); NULL categories are excluded per the global
+    convention.  Groups present on only one side report that side's
+    rows drifting at ``tvd_ppm = NULL`` (proportions are undefined on
+    an empty side — the global law).  Groups with no rows at all do
+    not appear (the per-group convention; the global form owns the
+    degenerate all-NULL row).
+
+    Plan shape: ONE union-tagged map-side-combinable count aggregate
+    over both snapshots (output = Σ_g |group g's category domain|
+    rows), one group-partitioned unordered window for the totals, one
+    final ``groupBy(group)`` that REUSES the window's hash
+    partitioning (no third exchange).  At 100 TB the shuffle carries
+    at most |groups|·|domain| partial counters per task — the global
+    operator's bound times the group fan-out, never rows.
+
+    Returns one row per group: ``(<group_cols>, n_old, n_new,
+    tvd_num, tvd_ppm, top_category, top_num)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "tvd_drift_by: group_cols is empty — use tvd_drift for the "
+            "global form (operators/profile.py)"
+        )
+
+    def _side(df: DataFrame, s1: int, s2: int) -> DataFrame:
+        keep = F.col(col).isNotNull()
+        for g in group_cols:
+            keep = keep & F.col(g).isNotNull()
+        return df.filter(keep).select(
+            *group_cols,
+            F.col(col).cast("string").alias("_cat"),
+            F.lit(s1).alias("_s1"),
+            F.lit(s2).alias("_s2"),
+        )
+
+    counts = (
+        _side(old, 1, 0)
+        .unionByName(_side(new, 0, 1))
+        .groupBy(*group_cols, "_cat")
+        .agg(F.sum("_s1").alias("_c1"), F.sum("_s2").alias("_c2"))
+    )
+    wg = W.partitionBy(*group_cols)
+    base = counts.select(
+        *group_cols,
+        "_cat",
+        "_c1",
+        "_c2",
+        F.sum("_c1").over(wg).alias("_n1"),
+        F.sum("_c2").over(wg).alias("_n2"),
+    )
+    # overflow-safe in-plan validity bound: n1*n2 <= 2^62 - 1 checked
+    # DIVISIONALLY in exact BIGINT `div` (a float `/` check would be
+    # ulp-sloppy at the boundary), hence 2*n1*n2 < 2^63 and every term
+    # |c1*n2 - c2*n1| <= n1*n2 fits
+    guard = F.expr(f"_n1 = 0 OR _n2 <= ({(1 << 62) - 1} div _n1)")
+    checked_n2 = F.when(guard, F.col("_n2")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "tvd_drift_by: a group's 2*n1*n2 exceeds the BIGINT "
+                "cross-multiplication domain (2^63) — sample a side "
+                "(operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    scored = base.select(
+        *group_cols,
+        "_cat",
+        F.abs(
+            F.col("_c1") * checked_n2 - F.col("_c2") * F.col("_n1")
+        ).alias("_d"),
+        "_n1",
+        "_n2",
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.max("_n1").alias("n_old"),
+        F.max("_n2").alias("n_new"),
+        F.sum("_d").alias("tvd_num"),
+        F.min_by(
+            "_cat", F.struct((-F.col("_d")).alias("nd"), F.col("_cat"))
+        ).alias("top_category"),
+        F.max("_d").alias("top_num"),
+    )
+    ppm = F.expr(
+        "CASE WHEN n_old = 0 OR n_new = 0 THEN NULL"
+        "     WHEN 2 * n_old * n_new <= 9000000000000"
+        "     THEN (1000000 * tvd_num) div (2 * n_old * n_new)"
+        "     ELSE tvd_num div ((2 * n_old * n_new) div 1000000) END"
+    )
+    return out.select(
+        *group_cols,
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("tvd_num").cast("long").alias("tvd_num"),
+        ppm.cast("long").alias("tvd_ppm"),
+        "top_category",
+        F.col("top_num").cast("long").alias("top_num"),
+    )
+
+
+def ks_drift_by(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-GROUP exact two-sample Kolmogorov–Smirnov drift —
+    :func:`ks_drift`'s segmented form (one D statistic per segment /
+    arm / source).  Same pure-BIGINT cross-multiplication law per
+    group: cumulative counts ``f1(v), f2(v)`` within the group compare
+    ``|f1·n2 − f2·n1|``; ``ks_ppm`` is the shared piecewise floored
+    division, computed IN-PLAN per group with the ``n1·n2 < 2^63``
+    validity bound enforced by a named in-plan ``assert_true``.
+
+    CONTRACT (vs the global form): the cumulation here is a
+    group-partitioned ordered window, so ONE GROUP'S value domain must
+    fit one task's sort — the right trade when segments are many and
+    individually bounded (the production case: |domain| per language /
+    arm ≪ total).  For a single segment with an unbounded
+    near-distinct domain, run the global :func:`ks_drift` (range-
+    partitioned cumulation, no per-task bound) on that segment's
+    filter instead.
+
+    NULL group keys and NULL values are EXCLUDED up front (the
+    tvd_drift_by conventions).  Groups on one side only report
+    ``ks_ppm = NULL``; absent groups do not appear.
+
+    Plan shape: ONE union-tagged count aggregate (output =
+    Σ_g |group g's value domain| rows), one group-key exchange shared
+    by the ordered cumulative window, the unordered totals window AND
+    the final ``groupBy(group)`` — three operators, one shuffle.
+
+    Returns one row per group: ``(<group_cols>, n_old, n_new, d_num,
+    ks_ppm, at_value)`` with ``at_value`` the smallest value attaining
+    the max (the global tie-law).
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "ks_drift_by: group_cols is empty — use ks_drift for the "
+            "global form (operators/profile.py)"
+        )
+
+    def _side(df: DataFrame, s1: int, s2: int) -> DataFrame:
+        keep = F.col(col).isNotNull()
+        for g in group_cols:
+            keep = keep & F.col(g).isNotNull()
+        return df.filter(keep).select(
+            *group_cols,
+            F.col(col).alias("_v"),
+            F.lit(s1).alias("_s1"),
+            F.lit(s2).alias("_s2"),
+        )
+
+    counts = (
+        _side(old, 1, 0)
+        .unionByName(_side(new, 0, 1))
+        .groupBy(*group_cols, "_v")
+        .agg(F.sum("_s1").alias("_c1"), F.sum("_s2").alias("_c2"))
+    )
+    wg = W.partitionBy(*group_cols)
+    wcum = (
+        W.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = counts.select(
+        *group_cols,
+        "_v",
+        F.sum("_c1").over(wcum).alias("_f1"),
+        F.sum("_c2").over(wcum).alias("_f2"),
+        F.sum("_c1").over(wg).alias("_n1"),
+        F.sum("_c2").over(wg).alias("_n2"),
+    )
+    # exact BIGINT divisional bound (the tvd_drift_by convention):
+    # n1*n2 <= 2^63 - 1, so |f1*n2 - f2*n1| <= n1*n2 fits
+    guard = F.expr(f"_n1 = 0 OR _n2 <= ({(1 << 63) - 1} div _n1)")
+    checked_n2 = F.when(guard, F.col("_n2")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "ks_drift_by: a group's n1*n2 exceeds the BIGINT "
+                "cross-multiplication domain (2^63) — sample a side "
+                "or pre-quantize (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    scored = base.select(
+        *group_cols,
+        "_v",
+        F.abs(
+            F.col("_f1") * checked_n2 - F.col("_f2") * F.col("_n1")
+        ).alias("_d"),
+        "_n1",
+        "_n2",
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.max("_n1").alias("n_old"),
+        F.max("_n2").alias("n_new"),
+        F.max("_d").alias("d_num"),
+        F.min_by(
+            "_v", F.struct((-F.col("_d")).alias("nd"), F.col("_v"))
+        ).alias("at_value"),
+    )
+    ppm = F.expr(
+        "CASE WHEN n_old <= 0 OR n_new <= 0 THEN NULL"
+        "     WHEN n_old * n_new <= 9000000000000"
+        "     THEN (1000000 * d_num) div (n_old * n_new)"
+        "     ELSE d_num div ((n_old * n_new) div 1000000) END"
+    )
+    return out.select(
+        *group_cols,
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("d_num").cast("long").alias("d_num"),
+        ppm.cast("long").alias("ks_ppm"),
         "at_value",
     )

@@ -602,14 +602,26 @@ def kmv_overlap(
       union estimate),
     * ``jaccard_ppm = 10⁶·n_common div n_union_sketch``.
 
-    All divisions are terminal floored BIGINT ops ((k−1)·2³² < 2⁶³ for
-    any practical k), so the result is bit-identical in SQL.  The
-    whole computation touches only the two ≤ k-row sketches — at
-    100 TB the corpora are never rejoined.
+    All divisions are terminal floored BIGINT ops, so the result is
+    bit-identical in SQL.  The whole computation touches only the two
+    ≤ k-row sketches — at 100 TB the corpora are never rejoined.
+
+    Overflow contract (r14 ADVICE): ``inter_est``'s intermediate
+    ``n_common·union_est`` is bounded by ``k·(k−1)·2³²``, so ``k`` must
+    satisfy ``k·(k−1) < 2³¹`` (k ≤ 46340) — enforced by a named
+    ValueError; a 46k-row sketch already estimates within ~0.5%
+    (1/√k), so the ceiling costs nothing in practice.
 
     Returns ONE row ``(n_a, n_b, theta, n_union_sketch, n_common,
     union_est, inter_est, jaccard_ppm)``; empty sketches yield the
     all-NULL estimate columns."""
+    if k < 2 or k * (k - 1) >= (1 << 31):
+        raise ValueError(
+            f"kmv_overlap: k = {k} outside the exact-BIGINT estimator "
+            "domain (2 <= k <= 46340: the inter_est intermediate "
+            "n_common*union_est <= k*(k-1)*2^32 must stay below 2^63) "
+            "(operators/sketch.py)"
+        )
     a = sk_a.select(F.col("hv").alias("hv"), F.lit(1).alias("_ina"))
     b = sk_b.select(F.col("hv").alias("hv"), F.lit(1).alias("_inb"))
     u = (

@@ -1,0 +1,322 @@
+"""Round-15 first batch: the four r14 ADVICE closures — negative-value
+truncating-division pins for the bootstrap/EWMA integer laws, the
+ewma_halving duplicate-order contract, calibration_bins' piecewise
+pos_ppm law + 0/1 label domain, and kmv_overlap's k ceiling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _ph(s: str) -> int:
+    """Python twin of functions.text.portable_hash."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _poisson_w(b: int, key: str) -> int:
+    from radohydro_spark.operators.aggregate import _POISSON1_CUM_T32
+
+    if b == -1:
+        return 1
+    u = _ph(f"{b}:{key}")
+    for j, t in enumerate(_POISSON1_CUM_T32):
+        if u < t:
+            return j
+    return len(_POISSON1_CUM_T32)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark `div` == DuckDB `//` (1.0.0): integer division truncating
+    toward zero — NOT python floor // (they differ for negative a)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+# ------------------------------------- bootstrap: negative-value law
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-5_000, max_value=5_000),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_bootstrap_negative_values_trunc_division(spark, xs):
+    """The documented law for negative sums: Spark's div TRUNCATES
+    toward zero (r14 ADVICE pin — a floor-based replay diverges
+    whenever a replicate's weighted sum is negative)."""
+    from radohydro_spark.operators.aggregate import poisson_bootstrap_ci
+
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "id long, x long")
+    r = poisson_bootstrap_ci(df, "x", ["id"], n_replicates=12).collect()[0]
+    assert r.point_micro == _trunc_div(1_000_000 * sum(xs), len(xs))
+    means = []
+    for b in range(12):
+        swx = sum(_poisson_w(b, str(i)) * x for i, x in rows)
+        sw = sum(_poisson_w(b, str(i)) for i, _ in rows)
+        m = None if sw == 0 else _trunc_div(1_000_000 * swx, sw)
+        means.append((m, b))
+    # NULLS LAST, then (mean, b) ascending — the engine's rank law
+    means.sort(key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0, t[1]))
+    lo = means[-(-25 * 12 // 1000) - 1][0]
+    hi = means[-(-975 * 12 // 1000) - 1][0]
+    assert (r.lo_micro, r.hi_micro) == (lo, hi)
+
+
+# ------------------------------------------ ewma: negatives + dup law
+
+
+def test_ewma_negative_values_trunc_division(spark):
+    from radohydro_spark.operators.aggregate import ewma_halving
+
+    rows = [("g", t, (-1) ** t * ((t * 31) % 100)) for t in range(30)]
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    got = {
+        r.t: r.ewma_micro
+        for r in ewma_halving(df, ["g"], "t", "x", lags=8).collect()
+    }
+    pts = sorted((t, x) for _, t, x in rows)
+    for i, (t, _) in enumerate(pts):
+        num = den = 0
+        for j in range(8):
+            if i - j < 0:
+                break
+            wt = 1 << (7 - j)
+            num += pts[i - j][1] * wt
+            den += wt
+        assert got[t] == _trunc_div(1_000_000 * num, den), t
+
+
+def test_ewma_duplicate_order_raises_named(spark):
+    from radohydro_spark.operators.aggregate import ewma_halving
+
+    dup = spark.createDataFrame(
+        [("g", 1, 10), ("g", 1, 20), ("g", 2, 30)],
+        "g string, t int, x long",
+    )
+    with pytest.raises(Exception, match="ewma_halving.*unique"):
+        ewma_halving(dup, ["g"], "t", "x", lags=4).collect()
+
+
+def test_ewma_dup_guard_keeps_single_window(spark):
+    """The duplicate detector is one more lag on the SAME window — the
+    plan must still contain exactly one Window node."""
+    from radohydro_spark.operators.aggregate import ewma_halving
+
+    ok = spark.createDataFrame(
+        [("g", t, t) for t in range(5)], "g string, t int, x long"
+    )
+    out = ewma_halving(ok, ["g"], "t", "x", lags=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+    # and the guard passes on unique keys
+    assert out.count() == 5
+
+
+# --------------------------------- calibration: label domain + ppm law
+
+
+def test_calibration_label_outside_01_raises_named(spark):
+    from radohydro_spark.operators.profile import calibration_bins
+
+    bad = spark.createDataFrame(
+        [(i, 2 if i == 5 else 1) for i in range(10)], "s long, y long"
+    )
+    with pytest.raises(Exception, match="calibration_bins.*0/1"):
+        calibration_bins(bad, "s", "y", n_bins=4).collect()
+    neg = spark.createDataFrame([(1, -1), (2, 0)], "s long, y long")
+    with pytest.raises(Exception, match="calibration_bins.*0/1"):
+        calibration_bins(neg, "s", "y", n_bins=4).collect()
+
+
+def test_calibration_hand_case_still_exact_after_piecewise_law(spark):
+    from radohydro_spark.operators.profile import calibration_bins
+
+    # scores 0..9 into 2 bins, labels = score >= 5: bin0 0/5, bin1 5/5
+    df = spark.createDataFrame(
+        [(s, 1 if s >= 5 else 0) for s in range(10)], "s long, y long"
+    )
+    out = {
+        r.bin: (r.n, r.n_pos, r.pos_ppm)
+        for r in calibration_bins(df, "s", "y", n_bins=2).collect()
+    }
+    assert out == {0: (5, 0, 0), 1: (5, 5, 1_000_000)}
+
+
+# ---------------------------------------------- kmv_overlap: k ceiling
+
+
+def test_kmv_overlap_k_ceiling_raises_named(spark):
+    from radohydro_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    df = spark.createDataFrame([(str(i),) for i in range(50)], "k string")
+    sk = kmv_sketch(df, "k", k=16)
+    with pytest.raises(ValueError, match="kmv_overlap.*46340"):
+        kmv_overlap(sk, sk, k=65536)
+    with pytest.raises(ValueError, match="kmv_overlap"):
+        kmv_overlap(sk, sk, k=1)
+    # boundary k is accepted and still exact on identical sketches
+    r = kmv_overlap(sk, sk, k=46340).collect()[0]
+    assert r.jaccard_ppm == 1_000_000
+
+
+# ------------------------------------------- per-group drift twins
+
+
+def _tvd_by(spark, old_rows, new_rows):
+    from radohydro_spark.operators.profile import tvd_drift_by
+
+    o = spark.createDataFrame(old_rows, "g string, cat string")
+    n = spark.createDataFrame(new_rows, "g string, cat string")
+    return tvd_drift_by(o, n, "cat", ["g"])
+
+
+def test_tvd_by_single_group_matches_global(spark):
+    """Constant group ⇒ identical numbers to the global tvd_drift."""
+    from radohydro_spark.operators.profile import tvd_drift
+
+    old_c = ["a", "a", "b"]
+    new_c = ["b", "b", "c"]
+    o = spark.createDataFrame([(c,) for c in old_c], "cat string")
+    n = spark.createDataFrame([(c,) for c in new_c], "cat string")
+    g = tvd_drift(o, n, "cat").collect()[0]
+    r = _tvd_by(
+        spark, [("k", c) for c in old_c], [("k", c) for c in new_c]
+    ).collect()[0]
+    assert (r.n_old, r.n_new, r.tvd_num, r.tvd_ppm) == (
+        g.n_old, g.n_new, g.tvd_num, g.tvd_ppm,
+    )
+    assert (r.top_category, r.top_num) == (g.top_category, g.top_num)
+    assert r.g == "k"
+
+
+def test_tvd_by_hand_case_two_groups(spark):
+    # group k: the 666666-ppm hand case; group m: identical mixes -> 0
+    old = [("k", "a"), ("k", "a"), ("k", "b"), ("m", "x"), ("m", "y")]
+    new = [("k", "b"), ("k", "b"), ("k", "c"), ("m", "x"), ("m", "y")]
+    out = {r.g: r for r in _tvd_by(spark, old, new).collect()}
+    assert out["k"].tvd_ppm == 666666 and out["k"].top_category == "a"
+    assert out["m"].tvd_ppm == 0 and out["m"].tvd_num == 0
+
+
+def test_tvd_by_null_group_excluded_and_one_sided_group(spark):
+    old = [("k", "a"), (None, "a"), ("only_old", "z")]
+    new = [("k", "a"), (None, "b")]
+    out = {r.g: r for r in _tvd_by(spark, old, new).collect()}
+    assert set(out) == {"k", "only_old"}  # NULL group never appears
+    assert out["k"].tvd_ppm == 0
+    # group on one side only: rows counted, ppm undefined (global law)
+    r = out["only_old"]
+    assert (r.n_old, r.n_new, r.tvd_ppm) == (1, 0, None)
+
+
+def test_tvd_by_matches_python_replay(spark):
+    from collections import Counter
+
+    old = [(f"g{i % 3}", f"c{(i * 7) % 5}") for i in range(200)]
+    new = [(f"g{i % 3}", f"c{(i * 11) % 6}") for i in range(260)]
+    got = {r.g: r for r in _tvd_by(spark, old, new).collect()}
+    for g in ("g0", "g1", "g2"):
+        c1 = Counter(c for gg, c in old if gg == g)
+        c2 = Counter(c for gg, c in new if gg == g)
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        num = sum(
+            abs(c1.get(c, 0) * n2 - c2.get(c, 0) * n1)
+            for c in set(c1) | set(c2)
+        )
+        r = got[g]
+        assert (r.n_old, r.n_new, r.tvd_num) == (n1, n2, num)
+        assert r.tvd_ppm == (1_000_000 * num) // (2 * n1 * n2)
+
+
+def test_tvd_by_empty_group_cols_raises(spark):
+    from radohydro_spark.operators.profile import tvd_drift_by
+
+    df = spark.createDataFrame([("g", "a")], "g string, cat string")
+    with pytest.raises(ValueError, match="tvd_drift_by"):
+        tvd_drift_by(df, df, "cat", [])
+
+
+def _ks_by(spark, old_rows, new_rows):
+    from radohydro_spark.operators.profile import ks_drift_by
+
+    o = spark.createDataFrame(old_rows, "g string, v long")
+    n = spark.createDataFrame(new_rows, "g string, v long")
+    return ks_drift_by(o, n, "v", ["g"])
+
+
+def test_ks_by_single_group_matches_global(spark):
+    from radohydro_spark.operators.profile import ks_drift
+
+    old_v = [1, 2, 2, 3, 10]
+    new_v = [2, 3, 3, 9, 12]
+    o = spark.createDataFrame([(v,) for v in old_v], "v long")
+    n = spark.createDataFrame([(v,) for v in new_v], "v long")
+    g = ks_drift(o, n, "v").collect()[0]
+    r = _ks_by(
+        spark, [("k", v) for v in old_v], [("k", v) for v in new_v]
+    ).collect()[0]
+    assert (r.n_old, r.n_new, r.d_num, r.ks_ppm, r.at_value) == (
+        g.n_old, g.n_new, g.d_num, g.ks_ppm, g.at_value,
+    )
+
+
+def test_ks_by_hand_case_and_tie_law(spark):
+    # group k: old all below new -> D = 1 at the old max;
+    # group m: identical -> D = 0, at_value = smallest value (tie law)
+    old = [("k", 1), ("k", 2), ("m", 5), ("m", 6)]
+    new = [("k", 10), ("k", 11), ("m", 5), ("m", 6)]
+    out = {r.g: r for r in _ks_by(spark, old, new).collect()}
+    assert out["k"].ks_ppm == 1_000_000 and out["k"].at_value == 2
+    assert out["m"].d_num == 0 and out["m"].at_value == 5
+
+
+def test_ks_by_matches_python_replay_and_null_group(spark):
+    from collections import Counter
+
+    old = [(f"g{i % 2}", (i * 13) % 37) for i in range(150)] + [(None, 1)]
+    new = [(f"g{i % 2}", (i * 17) % 41) for i in range(170)] + [(None, 2)]
+    got = {r.g: r for r in _ks_by(spark, old, new).collect()}
+    assert set(got) == {"g0", "g1"}
+    for g in ("g0", "g1"):
+        c1 = Counter(v for gg, v in old if gg == g)
+        c2 = Counter(v for gg, v in new if gg == g)
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        dom = sorted(set(c1) | set(c2))
+        f1 = f2 = 0
+        best = (-1, None)
+        for v in dom:
+            f1 += c1.get(v, 0)
+            f2 += c2.get(v, 0)
+            d = abs(f1 * n2 - f2 * n1)
+            if d > best[0]:
+                best = (d, v)
+        r = got[g]
+        assert (r.n_old, r.n_new, r.d_num, r.at_value) == (
+            n1, n2, best[0], best[1],
+        )
+        assert r.ks_ppm == (1_000_000 * best[0]) // (n1 * n2)
+
+
+def test_drift_by_guards_live_in_plan_and_shuffle_count(spark):
+    """The named overflow contracts are IN the plan (runtime totals
+    can't be checked driver-side), and the whole per-group KS pipeline
+    runs on TWO shuffles (count agg + group windows/final agg)."""
+    old = [("k", 1), ("k", 2)]
+    new = [("k", 3)]
+    ks = _ks_by(spark, old, new)
+    analyzed = ks._jdf.queryExecution().analyzed().toString()
+    assert "ks_drift_by" in analyzed  # the named assert_true message
+    tvd = _tvd_by(spark, [("k", "a")], [("k", "b")])
+    assert "tvd_drift_by" in tvd._jdf.queryExecution().analyzed().toString()
+    plan = ks._jdf.queryExecution().executedPlan().toString()
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_exch <= 2, plan
