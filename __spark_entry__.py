@@ -2666,6 +2666,60 @@ FROM w
 """
 
 
+def q_events_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window Count-Min sketch
+    (streaming.stream_count_min): per-DAY 4×64 frequency counters over
+    the event user-id stream — the ingest-time generalization of
+    sketch_count_min (same portable md5-prefix hash law, so the
+    availableNow drain is bit-identical to the batch builder per
+    window and exactly SQL-replayable).  ONE stateful window-grouped
+    count; state ≤ windows·depth·width longs by construction."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import run_available_now, stream_count_min
+
+    raw_schema = _probe_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    sk = stream_count_min(
+        stream, "ts", "user_id", "1 day", depth=4, width=64,
+        watermark="1 hour",
+    )
+    name = "stream_cms_" + uuid.uuid4().hex[:8]
+    out = run_available_now(
+        sk, name, tempfile.mkdtemp(prefix="ck_"), "complete"
+    )
+    return out.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        F.col("d").cast("long").alias("d"),
+        "bucket",
+        "n",
+    ).orderBy("day", "d", "bucket")
+
+
+def _stream_cms_oracle() -> str:
+    h = _ph_sql("concat(CAST(dd.range AS VARCHAR), ':', k)")
+    return f"""
+WITH ev AS (SELECT date_trunc('day', ts) AS w, CAST(user_id AS VARCHAR) AS k
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+sk AS (
+  SELECT w, dd.range AS d,
+         CAST(({h}) % 64 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev, range(4) dd GROUP BY 1, 2, 3
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS day, CAST(d AS BIGINT) AS d,
+       bucket, n
+FROM sk ORDER BY day, d, bucket
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: first-16 centroids, nprobe=4, exact rerank in probed
     lists.  Deterministic coarse quantizer -> strong DuckDB oracle."""
@@ -9764,6 +9818,136 @@ FROM t
 """
 
 
+def q_dq_tvd_drift_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT categorical TVD drift
+    (operators.profile.tvd_drift_by): order-priority mix of early
+    (≤1994) vs late (≥1995) orders, one exact TVD per customer market
+    segment — the segmented form production drift monitoring runs
+    (dq_tvd_drift's global number averages a localized shift away).
+    Same pure-BIGINT cross-multiplication law per group with the
+    piecewise ppm division IN-PLAN (totals are runtime values per
+    group); NULL group keys excluded by contract.  One union-tagged
+    count aggregate + one group-key exchange shared by the totals
+    window and the final aggregate."""
+    from radohydro_spark.operators.profile import tvd_drift_by
+
+    o = _t(spark, sf_dir, "orders").join(
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "o_custkey",
+    )
+    old = o.filter(F.year("o_orderdate") <= 1994)
+    new = o.filter(F.year("o_orderdate") >= 1995)
+    return tvd_drift_by(
+        old, new, "o_orderpriority", ["c_mktsegment"]
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_TVD_DRIFT_BY = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(o.o_orderpriority AS VARCHAR) AS cat,
+         year(o.o_orderdate) AS yr
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderpriority IS NOT NULL AND c.c_mktsegment IS NOT NULL
+),
+m AS (
+  SELECT seg, cat,
+         CAST(count(*) FILTER (WHERE yr <= 1994) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE yr >= 1995) AS BIGINT) AS c2
+  FROM j GROUP BY seg, cat
+),
+t AS (SELECT seg, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM m GROUP BY seg),
+s AS (SELECT m.seg, m.cat, abs(m.c1 * t.n2 - m.c2 * t.n1) AS d
+      FROM m JOIN t ON m.seg = t.seg),
+a AS (SELECT seg, CAST(sum(d) AS BIGINT) AS tvd_num,
+             CAST(max(d) AS BIGINT) AS top_num FROM s GROUP BY seg),
+top AS (SELECT seg, cat AS top_category FROM (
+          SELECT seg, cat,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY d DESC, cat) AS rn
+          FROM s) WHERE rn = 1)
+SELECT t.seg AS c_mktsegment, t.n1 AS n_old, t.n2 AS n_new, a.tvd_num,
+       CAST(CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+                 WHEN 2 * t.n1 * t.n2 <= 9000000000000
+                 THEN (1000000 * a.tvd_num) // (2 * t.n1 * t.n2)
+                 ELSE a.tvd_num // ((2 * t.n1 * t.n2) // 1000000)
+            END AS BIGINT) AS tvd_ppm,
+       top.top_category, a.top_num
+FROM t JOIN a ON a.seg = t.seg JOIN top ON top.seg = t.seg
+ORDER BY c_mktsegment
+"""
+
+
+def q_dq_ks_drift_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact Kolmogorov–Smirnov drift
+    (operators.profile.ks_drift_by): order-price distribution before
+    vs from 1997, one exact D per order priority — dq_ks_drift's
+    segmented form.  Group-partitioned cumulative windows (the
+    documented per-group-domain-fits-a-task contract; the global form
+    owns the unbounded-domain case via _ranged_cumsums), same BIGINT
+    cross-multiplication + piecewise ppm law in-plan, smallest-value
+    tie law for at_value."""
+    from radohydro_spark.operators.profile import ks_drift_by
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_orderdate",
+    )
+    split = F.lit("1997-01-01").cast("date")
+    return ks_drift_by(
+        o.filter(F.col("o_orderdate") < split),
+        o.filter(F.col("o_orderdate") >= split),
+        "price_c",
+        ["o_orderpriority"],
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_KS_DRIFT_BY = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderdate
+  FROM orders WHERE o_orderpriority IS NOT NULL
+),
+m AS (
+  SELECT g, v,
+         CAST(count(*) FILTER (WHERE o_orderdate < DATE '1997-01-01')
+              AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE o_orderdate >= DATE '1997-01-01')
+              AS BIGINT) AS c2
+  FROM base GROUP BY g, v
+),
+s AS (
+  SELECT g, v,
+         CAST(sum(c1) OVER w AS BIGINT) AS f1,
+         CAST(sum(c2) OVER w AS BIGINT) AS f2
+  FROM m WINDOW w AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+t AS (SELECT g, CAST(max(f1) AS BIGINT) AS n1,
+             CAST(max(f2) AS BIGINT) AS n2 FROM s GROUP BY g),
+d AS (SELECT s.g, s.v, abs(s.f1 * t.n2 - s.f2 * t.n1) AS d
+      FROM s JOIN t ON s.g = t.g),
+dm AS (SELECT g, CAST(max(d) AS BIGINT) AS d_num FROM d GROUP BY g),
+at AS (SELECT g, v AS at_value FROM (
+         SELECT g, v, row_number() OVER (PARTITION BY g
+                                         ORDER BY d DESC, v) AS rn
+         FROM d) WHERE rn = 1)
+SELECT t.g AS o_orderpriority, t.n1 AS n_old, t.n2 AS n_new, dm.d_num,
+       CAST(CASE WHEN t.n1 <= 0 OR t.n2 <= 0 THEN NULL
+                 WHEN t.n1 * t.n2 <= 9000000000000
+                 THEN (1000000 * dm.d_num) // (t.n1 * t.n2)
+                 ELSE dm.d_num // ((t.n1 * t.n2) // 1000000)
+            END AS BIGINT) AS ks_ppm,
+       at.at_value
+FROM t JOIN dm ON dm.g = t.g JOIN at ON at.g = t.g
+ORDER BY o_orderpriority
+"""
+
+
 def q_sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership sketch with verified one-sided contract
     (operators.sketch.bloom_table / bloom_membership; Bloom 1970): the
@@ -10358,7 +10542,18 @@ FROM t, b
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round-14 driver window (positions 0-49) ---
+        # --- round-15 driver window (positions 0-49) ---
+        # r15 first-exposure head: the per-group drift twins (VERDICT
+        # r14 #3) — one exact TVD / KS statistic per segment on the
+        # shared cross-multiplication law, overflow contracts in-plan.
+        "dq_tvd_drift_by": q_dq_tvd_drift_by,
+        "dq_ks_drift_by": q_dq_ks_drift_by,
+        # r15 first-exposure: streaming per-window Count-Min (VERDICT
+        # r14 #7) — the stream_category_drift pattern generalized to a
+        # hashed key domain; drain == batch sketch law, exact oracle.
+        "events_stream_count_min": q_events_stream_count_min,
+        # --- (former round-14 window follows; final r15 window
+        # composition is rewritten at round close) ---
         # Positions 0-13: the fourteen r14 first-exposure operators.
         # Position 0: BATCHED-selection BPE training (top-B mutually
         # symbol-disjoint pairs per round, the standard scalable-BPE
@@ -10716,10 +10911,13 @@ def oracle_sql() -> dict[str, str]:
         "dq_auc_returns": ORACLE_AUC_RETURNS,
         "sketch_count_min": _cms_oracle(),
         "dq_tvd_drift": ORACLE_TVD_DRIFT,
+        "dq_tvd_drift_by": ORACLE_TVD_DRIFT_BY,
+        "dq_ks_drift_by": ORACLE_KS_DRIFT_BY,
         "sketch_bloom_filter": _bloom_oracle(),
         "sketch_kmv_overlap": _kmv_oracle(),
         "stats_bootstrap_ci": _bootstrap_oracle(),
         "events_stream_tvd_monitor": ORACLE_STREAM_TVD,
+        "events_stream_count_min": _stream_cms_oracle(),
         "orders_ewma_daily": _ewma_oracle(),
         "dq_wasserstein_drift": ORACLE_W1_DRIFT,
         "stats_gini_revenue": ORACLE_GINI,

@@ -7,6 +7,7 @@ from radohydro_spark.streaming.streams import (
     streaming_precip,
     stateful_running_total,
     stream_category_drift,
+    stream_count_min,
     stream_stream_join,
     tumbling_agg,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_precip",
     "stateful_running_total",
     "stream_category_drift",
+    "stream_count_min",
     "stream_stream_join",
     "tumbling_agg",
 ]

@@ -549,3 +549,80 @@ def stream_category_drift(
             "tvd_ppm"
         ),
     )
+
+
+def stream_count_min(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str,
+    depth: int = 4,
+    width: int = 256,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-window Count-Min sketch — the Structured-Streaming
+    twin of :func:`~radohydro_spark.operators.sketch.count_min_table`
+    (the :func:`stream_category_drift` pattern generalized from a
+    LITERAL category list to a hashed key domain): per tumbling window,
+    ``depth × width`` frequency counters maintained at ingest time, so
+    "how often did key X appear in hour H?" is answerable later WITHOUT
+    re-reading the corpus — point-query any window's slice with
+    :func:`~radohydro_spark.operators.sketch.count_min_estimate`, merge
+    windows by summing counters.
+
+    DETERMINISTIC and batch-identical: row ``d``'s bucket is
+    ``portable_hash(d || ':' || key) mod width`` — the batch builder's
+    exact hash law — so an availableNow drain equals the batch sketch
+    per window, bit-for-bit, and the whole table is SQL-replayable
+    (exact DuckDB oracle).
+
+    Plan shape: one stateless ``explode(sequence(0, depth−1))``
+    projection + hash (inside whole-stage codegen), then ONE
+    watermarked stateful window-grouped count.  State is ≤
+    ``windows · depth · width`` longs — bounded by CONSTRUCTION
+    regardless of rows or key-domain size (the sketch family's
+    contract carried into the streaming runtime); the
+    micro-batch shuffle carries at most ``depth·width`` partial
+    counters per task per window.
+
+    Returns ``(ts, d, bucket, n)`` per window — ``ts`` the window
+    start; NULL keys are excluded (the batch builder's contract).
+    """
+    assert depth >= 1 and width >= 1
+    from radohydro_spark.functions.text import portable_hash
+
+    rows = (
+        stream.withWatermark(ts_col, watermark)
+        .filter(F.col(key_col).isNotNull())
+        .select(
+            ts_col, F.col(key_col).cast("string").alias("_k")
+        )
+        .select(
+            ts_col,
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+            "_k",
+        )
+        .select(
+            ts_col,
+            "d",
+            F.pmod(
+                portable_hash(
+                    F.concat(
+                        F.col("d").cast("string"), F.lit(":"), F.col("_k")
+                    )
+                ),
+                F.lit(width),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    agg = rows.groupBy(
+        F.window(F.col(ts_col), window), "d", "bucket"
+    ).agg(F.count("*").alias("n"))
+    return agg.select(
+        F.col("window.start").alias("ts"),
+        "d",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+    )

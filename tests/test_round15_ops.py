@@ -320,3 +320,98 @@ def test_drift_by_guards_live_in_plan_and_shuffle_count(spark):
     plan = ks._jdf.queryExecution().executedPlan().toString()
     n_exch = plan.count("Exchange hashpartitioning")
     assert n_exch <= 2, plan
+
+
+# ------------------------------------------ streaming Count-Min
+
+
+def test_stream_count_min_matches_batch_law(spark, tmp_path):
+    """availableNow drain == the batch count_min_table hash law per
+    window (python md5 replay), state bounded at depth*width."""
+    import datetime
+
+    from radohydro_spark.streaming import run_available_now, stream_count_min
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=7 * i), str(i % 5))
+        for i in range(40)
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, "ts timestamp, k string").write.parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .parquet(str(src))
+    )
+    out = run_available_now(
+        stream_count_min(
+            stream, "ts", "k", "1 hour", depth=2, width=8,
+            watermark="1 hour",
+        ),
+        "t_stream_cms",
+        str(tmp_path / "ck"),
+        "complete",
+    ).collect()
+    got = {(r.ts, r.d, r.bucket): r.n for r in out}
+    want: dict = {}
+    for ts, k in rows:
+        w = ts.replace(minute=0, second=0)
+        for d in range(2):
+            b = _ph(f"{d}:{k}") % 8
+            want[(w, d, b)] = want.get((w, d, b), 0) + 1
+    assert got == want
+    # bounded state: every window carries at most depth*width counters
+    from collections import Counter
+
+    per_w = Counter(w for w, _, _ in got)
+    assert all(v <= 2 * 8 for v in per_w.values())
+
+
+def test_stream_count_min_equals_batch_builder_per_window(spark, tmp_path):
+    """The drained stream sketch for one window is bit-identical to the
+    batch count_min_table over that window's rows."""
+    import datetime
+
+    from radohydro_spark.operators.sketch import count_min_table
+    from radohydro_spark.streaming import run_available_now, stream_count_min
+
+    base = datetime.datetime(2024, 3, 2, 5, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=i), str((i * 3) % 7))
+        for i in range(50)
+    ]
+    src = tmp_path / "src2"
+    df = spark.createDataFrame(rows, "ts timestamp, k string")
+    df.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .parquet(str(src))
+    )
+    drained = run_available_now(
+        stream_count_min(
+            stream, "ts", "k", "1 hour", depth=3, width=16,
+            watermark="1 hour",
+        ),
+        "t_stream_cms2",
+        str(tmp_path / "ck2"),
+        "complete",
+    )
+    first_hour = base.replace(minute=0)
+    got = {
+        (r.d, r.bucket): r.n
+        for r in drained.collect()
+        if r.ts == first_hour
+    }
+    batch = count_min_table(
+        df.filter(
+            (F.col("ts") >= F.lit(first_hour))
+            & (F.col("ts") < F.lit(first_hour + datetime.timedelta(hours=1)))
+        ),
+        "k",
+        depth=3,
+        width=16,
+    )
+    want = {(r.d, r.bucket): r.n for r in batch.collect()}
+    assert got == want
