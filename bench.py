@@ -143,6 +143,15 @@ HEADLINE = [
     # shuffle at any key-domain size — the negative-result rework).
     "stats_bootstrap_ci",
     "sketch_kmv_overlap",
+    # round-15 additions: the per-group KS drift (group-partitioned
+    # cumulative windows — the segmented twin of dq_ks_drift's
+    # range-partition machinery; one group-key exchange for three
+    # window/agg operators) and the streaming per-window Count-Min
+    # (ingest-time sketch maintenance — the wall includes the
+    # availableNow drain's stateful window agg + memory-sink
+    # materialization, the price of the streaming runtime itself).
+    "dq_ks_drift_by",
+    "events_stream_count_min",
 ]
 
 

@@ -170,6 +170,13 @@ HEADLINE = [
     "stats_bootstrap_ci_by",
     "dq_calibration_bins",
     "dq_cusum_changepoint",
+    # r15: the per-group drift twins — ONE group-key exchange shared by
+    # the totals window (tvd) / cumulative+totals windows (ks) and the
+    # final aggregate.  (events_stream_count_min drains to a memory
+    # table like the other stream queries; its stateful plan is
+    # documented in stream_count_min's docstring.)
+    "dq_tvd_drift_by",
+    "dq_ks_drift_by",
 ]
 
 

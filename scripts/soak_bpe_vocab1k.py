@@ -1,0 +1,126 @@
+"""Production-shape BPE soak (r15, VERDICT r14 #8): one 1,000-merge
+vocabulary trained END-TO-END at the 1M-doc corpus with batch_top=32,
+plus the encode round-trip — pinning that marginal round cost stays
+bounded at REAL vocabulary scale (the prior soaks stopped at 60-180
+merges) and that the merge table is prefix-stable at depth.
+
+Method:
+* train fresh at 500 and at 1000 merges (batch_top=32) on the same
+  corpus; marginal wall per ACCEPTED merge between the segments vs
+  within the first segment pins "no superlinear round cost".
+* prefix stability: the first 500 merges of the 1000-merge run equal
+  the 500-merge run bit-for-bit (determinism under depth).
+* encode round-trip: bpe_encode with the 1k table over a corpus
+  sample; concatenating each word's emitted symbols reproduces the
+  word exactly (losslessness at production vocabulary size).
+
+Corpus: sf0.1 documents ×200 replicas with per-replica token
+remapping (the soak_bpe_deep scheme) = 1,000,000 documents.
+
+    python scripts/soak_bpe_vocab1k.py [reps] [half] [batch_top]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark, reps: int):
+    from radohydro_spark.functions.text import tokens
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).select("doc_id", "text")
+    r = spark.range(0, reps).select(F.col("id").alias("rep"))
+    remapped = F.array_join(
+        F.transform(
+            tokens("text"),
+            lambda t: F.concat(t, F.lit("_"), F.col("rep").cast("string")),
+        ),
+        " ",
+    )
+    return base.crossJoin(r).select(
+        (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+        remapped.alias("text"),
+    )
+
+
+def main() -> None:
+    from radohydro_spark import get_spark
+    from radohydro_spark.functions.text import bpe_encode, bpe_train_merges
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    half = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    b = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    spark = get_spark("soak_bpe_vocab1k")
+    corpus = _corpus(spark, reps).cache()
+    n_docs = corpus.count()
+    print(f"corpus: {n_docs} docs, batch_top={b}", flush=True)
+
+    t0 = time.time()
+    m_half = bpe_train_merges(
+        corpus, "text", n_merges=half, batch_top=b
+    ).collect()
+    w_half = time.time() - t0
+    print(
+        f"merges={len(m_half)}/{half} wall={w_half:.0f}s "
+        f"({w_half / max(len(m_half), 1):.2f}s/merge)",
+        flush=True,
+    )
+
+    t0 = time.time()
+    m_full = bpe_train_merges(
+        corpus, "text", n_merges=2 * half, batch_top=b
+    ).collect()
+    w_full = time.time() - t0
+    marg = (w_full - w_half) / max(len(m_full) - len(m_half), 1)
+    print(
+        f"merges={len(m_full)}/{2 * half} wall={w_full:.0f}s; marginal "
+        f"{marg:.2f}s/merge for merges {len(m_half) + 1}..{len(m_full)} "
+        f"vs {w_half / max(len(m_half), 1):.2f}s/merge for 1..{len(m_half)}",
+        flush=True,
+    )
+
+    # prefix stability at depth: identical first-half table
+    head = [(r["pa"], r["pb"]) for r in m_full[: len(m_half)]]
+    want = [(r["pa"], r["pb"]) for r in m_half]
+    assert head == want, "merge table is NOT prefix-stable at 1k merges"
+    print("prefix-stable: first "
+          f"{len(m_half)} merges of the {len(m_full)}-run identical", flush=True)
+
+    # encode round-trip with the production-size table on a sample
+    merges = spark.createDataFrame(
+        [(r["merge_rank"], r["pa"], r["pb"]) for r in m_full],
+        "merge_rank long, pa string, pb string",
+    )
+    sample = corpus.limit(2_000).cache()
+    t0 = time.time()
+    enc = bpe_encode(sample, merges, "text")
+    # losslessness: stripping delimiters, the encoded symbols reproduce
+    # the (lowercased, whitespace-normalized) document exactly
+    rt = enc.join(sample, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "").alias(
+            "orig"
+        ),
+        F.regexp_replace(F.col("encoded"), " ", "").alias("rebuilt"),
+    )
+    n_bad = rt.filter(F.col("orig") != F.col("rebuilt")).count()
+    assert n_bad == 0, f"encode round-trip broke on {n_bad} docs"
+    n_tok = rt.agg(F.sum("n_tokens")).collect()[0][0]
+    print(
+        f"encode round-trip lossless on 2000 docs ({n_tok} tokens, "
+        f"{len(m_full)}-merge table, wall={time.time() - t0:.0f}s)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

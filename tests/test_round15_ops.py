@@ -415,3 +415,135 @@ def test_stream_count_min_equals_batch_builder_per_window(spark, tmp_path):
     )
     want = {(r.d, r.bucket): r.n for r in batch.collect()}
     assert got == want
+
+
+# ------------------------------------- mmr_select broadcast fallback
+
+
+def _mmr_corpus(spark, n=30, dim=6, seed=7):
+    import hashlib as _h
+
+    def vec(i):
+        hv = _h.md5(f"{seed}:{i}".encode()).digest()
+        return [float(b - 128) / 37.0 for b in hv[:dim]]
+
+    rows = [(i, vec(i)) for i in range(n)]
+    return spark.createDataFrame(rows, "vid long, emb array<double>")
+
+
+def test_mmr_broadcast_form_row_identical_to_literal(spark):
+    """Forcing lit_budget=0 routes every round through the broadcast
+    array form — output must be row-identical to the literal path."""
+    from radohydro_spark.operators.sampling import mmr_select
+
+    df = _mmr_corpus(spark)
+    lit = mmr_select(df, "emb", "vid", query_id=0, k=6).collect()
+    bc = mmr_select(
+        df, "emb", "vid", query_id=0, k=6, lit_budget=0
+    ).collect()
+    assert [tuple(r) for r in lit] == [tuple(r) for r in bc]
+    assert len(lit) == 6 and lit[0].sel_round == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_mmr_broadcast_form_property(spark, seed):
+    from radohydro_spark.operators.sampling import mmr_select
+
+    df = _mmr_corpus(spark, n=14, dim=4, seed=seed)
+    lit = mmr_select(df, "emb", "vid", query_id=1, k=4).collect()
+    bc = mmr_select(
+        df, "emb", "vid", query_id=1, k=4, lit_budget=0
+    ).collect()
+    assert [tuple(r) for r in lit] == [tuple(r) for r in bc]
+
+
+# -------------------------- xxhash64 fast paths (sampling family)
+
+
+def test_bottom_k_fast_path_deterministic_nested_takeordered(spark):
+    from radohydro_spark.operators.sampling import bottom_k_sample
+
+    df = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(400)], "id string"
+    )
+    a = bottom_k_sample(df, "id", 20, portable=False)
+    b = bottom_k_sample(df.repartition(7), "id", 20, portable=False)
+    ids_a = sorted(r.id for r in a.collect())
+    ids_b = sorted(r.id for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) == 20  # deterministic
+    big = sorted(
+        r.id for r in bottom_k_sample(df, "id", 60, portable=False).collect()
+    )
+    assert set(ids_a) <= set(big)  # nested under growing k
+    plan = (
+        bottom_k_sample(df, "id", 20, portable=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # and the fast path picks a DIFFERENT (hash-order) sample than md5
+    md5_ids = sorted(
+        r.id for r in bottom_k_sample(df, "id", 20, portable=True).collect()
+    )
+    assert md5_ids != ids_a
+
+
+def test_stratified_bottom_k_fast_path_nested_and_windowgrouplimit(spark):
+    from radohydro_spark.operators.sampling import stratified_bottom_k
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"s{i % 4}") for i in range(200)], "id string, s string"
+    )
+    small = stratified_bottom_k(df, "id", "s", 3, portable=False)
+    big = stratified_bottom_k(df, "id", "s", 10, portable=False)
+    small_ids = {r.id for r in small.collect()}
+    big_ids = {r.id for r in big.collect()}
+    assert small_ids <= big_ids
+    per = {}
+    for r in small.collect():
+        per[r.s] = per.get(r.s, 0) + 1
+    assert per == {f"s{i}": 3 for i in range(4)}
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_split_assign_fast_path_stable_under_growth(spark):
+    from radohydro_spark.operators.sampling import split_assign
+
+    small = spark.createDataFrame(
+        [(f"u{i}",) for i in range(300)], "id string"
+    )
+    grown = spark.createDataFrame(
+        [(f"u{i}",) for i in range(600)], "id string"
+    )
+    s1 = {
+        r.id: r.split
+        for r in split_assign(small, "id", portable=False).collect()
+    }
+    s2 = {
+        r.id: r.split
+        for r in split_assign(grown, "id", portable=False).collect()
+    }
+    assert all(s2[i] == v for i, v in s1.items())  # growth never reassigns
+    # all three splits populated and ~expected shares
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_weighted_sample_fast_path_deterministic_and_weight_biased(spark):
+    from radohydro_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i}", 100.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id string, w double")
+    a = weighted_sample(df, "id", "w", 40, portable=False)
+    b = weighted_sample(df.repartition(9), "id", "w", 40, portable=False)
+    ids_a = sorted(r.id for r in a.collect())
+    ids_b = sorted(r.id for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) == 40
+    heavy = sum(1 for i in ids_a if int(i[1:]) < 50)
+    assert heavy >= 25  # 10% of ids hold 100x weight: they dominate
