@@ -10490,6 +10490,67 @@ FROM t, d
 """
 
 
+def q_stats_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT exact Gini concentration
+    (operators.profile.gini_by): how concentrated order revenue is
+    across customers WITHIN each market segment — stats_gini_revenue's
+    segmented form, completing the r15 per-group suite (tvd_by /
+    ks_by / gini_by).  Same grouped Lorenz-trapezoid law per group,
+    piecewise ppm + the 2nT overflow bound IN-PLAN (totals are runtime
+    values per group); group-partitioned windows under the documented
+    per-group-domain-fits-a-task contract."""
+    from radohydro_spark.operators.profile import gini_by
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    return gini_by(rev, "rev_c", ["c_mktsegment"]).orderBy("c_mktsegment")
+
+
+ORACLE_GINI_BY = """
+WITH rev AS (
+  SELECT c.c_mktsegment AS g, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IS NOT NULL
+  GROUP BY 1, 2
+),
+gcnt AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(v) AS BIGINT) AS s
+         FROM rev GROUP BY g, v),
+cum AS (SELECT g, v, c,
+               CAST(sum(s) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_incl,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+               CAST(sum(s) OVER (PARTITION BY g) AS BIGINT) AS t
+        FROM gcnt),
+agg AS (SELECT g, CAST(max(n) AS BIGINT) AS n, CAST(max(t) AS BIGINT) AS t,
+               CAST(sum(2 * c * s_incl - c * c * v) AS BIGINT) AS b
+        FROM cum GROUP BY g)
+SELECT g AS c_mktsegment, n AS n_rows, t AS total,
+       CAST(n * t - b AS BIGINT) AS gini_num,
+       CAST(CASE WHEN n * t <= 0 THEN NULL
+                 WHEN n * t <= 9000000000000
+                 THEN (1000000 * (n * t - b)) // (n * t)
+                 ELSE (n * t - b) // ((n * t) // 1000000)
+            END AS BIGINT) AS gini_ppm
+FROM agg ORDER BY c_mktsegment
+"""
+
+
 def q_stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini concentration of per-customer revenue
     (operators.profile.gini_coefficient): how concentrated order value
@@ -10552,118 +10613,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 #7) — the stream_category_drift pattern generalized to a
         # hashed key domain; drain == batch sketch law, exact oracle.
         "events_stream_count_min": q_events_stream_count_min,
-        # --- (former round-14 window follows; final r15 window
-        # composition is rewritten at round close) ---
-        # Positions 0-13: the fourteen r14 first-exposure operators.
-        # Position 0: BATCHED-selection BPE training (top-B mutually
-        # symbol-disjoint pairs per round, the standard scalable-BPE
-        # compromise: ~B× fewer rounds for the same vocabulary; greedy
-        # accepted-set law replayed by the oracle's recursive CTE over
-        # the candidate window).
-        "text_bpe_train_batched": q_text_bpe_train_batched,
-        # Position 1: exact tie-corrected Mann–Whitney ROC-AUC — the
-        # classifier-eval primitive on the same range-partition
-        # cumulative machinery as the reworked ks_drift.
-        "dq_auc_returns": q_dq_auc_returns,
-        # Position 2: Count-Min sketch build + verified point queries
-        # (bounded-space frequency estimation, deterministic md5-prefix
-        # hash rows, est >= truth one-sided guarantee).
-        "sketch_count_min": q_sketch_count_min,
-        # Position 3: exact categorical TVD drift — the fourth drift
-        # leg (PSI/KS/AUC/TVD) on the shared BIGINT cross-mul law.
-        "dq_tvd_drift": q_dq_tvd_drift,
-        # Position 4: Bloom membership sketch with the verified
-        # zero-false-negative contract (32-bit-lane words, bit_or-
-        # mergeable, SQL-replayable md5-prefix hashes).
-        "sketch_bloom_filter": q_sketch_bloom_filter,
-        # Position 5: KMV bottom-k distinct-overlap sketch — union /
-        # intersection / Jaccard estimated from two 256-row sketches,
-        # laid next to the exact counts.
-        "sketch_kmv_overlap": q_sketch_kmv_overlap,
-        # Position 6: deterministic Poisson-bootstrap CI for the mean
-        # (fixed integer inverse-CDF thresholds on the coordinated
-        # hash; one groupBy(b) bounding the shuffle at B rows/task).
-        "stats_bootstrap_ci": q_stats_bootstrap_ci,
-        # Position 7: the streaming twin of the TVD monitor — per-hour
-        # category-mix drift vs a pinned reference, ONE stateful window
-        # aggregate (state = |categories|+1 longs per window).
-        "events_stream_tvd_monitor": q_events_stream_tvd_monitor,
-        # Position 8: exact truncated EWMA (decay 1/2, 12 integer-weight
-        # lags sharing one window, named in-plan domain assert).
-        "orders_ewma_daily": q_orders_ewma_daily,
-        # Position 9: exact 1-Wasserstein drift — the magnitude-
-        # sensitive integral law on the shared cumulative machinery.
-        "dq_wasserstein_drift": q_dq_wasserstein_drift,
-        # Position 10: exact Gini concentration — the grouped Lorenz
-        # trapezoid, fourth _ranged_cumsums consumer.
-        "stats_gini_revenue": q_stats_gini_revenue,
-        # Position 11: per-group bootstrap CI — the A/B-per-arm shape,
-        # shuffle bounded at |groups|*B rows per task.
-        "stats_bootstrap_ci_by": q_stats_bootstrap_ci_by,
-        # Position 12: reliability/response table — the AUC's
-        # diagnostic sibling, n_bins-bounded groupBy.
-        "dq_calibration_bins": q_dq_calibration_bins,
-        # Position 13: CUSUM change-point scan — the within-series
-        # complement of the drift family, fifth cumulation consumer.
-        "dq_cusum_changepoint": q_dq_cusum_changepoint,
-        # Positions 14-15: r14 re-pins — queries whose ENGINE DEFINITION
+        # r15 first-exposure: per-segment Gini concentration — the third
+        # per-group twin (tvd_by / ks_by / gini_by), Lorenz law on
+        # group-partitioned windows with in-plan 2nT contract.
+        "stats_gini_by_segment": q_stats_gini_by_segment,
+        # Positions 4-6: r15 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
-        # dedup_sorted_neighborhood lesson): ks_drift's cumulative CDFs
-        # moved off the single-partition value-domain window onto the
-        # global_rank range-partition machinery (the r13 verdict's one
-        # `weak`), and temperature_shares' in-plan cap now folds
-        # total_mille into the overflow guard (r13 ADVICE).
-        "dq_ks_drift": q_dq_ks_drift,
-        "corpus_temperature_mixture": q_corpus_temperature_mixture,
-        # Positions 16-49 -- last driver-green: r9 (the 42-query cohort
-        # tail, staged for this window since r13; its last eight rows
-        # plus the three r10 head rows were displaced past position 49
-        # by the eleven extra first-exposure operators and lead the r15
-        # window instead) --
-        "dedup_groups_cc": q_dedup_groups_cc,
-        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_simhash": q_simhash,
-        "dedup_simhash_hamming_pairs": q_simhash_hamming,
-        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
-        "events_hopping_window": q_events_hopping_window,
-        "events_partitioned_archive": q_events_partitioned_archive,
-        "events_rate_spikes": q_events_rate_spikes,
-        "events_scd2_type_history": q_events_scd2,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_sessionize": q_events_stream_sessionize,
-        "events_stream_state_totals": q_events_stream_state_totals,
-        "events_stream_stream_join": q_events_stream_stream_join,
-        "media_ahash": q_media_ahash,
-        "media_byte_histogram": q_byte_histogram,
-        "media_decode_fake": q_media_decode,
-        "media_frame_sample": q_media_frames,
-        "media_resize_fake": q_media_resize,
-        "obs_zorder_archive": q_obs_zorder_archive,
-        "orders_merge_upsert": q_orders_merge_upsert,
-        "orders_range_join": q_orders_range_join,
-        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
-        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
-        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
-        "profile_orders_columns": q_profile_orders,
-        "sample_split_assign": q_sample_split,
-        "similarity_ann_lsh_topk": q_ann_lsh_topk,
-        # (similarity_cosine_topk re-pinned into the r13 window head)
-        "similarity_ivf_topk": q_ivf_topk,
-        "skew_salted_revenue": q_skew_salted_revenue,
-        "stats_approx_sketches": q_approx_sketches,
-        "stats_trimmed_mean": q_stats_trimmed_mean,
-        "text_contamination_check": q_text_contamination,
-        "text_fingerprint": q_fingerprint,
-        # --- end of round-14 driver window (position 49 = the 34th r9
-        # row above, text_fingerprint) ---
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-15 rotation is already front-loaded: the last eight r9
-        # rows + three r10 head rows displaced from this window by the
-        # eleven extra first-exposure operators, then the r10 cohort
-        # tail (starting stats_pca_top_component) = the round-15
-        # 50-entry window (before any r15 first-exposure
-        # displacements); the r11 cohort + the r12 window rows follow.
+        # dedup_sorted_neighborhood lesson): ewma_halving gained the
+        # named duplicate-(group,order) in-plan assert (one extra lag
+        # on the SAME Window node; r14 ADVICE), calibration_bins moved
+        # pos_ppm onto the shared piecewise overflow law + the 0/1
+        # label assert (r14 ADVICE, oracle mirrored), and mmr_select
+        # gained the broadcast redundancy branch past lit_budget (the
+        # in-budget plan is expression-identical; r14 VERDICT #4).
+        "orders_ewma_daily": q_orders_ewma_daily,
+        "dq_calibration_bins": q_dq_calibration_bins,
+        "sample_mmr_select": q_sample_mmr_select,
+        # Positions 7-17: the staged cohort (the r9 tail text_lang_id …
+        # text_token_budget + the three r10 head rows displaced from
+        # the r14 window by its second-wave first-exposure operators —
+        # the stalest driver evidence in the ledger, staged for this
+        # window by STRICT_SWEEP_r14).
         # -- last driver-green: r9/r10 (displaced window tail) --
         "text_lang_id": q_lang_id,
         "text_quality_filter": q_text_quality_filter,
@@ -10676,6 +10646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_kfold": q_sample_group_kfold,
         "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
         "text_ngram_containment": q_text_ngram_containment,
+        # Positions 18-49: the r10 cohort tail (next-stalest evidence;
+        # its last row sample_stratified_cap was displaced past
+        # position 49 by the fourth first-exposure operator and leads
+        # the r16 window instead).
         # -- last driver-green: r10 (the cohort tail) --
         "stats_pca_top_component": q_stats_pca_top_component,
         "window_distinct_running": q_window_distinct_running,
@@ -10711,7 +10685,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_orc_roundtrip": q_storage_orc_roundtrip,
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
+        # --- end of round-15 driver window (position 49 =
+        # similarity_pq_adc_topk) ---
+        # -- displaced r10 tail row: leads the r16 window --
         "sample_stratified_cap": q_sample_stratified_cap,
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-16 rotation is already front-loaded: the rest of the
+        # r10 cohort (starting text_normalize_clean), then the r11
+        # cohort, the r12/r13 rows, and the displaced r14 window
+        # (freshest evidence) at the very end.
+        # -- last driver-green: r10/r11 (the cohort remainder) --
         "text_normalize_clean": q_text_normalize,
         "events_pagerank": q_events_pagerank,
         "precip_gap_fill": q_precip_gap_fill,
@@ -10843,7 +10826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "text_perplexity_buckets": q_text_perplexity_buckets,
         "sample_cluster_balanced": q_sample_cluster_balanced,
-        "sample_mmr_select": q_sample_mmr_select,
+        # (sample_mmr_select re-pinned into the r15 window head after
+        # its r15 lit_budget-fallback engine change)
         "search_rrf_fusion": q_search_rrf_fusion,
         "orders_rfm_segments": q_orders_rfm_segments,
         "stats_skyline_2d": q_stats_skyline_2d,
@@ -10887,6 +10871,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": q_dedup_canonical,
         "dedup_embedding_cosine": q_embedding_near_dups,
         "dedup_exact_groups": q_exact_dups,
+        # -- last driver-green: r14 (the displaced r14 window: 12 of the
+        # 14 r14 first-exposure operators — orders_ewma_daily and
+        # dq_calibration_bins re-pinned into the r15 head — the two r14
+        # re-pins, and the 34-row r9 cohort slice it re-greened; the
+        # freshest evidence in the ledger) --
+        "text_bpe_train_batched": q_text_bpe_train_batched,
+        "dq_auc_returns": q_dq_auc_returns,
+        "sketch_count_min": q_sketch_count_min,
+        "dq_tvd_drift": q_dq_tvd_drift,
+        "sketch_bloom_filter": q_sketch_bloom_filter,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        "stats_bootstrap_ci": q_stats_bootstrap_ci,
+        "events_stream_tvd_monitor": q_events_stream_tvd_monitor,
+        "dq_wasserstein_drift": q_dq_wasserstein_drift,
+        "stats_gini_revenue": q_stats_gini_revenue,
+        "stats_bootstrap_ci_by": q_stats_bootstrap_ci_by,
+        "dq_cusum_changepoint": q_dq_cusum_changepoint,
+        "dq_ks_drift": q_dq_ks_drift,
+        "corpus_temperature_mixture": q_corpus_temperature_mixture,
+        "dedup_groups_cc": q_dedup_groups_cc,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_simhash_hamming_pairs": q_simhash_hamming,
+        "events_case_pivot": _sql(SQL_CASE_PIVOT, ["events"]),
+        "events_hopping_window": q_events_hopping_window,
+        "events_partitioned_archive": q_events_partitioned_archive,
+        "events_rate_spikes": q_events_rate_spikes,
+        "events_scd2_type_history": q_events_scd2,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_state_totals": q_events_stream_state_totals,
+        "events_stream_stream_join": q_events_stream_stream_join,
+        "media_ahash": q_media_ahash,
+        "media_byte_histogram": q_byte_histogram,
+        "media_decode_fake": q_media_decode,
+        "media_frame_sample": q_media_frames,
+        "media_resize_fake": q_media_resize,
+        "obs_zorder_archive": q_obs_zorder_archive,
+        "orders_merge_upsert": q_orders_merge_upsert,
+        "orders_range_join": q_orders_range_join,
+        "orders_unpivot_roundtrip": q_orders_unpivot_roundtrip,
+        "precip_geotiff_decode_pipeline": q_precip_geotiff_decode,
+        "precip_regnie_decode_pipeline": q_precip_regnie_decode,
+        "profile_orders_columns": q_profile_orders,
+        "sample_split_assign": q_sample_split,
+        "similarity_ann_lsh_topk": q_ann_lsh_topk,
+        # (similarity_cosine_topk re-pinned into the r13 window head)
+        "similarity_ivf_topk": q_ivf_topk,
+        "skew_salted_revenue": q_skew_salted_revenue,
+        "stats_approx_sketches": q_approx_sketches,
+        "stats_trimmed_mean": q_stats_trimmed_mean,
+        "text_contamination_check": q_text_contamination,
+        "text_fingerprint": q_fingerprint,
     }
 
 
@@ -10921,6 +10959,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_ewma_daily": _ewma_oracle(),
         "dq_wasserstein_drift": ORACLE_W1_DRIFT,
         "stats_gini_revenue": ORACLE_GINI,
+        "stats_gini_by_segment": ORACLE_GINI_BY,
         "stats_bootstrap_ci_by": _bootstrap_by_oracle(),
         "dq_calibration_bins": ORACLE_CALIBRATION,
         "dq_cusum_changepoint": ORACLE_CUSUM,

@@ -1489,3 +1489,124 @@ def ks_drift_by(
         ppm.cast("long").alias("ks_ppm"),
         "at_value",
     )
+
+
+def gini_by(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-GROUP exact Gini concentration — :func:`gini_coefficient`'s
+    segmented form (revenue concentration per market segment, token
+    concentration per language, traffic concentration per region):
+    the third member of the r15 per-group suite next to
+    :func:`tvd_drift_by` and :func:`ks_drift_by`.
+
+    Same grouped Lorenz-trapezoid law per group in pure BIGINTs: with
+    per-(group, value) counts ``c`` and value sums ``s = c·v``,
+    INCLUSIVE cumulative sums ``S`` within the group, group totals
+    ``n, T``: ``B = Σ_v (2·c·S − c²·v)`` and
+    ``gini_ppm = 10⁶·(n·T − B) div (n·T)`` under the shared piecewise
+    overflow law — all IN-PLAN per group (totals are runtime values),
+    with the ``2·n·T < 2^63`` validity bound as this operator's named
+    in-plan ``assert_true`` (checked divisionally in exact BIGINT
+    `div`, the tvd_drift_by convention) and negative values raising
+    the global operator's named assert.
+
+    CONTRACT (vs the global form): the cumulation is a
+    group-partitioned ordered window, so ONE GROUP'S value domain must
+    fit one task's sort — the right trade for many bounded segments;
+    an unbounded single segment belongs on the global
+    ``_ranged_cumsums`` form.  NULL group keys are EXCLUDED up front.
+
+    Plan shape: one count/sum aggregate (output =
+    Σ_g |group g's value domain|), one group-key exchange shared by
+    the cumulative window, the totals window and the final aggregate.
+
+    Returns one row per group:
+    ``(<group_cols>, n_rows, total, gini_num, gini_ppm)``.
+
+    Reference analog: none — extends the stats family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "gini_by: group_cols is empty — use gini_coefficient for "
+            "the global form (operators/profile.py)"
+        )
+    x = F.col(value_col).cast("long")
+    neg_guard = x >= 0
+    checked = F.when(neg_guard, x).otherwise(
+        F.assert_true(
+            neg_guard,
+            F.lit(
+                f"gini_by: {value_col} is negative — Gini is defined "
+                "for nonnegative values only (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    keep = F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .select(*group_cols, checked.alias("_v"))
+        .groupBy(*group_cols, "_v")
+        .agg(F.count("*").alias("_c"), F.sum("_v").alias("_s"))
+    )
+    wg = W.partitionBy(*group_cols)
+    wcum = (
+        W.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = counts.select(
+        *group_cols,
+        "_v",
+        "_c",
+        F.sum("_s").over(wcum).alias("_S"),
+        F.sum("_c").over(wg).alias("_n"),
+        F.sum("_s").over(wg).alias("_T"),
+    )
+    # exact divisional bound: n*T <= (2^62 - 1), so 2nT < 2^63 and the
+    # per-row trapezoid term 2*c*S <= 2nT fits (the gini r14 lesson)
+    guard = F.expr(f"_T = 0 OR _n <= ({(1 << 62) - 1} div _T)")
+    checked_c = F.when(guard, F.col("_c")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "gini_by: a group's 2*n*T exceeds the BIGINT Lorenz "
+                "domain (2^63) — pre-quantize the column to coarser "
+                "units (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    scored = base.select(
+        *group_cols,
+        (
+            F.lit(2) * checked_c * F.col("_S")
+            - F.col("_c") * F.col("_c") * F.col("_v")
+        ).alias("_b"),
+        "_n",
+        "_T",
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.max("_n").alias("n_rows"),
+        F.max("_T").alias("total"),
+        F.sum("_b").alias("_B"),
+    )
+    return out.select(
+        *group_cols,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total").cast("long").alias("total"),
+        F.expr("CAST(n_rows * total - _B AS BIGINT)").alias("gini_num"),
+        F.expr(
+            "CAST(CASE WHEN n_rows * total <= 0 THEN NULL"
+            "          WHEN n_rows * total <= 9000000000000"
+            "          THEN (1000000 * (n_rows * total - _B))"
+            "               div (n_rows * total)"
+            "          ELSE (n_rows * total - _B)"
+            "               div ((n_rows * total) div 1000000)"
+            "     END AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

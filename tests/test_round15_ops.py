@@ -547,3 +547,75 @@ def test_weighted_sample_fast_path_deterministic_and_weight_biased(spark):
     assert ids_a == ids_b and len(ids_a) == 40
     heavy = sum(1 for i in ids_a if int(i[1:]) < 50)
     assert heavy >= 25  # 10% of ids hold 100x weight: they dominate
+
+
+# -------------------------------------------------- gini_by
+
+
+def test_gini_by_single_group_matches_global_and_hand_cases(spark):
+    from radohydro_spark.operators.profile import gini_by, gini_coefficient
+
+    vals = [1, 1, 2, 5, 5, 10]
+    g = gini_coefficient(
+        spark.createDataFrame([(v,) for v in vals], "v long"), "v"
+    ).collect()[0]
+    r = gini_by(
+        spark.createDataFrame([("k", v) for v in vals], "g string, v long"),
+        "v",
+        ["g"],
+    ).collect()[0]
+    assert (r.n_rows, r.total, r.gini_num, r.gini_ppm) == (
+        g.n_rows, g.total, g.gini_num, g.gini_ppm,
+    )
+    # two groups: uniform -> 0; one-holder -> (n-1)/n
+    df = spark.createDataFrame(
+        [("u", 7), ("u", 7), ("u", 7), ("h", 0), ("h", 0), ("h", 9)],
+        "g string, v long",
+    )
+    out = {x.g: x for x in gini_by(df, "v", ["g"]).collect()}
+    assert out["u"].gini_ppm == 0
+    assert out["h"].gini_ppm == 666666  # (3-1)/3 floored
+
+
+def test_gini_by_null_group_excluded_negative_raises_empty_groups(spark):
+    from radohydro_spark.operators.profile import gini_by
+
+    df = spark.createDataFrame(
+        [("k", 1), (None, 5), ("k", 3)], "g string, v long"
+    )
+    out = gini_by(df, "v", ["g"]).collect()
+    assert len(out) == 1 and out[0].g == "k"
+    neg = spark.createDataFrame([("k", -1)], "g string, v long")
+    with pytest.raises(Exception, match="gini_by.*nonnegative"):
+        gini_by(neg, "v", ["g"]).collect()
+    with pytest.raises(ValueError, match="gini_by"):
+        gini_by(df, "v", [])
+
+
+def test_gini_by_matches_python_replay(spark):
+    rows = [
+        (f"g{i % 3}", ((i * 37) % 50) + (i % 3)) for i in range(300)
+    ]
+    from radohydro_spark.operators.profile import gini_by
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in gini_by(df, "v", ["g"]).collect()}
+    for gname in ("g0", "g1", "g2"):
+        vs = sorted(v for g, v in rows if g == gname)
+        n, t = len(vs), sum(vs)
+        # rank formula: gini_num = n*T - B, B = sum over sorted with
+        # ties grouped -> equivalently 2*sum(i*v_i) (1-based) - ... use
+        # the trapezoid law directly on grouped values
+        from collections import Counter
+
+        c = Counter(vs)
+        s_run = 0
+        b = 0
+        for v in sorted(c):
+            cnt = c[v]
+            s_run += cnt * v
+            b += 2 * cnt * s_run - cnt * cnt * v
+        r = got[gname]
+        assert (r.n_rows, r.total) == (n, t)
+        assert r.gini_num == n * t - b
+        assert r.gini_ppm == (1_000_000 * (n * t - b)) // (n * t)
