@@ -324,7 +324,7 @@ def mmr_select(
     lam_num: int = 7,
     lam_den: int = 10,
     scale: int = 10_000,
-    lit_budget: int = 250_000,
+    lit_budget: int = 2_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein,
     SIGIR'98) over an embedding corpus: greedily pick ``k`` items
@@ -358,11 +358,10 @@ def mmr_select(
     integer MMR objective (round 1: lam_num·rel).
 
     Redundancy-term strategy (r15, closes the r14 VERDICT #4): below
-    ``lit_budget`` total selected-vector integers (k·dim ≤ 250k
-    default) the per-round maxsim is ``greatest()`` over ≤k LITERAL
-    dot products — constants inside whole-stage codegen, the measured
-    fast path.  PAST the budget (production k·dim — e.g. k=1000 ×
-    dim=768) the same selected vectors ship as DATA instead of plan
+    ``lit_budget`` total selected-vector integers the per-round maxsim
+    is ``greatest()`` over ≤k LITERAL dot products — plan constants,
+    cheapest for the few-shot shape (tiny dims, k ≤ ~10).  PAST the
+    budget the same selected vectors ship as DATA instead of plan
     literals: a ONE-ROW broadcast relation holding
     ``array<array<bigint>>``, cross-joined (broadcast nested-loop,
     build side = 1 row, no shuffle) so
@@ -372,6 +371,16 @@ def mmr_select(
     unchanged.  Both paths are the SAME integer law — row-identical
     output, property-tested by forcing ``lit_budget=0``; each round
     remains exactly ONE job in both.
+
+    The default budget is 2_000, set by MEASUREMENT, not by where the
+    literal plan breaks: at dim=5100 the literal path costs ~1.5 ms
+    PER LITERAL per round in Catalyst analysis (39.5 s/round at
+    k·dim=51k) while the broadcast form's fixed cost is ~2 s/round
+    regardless of k·dim (SOAK.md r15) — the crossover is near
+    r·dim ≈ 1-2k, three orders below the r14 250k breakage cap.
+    Embedding-scale selections (dim ≥ 64) should always take the
+    broadcast path; the literal path exists for the tiny-dim few-shot
+    exemplar shape where it beats the join's constant.
     """
     assert k >= 1 and 0 < lam_num < lam_den
     spark = df.sparkSession

@@ -121,28 +121,29 @@ def main() -> None:
         flush=True,
     )
 
-    # ---- synthetic richer-alphabet leg: the real corpus's pair space
-    # runs DRY well short of 1000 merges (the trainer's documented
-    # early stop), so the true-1k datapoint needs a corpus whose
-    # vocabulary supports it: 50k distinct 8-char base36 words, 1M docs
-    # x 12 words each.
+    # ---- synthetic richer-vocabulary leg: the real corpus's pair
+    # space runs DRY well short of 1000 merges (the trainer's
+    # documented early stop), so the true-1k datapoint needs a corpus
+    # whose vocabulary supports it: 50k distinct 12-char hex words,
+    # 1M docs x 12 words each.
     from radohydro_spark.plans.pipeline import release_persisted
 
     release_persisted()
     corpus.unpersist()
+    # words are 12-char prefixes of md5(word_index): RANDOM-looking hex
+    # — a structured (multiples-of-a-constant base36) first cut shared
+    # so many patterns the pair space exhausted at 632 merges; random
+    # text keeps distinct pairs available far past 1000 (measured)
     vocab_n = 50_000
     words = F.transform(
         F.sequence(F.lit(0), F.lit(11)),
-        lambda j: F.conv(
-            (
-                F.pmod(
-                    F.xxhash64(F.col("id") * 12 + j), F.lit(vocab_n)
-                )
-                * 2821109907456  # 36^8 div 50000-ish spread
-                + 1234567
-            ).cast("string"),
-            10,
-            36,
+        lambda j: F.substring(
+            F.md5(
+                F.pmod(F.xxhash64(F.col("id") * 12 + j), F.lit(vocab_n))
+                .cast("string")
+            ),
+            1,
+            12,
         ),
     )
     syn = (
@@ -166,7 +167,7 @@ def main() -> None:
     w_s_full = time.time() - t0
     marg = (w_s_full - w_s_half) / max(len(s_full) - len(s_half), 1)
     print(
-        f"synthetic({n_syn} docs, {vocab_n} words, base36): "
+        f"synthetic({n_syn} docs, {vocab_n} words, md5-hex): "
         f"merges={len(s_half)}/{half} wall={w_s_half:.0f}s "
         f"({w_s_half / max(len(s_half), 1):.2f}s/merge); "
         f"merges={len(s_full)}/{2 * half} wall={w_s_full:.0f}s; "

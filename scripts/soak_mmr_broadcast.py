@@ -25,13 +25,13 @@ from radohydro_spark import get_spark
 from radohydro_spark.operators.sampling import mmr_select
 
 N, DIM = 2_000, 5_100
-K_ABOVE = 50   # 50*5100 = 255k > 250k -> broadcast form
-# The literal reference leg stays FAR below the budget: a first cut at
-# k=48 (just under it) ground for >18 min in Catalyst analysis — the
-# O(k^2*dim) literal-tree cost the budget exists to wall off, measured
-# at its own edge.  k=10 prices the per-round literal plan in its
-# comfortable regime instead.
-K_BELOW = 10   # 10*5100 = 51k <= 250k -> literal form
+K_ABOVE = 50   # broadcast form (any k*dim > 2k takes it by default)
+# The literal leg is FORCED via lit_budget=10^9 to price the plan-
+# literal strategy at embedding dims: a first cut at k=48 ground for
+# >18 min in Catalyst analysis (the O(k^2*dim) literal-tree cost);
+# k=10 measured 39.5 s/ROUND at avg ~25k literals — ~1.5 ms/literal of
+# pure analysis.  That measurement SET the 2_000 default budget.
+K_BELOW = 10
 
 
 def main() -> None:
@@ -49,10 +49,14 @@ def main() -> None:
     df = ids.select("vid", vec.alias("emb")).cache()
     df.count()
 
-    for label, k in (("literal_below_budget", K_BELOW),
-                     ("broadcast_above_budget", K_ABOVE)):
+    for label, k, budget in (
+        ("literal_forced", K_BELOW, 10**9),
+        ("broadcast_default", K_ABOVE, 2_000),
+    ):
         t0 = time.perf_counter()
-        out = mmr_select(df, "emb", "vid", query_id=0, k=k)
+        out = mmr_select(
+            df, "emb", "vid", query_id=0, k=k, lit_budget=budget
+        )
         n = out.count()
         wall = time.perf_counter() - t0
         print(
