@@ -468,16 +468,25 @@ def test_temperature_shares_total_mille_folded_into_cap(spark):
     assert out == {"a": 2_500, "b": 7_500}
 
 
-def test_mmr_select_literal_budget_raises_named(spark):
-    # r14 ADVICE: k*dim literal growth is O(k^2*dim) analysis work —
-    # loud contract past the budget, never a silent slow plan
+def test_mmr_select_past_budget_takes_broadcast_form(spark):
+    # r14 ADVICE capped k*dim with a loud ValueError; r15 replaced the
+    # refusal with the broadcast array form (VERDICT r14 #4) — a
+    # past-budget request now SUCCEEDS on the O(1)-analysis path and
+    # returns the same rows the literal law would pick
     from radohydro_spark.operators.sampling import mmr_select
 
     dim = 64
     rows = [(i, [float(i == j) for j in range(dim)]) for i in range(6)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    with pytest.raises(ValueError, match=r"mmr_select: k\*dim"):
-        mmr_select(df, "embedding", "vec_id", query_id=0, k=4_000)
+    # k*dim = 4000*64 far past any budget; only 5 candidates exist so
+    # selection stops early — the call must not raise
+    out = mmr_select(df, "embedding", "vec_id", query_id=0, k=4_000)
+    got = out.collect()
+    assert len(got) == 5  # everything but the query row
+    lit = mmr_select(
+        df, "embedding", "vec_id", query_id=0, k=5, lit_budget=10**9
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in lit]
 
 
 def test_bpe_encode_chunked_equals_single_projection(spark):
