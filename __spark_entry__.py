@@ -10490,6 +10490,133 @@ FROM t, d
 """
 
 
+def q_dq_auc_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SLICE exact tie-corrected ROC-AUC (operators.profile.auc_by):
+    how well line-item price "predicts" the returned flag WITHIN each
+    order priority — dq_auc_returns' segmented form, the per-slice
+    classifier eval production actually runs (a globally fine score
+    can invert on a segment).  Same doubled tie-averaged rank-sum law
+    per group on group-partitioned windows; the rank-sum intermediate's
+    n_pos*n_tot < 2^61 bound is this operator's named in-plan assert."""
+    from radohydro_spark.operators.profile import auc_by
+
+    li = _t(spark, sf_dir, "lineitem").join(
+        _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        ),
+        "l_orderkey",
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_returned"),
+    )
+    return auc_by(
+        li, "price_c", "is_returned", ["o_orderpriority"]
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_AUC_BY = """
+WITH base AS (
+  SELECT o.o_orderpriority AS g,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS v,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority IS NOT NULL AND l.l_extendedprice IS NOT NULL
+        AND l.l_returnflag IS NOT NULL
+),
+m AS (SELECT g, v, CAST(count(*) AS BIGINT) AS ct,
+             CAST(sum(y) AS BIGINT) AS cp
+      FROM base GROUP BY g, v),
+s AS (SELECT g, v, ct, cp,
+             CAST(coalesce(sum(ct) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM m),
+t AS (SELECT g, CAST(sum(cp * (2 * cb + ct + 1)) AS BIGINT) AS r2,
+             CAST(sum(cp) AS BIGINT) AS np,
+             CAST(sum(ct) AS BIGINT) AS nt
+      FROM s GROUP BY g)
+SELECT g AS o_orderpriority, np AS n_pos, CAST(nt - np AS BIGINT) AS n_neg,
+       r2 AS rank_sum_pos_x2,
+       CAST(CASE WHEN np = 0 OR nt - np = 0 THEN NULL
+                 WHEN 2 * np * (nt - np) <= 9000000000000
+                 THEN (1000000 * (r2 - np * (np + 1)))
+                      // (2 * np * (nt - np))
+                 ELSE (r2 - np * (np + 1))
+                      // ((2 * np * (nt - np)) // 1000000)
+            END AS BIGINT) AS auc_ppm
+FROM t ORDER BY o_orderpriority
+"""
+
+
+def q_dq_wasserstein_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact 1-Wasserstein drift
+    (operators.profile.wasserstein_drift_by): order-price earth-mover
+    distance before vs from 1997, one W1 per order priority —
+    dq_wasserstein_drift's segmented form (magnitude-sensitive where
+    dq_ks_drift_by is sup-norm only).  Per-group lead() gap — no
+    boundary stitch (the window is already group-partitioned); the
+    n1·n2·range and 9e12 output-domain contracts are in-plan per
+    group."""
+    from radohydro_spark.operators.profile import wasserstein_drift_by
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_orderdate",
+    )
+    split = F.lit("1997-01-01").cast("date")
+    return wasserstein_drift_by(
+        o.filter(F.col("o_orderdate") < split),
+        o.filter(F.col("o_orderdate") >= split),
+        "price_c",
+        ["o_orderpriority"],
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_W1_BY = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderdate
+  FROM orders WHERE o_orderpriority IS NOT NULL
+),
+m AS (
+  SELECT g, v,
+         CAST(count(*) FILTER (WHERE o_orderdate < DATE '1997-01-01')
+              AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE o_orderdate >= DATE '1997-01-01')
+              AS BIGINT) AS c2
+  FROM base GROUP BY g, v
+),
+s AS (
+  SELECT g, v,
+         CAST(sum(c1) OVER w AS BIGINT) AS f1,
+         CAST(sum(c2) OVER w AS BIGINT) AS f2,
+         coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0)
+           AS gap
+  FROM m WINDOW w AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+t AS (SELECT g, CAST(max(f1) AS BIGINT) AS n1,
+             CAST(max(f2) AS BIGINT) AS n2 FROM s GROUP BY g),
+e AS (SELECT s.g,
+             CAST(sum(abs(s.f1 * t.n2 - s.f2 * t.n1) * s.gap) AS BIGINT)
+               AS emd
+      FROM s JOIN t ON s.g = t.g GROUP BY s.g)
+SELECT t.g AS o_orderpriority, t.n1 AS n_old, t.n2 AS n_new,
+       e.emd AS emd_num,
+       CAST(CASE WHEN t.n1 <= 0 OR t.n2 <= 0 THEN NULL
+                 WHEN t.n1 * t.n2 <= 9000000000000
+                 THEN 1000000 * (e.emd // (t.n1 * t.n2))
+                      + (1000000 * (e.emd % (t.n1 * t.n2)))
+                        // (t.n1 * t.n2)
+                 ELSE e.emd // ((t.n1 * t.n2) // 1000000)
+            END AS BIGINT) AS emd_micro
+FROM t JOIN e ON e.g = t.g
+ORDER BY o_orderpriority
+"""
+
+
 def q_stats_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SEGMENT exact Gini concentration
     (operators.profile.gini_by): how concentrated order revenue is
@@ -10617,7 +10744,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-group twin (tvd_by / ks_by / gini_by), Lorenz law on
         # group-partitioned windows with in-plan 2nT contract.
         "stats_gini_by_segment": q_stats_gini_by_segment,
-        # Positions 4-6: r15 re-pins — queries whose ENGINE DEFINITION
+        # r15 first-exposure: per-slice AUC and per-group W1 — the
+        # fifth/sixth per-group twins (classifier eval per segment;
+        # magnitude-sensitive drift per segment), group-partitioned
+        # windows with in-plan rank-sum / integration-domain contracts.
+        "dq_auc_by_priority": q_dq_auc_by_priority,
+        "dq_wasserstein_by_priority": q_dq_wasserstein_by_priority,
+        # Positions 6-8: r15 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output (the
         # dedup_sorted_neighborhood lesson): ewma_halving gained the
         # named duplicate-(group,order) in-plan assert (one extra lag
@@ -10629,7 +10762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_ewma_daily": q_orders_ewma_daily,
         "dq_calibration_bins": q_dq_calibration_bins,
         "sample_mmr_select": q_sample_mmr_select,
-        # Positions 7-17: the staged cohort (the r9 tail text_lang_id …
+        # Positions 9-19: the staged cohort (the r9 tail text_lang_id …
         # text_token_budget + the three r10 head rows displaced from
         # the r14 window by its second-wave first-exposure operators —
         # the stalest driver evidence in the ledger, staged for this
@@ -10646,10 +10779,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_kfold": q_sample_group_kfold,
         "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
         "text_ngram_containment": q_text_ngram_containment,
-        # Positions 18-49: the r10 cohort tail (next-stalest evidence;
-        # its last row sample_stratified_cap was displaced past
-        # position 49 by the fourth first-exposure operator and leads
-        # the r16 window instead).
+        # Positions 20-49: the r10 cohort tail (next-stalest evidence;
+        # its last three rows media_decode_wav / similarity_pq_adc_topk
+        # / sample_stratified_cap were displaced past position 49 by
+        # the fourth..sixth first-exposure operators and lead the r16
+        # window instead).
         # -- last driver-green: r10 (the cohort tail) --
         "stats_pca_top_component": q_stats_pca_top_component,
         "window_distinct_running": q_window_distinct_running,
@@ -10683,11 +10817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_bmp": q_media_decode_bmp,
         "precip_wide_roundtrip": q_precip_wide_roundtrip,
         "storage_orc_roundtrip": q_storage_orc_roundtrip,
+        # --- end of round-15 driver window (position 49 =
+        # storage_orc_roundtrip) ---
+        # -- displaced r10 tail rows: lead the r16 window --
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
-        # --- end of round-15 driver window (position 49 =
-        # similarity_pq_adc_topk) ---
-        # -- displaced r10 tail row: leads the r16 window --
         "sample_stratified_cap": q_sample_stratified_cap,
         # Remainder ordered by ascending driver-evidence age so the
         # round-16 rotation is already front-loaded: the rest of the
@@ -10960,6 +11094,8 @@ def oracle_sql() -> dict[str, str]:
         "dq_wasserstein_drift": ORACLE_W1_DRIFT,
         "stats_gini_revenue": ORACLE_GINI,
         "stats_gini_by_segment": ORACLE_GINI_BY,
+        "dq_auc_by_priority": ORACLE_AUC_BY,
+        "dq_wasserstein_by_priority": ORACLE_W1_BY,
         "stats_bootstrap_ci_by": _bootstrap_by_oracle(),
         "dq_calibration_bins": ORACLE_CALIBRATION,
         "dq_cusum_changepoint": ORACLE_CUSUM,

@@ -1610,3 +1610,258 @@ def gini_by(
             "     END AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+def auc_by(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-GROUP exact tie-corrected ROC-AUC —
+    :func:`auc_mann_whitney`'s segmented form (one AUC per segment /
+    source / model version), the fourth member of the r15 per-group
+    suite: production classifier evaluation is per-slice (a score that
+    ranks well globally can invert on a minority segment — exactly
+    what a single global AUC averages away).
+
+    Same pure-BIGINT tie-averaged rank law per group: with per-(group,
+    value) row counts ``c_tot`` and positive counts ``c_pos``,
+    exclusive cumulative counts ``C`` within the group, and group
+    totals ``n₊, n₋``: ``2·R⁺ = Σ_v c_pos·(2·C + c_tot + 1)`` and
+    ``auc_ppm = 10⁶·(2R⁺ − n₊(n₊+1)) div (2·n₊·n₋)`` under the shared
+    piecewise overflow law — all IN-PLAN per group, with the rank-sum
+    intermediate's own bound ``n₊·n_tot < 2^61`` enforced by this
+    operator's named in-plan ``assert_true`` (checked divisionally in
+    exact BIGINT `div`; it implies the global form's ``2·n₊·n₋ < 2^63``
+    denominator domain AND keeps 2·R⁺ itself in BIGINT — strictly
+    safer than guarding the denominator alone).
+
+    ``label_col`` must be 0/1 (the global contract: positives are
+    ``sum(label)``).  NULL group keys and NULL scores/labels are
+    EXCLUDED up front; one-class groups report ``auc_ppm = NULL`` (the
+    global law); absent groups do not appear.  CONTRACT (vs the global
+    form): group-partitioned cumulative windows — one group's score
+    domain must fit one task's sort; an unbounded single segment
+    belongs on the global ``_ranged_cumsums`` form.
+
+    Plan shape: ONE count aggregate (output = Σ_g |group g's score
+    domain|), one group-key exchange shared by the cumulative window,
+    the totals window and the final aggregate.
+
+    Returns one row per group: ``(<group_cols>, n_pos, n_neg,
+    rank_sum_pos_x2, auc_ppm)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "auc_by: group_cols is empty — use auc_mann_whitney for "
+            "the global form (operators/profile.py)"
+        )
+    keep = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .select(
+            *group_cols,
+            F.col(score_col).alias("_v"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy(*group_cols, "_v")
+        .agg(F.count("*").alias("_ct"), F.sum("_y").alias("_cp"))
+    )
+    wg = W.partitionBy(*group_cols)
+    wexc = (
+        W.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = counts.select(
+        *group_cols,
+        "_ct",
+        "_cp",
+        F.coalesce(F.sum("_ct").over(wexc), F.lit(0)).alias("_C"),
+        F.sum("_ct").over(wg).alias("_nt"),
+        F.sum("_cp").over(wg).alias("_np"),
+    )
+    # rank-sum intermediate bound: 2R+ <= n_pos*(2*n_tot+1), so demand
+    # n_pos*n_tot <= 2^61 - 1 (divisional exact check) — implies the
+    # global 2*n_pos*n_neg < 2^63 denominator domain as well
+    guard = F.expr(f"_np = 0 OR _nt <= ({(1 << 61) - 1} div _np)")
+    checked_cp = F.when(guard, F.col("_cp")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "auc_by: a group's n_pos*n_tot exceeds the BIGINT "
+                "rank-statistic domain (2^61) — sample a class or "
+                "pre-quantize the score (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    scored = base.select(
+        *group_cols,
+        (
+            checked_cp
+            * (F.lit(2) * F.col("_C") + F.col("_ct") + F.lit(1))
+        ).alias("_term"),
+        "_nt",
+        "_np",
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.max("_np").alias("n_pos"),
+        (F.max("_nt") - F.max("_np")).alias("n_neg"),
+        F.sum("_term").alias("rank_sum_pos_x2"),
+    )
+    ppm = F.expr(
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+        "     WHEN 2 * n_pos * n_neg <= 9000000000000"
+        "     THEN (1000000 * (rank_sum_pos_x2 - n_pos * (n_pos + 1)))"
+        "          div (2 * n_pos * n_neg)"
+        "     ELSE (rank_sum_pos_x2 - n_pos * (n_pos + 1))"
+        "          div ((2 * n_pos * n_neg) div 1000000) END"
+    )
+    return out.select(
+        *group_cols,
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("rank_sum_pos_x2").cast("long").alias("rank_sum_pos_x2"),
+        ppm.cast("long").alias("auc_ppm"),
+    )
+
+
+def wasserstein_drift_by(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-GROUP exact 1-Wasserstein drift —
+    :func:`wasserstein_drift`'s segmented form, completing the r15
+    per-group suite (tvd_by / ks_by / gini_by / auc_by / w1_by): the
+    magnitude-sensitive drift monitor per segment, where
+    :func:`ks_drift_by` reports only the sup-norm gap.
+
+    Same pure-BIGINT integral law per group: with cumulative counts
+    ``f1(v), f2(v)`` within the group, group totals ``n1, n2`` and the
+    NEXT distinct value's gap ``Δv`` (a per-group ``lead`` — NO
+    partition-boundary stitch here, unlike the global form: the window
+    is already group-partitioned and the last value's term is provably
+    zero), ``emd_num = Σ_v |f1·n2 − f2·n1|·Δv`` and ``emd_micro`` by
+    the decomposed exact division law.  IN-PLAN per-group contracts
+    (named ``assert_true``, divisional exact checks): the integration
+    domain ``n1·n2·range < 2^63`` and the micro-unit output domain
+    ``range ≤ 9e12`` (both runtime values per group — the global form
+    checks them driver-side).
+
+    ``col`` is cast to BIGINT (the global contract — pre-quantize).
+    NULL group keys and values are EXCLUDED; one-sided groups report
+    ``emd_micro = NULL``; absent groups do not appear.  CONTRACT: one
+    group's value domain must fit one task's sort (the per-group
+    window trade); an unbounded single segment belongs on the global
+    ``_ranged_cumsums`` form.
+
+    Plan shape: ONE union-tagged count aggregate, one group-key
+    exchange shared by the cumulative window + lead window + totals
+    window and the final aggregate.
+
+    Returns one row per group: ``(<group_cols>, n_old, n_new,
+    emd_num, emd_micro)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "wasserstein_drift_by: group_cols is empty — use "
+            "wasserstein_drift for the global form "
+            "(operators/profile.py)"
+        )
+
+    def _side(df: DataFrame, s1: int, s2: int) -> DataFrame:
+        keep = F.col(col).isNotNull()
+        for g in group_cols:
+            keep = keep & F.col(g).isNotNull()
+        return df.filter(keep).select(
+            *group_cols,
+            F.col(col).cast("long").alias("_v"),
+            F.lit(s1).alias("_s1"),
+            F.lit(s2).alias("_s2"),
+        )
+
+    counts = (
+        _side(old, 1, 0)
+        .unionByName(_side(new, 0, 1))
+        .groupBy(*group_cols, "_v")
+        .agg(F.sum("_s1").alias("_c1"), F.sum("_s2").alias("_c2"))
+    )
+    wg = W.partitionBy(*group_cols)
+    word = W.partitionBy(*group_cols).orderBy("_v")
+    wcum = word.rowsBetween(W.unboundedPreceding, W.currentRow)
+    base = counts.select(
+        *group_cols,
+        "_v",
+        F.sum("_c1").over(wcum).alias("_f1"),
+        F.sum("_c2").over(wcum).alias("_f2"),
+        F.coalesce(
+            F.lead("_v").over(word) - F.col("_v"), F.lit(0)
+        ).alias("_gap"),
+        F.sum("_c1").over(wg).alias("_n1"),
+        F.sum("_c2").over(wg).alias("_n2"),
+        (F.max("_v").over(wg) - F.min("_v").over(wg)).alias("_rng"),
+    )
+    # per-group integration-domain contract, checked divisionally in
+    # exact BIGINT div: n1*n2 <= (2^63-1) div max(range,1), and the
+    # exact micro-unit output needs range <= 9e12 (the global form's
+    # driver-side checks, moved in-plan for runtime-known totals)
+    guard = F.expr(
+        f"_rng <= 9000000000000 AND (_n1 = 0 OR _n2 <= "
+        f"(({(1 << 63) - 1} div greatest(_rng, 1)) div _n1))"
+    )
+    checked_n2 = F.when(guard, F.col("_n2")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "wasserstein_drift_by: a group exceeds the BIGINT "
+                "integration domain (n1*n2*range < 2^63 and "
+                "range <= 9e12) — pre-quantize the column to coarser "
+                "units (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    scored = base.select(
+        *group_cols,
+        (
+            F.abs(
+                F.col("_f1") * checked_n2 - F.col("_f2") * F.col("_n1")
+            )
+            * F.col("_gap")
+        ).alias("_term"),
+        "_n1",
+        "_n2",
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.max("_n1").alias("n_old"),
+        F.max("_n2").alias("n_new"),
+        F.sum("_term").alias("emd_num"),
+    )
+    # decomposed EXACT floor(10^6*e/d) below 9e12 pair-products (both
+    # addends bounded: e div d <= range <= 9e12, e mod d < d <= 9e12);
+    # above it the shared floored-divisor law (divisor >= 9e6)
+    micro = F.expr(
+        "CASE WHEN n_old <= 0 OR n_new <= 0 THEN NULL"
+        "     WHEN n_old * n_new <= 9000000000000"
+        "     THEN 1000000 * (emd_num div (n_old * n_new))"
+        "          + (1000000 * (emd_num % (n_old * n_new)))"
+        "            div (n_old * n_new)"
+        "     ELSE emd_num div ((n_old * n_new) div 1000000) END"
+    )
+    return out.select(
+        *group_cols,
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("emd_num").cast("long").alias("emd_num"),
+        micro.cast("long").alias("emd_micro"),
+    )

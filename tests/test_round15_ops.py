@@ -619,3 +619,144 @@ def test_gini_by_matches_python_replay(spark):
         assert (r.n_rows, r.total) == (n, t)
         assert r.gini_num == n * t - b
         assert r.gini_ppm == (1_000_000 * (n * t - b)) // (n * t)
+
+
+# ---------------------------------------------- auc_by / w1_by
+
+
+def test_auc_by_single_group_matches_global(spark):
+    from radohydro_spark.operators.profile import auc_by, auc_mann_whitney
+
+    rows = [(i % 40, 1 if (i * 7) % 3 == 0 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    g = auc_mann_whitney(df, "s", "y").collect()[0]
+    r = auc_by(
+        df.withColumn("grp", F.lit("k")), "s", "y", ["grp"]
+    ).collect()[0]
+    assert (r.n_pos, r.n_neg, r.rank_sum_pos_x2, r.auc_ppm) == (
+        g.n_pos, g.n_neg, g.rank_sum_pos_x2, g.auc_ppm,
+    )
+
+
+def test_auc_by_hand_cases_and_one_class(spark):
+    from radohydro_spark.operators.profile import auc_by
+
+    # group sep: positives strictly above negatives -> AUC = 1.0;
+    # group rev: reversed -> 0.0; group one: single class -> NULL
+    rows = (
+        [("sep", s, 1) for s in (10, 11)]
+        + [("sep", s, 0) for s in (1, 2)]
+        + [("rev", s, 0) for s in (10, 11)]
+        + [("rev", s, 1) for s in (1, 2)]
+        + [("one", s, 1) for s in (5, 6)]
+    )
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    out = {r.g: r for r in auc_by(df, "s", "y", ["g"]).collect()}
+    assert out["sep"].auc_ppm == 1_000_000
+    assert out["rev"].auc_ppm == 0
+    assert out["one"].auc_ppm is None and out["one"].n_neg == 0
+
+
+def test_auc_by_matches_python_replay_with_ties(spark):
+    from collections import Counter, defaultdict
+
+    from radohydro_spark.operators.profile import auc_by
+
+    rows = [
+        (f"g{i % 2}", (i * 13) % 17, 1 if (i * 5) % 7 < 3 else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    got = {r.g: r for r in auc_by(df, "s", "y", ["g"]).collect()}
+    for gname in ("g0", "g1"):
+        ct: Counter = Counter()
+        cp: dict = defaultdict(int)
+        for g, s, y in rows:
+            if g == gname:
+                ct[s] += 1
+                cp[s] += y
+        c_run = 0
+        r2 = 0
+        for v in sorted(ct):
+            r2 += cp[v] * (2 * c_run + ct[v] + 1)
+            c_run += ct[v]
+        n_pos = sum(cp.values())
+        n_neg = sum(ct.values()) - n_pos
+        r = got[gname]
+        assert (r.n_pos, r.n_neg, r.rank_sum_pos_x2) == (n_pos, n_neg, r2)
+        assert r.auc_ppm == (1_000_000 * (r2 - n_pos * (n_pos + 1))) // (
+            2 * n_pos * n_neg
+        )
+
+
+def _w1_by(spark, old_rows, new_rows):
+    from radohydro_spark.operators.profile import wasserstein_drift_by
+
+    o = spark.createDataFrame(old_rows, "g string, v long")
+    n = spark.createDataFrame(new_rows, "g string, v long")
+    return wasserstein_drift_by(o, n, "v", ["g"])
+
+
+def test_w1_by_single_group_matches_global(spark):
+    from radohydro_spark.operators.profile import wasserstein_drift
+
+    old_v = [1, 2, 2, 3, 10]
+    new_v = [2, 3, 3, 9, 14]
+    o = spark.createDataFrame([(v,) for v in old_v], "v long")
+    n = spark.createDataFrame([(v,) for v in new_v], "v long")
+    g = wasserstein_drift(o, n, "v").collect()[0]
+    r = _w1_by(
+        spark, [("k", v) for v in old_v], [("k", v) for v in new_v]
+    ).collect()[0]
+    assert (r.n_old, r.n_new, r.emd_num, r.emd_micro) == (
+        g.n_old, g.n_new, g.emd_num, g.emd_micro,
+    )
+
+
+def test_w1_by_shift_law_and_one_sided_group(spark):
+    # group k: constant shift +5 -> W1 exactly 5 (5e6 micro);
+    # group only_old: one-sided -> micro NULL
+    old = [("k", v) for v in (1, 3, 7, 20)] + [("only_old", 2)]
+    new = [("k", v + 5) for v in (1, 3, 7, 20)]
+    out = {r.g: r for r in _w1_by(spark, old, new).collect()}
+    assert out["k"].emd_micro == 5_000_000
+    assert out["only_old"].emd_micro is None
+    assert out["only_old"].n_old == 1 and out["only_old"].n_new == 0
+
+
+def test_w1_by_matches_python_replay_and_null_group(spark):
+    from collections import Counter
+
+    old = [(f"g{i % 2}", (i * 13) % 37) for i in range(140)] + [(None, 1)]
+    new = [(f"g{i % 2}", (i * 17) % 53) for i in range(160)]
+    got = {r.g: r for r in _w1_by(spark, old, new).collect()}
+    assert set(got) == {"g0", "g1"}
+    for gname in ("g0", "g1"):
+        c1 = Counter(v for g, v in old if g == gname)
+        c2 = Counter(v for g, v in new if g == gname)
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        dom = sorted(set(c1) | set(c2))
+        f1 = f2 = 0
+        emd = 0
+        for i, v in enumerate(dom):
+            f1 += c1.get(v, 0)
+            f2 += c2.get(v, 0)
+            gap = dom[i + 1] - v if i + 1 < len(dom) else 0
+            emd += abs(f1 * n2 - f2 * n1) * gap
+        r = got[gname]
+        assert (r.n_old, r.n_new, r.emd_num) == (n1, n2, emd)
+        d = n1 * n2
+        assert r.emd_micro == 1_000_000 * (emd // d) + (
+            1_000_000 * (emd % d)
+        ) // d
+
+
+def test_w1_by_range_contract_raises_named(spark):
+    from radohydro_spark.operators.profile import wasserstein_drift_by
+
+    old = spark.createDataFrame(
+        [("k", 0), ("k", 10_000_000_000_000)], "g string, v long"
+    )
+    new = spark.createDataFrame([("k", 5)], "g string, v long")
+    with pytest.raises(Exception, match="wasserstein_drift_by"):
+        wasserstein_drift_by(old, new, "v", ["g"]).collect()
