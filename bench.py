@@ -202,6 +202,39 @@ def main() -> None:
     RUNS_BASE, RUNS_FAST, FAST_THRESHOLD_S = 5, 9, 2.0
     from radohydro_spark.plans.pipeline import release_persisted
 
+    # TENANCY CANARY (r16, VERDICT r15 #7): a fixed pure-CPU
+    # calibration aggregate — constant 10M-row integer arithmetic +
+    # one 1000-key groupBy, no I/O, no Python workers, identical plan
+    # every round — whose wall moves ONLY with host load.  Cross-round
+    # total comparisons divide by the canary ratio to separate code
+    # movement from tenancy (per-query spreads already separate
+    # within-round noise; this separates BETWEEN-round noise).
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 10_000_000, 1, cpus)
+            .select(
+                (F.col("id") % 1000).alias("k"),
+                ((F.col("id") * 2654435761) % 104729).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("t"), F.sum("n").alias("m"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    canary_runs = [_canary_once() for _ in range(5)]
+    canary_steady = canary_runs[1:]
+    canary = {
+        "best_sec": round(min(canary_runs), 3),
+        "runs": [round(r, 3) for r in canary_runs],
+        "spread": round(
+            (max(canary_steady) - min(canary_steady)) / min(canary_steady), 3
+        ),
+        "workload": "10M-row integer mod/mul + 1000-key groupBy, no I/O",
+    }
+
     # Per-query error isolation: one broken query must never zero the whole
     # round's perf record (round 3 lost its bench to a single ingest
     # AnalysisException).  Failures land in "errors" and are excluded from
@@ -258,6 +291,9 @@ def main() -> None:
             "fast": RUNS_FAST,
             "fast_threshold_s": FAST_THRESHOLD_S,
         },
+        # fixed pure-CPU calibration workload: divide cross-round totals
+        # by the canary ratio before reading them as code movement
+        "canary": canary,
         "sf": sf,
     }
     if errors:
@@ -281,6 +317,7 @@ def main() -> None:
         "queries": timings,
         "queries_ok": len(timings),
         "queries_total": len(HEADLINE),
+        "canary_sec": canary["best_sec"],
         "sf": sf,
     }
     if errors:
@@ -290,8 +327,13 @@ def main() -> None:
     if len(line) > 1900:
         # still too wide for the capture window (e.g. a long errors
         # map): drop per-query detail from the PRINTED line — it
-        # survives in the sidecar — and keep the headline total parseable
-        record["queries"] = "see BENCH_SPREAD.json"
+        # survives in the sidecar — and keep the headline total
+        # parseable.  The field KEEPS ITS TYPE (null, never a string —
+        # r15 ADVICE: a schema that mutates with run width breaks
+        # parsers only on wide/partial rounds); the pointer rides a
+        # separate note key.
+        record["queries"] = None
+        record["queries_note"] = "see BENCH_SPREAD.json"
         if "errors" in record:
             record["errors"] = {
                 k: v[:80] for k, v in list(record["errors"].items())[:5]

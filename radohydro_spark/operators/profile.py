@@ -459,6 +459,22 @@ def auc_mann_whitney(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # 0/1 label domain enforced in-plan (the calibration_bins y_checked
+    # pattern — r15 ADVICE, applied to the global form alongside
+    # auc_by): n_pos = sum(label) is only the positive count when
+    # labels are 0/1; a 2 corrupts it silently
+    y = F.col(label_col).cast("long")
+    y_guard = (y == 0) | (y == 1)
+    y_checked = F.when(y_guard, y).otherwise(
+        F.assert_true(
+            y_guard,
+            F.lit(
+                f"auc_mann_whitney: {label_col} outside the 0/1 label "
+                "domain — a label of 2 corrupts the rank sum "
+                "(operators/profile.py)"
+            ),
+        ).cast("long")
+    )
     g = (
         df.filter(
             F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
@@ -466,7 +482,7 @@ def auc_mann_whitney(
         .groupBy(F.col(score_col).alias("v"))
         .agg(
             F.count("*").alias("_ct"),
-            F.sum(F.col(label_col).cast("long")).alias("_cp"),
+            F.sum(y_checked).alias("_cp"),
         )
     )
     # _cp rides the subtotal collect so n_pos is free (no extra job);
@@ -1638,7 +1654,10 @@ def auc_by(
     safer than guarding the denominator alone).
 
     ``label_col`` must be 0/1 (the global contract: positives are
-    ``sum(label)``).  NULL group keys and NULL scores/labels are
+    ``sum(label)``) — ENFORCED by a named in-plan ``assert_true`` (the
+    calibration_bins y_checked pattern, r15 ADVICE: a label of 2
+    silently corrupts the rank sum).  NULL group keys and NULL
+    scores/labels are
     EXCLUDED up front; one-class groups report ``auc_ppm = NULL`` (the
     global law); absent groups do not appear.  CONTRACT (vs the global
     form): group-partitioned cumulative windows — one group's score
@@ -1663,12 +1682,27 @@ def auc_by(
     keep = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     for g in group_cols:
         keep = keep & F.col(g).isNotNull()
+    # 0/1 label domain enforced in-plan (the calibration_bins y_checked
+    # pattern — r15 ADVICE): a label of 2 silently corrupts the rank
+    # sum, pushing auc_ppm past 10^6 or negative
+    y = F.col(label_col).cast("long")
+    y_guard = (y == 0) | (y == 1)
+    y_checked = F.when(y_guard, y).otherwise(
+        F.assert_true(
+            y_guard,
+            F.lit(
+                f"auc_by: {label_col} outside the 0/1 label domain — "
+                "a label of 2 corrupts the rank sum "
+                "(operators/profile.py)"
+            ),
+        ).cast("long")
+    )
     counts = (
         df.filter(keep)
         .select(
             *group_cols,
             F.col(score_col).alias("_v"),
-            F.col(label_col).cast("long").alias("_y"),
+            y_checked.alias("_y"),
         )
         .groupBy(*group_cols, "_v")
         .agg(F.count("*").alias("_ct"), F.sum("_y").alias("_cp"))
@@ -1815,9 +1849,14 @@ def wasserstein_drift_by(
     # per-group integration-domain contract, checked divisionally in
     # exact BIGINT div: n1*n2 <= (2^63-1) div max(range,1), and the
     # exact micro-unit output needs range <= 9e12 (the global form's
-    # driver-side checks, moved in-plan for runtime-known totals)
+    # driver-side checks, moved in-plan for runtime-known totals).
+    # ONE-SIDED groups short-circuit the whole guard (r15 ADVICE):
+    # with n1 = 0 or n2 = 0 every |f1*n2 - f2*n1| term is provably 0
+    # (the present side's cumulative multiplies the absent side's zero
+    # total) and the documented output is emd_micro = NULL — a wide
+    # value range there must not raise
     guard = F.expr(
-        f"_rng <= 9000000000000 AND (_n1 = 0 OR _n2 <= "
+        f"_n1 = 0 OR _n2 = 0 OR (_rng <= 9000000000000 AND _n2 <= "
         f"(({(1 << 63) - 1} div greatest(_rng, 1)) div _n1))"
     )
     checked_n2 = F.when(guard, F.col("_n2")).otherwise(
@@ -1864,4 +1903,409 @@ def wasserstein_drift_by(
         F.col("n_new").cast("long").alias("n_new"),
         F.col("emd_num").cast("long").alias("emd_num"),
         micro.cast("long").alias("emd_micro"),
+    )
+
+
+def psi_drift_by(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    group_cols: list[str],
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-GROUP Population Stability Index — :func:`psi_drift`'s
+    segmented form, the seventh member of the per-group suite
+    (tvd/ks/gini/auc/w1 landed r15; psi + calibration complete it):
+    one bucketed-PSI drift report per segment / source / arm, where a
+    single global PSI averages a localized shift away.
+
+    Same law as the global form PER GROUP: equi-width buckets span the
+    group's OLD-snapshot ``[min, max]`` (the reference grid — computed
+    per group IN-PLAN instead of the global's driver-side 1-row
+    aggregate), NEW values outside the range clamp into the edge
+    buckets, proportions floor at ``eps``, and each bucket reports
+    ``(p_old − p_new)·ln(p_old/p_new)`` rounded to 9 decimals — the
+    float expressions are IDENTICAL to the global form's, so a
+    single-constant-group run is row-identical to :func:`psi_drift`
+    (the per-group-twin pin law).  The lone extra branch: a group
+    whose old extent is CONSTANT (hi == lo) buckets everything into
+    bucket 0 (the calibration_bins convention; the global float law
+    divides by zero there).
+
+    NULL group keys and NULL values are EXCLUDED up front (the family
+    convention).  Groups with NO old rows do not appear — the
+    reference grid is undefined without a reference (document loudly:
+    a brand-new segment needs the global form on its own filter or an
+    explicit grid).  Groups with old rows but no new rows report
+    ``p_new`` and ``psi_contrib`` as NULL (proportions are undefined
+    on an empty side — the one-sided convention).
+
+    Plan shape: one map-side-combinable per-group extent aggregate
+    (|groups| rows, BROADCAST back onto both snapshots — the
+    zscore_outliers stats-join pattern; the group dimension must fit a
+    broadcast, the planner contract shared with that operator), one
+    union-tagged ``groupBy(group, bucket)`` count aggregate whose
+    shuffle carries ≤ |groups|·n_buckets partial counters per task,
+    and one group-partitioned totals window on that counter-sized
+    result.  No row ever shuffles on the group key.
+
+    Returns one row per (group, non-empty bucket):
+    ``(<group_cols>, bucket, n_old, n_new, p_old, p_new,
+    psi_contrib)``; callers sum ``psi_contrib`` per group for the
+    scalar PSI.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "psi_drift_by: group_cols is empty — use psi_drift for the "
+            "global form (operators/profile.py)"
+        )
+    assert 2 <= n_buckets <= 10_000
+
+    keep = F.col(col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+
+    ext = (
+        old.filter(keep)
+        .groupBy(*group_cols)
+        .agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+    )
+
+    def bucketize(df: DataFrame, s1: int, s2: int) -> DataFrame:
+        # the GLOBAL form's float bucket expression verbatim (the pin
+        # law), with the constant-extent group routed to bucket 0
+        b = F.when(
+            F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")
+        ).otherwise(
+            F.greatest(
+                F.least(
+                    F.floor(
+                        (F.col(col) - F.col("_lo"))
+                        / (
+                            (F.col("_hi") - F.col("_lo"))
+                            / F.lit(float(n_buckets))
+                        )
+                    ),
+                    F.lit(n_buckets - 1),
+                ),
+                F.lit(0),
+            ).cast("long")
+        )
+        return (
+            df.filter(keep)
+            .join(F.broadcast(ext), group_cols)
+            .select(
+                *group_cols,
+                b.alias("bucket"),
+                F.lit(s1).alias("_s1"),
+                F.lit(s2).alias("_s2"),
+            )
+        )
+
+    counts = (
+        bucketize(old, 1, 0)
+        .unionByName(bucketize(new, 0, 1))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("_s1").alias("n_old"), F.sum("_s2").alias("n_new"))
+    )
+    wg = W.partitionBy(*group_cols)
+    base = counts.select(
+        *group_cols,
+        "bucket",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(wg).alias("_to"),
+        F.sum("n_new").over(wg).alias("_tn"),
+    )
+    p_old = F.greatest(F.col("n_old") / F.col("_to"), F.lit(eps))
+    p_new = F.greatest(F.col("n_new") / F.col("_tn"), F.lit(eps))
+    one_sided = F.col("_tn") == 0  # _to > 0 by construction (grid = old)
+    return base.select(
+        *group_cols,
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.round(p_old, 9).alias("p_old"),
+        F.when(one_sided, F.lit(None).cast("double"))
+        .otherwise(F.round(p_new, 9))
+        .alias("p_new"),
+        F.when(one_sided, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((p_old - p_new) * F.log(p_old / p_new), 9)
+        )
+        .alias("psi_contrib"),
+    )
+
+
+def calibration_bins_by(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-GROUP reliability / response-rate table —
+    :func:`calibration_bins`' segmented form, :func:`auc_by`'s
+    diagnostic sibling (per-slice AUC says IF the score ranks within a
+    segment; this shows WHERE the segment's response curve is
+    miscalibrated — exactly the slice where a globally-calibrated
+    model breaks).
+
+    Same EXACT pure-BIGINT law as the global form PER GROUP:
+    ``score_col`` must be integral; each group's bins span ITS
+    observed ``[lo, hi]`` (per-group extents computed IN-PLAN — the
+    global collects them driver-side; integer arithmetic is identical
+    either way, so a single-constant-group run is row-identical to
+    :func:`calibration_bins` plus the group column), bin index
+    ``min(((s − lo)·n_bins) div (hi − lo), n_bins−1)``, constant-score
+    groups (hi == lo) collapse into bin 0, and ``pos_ppm`` is the
+    family's shared piecewise floored division.  ``label_col`` must be
+    0/1 — enforced by the named in-plan ``assert_true`` (the global's
+    y_checked contract).  The per-group binning domain
+    ``(hi − lo)·n_bins < 2^63`` is enforced by a named in-plan
+    ``assert_true`` checked DIVISIONALLY in exact BIGINT ``div`` (the
+    loud-contract convention for runtime-known extents; the global
+    form's driver-side ValueError moved in-plan).
+
+    NULL group keys and NULL scores/labels are EXCLUDED up front;
+    empty bins and absent groups do not appear (the SQL-oracle
+    convention).
+
+    Plan shape: one map-side-combinable per-group extent aggregate
+    (|groups| rows, BROADCAST back — the psi_drift_by / zscore
+    pattern), then ONE ``groupBy(group, bin)`` count aggregate whose
+    shuffle carries ≤ |groups|·n_bins partial counters per task.  No
+    row ever shuffles on the group key.
+
+    Returns one row per (group, non-empty bin): ``(<group_cols>, bin,
+    bin_lo, bin_hi, n, n_pos, pos_ppm)`` — ``[bin_lo, bin_hi)`` the
+    bin's true integer preimage (ceil law; last bin closed at the
+    group's max).
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "calibration_bins_by: group_cols is empty — use "
+            "calibration_bins for the global form (operators/profile.py)"
+        )
+    assert 2 <= n_bins <= 10_000
+
+    keep = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    y = F.col(label_col).cast("long")
+    y_guard = (y == 0) | (y == 1)
+    y_checked = F.when(y_guard, y).otherwise(
+        F.assert_true(
+            y_guard,
+            F.lit(
+                f"calibration_bins_by: {label_col} outside the 0/1 "
+                "label domain — a label of 2 would inflate pos_ppm "
+                "past 10^6 (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    rows = df.filter(keep).select(
+        *group_cols,
+        F.col(score_col).cast("long").alias("_s"),
+        y_checked.alias("_y"),
+    )
+    ext = rows.groupBy(*group_cols).agg(
+        F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
+    )
+    joined = rows.join(F.broadcast(ext), group_cols)
+    # per-group binning-domain contract, checked divisionally in exact
+    # BIGINT div: (hi-lo) <= (2^63-1) div n_bins, so every bin product
+    # (bin+1)*(hi-lo) <= n_bins*(hi-lo) stays in BIGINT
+    guard = F.expr(f"(_hi - _lo) <= ({(1 << 63) - 1} div {n_bins})")
+    checked_lo = F.when(guard, F.col("_lo")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "calibration_bins_by: a group's (hi-lo)*n_bins exceeds "
+                "the BIGINT binning domain (2^63) — pre-quantize the "
+                "score (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    b = F.when(
+        F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.expr(f"((_s - _chk_lo) * {n_bins}) div (_hi - _lo)"),
+            F.lit(n_bins - 1),
+        ).cast("long")
+    )
+    out = (
+        joined.withColumn("_chk_lo", checked_lo)
+        .select(*group_cols, b.alias("bin"), "_y", "_lo", "_hi")
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.max("_lo").alias("_lo"),
+            F.max("_hi").alias("_hi"),
+        )
+    )
+    # bin bounds: the bucket law's true integer preimage (ceil law —
+    # the global form's r14-reviewed expressions, on per-group columns)
+    bin_lo = F.expr(
+        f"_lo + (bin * (_hi - _lo) + {n_bins - 1}) div {n_bins}"
+    )
+    bin_hi = F.when(F.col("bin") == F.lit(n_bins - 1), F.col("_hi")).otherwise(
+        F.expr(f"_lo + ((bin + 1) * (_hi - _lo) + {n_bins - 1}) div {n_bins}")
+    )
+    return out.select(
+        *group_cols,
+        F.col("bin").cast("long").alias("bin"),
+        bin_lo.cast("long").alias("bin_lo"),
+        bin_hi.cast("long").alias("bin_hi"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        # the family's shared piecewise law: n >= n_pos, so past 9e12
+        # positives the divisor (n div 10^6) is >= 9e6 — always valid
+        F.expr(
+            "CAST(CASE WHEN n_pos <= 9000000000000"
+            "          THEN (1000000 * n_pos) div n"
+            "          ELSE n_pos div (n div 1000000) END AS BIGINT)"
+        ).alias("pos_ppm"),
+    )
+
+
+def cusum_by(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-KEY exact CUSUM change-point scan —
+    :func:`cusum_changepoint`'s segmented form, the production
+    monitoring shape (one change-point statistic per metric / series /
+    KPI in a single scan, instead of one job per series): per group,
+    ``cusum_num = max_t |n·S(t) − c(t)·T|`` over the group's distinct
+    order boundaries (Page 1954 at-most-one-change statistic), with
+    ``S/c`` the inclusive cumulative sum/count, ``n/T`` the group's
+    row count and total.
+
+    Same pure-BIGINT law as the global form per group, computed
+    IN-PLAN: the scan-domain contract ``2·n·Σ|x| < 2^63`` is enforced
+    by a named in-plan ``assert_true`` checked DIVISIONALLY in exact
+    BIGINT ``div`` (the global checks it driver-side);
+    ``cusum_micro = 10⁶·cusum_num div (n·Σ|x|)`` under the piecewise
+    law KEYED ON THE NUMERATOR (cusum_num ≤ 2·n·Σ|x| means past 9e12
+    the divisor ``(n·Σ|x|) div 10⁶`` is ≥ 4.5e6 — never zero), NULL
+    when the group's values are all zero.  ``at_value`` is the
+    smallest boundary attaining the max — via the negation-safe
+    ``min_by`` tie struct (negate the SCORE, never the order value:
+    order columns may be dates/timestamps).
+
+    NULL group keys, order values and values are EXCLUDED up front;
+    absent groups do not appear.  CONTRACT (vs the global form): the
+    cumulation is a group-partitioned ordered window, so one group's
+    ORDER domain (the series length) must fit one task's sort — the
+    per-series monitoring case by construction; a single unbounded
+    series belongs on the global form's ``_ranged_cumsums`` machinery.
+
+    Plan shape: ONE per-(group, boundary) count/sum aggregate
+    (map-side combinable, output = Σ_g |group g's order domain|), one
+    group-key exchange shared by the ordered cumulative window, the
+    unordered totals window AND the final ``groupBy(group)``.
+
+    Returns one row per group: ``(<group_cols>, n_rows, total,
+    cusum_num, cusum_micro, at_value)`` — a single-constant-group run
+    is value-identical to the global :func:`cusum_changepoint` row.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "cusum_by: group_cols is empty — use cusum_changepoint for "
+            "the global form (operators/profile.py)"
+        )
+    keep = F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    g = (
+        df.filter(keep)
+        .groupBy(*group_cols, F.col(order_col).alias("_v"))
+        .agg(
+            F.count("*").alias("_c"),
+            F.sum(F.col(value_col).cast("long")).alias("_s"),
+            F.sum(F.abs(F.col(value_col).cast("long"))).alias("_a"),
+        )
+    )
+    wg = W.partitionBy(*group_cols)
+    wcum = (
+        W.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = g.select(
+        *group_cols,
+        "_v",
+        F.sum("_c").over(wcum).alias("_cc"),
+        F.sum("_s").over(wcum).alias("_cs"),
+        F.sum("_c").over(wg).alias("_n"),
+        F.sum("_s").over(wg).alias("_t"),
+        F.sum("_a").over(wg).alias("_aa"),
+    )
+    # per-group scan-domain contract, checked divisionally in exact
+    # BIGINT div: 2*n*sum|x| < 2^63  <=>  n <= ((2^63-1) div 2) div
+    # max(sum|x|, 1) — each scan term |n*S - c*T| is bounded by
+    # 2*n*sum|x| (each side by n*sum|x|), the global form's bound
+    guard = F.expr(
+        f"_n <= (({(1 << 63) - 1} div 2) div greatest(_aa, 1))"
+    )
+    checked_n = F.when(guard, F.col("_n")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "cusum_by: a group's 2*n*sum(|x|) exceeds the BIGINT "
+                "scan domain (2^63) — pre-quantize the value column to "
+                "coarser units (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    scored = base.select(
+        *group_cols,
+        "_v",
+        F.abs(
+            checked_n * F.col("_cs") - F.col("_cc") * F.col("_t")
+        ).alias("_d"),
+        "_n",
+        "_t",
+        "_aa",
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.max("_n").alias("n_rows"),
+        F.max("_t").alias("total"),
+        F.max("_aa").alias("_aa"),
+        F.max("_d").alias("cusum_num"),
+        # smallest boundary attaining the max: negate the SCORE (a
+        # long — always negatable), never the order value (may be a
+        # date/timestamp) — the ks_drift_by tie-struct law
+        F.min_by(
+            "_v", F.struct((-F.col("_d")).alias("nd"), F.col("_v"))
+        ).alias("at_value"),
+    )
+    micro = F.expr(
+        "CASE WHEN n_rows * _aa = 0 THEN NULL"
+        "     WHEN cusum_num <= 9000000000000"
+        "     THEN (1000000 * cusum_num) div (n_rows * _aa)"
+        "     ELSE cusum_num div ((n_rows * _aa) div 1000000) END"
+    )
+    return out.select(
+        *group_cols,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total").cast("long").alias("total"),
+        F.col("cusum_num").cast("long").alias("cusum_num"),
+        micro.cast("long").alias("cusum_micro"),
+        "at_value",
     )

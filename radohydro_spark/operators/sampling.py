@@ -357,8 +357,14 @@ def mmr_select(
     Returns ``(sel_round, <id_col>, score)`` — score is the scaled
     integer MMR objective (round 1: lam_num·rel).
 
-    Redundancy-term strategy (r15, closes the r14 VERDICT #4): below
-    ``lit_budget`` total selected-vector integers the per-round maxsim
+    Redundancy-term strategy (r15, closes the r14 VERDICT #4; the
+    literal/broadcast choice is made PER ROUND on the CURRENT selected
+    set's ``len(sel_vecs)·dim`` integers — r15 ADVICE: the measured
+    crossover is a per-round analysis cost, so a large-k selection's
+    early rounds stay on the cheaper literal path and switch over only
+    once the selected set outgrows the budget; both paths are
+    row-identical, so the mid-selection switch cannot change output):
+    below ``lit_budget`` the round's maxsim
     is ``greatest()`` over ≤k LITERAL dot products — plan constants,
     cheapest for the few-shot shape (tiny dims, k ≤ ~10).  PAST the
     budget the same selected vectors ship as DATA instead of plan
@@ -411,12 +417,15 @@ def mmr_select(
     if not qrow:
         raise ValueError(f"mmr_select: query_id {query_id!r} not in corpus")
     qvec = qrow[0]["_qv"]
-    # The per-round literal redundancy term embeds ≤k·dim integer
-    # literals and Catalyst re-analyzes the greatest() tree every
-    # round (O(k²·dim) total analysis work) — past the budget the
-    # selected set ships as a one-row broadcast ARRAY relation instead
-    # (analysis O(1)/round, same law; see docstring).
-    use_literals = k * len(qvec) <= lit_budget
+    # The per-round literal redundancy term embeds the SELECTED SET's
+    # integer literals and Catalyst re-analyzes the greatest() tree
+    # every round — the measured ~1.5 ms/literal crossover is against
+    # the CURRENT round's len(sel_vecs)·dim, not the final k·dim, so
+    # the path is chosen PER ROUND (r15 ADVICE: a large-k selection's
+    # early rounds are cheaper on literals; both paths are
+    # row-identical, so switching mid-selection is safe).  Past the
+    # budget the selected set ships as a one-row broadcast ARRAY
+    # relation instead (analysis O(1)/round, same law; see docstring).
 
     def _idot(a, b):
         return F.aggregate(
@@ -438,7 +447,7 @@ def mmr_select(
             remaining = remaining.filter(
                 ~F.col("_id").isin([c[1] for c in chosen])
             )
-            if use_literals:
+            if len(sel_vecs) * len(qvec) <= lit_budget:
                 # the ≤k selected vectors are DRIVER-SIDE literals (each
                 # round's argmax row carries _qv home, below) —
                 # redundancy is greatest() over ≤k literal integer dot

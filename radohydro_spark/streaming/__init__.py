@@ -8,6 +8,7 @@ from radohydro_spark.streaming.streams import (
     stateful_running_total,
     stream_category_drift,
     stream_count_min,
+    stream_kmv,
     stream_stream_join,
     tumbling_agg,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "stateful_running_total",
     "stream_category_drift",
     "stream_count_min",
+    "stream_kmv",
     "stream_stream_join",
     "tumbling_agg",
 ]

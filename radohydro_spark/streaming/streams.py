@@ -626,3 +626,94 @@ def stream_count_min(
         "bucket",
         F.col("n").cast("long").alias("n"),
     )
+
+
+def stream_kmv(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str,
+    k: int = 256,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-window KMV (bottom-k) distinct sketch — the
+    Structured-Streaming twin of
+    :func:`~radohydro_spark.operators.sketch.kmv_sketch` (the
+    :func:`stream_count_min` treatment applied to the distinct-
+    cardinality sketch): per tumbling window, the ``k`` SMALLEST
+    distinct ``portable_hash`` values of the key domain are maintained
+    at ingest time, so "how many distinct keys in hour H — and how
+    many SHARED with hour H'?" is answerable later WITHOUT re-reading
+    the corpus: feed any two window slices to
+    :func:`~radohydro_spark.operators.sketch.kmv_overlap`, merge
+    windows by re-taking the bottom-k of the union (KMV's native
+    merge).  Count-Min answers per-window "how often", this answers
+    per-window "how many distinct / how much overlap" — together they
+    are the ingest-time monitoring pair.
+
+    DETERMINISTIC and batch-identical: the hash law is the batch
+    sketch's ``portable_hash`` (md5-prefix), and bottom-k of a set is
+    order-insensitive — so an availableNow drain equals the batch
+    :func:`~radohydro_spark.operators.sketch.kmv_sketch` of each
+    window's rows, bit-for-bit, and the whole table is SQL-replayable
+    (exact DuckDB oracle).
+
+    Plan shape: one stateless hash projection (whole-stage codegen),
+    then ONE ``applyInPandasWithState`` grouped by window start whose
+    state is the window's current bottom-k array — state is ≤
+    ``windows · k`` longs by CONSTRUCTION regardless of rows or
+    key-domain size (the sketch family's contract carried into the
+    streaming runtime, exactly as :func:`stream_count_min` bounds its
+    state at windows·depth·width).  Each micro-batch's shuffle carries
+    the batch's hash rows grouped to their window tasks; the per-group
+    NumPy merge (unique of state ∪ batch, truncate to k) is the batch
+    builder's per-partition prune law.
+
+    Output mode is ``update`` (the applyInPandasWithState contract):
+    each trigger emits every touched window's CURRENT bottom-k as
+    ``(ts, hv)`` rows — ``ts`` the window start, ``hv`` ascending
+    within the emission.  NULL keys/timestamps are excluded (the batch
+    builder's contract).
+
+    Reference analog: none — extends the streaming family
+    (SURVEY §2 extension table).
+    """
+    assert k >= 2
+    from radohydro_spark.functions.text import portable_hash
+
+    rows = (
+        stream.withWatermark(ts_col, watermark)
+        .filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.window(F.col(ts_col), window).start.alias("ts"),
+            portable_hash(F.col(key_col).cast("string")).alias("hv"),
+        )
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        best = (
+            np.asarray(state.get[0], dtype="int64")
+            if state.exists
+            else np.array([], dtype="int64")
+        )
+        for pdf in pdfs:
+            vals = pdf["hv"].to_numpy(dtype="int64")
+            # unique(concat) = sorted distinct; truncation to k is the
+            # batch builder's bottom-k prune law
+            best = np.unique(np.concatenate([best, vals]))[:k]
+        state.update(([int(x) for x in best],))
+        yield pd.DataFrame({"ts": [key[0]] * len(best), "hv": best})
+
+    return rows.groupBy("ts").applyInPandasWithState(
+        update,
+        outputStructType="ts timestamp, hv long",
+        stateStructType="hv array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
