@@ -10728,106 +10728,281 @@ FROM t, b
 """
 
 
+def q_dq_psi_drift_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT Population Stability Index
+    (operators.profile.psi_drift_by): order totals before vs from
+    1997-01-01, one bucketed-PSI drift report per order priority —
+    dq_psi_drift's segmented form, completing the per-group suite's
+    drift members (r15 VERDICT #2).  Each group's equi-width grid
+    spans ITS old-snapshot extents (computed in-plan and broadcast
+    back — the zscore stats-join pattern, no row ever shuffles on the
+    group key), same eps-floored ln-contribution law as the global
+    form per group."""
+    _utc(spark)
+    from radohydro_spark.operators.profile import psi_drift_by
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < "1997-01-01")
+    new = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    return psi_drift_by(
+        old, new, "o_totalprice", ["o_orderpriority"], n_buckets=10
+    ).orderBy("o_orderpriority", "bucket")
+
+
+ORACLE_PSI_DRIFT_BY = """
+WITH j AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v, o_orderdate
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+ext AS (
+  SELECT g, min(v) AS lo, max(v) AS hi FROM j
+  WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY g
+),
+b AS (
+  SELECT j.g,
+         CASE WHEN e.hi = e.lo THEN 0
+              ELSE CAST(greatest(least(floor((j.v - e.lo)
+                        / ((e.hi - e.lo) / 10.0)), 9), 0) AS BIGINT)
+         END AS bucket,
+         CASE WHEN j.o_orderdate < TIMESTAMP '1997-01-01'
+              THEN 1 ELSE 0 END AS s1,
+         CASE WHEN j.o_orderdate >= TIMESTAMP '1997-01-01'
+              THEN 1 ELSE 0 END AS s2
+  FROM j JOIN ext e ON j.g = e.g
+),
+m AS (SELECT g, bucket, CAST(sum(s1) AS BIGINT) AS n_old,
+             CAST(sum(s2) AS BIGINT) AS n_new
+      FROM b GROUP BY g, bucket),
+t AS (SELECT *, SUM(n_old) OVER (PARTITION BY g) AS tot_o,
+             SUM(n_new) OVER (PARTITION BY g) AS tot_n FROM m)
+SELECT g AS o_orderpriority, bucket, n_old, n_new,
+       round(greatest(n_old / tot_o, 1e-6), 9) AS p_old,
+       CASE WHEN tot_n = 0 THEN NULL
+            ELSE round(greatest(n_new / tot_n, 1e-6), 9) END AS p_new,
+       CASE WHEN tot_n = 0 THEN NULL
+            ELSE round((greatest(n_old / tot_o, 1e-6)
+                        - greatest(n_new / tot_n, 1e-6))
+                       * ln(greatest(n_old / tot_o, 1e-6)
+                            / greatest(n_new / tot_n, 1e-6)), 9)
+       END AS psi_contrib
+FROM t ORDER BY o_orderpriority, bucket
+"""
+
+
+def q_dq_calibration_bins_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SLICE reliability/response table
+    (operators.profile.calibration_bins_by): P(returned) by
+    extended-price decile WITHIN each ship mode — dq_calibration_bins'
+    segmented form and dq_auc_by_priority's diagnostic sibling
+    (per-slice calibration is exactly where a globally-calibrated
+    score breaks).  The slice is the SHIP YEAR — the temporal-cohort
+    calibration drilldown.  Exact BIGINT bucket law over per-group
+    in-plan extents (broadcast back), named in-plan binning-domain +
+    0/1 label asserts, shuffle bounded at |groups|·n_bins counters."""
+    from radohydro_spark.operators.profile import calibration_bins_by
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_returned"),
+    )
+    return calibration_bins_by(
+        li, "price_c", "is_returned", ["ship_year"], n_bins=10
+    ).orderBy("ship_year", "bin")
+
+
+ORACLE_CALIBRATION_BY = """
+WITH base AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_shipdate IS NOT NULL
+),
+ext AS (SELECT g, CAST(min(s) AS BIGINT) AS lo,
+               CAST(max(s) AS BIGINT) AS hi
+        FROM base GROUP BY g),
+binned AS (
+  SELECT b.g,
+         CASE WHEN e.hi = e.lo THEN 0
+              ELSE least(((b.s - e.lo) * 10) // (e.hi - e.lo), 9)
+         END AS bin,
+         b.y
+  FROM base b JOIN ext e ON b.g = e.g
+),
+agg AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM binned GROUP BY g, bin)
+SELECT a.g AS ship_year, CAST(a.bin AS BIGINT) AS bin,
+       CAST(e.lo + (a.bin * (e.hi - e.lo) + 9) // 10 AS BIGINT) AS bin_lo,
+       CAST(CASE WHEN a.bin = 9 THEN e.hi
+                 ELSE e.lo + ((a.bin + 1) * (e.hi - e.lo) + 9) // 10
+            END AS BIGINT) AS bin_hi,
+       a.n, a.n_pos,
+       CAST(CASE WHEN a.n_pos <= 9000000000000
+                 THEN (1000000 * a.n_pos) // a.n
+                 ELSE a.n_pos // (a.n // 1000000) END AS BIGINT) AS pos_ppm
+FROM agg a JOIN ext e ON a.g = e.g
+ORDER BY ship_year, bin
+"""
+
+
+def q_dq_cusum_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-KEY exact CUSUM change-point scan
+    (operators.profile.cusum_by): where each order priority's
+    value series shifted — dq_cusum_changepoint's segmented form, the
+    production monitoring shape (one scan for ALL KPIs instead of one
+    job per series; r15 VERDICT #6).  Same BIGINT scan law per group
+    on group-partitioned cumulative windows (a series' order domain
+    fits a task by construction), scan-domain contract in-plan, the
+    negation-safe min_by tie struct for the date-typed boundary."""
+    _utc(spark)
+    from radohydro_spark.operators.profile import cusum_by
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return cusum_by(
+        o, "o_orderdate", "price_c", ["o_orderpriority"]
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_CUSUM_BY = """
+WITH base AS (
+  SELECT o_orderpriority AS g, o_orderdate AS v,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+gg AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(x) AS BIGINT) AS s,
+              CAST(sum(abs(x)) AS BIGINT) AS a
+       FROM base GROUP BY g, v),
+t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS tt,
+             CAST(sum(a) AS BIGINT) AS aa
+      FROM gg GROUP BY g),
+cumt AS (
+  SELECT g, v, CAST(sum(c) OVER w AS BIGINT) AS cc,
+         CAST(sum(s) OVER w AS BIGINT) AS cs
+  FROM gg WINDOW w AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+d AS (SELECT cumt.g, cumt.v, abs(t.n * cumt.cs - cumt.cc * t.tt) AS d
+      FROM cumt JOIN t ON cumt.g = t.g),
+dm AS (SELECT g, CAST(max(d) AS BIGINT) AS cusum_num FROM d GROUP BY g),
+at AS (SELECT g, v AS at_value FROM (
+         SELECT g, v, row_number() OVER (PARTITION BY g
+                                         ORDER BY d DESC, v) AS rn
+         FROM d) WHERE rn = 1)
+SELECT t.g AS o_orderpriority, t.n AS n_rows, t.tt AS total, dm.cusum_num,
+       CAST(CASE WHEN t.n * t.aa = 0 THEN NULL
+                 WHEN dm.cusum_num <= 9000000000000
+                 THEN (1000000 * dm.cusum_num) // (t.n * t.aa)
+                 ELSE dm.cusum_num // ((t.n * t.aa) // 1000000)
+            END AS BIGINT) AS cusum_micro,
+       at.at_value
+FROM t JOIN dm ON dm.g = t.g JOIN at ON at.g = t.g
+ORDER BY o_orderpriority
+"""
+
+
+def q_events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window KMV distinct sketch
+    (streaming.stream_kmv): per-DAY bottom-64 portable-hash sketch of
+    the event user-id stream — the distinct-cardinality/overlap
+    sibling of events_stream_count_min maintained at ingest time (r15
+    VERDICT #5; feed two window slices to kmv_overlap for day-to-day
+    audience overlap without re-reading the corpus).  State ≤
+    windows·k longs by construction; the availableNow drain is
+    bit-identical to the batch kmv_sketch per window.  Update-mode
+    emissions are superseding snapshots of a monotone-downward set, so
+    the final sketch per window is the bottom-k of the distinct drain
+    (the stream_state_totals keep-the-last treatment, set-valued)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from radohydro_spark.streaming import run_available_now, stream_kmv
+
+    raw_schema = _probe_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    sk = stream_kmv(
+        stream, "ts", "user_id", "1 day", k=64, watermark="1 hour"
+    )
+    name = "stream_kmv_" + uuid.uuid4().hex[:8]
+    out = run_available_now(
+        sk, name, tempfile.mkdtemp(prefix="ck_"), "update"
+    )
+    w = W.partitionBy("ts").orderBy("hv")
+    return (
+        out.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 64)
+        .select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("day"), "hv"
+        )
+        .orderBy("day", "hv")
+    )
+
+
+def _stream_kmv_oracle() -> str:
+    h = _ph_sql("kk")
+    return f"""
+WITH ev AS (SELECT date_trunc('day', ts) AS w, CAST(user_id AS VARCHAR) AS kk
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+hx AS (SELECT DISTINCT w, {h} AS hv FROM ev),
+r AS (SELECT w, hv,
+             row_number() OVER (PARTITION BY w ORDER BY hv) AS rn
+      FROM hx)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS day, CAST(hv AS BIGINT) AS hv
+FROM r WHERE rn <= 64 ORDER BY day, hv
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round-15 driver window (positions 0-49) ---
-        # r15 first-exposure head: the per-group drift twins (VERDICT
-        # r14 #3) — one exact TVD / KS statistic per segment on the
-        # shared cross-multiplication law, overflow contracts in-plan.
-        "dq_tvd_drift_by": q_dq_tvd_drift_by,
-        "dq_ks_drift_by": q_dq_ks_drift_by,
-        # r15 first-exposure: streaming per-window Count-Min (VERDICT
-        # r14 #7) — the stream_category_drift pattern generalized to a
-        # hashed key domain; drain == batch sketch law, exact oracle.
-        "events_stream_count_min": q_events_stream_count_min,
-        # r15 first-exposure: per-segment Gini concentration — the third
-        # per-group twin (tvd_by / ks_by / gini_by), Lorenz law on
-        # group-partitioned windows with in-plan 2nT contract.
-        "stats_gini_by_segment": q_stats_gini_by_segment,
-        # r15 first-exposure: per-slice AUC and per-group W1 — the
-        # fifth/sixth per-group twins (classifier eval per segment;
-        # magnitude-sensitive drift per segment), group-partitioned
-        # windows with in-plan rank-sum / integration-domain contracts.
+        # --- round-16 driver window (positions 0-49) ---
+        # r16 first-exposure head (VERDICT r15 #2/#5/#6): the per-group
+        # suite's completing members — per-segment PSI and per-slice
+        # calibration on the broadcast-extent-grid pattern, per-key CUSUM
+        # on the group-partitioned window pattern — plus the streaming
+        # per-window KMV distinct sketch (state <= windows*k longs,
+        # drain bit-identical to the batch kmv_sketch per window).
+        "dq_psi_drift_by": q_dq_psi_drift_by,
+        "dq_calibration_bins_by": q_dq_calibration_bins_by,
+        "dq_cusum_by": q_dq_cusum_by,
+        "events_stream_kmv": q_events_stream_kmv,
+        # Positions 4-6: r16 re-pins — queries whose ENGINE DEFINITION
+        # changed this round with value-identical output on valid
+        # inputs: auc_by gained the named 0/1-label in-plan assert (r15
+        # ADVICE), wasserstein_drift_by's integration guard now
+        # short-circuits one-sided groups (r15 ADVICE: a wide-range
+        # one-sided group provably contributes zero and must not
+        # raise), and mmr_select chooses literal-vs-broadcast per ROUND
+        # on the current selected-set size (r15 ADVICE).
         "dq_auc_by_priority": q_dq_auc_by_priority,
         "dq_wasserstein_by_priority": q_dq_wasserstein_by_priority,
-        # Positions 6-8: r15 re-pins — queries whose ENGINE DEFINITION
-        # changed this round with value-identical output (the
-        # dedup_sorted_neighborhood lesson): ewma_halving gained the
-        # named duplicate-(group,order) in-plan assert (one extra lag
-        # on the SAME Window node; r14 ADVICE), calibration_bins moved
-        # pos_ppm onto the shared piecewise overflow law + the 0/1
-        # label assert (r14 ADVICE, oracle mirrored), and mmr_select
-        # gained the broadcast redundancy branch past lit_budget (the
-        # in-budget plan is expression-identical; r14 VERDICT #4).
-        "orders_ewma_daily": q_orders_ewma_daily,
-        "dq_calibration_bins": q_dq_calibration_bins,
         "sample_mmr_select": q_sample_mmr_select,
-        # Positions 9-19: the staged cohort (the r9 tail text_lang_id …
-        # text_token_budget + the three r10 head rows displaced from
-        # the r14 window by its second-wave first-exposure operators —
-        # the stalest driver evidence in the ledger, staged for this
-        # window by STRICT_SWEEP_r14).
-        # -- last driver-green: r9/r10 (displaced window tail) --
-        "text_lang_id": q_lang_id,
-        "text_quality_filter": q_text_quality_filter,
-        "text_redact_pii": q_redact_pii,
-        "text_repetition_stats": q_text_repetition,
-        "text_sentence_chunks": q_text_sentence_chunks,
-        "text_stats": q_text_stats,
-        "text_tfidf_top_terms": q_text_tfidf,
-        "text_token_budget": q_token_budget,
-        "sample_group_kfold": q_sample_group_kfold,
-        "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
-        "text_ngram_containment": q_text_ngram_containment,
-        # Positions 20-49: the r10 cohort tail (next-stalest evidence;
-        # its last three rows media_decode_wav / similarity_pq_adc_topk
-        # / sample_stratified_cap were displaced past position 49 by
-        # the fourth..sixth first-exposure operators and lead the r16
-        # window instead).
-        # -- last driver-green: r10 (the cohort tail) --
-        "stats_pca_top_component": q_stats_pca_top_component,
-        "window_distinct_running": q_window_distinct_running,
-        "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
-        "events_interval_coalesce": q_events_interval_coalesce,
-        "stats_weighted_median": q_stats_weighted_median,
-        "stats_heavy_hitters": q_stats_heavy_hitters,
-        "text_duplicate_spans": q_text_duplicate_spans,
-        "graph_kcore": q_graph_kcore,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "sample_bottom_k": q_sample_bottom_k,
-        "dq_table_fingerprint": q_dq_table_fingerprint,
-        "stats_quantiles_distributed": q_stats_quantiles_distributed,
-        "sample_max_coverage": q_sample_max_coverage,
-        "events_twap": q_events_twap,
-        "events_sessionize": q_events_sessions,
-        "events_stream_hourly": q_events_stream_hourly,
-        "events_asof_join": q_events_asof,
-        "events_props_extract": q_events_props,
-        "events_json_extract": q_events_json_extract,
-        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
-        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
-        "dedup_minhash_signatures": q_minhash_sigs,
-        # (embedding_norm_stats re-pinned into the r13 window head after
-        # its r13 try_divide engine change)
-        "embedding_quantize_int8": q_embedding_quantize,
-        "orders_pivot_native": q_orders_pivot_native,
-        "precip_csv_roundtrip": q_precip_csv_roundtrip,
-        "media_decode_bmp": q_media_decode_bmp,
-        "precip_wide_roundtrip": q_precip_wide_roundtrip,
-        "storage_orc_roundtrip": q_storage_orc_roundtrip,
-        # --- end of round-15 driver window (position 49 =
-        # storage_orc_roundtrip) ---
-        # -- displaced r10 tail rows: lead the r16 window --
+        # Positions 7-9: the r10-tail rows displaced past position 49
+        # by the r15 second-wave first-exposure operators — staged to
+        # lead this window by STRICT_SWEEP_r15 (stalest evidence).
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
         "sample_stratified_cap": q_sample_stratified_cap,
-        # Remainder ordered by ascending driver-evidence age so the
-        # round-16 rotation is already front-loaded: the rest of the
-        # r10 cohort (starting text_normalize_clean), then the r11
-        # cohort, the r12/r13 rows, and the displaced r14 window
-        # (freshest evidence) at the very end.
+        # Positions 10-22: the rest of the r10 cohort (from
+        # text_normalize_clean) — the stalest remaining driver evidence,
+        # staged by STRICT_SWEEP_r15.
         # -- last driver-green: r10/r11 (the cohort remainder) --
         "text_normalize_clean": q_text_normalize,
         "events_pagerank": q_events_pagerank,
@@ -10842,16 +11017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_weights": q_precip_weights,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
-        # -- last driver-green: r11 (the round-11 window: 8 of the 9
-        # r11 first-exposure rows — dedup_sorted_neighborhood moved to
-        # the r12 window after its r12 definition change — plus the 14
-        # r5-cohort and 27 r6-cohort rows r11 re-greened; the freshest
-        # evidence in the ledger) --
+        # Positions 23-49: the r11 cohort head (last driver-green r11).
+        # -- last driver-green: r11 --
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
         "dedup_lsh_index_update": q_dedup_lsh_index_update,
-        # (sample_mmr_select + search_rrf_fusion re-pinned into the r13
-        # window head after their r13 engine changes)
         "text_bm25_topk": q_text_bm25_topk,
         "stats_label_centroids": q_stats_label_centroids,
         "corpus_mixture_plan": q_corpus_mixture_plan,
@@ -10876,6 +11046,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "events_orders_cogroup": q_events_orders_cogroup,
         "pyds_grid_source": q_pyds_grid_source,
+        # --- end of round-16 driver window (position 49 =
+        # pyds_grid_source) ---
+        # Remainder ordered by ascending driver-evidence age so the
+        # round-17 rotation is already front-loaded: the rest of the
+        # r11 cohort (from pyds_grid_stream), then the r12 cohort, the
+        # r13 cohort, the r14 window, and the displaced r15 window
+        # (freshest evidence) at the very end.
+        # -- last driver-green: r11 (the cohort remainder) --
         "pyds_grid_stream": q_pyds_grid_stream,
         "join_lateral_topn": _sql(SQL_LATERAL_TOPN, ["customer"]),
         "precip_api_index": q_precip_api_index,
@@ -10896,12 +11074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_scalar": _sql(SQL_SCALAR_SUBQ, ["customer"]),
         "subquery_exists_correlated": _sql(SQL_EXISTS_CORRELATED, ["orders", "lineitem"]),
         "join_outer_nations": _sql(SQL_OUTER_JOIN, ["nation", "customer"]),
-        # -- last driver-green: r12 (the round-12 window: the 12
-        # first-exposure/re-pinned second-wave rows + the re-pinned
-        # text_pack_sequences + the 20-query r6 cohort tail + the first
-        # 17 of the r8 cohort; orders_rfm_segments and stats_skyline_2d
-        # moved to the r13 window head after their r13 engine changes —
-        # the freshest evidence in the ledger) --
+        # -- last driver-green: r12 (the round-12 window; see r15 dict
+        # history for composition notes) --
         "dedup_overlap_pairs_zipf": q_dedup_overlap_pairs_zipf,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_winnow_fingerprints": q_text_winnow_fingerprints,
@@ -10950,18 +11124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "media_decode_jpeg_color": q_media_decode_jpeg_color,
         "media_decode_gif": q_media_decode_gif,
-        # -- last driver-green: r13 (the round-13 window: the six r13
-        # first-exposure operators + six r13 re-pins — dq_ks_drift and
-        # corpus_temperature_mixture re-pinned into the r14 head after
-        # their r14 engine changes — plus the 32-query r8 cohort tail
-        # and the first 6 of the r9 cohort; the freshest evidence in
-        # the ledger) --
+        # -- last driver-green: r13 (the round-13 window) --
         "dedup_paragraphs": q_dedup_paragraphs,
         "text_bpe_encode": q_text_bpe_encode,
         "text_perplexity_buckets": q_text_perplexity_buckets,
         "sample_cluster_balanced": q_sample_cluster_balanced,
-        # (sample_mmr_select re-pinned into the r15 window head after
-        # its r15 lit_budget-fallback engine change)
         "search_rrf_fusion": q_search_rrf_fusion,
         "orders_rfm_segments": q_orders_rfm_segments,
         "stats_skyline_2d": q_stats_skyline_2d,
@@ -11005,11 +11172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": q_dedup_canonical,
         "dedup_embedding_cosine": q_embedding_near_dups,
         "dedup_exact_groups": q_exact_dups,
-        # -- last driver-green: r14 (the displaced r14 window: 12 of the
-        # 14 r14 first-exposure operators — orders_ewma_daily and
-        # dq_calibration_bins re-pinned into the r15 head — the two r14
-        # re-pins, and the 34-row r9 cohort slice it re-greened; the
-        # freshest evidence in the ledger) --
+        # -- last driver-green: r14 (the displaced r14 window) --
         "text_bpe_train_batched": q_text_bpe_train_batched,
         "dq_auc_returns": q_dq_auc_returns,
         "sketch_count_min": q_sketch_count_min,
@@ -11052,13 +11215,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_columns": q_profile_orders,
         "sample_split_assign": q_sample_split,
         "similarity_ann_lsh_topk": q_ann_lsh_topk,
-        # (similarity_cosine_topk re-pinned into the r13 window head)
         "similarity_ivf_topk": q_ivf_topk,
         "skew_salted_revenue": q_skew_salted_revenue,
         "stats_approx_sketches": q_approx_sketches,
         "stats_trimmed_mean": q_stats_trimmed_mean,
         "text_contamination_check": q_text_contamination,
         "text_fingerprint": q_fingerprint,
+        # -- last driver-green: r15 (the displaced r15 window: the six
+        # r15 first-exposure operators, the orders_ewma_daily /
+        # dq_calibration_bins re-pins — dq_auc_by_priority,
+        # dq_wasserstein_by_priority and sample_mmr_select re-pinned
+        # into the r16 head after their r16 engine changes — and the
+        # r9/r10 rows it re-greened; the freshest evidence in the
+        # ledger) --
+        "dq_tvd_drift_by": q_dq_tvd_drift_by,
+        "dq_ks_drift_by": q_dq_ks_drift_by,
+        "events_stream_count_min": q_events_stream_count_min,
+        "stats_gini_by_segment": q_stats_gini_by_segment,
+        "orders_ewma_daily": q_orders_ewma_daily,
+        "dq_calibration_bins": q_dq_calibration_bins,
+        "text_lang_id": q_lang_id,
+        "text_quality_filter": q_text_quality_filter,
+        "text_redact_pii": q_redact_pii,
+        "text_repetition_stats": q_text_repetition,
+        "text_sentence_chunks": q_text_sentence_chunks,
+        "text_stats": q_text_stats,
+        "text_tfidf_top_terms": q_text_tfidf,
+        "text_token_budget": q_token_budget,
+        "sample_group_kfold": q_sample_group_kfold,
+        "dedup_lsh_index_persist": q_dedup_lsh_index_persist,
+        "text_ngram_containment": q_text_ngram_containment,
+        "stats_pca_top_component": q_stats_pca_top_component,
+        "window_distinct_running": q_window_distinct_running,
+        "text_tfidf_cosine_pairs": q_text_tfidf_cosine,
+        "events_interval_coalesce": q_events_interval_coalesce,
+        "stats_weighted_median": q_stats_weighted_median,
+        "stats_heavy_hitters": q_stats_heavy_hitters,
+        "text_duplicate_spans": q_text_duplicate_spans,
+        "graph_kcore": q_graph_kcore,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "sample_bottom_k": q_sample_bottom_k,
+        "dq_table_fingerprint": q_dq_table_fingerprint,
+        "stats_quantiles_distributed": q_stats_quantiles_distributed,
+        "sample_max_coverage": q_sample_max_coverage,
+        "events_twap": q_events_twap,
+        "events_sessionize": q_events_sessions,
+        "events_stream_hourly": q_events_stream_hourly,
+        "events_asof_join": q_events_asof,
+        "events_props_extract": q_events_props,
+        "events_json_extract": q_events_json_extract,
+        "window_lead_lag": _sql(SQL_LEAD_LAG, ["orders"]),
+        "stats_percentiles": _sql(SQL_PERCENTILES, ["lineitem"]),
+        "dedup_minhash_signatures": q_minhash_sigs,
+        "embedding_quantize_int8": q_embedding_quantize,
+        "orders_pivot_native": q_orders_pivot_native,
+        "precip_csv_roundtrip": q_precip_csv_roundtrip,
+        "media_decode_bmp": q_media_decode_bmp,
+        "precip_wide_roundtrip": q_precip_wide_roundtrip,
+        "storage_orc_roundtrip": q_storage_orc_roundtrip,
     }
 
 
@@ -11099,6 +11315,11 @@ def oracle_sql() -> dict[str, str]:
         "stats_bootstrap_ci_by": _bootstrap_by_oracle(),
         "dq_calibration_bins": ORACLE_CALIBRATION,
         "dq_cusum_changepoint": ORACLE_CUSUM,
+        # r16 per-group/streaming additions
+        "dq_psi_drift_by": ORACLE_PSI_DRIFT_BY,
+        "dq_calibration_bins_by": ORACLE_CALIBRATION_BY,
+        "dq_cusum_by": ORACLE_CUSUM_BY,
+        "events_stream_kmv": _stream_kmv_oracle(),
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the
