@@ -152,6 +152,15 @@ HEADLINE = [
     # materialization, the price of the streaming runtime itself).
     "dq_ks_drift_by",
     "events_stream_count_min",
+    # round-16 additions: the broadcast-extent-grid per-group shape
+    # (per-segment PSI — extent agg + broadcast join + one
+    # counter-sized (group, bucket) aggregate; no row ever shuffles on
+    # the group key) and the stateful applyInPandasWithState drain
+    # (per-window KMV bottom-k — the Python-state streaming path the
+    # bench previously didn't price; wall includes the streaming
+    # runtime's drain + memory sink by design).
+    "dq_psi_drift_by",
+    "events_stream_kmv",
 ]
 
 

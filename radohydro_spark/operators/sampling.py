@@ -325,6 +325,8 @@ def mmr_select(
     lam_den: int = 10,
     scale: int = 10_000,
     lit_budget: int = 2_000,
+    scorer: str = "auto",
+    arrow_budget: int = 50_000_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein,
     SIGIR'98) over an embedding corpus: greedily pick ``k`` items
@@ -387,6 +389,21 @@ def mmr_select(
     Embedding-scale selections (dim ≥ 64) should always take the
     broadcast path; the literal path exists for the tiny-dim few-shot
     exemplar shape where it beats the join's constant.
+
+    CORPUS-SIZE strategy (r16, closes the r15 VERDICT #4): both SQL
+    forms evaluate the dot products as INTERPRETED higher-order
+    lambdas — measured flat (the ~1.6 s/round fixed job cost) to ~20k
+    docs, but 5.3 s/round at 100k docs × (r+1)·dim ≈ 1.3e8 elements
+    and linear beyond (SOAK.md r16).  ``scorer="auto"`` (default)
+    therefore prices each round as ``corpus·(len(selected)+1)·dim``
+    elements (one cached count at entry) and, past ``arrow_budget``
+    (default 5e7 — the measured knee), scores the round in ONE
+    vectorized numpy int64 matmul inside ``mapInPandas`` — the SAME
+    integer law (int64 arithmetic, exact within the documented
+    quantization domain), property-pinned row-identical to both SQL
+    forms, argmax still the shared TakeOrderedAndProject, still one
+    job per round.  ``scorer="sql"`` / ``"arrow"`` force a path (and
+    skip the count job).
     """
     assert k >= 1 and 0 < lam_num < lam_den
     spark = df.sparkSession
@@ -434,12 +451,100 @@ def mmr_select(
             lambda acc, x: acc + x,
         )
 
+    # ARROW scoring path (r16, VERDICT r15 #4): the SQL higher-order
+    # forms evaluate INTERPRETED lambdas per array element — measured
+    # flat (~1.6 s/round fixed cost) to ~20k docs but 5.3 s/round at
+    # 100k docs × (r+1)·dim ≈ 1.3e8 elements, i.e. the interpreted
+    # arithmetic dominates past ~5e7 elements per round.  Past
+    # `arrow_budget` corpus·(r+1)·dim elements the round's scoring runs
+    # as ONE vectorized numpy int64 matmul inside mapInPandas — the
+    # SAME integer law (int64 dot products, exact within the documented
+    # quantization domain), property-pinned row-identical; the argmax
+    # stays the shared TakeOrderedAndProject, still one job per round.
+    if scorer not in ("auto", "sql", "arrow"):
+        raise ValueError(
+            f"mmr_select: scorer must be auto/sql/arrow, got {scorer!r}"
+        )
+    n_corpus = qdf.count() if scorer == "auto" else None
+
+    arrow_out = T.StructType(
+        [
+            T.StructField("_id", id_type),
+            T.StructField("_qv", T.ArrayType(T.LongType())),
+            T.StructField("_score", T.LongType()),
+        ]
+    )
+
+    def _score_arrow(remaining: DataFrame, svecs: list[list[int]]):
+        import numpy as np
+
+        q = np.asarray(qvec, dtype="int64")
+        S = np.asarray(svecs, dtype="int64") if svecs else None
+        ln, ld = lam_num, lam_den
+
+        def kernel(batches):
+            import pandas as pd
+
+            # per-BATCH local top-1 prune: the global argmax only needs
+            # each batch's winner, so only ≤1 row (with its vector)
+            # crosses back to the JVM per Arrow batch — returning every
+            # row's _qv measured 7.2→44.6 s/round at 100k→400k docs
+            # (the output transfer dominated); the prune is the
+            # kmv_sketch candidate-superset argument applied to argmax
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["_qv"].to_numpy()).astype("int64")
+                sc = ln * (V @ q)
+                if S is not None:
+                    sc = sc - (ld - ln) * (V @ S.T).max(axis=1)
+                m = sc.max()
+                # smallest _id among the batch's max-score rows — the
+                # global tie law applied locally (UTF-8 byte order ==
+                # code-point order, so Python string comparison agrees
+                # with Spark's)
+                tied = pdf.loc[sc == m, "_id"]
+                i = tied.sort_values().index[0]
+                yield pd.DataFrame(
+                    {
+                        "_id": [pdf["_id"][i]],
+                        "_qv": [pdf["_qv"][i]],
+                        "_score": [int(m)],
+                    }
+                )
+
+        return remaining.select("_id", "_qv").mapInPandas(kernel, arrow_out)
+
     cands = qdf.filter(F.col("_id") != query_id).withColumn(
         "_rel", _idot(F.col("_qv"), F.array(*[F.lit(int(c)) for c in qvec]))
     )
     chosen: list[tuple] = []  # (sel_round, id, score)
     sel_vecs: list[list[int]] = []  # quantized vectors of the selected set
     for rnd in range(1, k + 1):
+        elements = (
+            n_corpus * (len(sel_vecs) + 1) * len(qvec)
+            if n_corpus is not None
+            else 0
+        )
+        if scorer == "arrow" or (
+            scorer == "auto" and elements > arrow_budget
+        ):
+            base = qdf.filter(F.col("_id") != query_id)
+            if chosen:
+                base = base.filter(
+                    ~F.col("_id").isin([c[1] for c in chosen])
+                )
+            scored = _score_arrow(base, sel_vecs)
+            top = (
+                scored.orderBy(F.col("_score").desc(), F.col("_id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            chosen.append((rnd, top[0]["_id"], top[0]["_score"]))
+            sel_vecs.append(list(top[0]["_qv"]))
+            continue
         remaining = cands
         if chosen:
             # ≤k literal ids: a narrow NOT IN filter, never an anti-join

@@ -177,6 +177,15 @@ HEADLINE = [
     # documented in stream_count_min's docstring.)
     "dq_tvd_drift_by",
     "dq_ks_drift_by",
+    # r16: the suite-completing per-group twins — psi/calibration on
+    # the broadcast-extent-grid pattern (extent agg + broadcast join +
+    # ONE counter-sized (group, bucket) aggregate; no row shuffles on
+    # the group key), cusum on the group-partitioned window pattern.
+    # (events_stream_kmv drains to a memory table; its stateful plan
+    # is documented in stream_kmv's docstring.)
+    "dq_psi_drift_by",
+    "dq_calibration_bins_by",
+    "dq_cusum_by",
 ]
 
 
