@@ -10956,6 +10956,97 @@ def q_events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap from the INGEST-TIME sketches
+    alone (streaming.stream_kmv → operators.sketch.kmv_overlap): the
+    first two days' per-window bottom-64 KMV slices feed the
+    pure-BIGINT overlap estimators — union / intersection / Jaccard of
+    two day audiences WITHOUT re-reading the corpus, the exact
+    composition the streaming sketch exists for (its count_min sibling
+    answers per-window "how often"; this answers "how many distinct
+    and how much shared").  The whole estimate touches two ≤64-row
+    slices; the day pick is a 2-row driver collect (dimension-sized,
+    the subtotal-collect convention)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from radohydro_spark.operators.sketch import kmv_overlap
+    from radohydro_spark.streaming import run_available_now, stream_kmv
+
+    raw_schema = _probe_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    sk = stream_kmv(
+        stream, "ts", "user_id", "1 day", k=64, watermark="1 hour"
+    )
+    name = "stream_kmv_ov_" + uuid.uuid4().hex[:8]
+    out = run_available_now(
+        sk, name, tempfile.mkdtemp(prefix="ck_"), "update"
+    )
+    w = W.partitionBy("ts").orderBy("hv")
+    table = (
+        out.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 64)
+        .select("ts", "hv")
+    )
+    days = [
+        r.ts
+        for r in table.select("ts").distinct().orderBy("ts").limit(2).collect()
+    ]
+    if len(days) < 2:
+        raise ValueError(
+            "events_stream_kmv_overlap: need at least two day windows"
+        )
+    sk_a = table.filter(F.col("ts") == days[0]).select("hv")
+    sk_b = table.filter(F.col("ts") == days[1]).select("hv")
+    return kmv_overlap(sk_a, sk_b, k=64)
+
+
+def _stream_kmv_overlap_oracle() -> str:
+    h = _ph_sql("kk")
+    dom = (1 << 32) * 63
+    return f"""
+WITH ev AS (SELECT date_trunc('day', ts) AS w, CAST(user_id AS VARCHAR) AS kk
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+d AS (SELECT w FROM (SELECT DISTINCT w FROM ev) ORDER BY w LIMIT 2),
+a AS (SELECT DISTINCT ({h}) AS hv FROM ev
+      WHERE w = (SELECT min(w) FROM d) ORDER BY hv LIMIT 64),
+b AS (SELECT DISTINCT ({h}) AS hv FROM ev
+      WHERE w = (SELECT max(w) FROM d) ORDER BY hv LIMIT 64),
+u AS (SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b)
+      ORDER BY hv LIMIT 64),
+fl AS (SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+              CAST(max(hv) AS BIGINT) AS theta,
+              CAST(sum(CASE WHEN hv IN (SELECT hv FROM a)
+                             AND hv IN (SELECT hv FROM b)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       FROM u),
+est AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+         theta, n_union_sketch, n_common,
+         CAST(CASE WHEN n_union_sketch < 64 THEN n_union_sketch
+                   ELSE {dom} // nullif(theta, 0) END AS BIGINT)
+           AS union_est
+  FROM fl
+)
+SELECT n_a, n_b, theta, n_union_sketch, n_common, union_est,
+       CAST((n_common * union_est) // nullif(n_union_sketch, 0)
+            AS BIGINT) AS inter_est,
+       CAST((1000000 * n_common) // nullif(n_union_sketch, 0)
+            AS BIGINT) AS jaccard_ppm
+FROM est
+"""
+
+
 def _stream_kmv_oracle() -> str:
     h = _ph_sql("kk")
     return f"""
@@ -10983,7 +11074,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_calibration_bins_by": q_dq_calibration_bins_by,
         "dq_cusum_by": q_dq_cusum_by,
         "events_stream_kmv": q_events_stream_kmv,
-        # Positions 4-6: r16 re-pins — queries whose ENGINE DEFINITION
+        # r16 first-exposure (second wave): day-over-day audience
+        # overlap composed from the ingest-time KMV slices alone
+        # (stream_kmv windows -> kmv_overlap estimators) — displaces
+        # pyds_grid_source past position 49 to lead the r17 window.
+        "events_stream_kmv_overlap": q_events_stream_kmv_overlap,
+        # Positions 5-7: r16 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output on valid
         # inputs: auc_by gained the named 0/1-label in-plan assert (r15
         # ADVICE), wasserstein_drift_by's integration guard now
@@ -10994,13 +11090,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_auc_by_priority": q_dq_auc_by_priority,
         "dq_wasserstein_by_priority": q_dq_wasserstein_by_priority,
         "sample_mmr_select": q_sample_mmr_select,
-        # Positions 7-9: the r10-tail rows displaced past position 49
+        # Positions 8-10: the r10-tail rows displaced past position 49
         # by the r15 second-wave first-exposure operators — staged to
         # lead this window by STRICT_SWEEP_r15 (stalest evidence).
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
         "sample_stratified_cap": q_sample_stratified_cap,
-        # Positions 10-22: the rest of the r10 cohort (from
+        # Positions 11-23: the rest of the r10 cohort (from
         # text_normalize_clean) — the stalest remaining driver evidence,
         # staged by STRICT_SWEEP_r15.
         # -- last driver-green: r10/r11 (the cohort remainder) --
@@ -11017,7 +11113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_weights": q_precip_weights,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
-        # Positions 23-49: the r11 cohort head (last driver-green r11).
+        # Positions 24-49: the r11 cohort head (last driver-green r11).
         # -- last driver-green: r11 --
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
@@ -11047,7 +11143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orders_cogroup": q_events_orders_cogroup,
         "pyds_grid_source": q_pyds_grid_source,
         # --- end of round-16 driver window (position 49 =
-        # pyds_grid_source) ---
+        # events_orders_cogroup; pyds_grid_source was displaced past it
+        # by the second-wave events_stream_kmv_overlap and leads the
+        # r17 window) ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-17 rotation is already front-loaded: the rest of the
         # r11 cohort (from pyds_grid_stream), then the r12 cohort, the
@@ -11320,6 +11418,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_calibration_bins_by": ORACLE_CALIBRATION_BY,
         "dq_cusum_by": ORACLE_CUSUM_BY,
         "events_stream_kmv": _stream_kmv_oracle(),
+        "events_stream_kmv_overlap": _stream_kmv_overlap_oracle(),
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the
