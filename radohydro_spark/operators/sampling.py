@@ -396,16 +396,20 @@ def mmr_select(
     docs, but 5.3 s/round at 100k docs × (r+1)·dim ≈ 1.3e8 elements
     and linear beyond (SOAK.md r16).  ``scorer="auto"`` (default)
     therefore prices each round as ``corpus·(len(selected)+1)·dim``
-    elements (one cached count at entry) and, past ``arrow_budget``
+    elements (one rdd.count job over the cache at entry, auto mode
+    only) and, past ``arrow_budget``
     (default 5e7 — the measured knee), scores the round in ONE
     vectorized numpy int64 matmul inside ``mapInPandas`` — the SAME
     integer law (int64 arithmetic, exact within the documented
     quantization domain), property-pinned row-identical to both SQL
     forms, argmax still the shared TakeOrderedAndProject, still one
-    job per round.  ``scorer="sql"`` / ``"arrow"`` force a path (and
-    skip the count job).
+    job per round.  ``scorer="sql"`` / ``"arrow"`` force a path.
     """
     assert k >= 1 and 0 < lam_num < lam_den
+    if scorer not in ("auto", "sql", "arrow"):
+        raise ValueError(
+            f"mmr_select: scorer must be auto/sql/arrow, got {scorer!r}"
+        )
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
@@ -434,6 +438,12 @@ def mmr_select(
     if not qrow:
         raise ValueError(f"mmr_select: query_id {query_id!r} not in corpus")
     qvec = qrow[0]["_qv"]
+    # corpus size prices the arrow-vs-sql decision: ONE rdd.count()
+    # job over the (just-materialized) cache in auto mode only — the
+    # DataFrame count() measured 2-3 AQE stage jobs, and the forced
+    # paths skip it entirely, so the job contract stays 1 setup job
+    # (+1 in auto) + exactly one job per round
+    n_corpus = qdf.rdd.count() if scorer == "auto" else 0
     # The per-round literal redundancy term embeds the SELECTED SET's
     # integer literals and Catalyst re-analyzes the greatest() tree
     # every round — the measured ~1.5 ms/literal crossover is against
@@ -461,12 +471,6 @@ def mmr_select(
     # SAME integer law (int64 dot products, exact within the documented
     # quantization domain), property-pinned row-identical; the argmax
     # stays the shared TakeOrderedAndProject, still one job per round.
-    if scorer not in ("auto", "sql", "arrow"):
-        raise ValueError(
-            f"mmr_select: scorer must be auto/sql/arrow, got {scorer!r}"
-        )
-    n_corpus = qdf.count() if scorer == "auto" else None
-
     arrow_out = T.StructType(
         [
             T.StructField("_id", id_type),
@@ -521,11 +525,7 @@ def mmr_select(
     chosen: list[tuple] = []  # (sel_round, id, score)
     sel_vecs: list[list[int]] = []  # quantized vectors of the selected set
     for rnd in range(1, k + 1):
-        elements = (
-            n_corpus * (len(sel_vecs) + 1) * len(qvec)
-            if n_corpus is not None
-            else 0
-        )
+        elements = n_corpus * (len(sel_vecs) + 1) * len(qvec)
         if scorer == "arrow" or (
             scorer == "auto" and elements > arrow_budget
         ):

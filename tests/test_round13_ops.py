@@ -120,7 +120,9 @@ def test_mmr_select_one_job_per_round(spark):
     sc = spark.sparkContext
     sc.setJobGroup("mmr13", "job-count contract")
     try:
-        out = mmr_select(df, "embedding", "vec_id", query_id=0, k=k)
+        out = mmr_select(
+            df, "embedding", "vec_id", query_id=0, k=k, scorer="sql"
+        )
         rows = out.collect()
     finally:
         sc.setJobGroup(None, None)
@@ -129,9 +131,21 @@ def test_mmr_select_one_job_per_round(spark):
     assert len(set(ids)) == k and 0 not in ids
     tracker = sc.statusTracker()
     jobs = tracker.getJobIdsForGroup("mmr13")
-    # 1 query-row fetch + k argmax rounds (+1 slack for cache
-    # materialization folding); the r12 form ran 2 jobs per round
+    # forced-sql path: 1 query-row fetch + k argmax rounds (+1 slack
+    # for cache materialization folding); the r12 form ran 2 jobs per
+    # round
     assert len(jobs) <= k + 2, jobs
+    # the r16 auto default adds exactly ONE corpus-count job per
+    # SELECTION (never per round) to price the arrow-vs-sql decision
+    sc.setJobGroup("mmr13auto", "job-count contract (auto)")
+    try:
+        out = mmr_select(df, "embedding", "vec_id", query_id=0, k=k)
+        rows = out.collect()
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(rows) == k
+    jobs_auto = tracker.getJobIdsForGroup("mmr13auto")
+    assert len(jobs_auto) <= k + 3, jobs_auto
 
 
 # -------------------------------------------------------- dedup_paragraphs
