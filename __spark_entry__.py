@@ -10956,6 +10956,84 @@ def q_events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming numeric-distribution drift monitor
+    (streaming.stream_psi_buckets): per-DAY PSI diagram of the event
+    value (cents) against a pinned uniform reference over a pinned
+    [0, 20000]×10 grid — the Structured-Streaming twin of dq_psi_drift
+    completing the ingest-time monitoring family (frequency /
+    distinct / categorical mix / numeric distribution).  ONE stateful
+    window aggregate with per-bucket conditional counts (state =
+    n_buckets+1 longs per window, never rows); the clamp law routes
+    out-of-grid drift into the edge buckets; the per-bucket unpivot
+    and PSI arithmetic are stateless projections, exactly
+    SQL-replayable."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import (
+        run_available_now,
+        stream_psi_buckets,
+    )
+
+    raw_schema = _probe_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream).withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
+    psi = stream_psi_buckets(
+        stream, "ts", "value_c", "1 day",
+        lo=0, hi=20_000, n_buckets=10, ref_counts=[1] * 10,
+        watermark="1 hour",
+    )
+    name = "stream_psi_" + uuid.uuid4().hex[:8]
+    out = run_available_now(
+        psi, name, tempfile.mkdtemp(prefix="ck_"), "complete"
+    )
+    return out.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "bucket",
+        "n",
+        "n_bucket",
+        "p_ref",
+        "p_win",
+        "psi_contrib",
+    ).orderBy("day", "bucket")
+
+
+ORACLE_STREAM_PSI = """
+WITH base AS (
+  SELECT date_trunc('day', ts) AS h,
+         least(greatest(CAST(round(value * 100) AS BIGINT), 0), 20000) AS v2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+bkt AS (SELECT h, least((v2 * 10) // 20000, 9) AS b FROM base),
+tot AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM bkt GROUP BY h),
+grid AS (SELECT t.h, dd.range AS bucket FROM tot t, range(10) dd),
+cnt AS (SELECT h, b, CAST(count(*) AS BIGINT) AS nb FROM bkt GROUP BY h, b),
+j AS (
+  SELECT g.h, g.bucket, coalesce(c.nb, 0) AS n_bucket, t.n
+  FROM grid g
+  LEFT JOIN cnt c ON c.h = g.h AND c.b = g.bucket
+  JOIN tot t ON t.h = g.h
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS day,
+       CAST(bucket AS BIGINT) AS bucket, n,
+       CAST(n_bucket AS BIGINT) AS n_bucket,
+       round(greatest(1 / 10, 1e-6), 9) AS p_ref,
+       round(greatest(n_bucket / n, 1e-6), 9) AS p_win,
+       round((greatest(1 / 10, 1e-6) - greatest(n_bucket / n, 1e-6))
+             * ln(greatest(1 / 10, 1e-6)
+                  / greatest(n_bucket / n, 1e-6)), 9) AS psi_contrib
+FROM j ORDER BY day, bucket
+"""
+
+
 def q_events_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day audience overlap from the INGEST-TIME sketches
     alone (streaming.stream_kmv → operators.sketch.kmv_overlap): the
@@ -11079,7 +11157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (stream_kmv windows -> kmv_overlap estimators) — displaces
         # pyds_grid_source past position 49 to lead the r17 window.
         "events_stream_kmv_overlap": q_events_stream_kmv_overlap,
-        # Positions 5-7: r16 re-pins — queries whose ENGINE DEFINITION
+        # r16 first-exposure (third wave): the streaming PSI diagram —
+        # numeric-distribution drift at ingest time, completing the
+        # monitoring family — displaces events_orders_cogroup past
+        # position 49 behind pyds_grid_source in the r17 lead.
+        "events_stream_psi": q_events_stream_psi,
+        # Positions 6-8: r16 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output on valid
         # inputs: auc_by gained the named 0/1-label in-plan assert (r15
         # ADVICE), wasserstein_drift_by's integration guard now
@@ -11090,13 +11173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_auc_by_priority": q_dq_auc_by_priority,
         "dq_wasserstein_by_priority": q_dq_wasserstein_by_priority,
         "sample_mmr_select": q_sample_mmr_select,
-        # Positions 8-10: the r10-tail rows displaced past position 49
+        # Positions 9-11: the r10-tail rows displaced past position 49
         # by the r15 second-wave first-exposure operators — staged to
         # lead this window by STRICT_SWEEP_r15 (stalest evidence).
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
         "sample_stratified_cap": q_sample_stratified_cap,
-        # Positions 11-23: the rest of the r10 cohort (from
+        # Positions 12-24: the rest of the r10 cohort (from
         # text_normalize_clean) — the stalest remaining driver evidence,
         # staged by STRICT_SWEEP_r15.
         # -- last driver-green: r10/r11 (the cohort remainder) --
@@ -11113,7 +11196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_weights": q_precip_weights,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
-        # Positions 24-49: the r11 cohort head (last driver-green r11).
+        # Positions 25-49: the r11 cohort head (last driver-green r11).
         # -- last driver-green: r11 --
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
@@ -11143,9 +11226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orders_cogroup": q_events_orders_cogroup,
         "pyds_grid_source": q_pyds_grid_source,
         # --- end of round-16 driver window (position 49 =
-        # events_orders_cogroup; pyds_grid_source was displaced past it
-        # by the second-wave events_stream_kmv_overlap and leads the
-        # r17 window) ---
+        # text_unigram_logprob; events_orders_cogroup and
+        # pyds_grid_source were displaced past it by the second/third-
+        # wave first-exposure rows and lead the r17 window) ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-17 rotation is already front-loaded: the rest of the
         # r11 cohort (from pyds_grid_stream), then the r12 cohort, the
@@ -11419,6 +11502,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_cusum_by": ORACLE_CUSUM_BY,
         "events_stream_kmv": _stream_kmv_oracle(),
         "events_stream_kmv_overlap": _stream_kmv_overlap_oracle(),
+        "events_stream_psi": ORACLE_STREAM_PSI,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

@@ -717,3 +717,130 @@ def stream_kmv(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_psi_buckets(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str,
+    lo: int,
+    hi: int,
+    n_buckets: int,
+    ref_counts: list[int],
+    eps: float = 1e-6,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming numeric-distribution drift monitor — the
+    Structured-Streaming twin of
+    :func:`~radohydro_spark.operators.profile.psi_drift`, completing
+    the ingest-time monitoring family (:func:`stream_count_min` =
+    per-window frequency, :func:`stream_kmv` = per-window distinct /
+    overlap, :func:`stream_category_drift` = categorical mix drift,
+    this = NUMERIC distribution drift): per tumbling window, each
+    bucket of a PINNED equi-width integer grid reports its count and
+    its PSI contribution against a PINNED reference histogram — the
+    retrain-gate drift diagram maintained at ingest time.
+
+    The grid ``[lo, hi]`` with ``n_buckets`` buckets and the reference
+    ``ref_counts`` (integer weights per bucket; only ratios matter)
+    are compile-time literals — the :func:`stream_category_drift`
+    pinned-reference convention; a streaming aggregate cannot derive
+    the grid from an "old snapshot", so the reference IS the pin.
+    Values are cast to BIGINT, CLAMPED into ``[lo, hi]`` (drift beyond
+    the grid lands in the edge buckets — the batch psi edge law, and
+    the clamp also keeps ``(v−lo)·n_buckets`` inside BIGINT for any
+    input), then bucketed by the exact integer law
+    ``min(((v−lo)·n_buckets) div (hi−lo), n_buckets−1)``.  Proportions
+    floor at ``eps`` and each bucket reports
+    ``round((p_ref − p_win)·ln(p_ref/p_win), 9)`` — the global
+    :func:`psi_drift` float expressions with the reference side
+    playing "old", so the whole table is SQL-replayable (exact DuckDB
+    oracle; the float law matches strict compare, the psi_drift
+    precedent).
+
+    Plan shape: ONE stateful operator (the watermarked window
+    aggregate) with per-bucket CONDITIONAL counts over the literal
+    grid — state is ``n_buckets + 1`` longs per window, never rows;
+    the per-bucket unpivot (explode of a literal struct array) and the
+    PSI arithmetic are stateless projections on the ≤ |windows|
+    aggregate output.
+
+    Returns one row per (window, bucket) — ALL ``n_buckets`` buckets
+    emit every window, zero counts included (the eps floor makes their
+    contribution finite): ``(ts, bucket, n, n_bucket, p_ref, p_win,
+    psi_contrib)``.
+
+    Reference analog: none — extends the streaming family
+    (SURVEY §2 extension table).
+    """
+    assert 2 <= n_buckets <= 10_000
+    assert len(ref_counts) == n_buckets and all(r >= 0 for r in ref_counts)
+    r_tot = sum(ref_counts)
+    assert r_tot > 0
+    if hi <= lo:
+        raise ValueError("stream_psi_buckets: hi must exceed lo")
+    rng = hi - lo
+    if rng > ((1 << 63) - 1) // n_buckets:
+        raise ValueError(
+            f"stream_psi_buckets: (hi-lo)*n_buckets = {rng}*{n_buckets} "
+            "exceeds the BIGINT binning domain (2^63) — coarsen the "
+            "grid (streaming/streams.py)"
+        )
+
+    v = F.col(value_col).cast("long")
+    v2 = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+    # exact BIGINT bucket law (the calibration_bins form) — the clamp
+    # above bounds (v2-lo)*n_buckets at rng*n_buckets < 2^63, and the
+    # division is integer `div`, never a float floor (a double quotient
+    # can misround at bucket boundaries)
+    b = F.least(
+        F.expr(f"((_v2 - {lo}) * {n_buckets}) div {rng}"),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+
+    wm = stream.withWatermark(ts_col, watermark).filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    agg = wm.withColumn("_v2", v2).withColumn("_b", b).groupBy(
+        F.window(F.col(ts_col), window)
+    ).agg(
+        F.count("*").alias("n"),
+        *[
+            F.count(F.when(F.col("_b") == i, 1)).alias(f"_c{i}")
+            for i in range(n_buckets)
+        ],
+    )
+    per_bucket = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("bucket"),
+                F.col(f"_c{i}").cast("long").alias("nb"),
+            )
+            for i in range(n_buckets)
+        ]
+    )
+    long_form = agg.select(
+        F.col("window.start").alias("ts"),
+        F.col("n").cast("long").alias("n"),
+        F.explode(per_bucket).alias("e"),
+    ).select("ts", "n", F.col("e.bucket").alias("bucket"), F.col("e.nb").alias("n_bucket"))
+    p_ref_arr = F.array(
+        *[
+            F.greatest(F.lit(r) / F.lit(r_tot), F.lit(eps))
+            for r in ref_counts
+        ]
+    )
+    p_ref = F.element_at(p_ref_arr, F.col("bucket").cast("int") + 1)
+    p_win = F.greatest(F.col("n_bucket") / F.col("n"), F.lit(eps))
+    return long_form.select(
+        "ts",
+        "bucket",
+        "n",
+        "n_bucket",
+        F.round(p_ref, 9).alias("p_ref"),
+        F.round(p_win, 9).alias("p_win"),
+        F.round((p_ref - p_win) * F.log(p_ref / p_win), 9).alias(
+            "psi_contrib"
+        ),
+    )

@@ -608,3 +608,85 @@ def test_mmr_arrow_string_ids_tie_law(spark):
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert [r.doc_id for r in a] == ["d01", "d02", "d03", "d04"]
+
+
+# --------------------------------------------------- stream_psi_buckets
+
+
+def test_stream_psi_matches_python_replay(spark, tmp_path):
+    """availableNow drain == the batch psi law per window on the pinned
+    grid/reference (python float replay, clamp law included)."""
+    import datetime
+
+    from radohydro_spark.streaming import run_available_now, stream_psi_buckets
+
+    base = datetime.datetime(2024, 6, 1, 0, 0, 0)
+    # values straddle the grid on both sides to exercise the clamp
+    rows = [
+        (base + datetime.timedelta(minutes=11 * i), float((i * 37) % 140 - 20))
+        for i in range(100)
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, "ts timestamp, v double").write.parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, v double").parquet(str(src))
+    )
+    LO, HI, NB = 0, 100, 5
+    REF = [1, 2, 3, 2, 2]
+    out = run_available_now(
+        stream_psi_buckets(
+            stream, "ts", "v", "6 hours", LO, HI, NB, REF,
+            watermark="1 hour",
+        ),
+        "t_stream_psi",
+        str(tmp_path / "ck"),
+        "complete",
+    ).collect()
+    got = {(r.ts, r.bucket): r for r in out}
+    # python replay
+    from collections import defaultdict
+
+    winb = defaultdict(lambda: defaultdict(int))
+    for ts, v in rows:
+        w = ts.replace(hour=(ts.hour // 6) * 6, minute=0)
+        v2 = min(max(int(v), LO), HI)
+        b = min(((v2 - LO) * NB) // (HI - LO), NB - 1)
+        winb[w][b] += 1
+    rt = sum(REF)
+    assert {w for w, _ in got} == set(winb)
+    for w, per_b in winb.items():
+        n = sum(per_b.values())
+        for b in range(NB):
+            r = got[(w, b)]
+            assert (r.n, r.n_bucket) == (n, per_b.get(b, 0)), (w, b)
+            p_ref = max(REF[b] / rt, 1e-6)
+            p_win = max(per_b.get(b, 0) / n, 1e-6)
+            assert r.p_ref == pytest.approx(p_ref, abs=1e-9)
+            assert r.p_win == pytest.approx(p_win, abs=1e-9)
+            assert r.psi_contrib == pytest.approx(
+                (p_ref - p_win) * math.log(p_ref / p_win), abs=1e-8
+            )
+    # every window emits ALL buckets (zero counts included)
+    assert len(got) == len(winb) * NB
+
+
+def test_stream_psi_contracts(spark):
+    from radohydro_spark.streaming import stream_psi_buckets
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError, match="hi must exceed lo"):
+        stream_psi_buckets(stream, "timestamp", "value", "1 hour",
+                           5, 5, 4, [1, 1, 1, 1])
+    with pytest.raises(ValueError, match="binning domain"):
+        stream_psi_buckets(stream, "timestamp", "value", "1 hour",
+                           0, (1 << 62), 4, [1, 1, 1, 1])
+    with pytest.raises(AssertionError):
+        stream_psi_buckets(stream, "timestamp", "value", "1 hour",
+                           0, 10, 4, [1, 1, 1])  # wrong ref length
+    with pytest.raises(AssertionError):
+        stream_psi_buckets(stream, "timestamp", "value", "1 hour",
+                           0, 10, 4, [0, 0, 0, 0])  # zero reference
