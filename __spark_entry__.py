@@ -10754,6 +10754,7 @@ WITH j AS (
   SELECT o_orderpriority AS g, o_totalprice AS v, o_orderdate
   FROM orders
   WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderdate IS NOT NULL
 ),
 ext AS (
   SELECT g, min(v) AS lo, max(v) AS hi FROM j
@@ -11173,13 +11174,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_auc_by_priority": q_dq_auc_by_priority,
         "dq_wasserstein_by_priority": q_dq_wasserstein_by_priority,
         "sample_mmr_select": q_sample_mmr_select,
-        # Positions 9-11: the r10-tail rows displaced past position 49
+        # Positions 9-10: second-wave r16 re-pins — the r16 review
+        # moved the 0/1-label contract onto the RAW column in ONE
+        # shared helper (a fractional label like 0.9 truncated past
+        # the post-cast check), changing the engine definition of the
+        # global AUC and calibration queries with value-identical
+        # output on valid labels.
+        "dq_auc_returns": q_dq_auc_returns,
+        "dq_calibration_bins": q_dq_calibration_bins,
+        # Positions 11-13: the r10-tail rows displaced past position 49
         # by the r15 second-wave first-exposure operators — staged to
         # lead this window by STRICT_SWEEP_r15 (stalest evidence).
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
         "sample_stratified_cap": q_sample_stratified_cap,
-        # Positions 12-24: the rest of the r10 cohort (from
+        # Positions 14-26: the rest of the r10 cohort (from
         # text_normalize_clean) — the stalest remaining driver evidence,
         # staged by STRICT_SWEEP_r15.
         # -- last driver-green: r10/r11 (the cohort remainder) --
@@ -11196,7 +11205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_weights": q_precip_weights,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
-        # Positions 25-49: the r11 cohort head (last driver-green r11).
+        # Positions 27-49: the r11 cohort head (last driver-green r11).
         # -- last driver-green: r11 --
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
@@ -11226,9 +11235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orders_cogroup": q_events_orders_cogroup,
         "pyds_grid_source": q_pyds_grid_source,
         # --- end of round-16 driver window (position 49 =
-        # text_unigram_logprob; events_orders_cogroup and
-        # pyds_grid_source were displaced past it by the second/third-
-        # wave first-exposure rows and lead the r17 window) ---
+        # events_scd2_pointintime; similarity_ann_multiprobe,
+        # text_unigram_logprob, events_orders_cogroup and
+        # pyds_grid_source were displaced past it by the later-wave
+        # first-exposure/re-pin rows and lead the r17 window) ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-17 rotation is already front-loaded: the rest of the
         # r11 cohort (from pyds_grid_stream), then the r12 cohort, the
@@ -11355,7 +11365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_exact_dups,
         # -- last driver-green: r14 (the displaced r14 window) --
         "text_bpe_train_batched": q_text_bpe_train_batched,
-        "dq_auc_returns": q_dq_auc_returns,
         "sketch_count_min": q_sketch_count_min,
         "dq_tvd_drift": q_dq_tvd_drift,
         "sketch_bloom_filter": q_sketch_bloom_filter,
@@ -11414,7 +11423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_count_min": q_events_stream_count_min,
         "stats_gini_by_segment": q_stats_gini_by_segment,
         "orders_ewma_daily": q_orders_ewma_daily,
-        "dq_calibration_bins": q_dq_calibration_bins,
         "text_lang_id": q_lang_id,
         "text_quality_filter": q_text_quality_filter,
         "text_redact_pii": q_redact_pii,

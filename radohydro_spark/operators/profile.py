@@ -413,6 +413,31 @@ def _ranged_cumsums(
     return out.drop(*[f"_loc_{c}" for c in cols]), totals
 
 
+def _label_01_checked(label_col: str, op_name: str) -> "F.Column":
+    """Shared 0/1-label contract: the checked column every positive-
+    count consumer (auc / calibration, global and per-group) sums.
+
+    The guard runs on the RAW column BEFORE the long cast — a
+    fractional label (0.9, the probability-column misuse) would
+    truncate to 0 and slip past a post-cast check while still
+    corrupting n_pos (r16 review); any value outside {0, 1} raises the
+    named in-plan ``assert_true`` (the loud-contract convention for
+    per-row domains).  NULL labels are the caller's pre-filter.
+    """
+    raw = F.col(label_col)
+    guard = (raw == 0) | (raw == 1)
+    return F.when(guard, raw.cast("long")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                f"{op_name}: {label_col} outside the 0/1 label domain "
+                "— any other value (2, 0.9, ...) corrupts the positive "
+                "count silently (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+
+
 def auc_mann_whitney(
     df: DataFrame,
     score_col: str,
@@ -459,22 +484,9 @@ def auc_mann_whitney(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # 0/1 label domain enforced in-plan (the calibration_bins y_checked
-    # pattern — r15 ADVICE, applied to the global form alongside
-    # auc_by): n_pos = sum(label) is only the positive count when
-    # labels are 0/1; a 2 corrupts it silently
-    y = F.col(label_col).cast("long")
-    y_guard = (y == 0) | (y == 1)
-    y_checked = F.when(y_guard, y).otherwise(
-        F.assert_true(
-            y_guard,
-            F.lit(
-                f"auc_mann_whitney: {label_col} outside the 0/1 label "
-                "domain — a label of 2 corrupts the rank sum "
-                "(operators/profile.py)"
-            ),
-        ).cast("long")
-    )
+    # shared 0/1 label contract (raw-column check — r15 ADVICE +
+    # r16 review: a fractional label must not truncate past the guard)
+    y_checked = _label_01_checked(label_col, "auc_mann_whitney")
     g = (
         df.filter(
             F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
@@ -1075,18 +1087,7 @@ def calibration_bins(
     (SURVEY §2 extension table).
     """
     assert 2 <= n_bins <= 10_000
-    y = F.col(label_col).cast("long")
-    y_guard = (y == 0) | (y == 1)
-    y_checked = F.when(y_guard, y).otherwise(
-        F.assert_true(
-            y_guard,
-            F.lit(
-                f"calibration_bins: {label_col} outside the 0/1 label "
-                "domain — a label of 2 would inflate pos_ppm past 10^6 "
-                "(operators/profile.py)"
-            ),
-        ).cast("long")
-    )
+    y_checked = _label_01_checked(label_col, "calibration_bins")
     rows = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
@@ -1682,21 +1683,9 @@ def auc_by(
     keep = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     for g in group_cols:
         keep = keep & F.col(g).isNotNull()
-    # 0/1 label domain enforced in-plan (the calibration_bins y_checked
-    # pattern — r15 ADVICE): a label of 2 silently corrupts the rank
-    # sum, pushing auc_ppm past 10^6 or negative
-    y = F.col(label_col).cast("long")
-    y_guard = (y == 0) | (y == 1)
-    y_checked = F.when(y_guard, y).otherwise(
-        F.assert_true(
-            y_guard,
-            F.lit(
-                f"auc_by: {label_col} outside the 0/1 label domain — "
-                "a label of 2 corrupts the rank sum "
-                "(operators/profile.py)"
-            ),
-        ).cast("long")
-    )
+    # shared 0/1 label contract (raw-column check — r15 ADVICE +
+    # r16 review: a fractional label must not truncate past the guard)
+    y_checked = _label_01_checked(label_col, "auc_by")
     counts = (
         df.filter(keep)
         .select(
@@ -2099,18 +2088,7 @@ def calibration_bins_by(
     keep = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     for g in group_cols:
         keep = keep & F.col(g).isNotNull()
-    y = F.col(label_col).cast("long")
-    y_guard = (y == 0) | (y == 1)
-    y_checked = F.when(y_guard, y).otherwise(
-        F.assert_true(
-            y_guard,
-            F.lit(
-                f"calibration_bins_by: {label_col} outside the 0/1 "
-                "label domain — a label of 2 would inflate pos_ppm "
-                "past 10^6 (operators/profile.py)"
-            ),
-        ).cast("long")
-    )
+    y_checked = _label_01_checked(label_col, "calibration_bins_by")
     rows = df.filter(keep).select(
         *group_cols,
         F.col(score_col).cast("long").alias("_s"),

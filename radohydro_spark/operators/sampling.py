@@ -438,12 +438,15 @@ def mmr_select(
     if not qrow:
         raise ValueError(f"mmr_select: query_id {query_id!r} not in corpus")
     qvec = qrow[0]["_qv"]
-    # corpus size prices the arrow-vs-sql decision: ONE rdd.count()
-    # job over the (just-materialized) cache in auto mode only — the
-    # DataFrame count() measured 2-3 AQE stage jobs, and the forced
-    # paths skip it entirely, so the job contract stays 1 setup job
-    # (+1 in auto) + exactly one job per round
-    n_corpus = qdf.rdd.count() if scorer == "auto" else 0
+    # corpus size prices the arrow-vs-sql decision — auto mode only
+    # (forced paths skip it).  DataFrame.count() stays JVM-side over
+    # the just-materialized cache (an rdd.count() would serialize the
+    # ENTIRE quantized corpus — id + dim int64s per row — into Python
+    # workers just to count it, a wall cost on the order of a scoring
+    # round at the exact scale the arrow path targets; r16 review).
+    # AQE may split the count into 2-3 counter-sized stage jobs: a
+    # constant per SELECTION, never per round (job pin: auto <= k+4).
+    n_corpus = qdf.count() if scorer == "auto" else 0
     # The per-round literal redundancy term embeds the SELECTED SET's
     # integer literals and Catalyst re-analyzes the greatest() tree
     # every round — the measured ~1.5 ms/literal crossover is against
@@ -498,7 +501,28 @@ def mmr_select(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                V = np.stack(pdf["_qv"].to_numpy()).astype("int64")
+                # NULL / wrong-dim vectors score NULL in the SQL forms
+                # (zip_with/aggregate propagate NULL) and lose the
+                # argmax under desc-NULLS-LAST; mirror that here
+                # instead of letting np.stack raise (r16 review) — a
+                # batch with no scorable row forwards its min-id null
+                # row so an all-null corpus still returns the SQL
+                # form's (null score, min id) pick
+                ok = pdf["_qv"].map(
+                    lambda a: a is not None and len(a) == len(q)
+                )
+                sub = pdf[ok]
+                if len(sub) == 0:
+                    i = pdf["_id"].sort_values().index[0]
+                    yield pd.DataFrame(
+                        {
+                            "_id": [pdf["_id"][i]],
+                            "_qv": [None],
+                            "_score": [None],
+                        }
+                    )
+                    continue
+                V = np.stack(sub["_qv"].to_numpy()).astype("int64")
                 sc = ln * (V @ q)
                 if S is not None:
                     sc = sc - (ld - ln) * (V @ S.T).max(axis=1)
@@ -507,12 +531,12 @@ def mmr_select(
                 # global tie law applied locally (UTF-8 byte order ==
                 # code-point order, so Python string comparison agrees
                 # with Spark's)
-                tied = pdf.loc[sc == m, "_id"]
+                tied = sub["_id"][sc == m]
                 i = tied.sort_values().index[0]
                 yield pd.DataFrame(
                     {
-                        "_id": [pdf["_id"][i]],
-                        "_qv": [pdf["_qv"][i]],
+                        "_id": [sub["_id"][i]],
+                        "_qv": [sub["_qv"][i]],
                         "_score": [int(m)],
                     }
                 )

@@ -628,6 +628,28 @@ def stream_count_min(
     )
 
 
+def _interval_ms(interval: str) -> int:
+    """Parse the simple ``"N unit"`` watermark strings this module uses
+    into milliseconds (seconds/minutes/hours/days, singular or plural).
+    Named failure on anything fancier — the caller should pre-compute.
+    """
+    parts = interval.strip().split()
+    units = {
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }
+    if len(parts) == 2 and parts[0].isdigit():
+        unit = parts[1].lower().rstrip("s")
+        if unit in units:
+            return int(parts[0]) * units[unit]
+    raise ValueError(
+        f"_interval_ms: cannot parse interval {interval!r} — use "
+        "'<N> seconds/minutes/hours/days' (streaming/streams.py)"
+    )
+
+
 def stream_kmv(
     stream: DataFrame,
     ts_col: str,
@@ -659,21 +681,33 @@ def stream_kmv(
     (exact DuckDB oracle).
 
     Plan shape: one stateless hash projection (whole-stage codegen),
-    then ONE ``applyInPandasWithState`` grouped by window start whose
-    state is the window's current bottom-k array — state is ≤
-    ``windows · k`` longs by CONSTRUCTION regardless of rows or
+    then ONE ``applyInPandasWithState`` grouped by (window start, end)
+    whose state is the window's current bottom-k array — state is ≤
+    ``ACTIVE windows · k`` longs by CONSTRUCTION regardless of rows or
     key-domain size (the sketch family's contract carried into the
     streaming runtime, exactly as :func:`stream_count_min` bounds its
-    state at windows·depth·width).  Each micro-batch's shuffle carries
-    the batch's hash rows grouped to their window tasks; the per-group
-    NumPy merge (unique of state ∪ batch, truncate to k) is the batch
-    builder's per-partition prune law.
+    state at windows·depth·width).  STATE EVICTION (r16 review — a
+    custom stateful operator gets no free watermark cleanup, unlike
+    the windowed-aggregate sketches): every update arms an
+    ``EventTimeTimeout`` at ``window end + watermark delay``; once the
+    watermark passes that point no in-horizon row can touch the window
+    again, the timed-out invocation drops the state, and a long-running
+    stream holds state only for windows inside the watermark horizon.
+    Each micro-batch's shuffle carries the batch's hash rows grouped to
+    their window tasks; the per-group NumPy merge (unique of state ∪
+    batch, truncate to k) is the batch builder's per-partition prune
+    law.
 
     Output mode is ``update`` (the applyInPandasWithState contract):
     each trigger emits every touched window's CURRENT bottom-k as
     ``(ts, hv)`` rows — ``ts`` the window start, ``hv`` ascending
-    within the emission.  NULL keys/timestamps are excluded (the batch
-    builder's contract).
+    within the emission; a multi-batch drain may emit several
+    monotone-downward snapshots per window, so consumers re-take
+    ``distinct → row_number ≤ k`` per window (the driver query's
+    reduction — bottom-k of a union of snapshots is exactly the final
+    sketch).  Timed-out windows emit nothing (their last snapshot is
+    already in the sink).  NULL keys/timestamps are excluded (the
+    batch builder's contract).
 
     Reference analog: none — extends the streaming family
     (SURVEY §2 extension table).
@@ -681,13 +715,24 @@ def stream_kmv(
     assert k >= 2
     from radohydro_spark.functions.text import portable_hash
 
+    delay_ms = _interval_ms(watermark)
+
+    # the watermark attaches AFTER the projection, to the window-START
+    # column (extracting .start strips the tag from the source column,
+    # and EventTimeTimeout demands a watermarked input): computed from
+    # max(window_start) − delay it is ≤ the event-time watermark, i.e.
+    # strictly conservative — eviction can only fire LATER than the
+    # event-time horizon, never early
     rows = (
-        stream.withWatermark(ts_col, watermark)
-        .filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        stream.filter(
+            F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
         .select(
             F.window(F.col(ts_col), window).start.alias("ts"),
+            F.window(F.col(ts_col), window).end.alias("_te"),
             portable_hash(F.col(key_col).cast("string")).alias("hv"),
         )
+        .withWatermark("ts", watermark)
     )
 
     def update(
@@ -695,8 +740,15 @@ def stream_kmv(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import calendar
+
         import numpy as np
 
+        if state.hasTimedOut:
+            # watermark passed window end + delay: no in-horizon row
+            # can arrive; the final snapshot was already emitted
+            state.remove()
+            return
         best = (
             np.asarray(state.get[0], dtype="int64")
             if state.exists
@@ -708,14 +760,22 @@ def stream_kmv(
             # batch builder's bottom-k prune law
             best = np.unique(np.concatenate([best, vals]))[:k]
         state.update(([int(x) for x in best],))
+        # naive session-UTC window end -> epoch ms via timegm (immune
+        # to the worker OS timezone), plus the watermark horizon
+        end = key[1]
+        end_ms = (
+            calendar.timegm(end.timetuple()) * 1000
+            + end.microsecond // 1000
+        )
+        state.setTimeoutTimestamp(end_ms + delay_ms + 1000)
         yield pd.DataFrame({"ts": [key[0]] * len(best), "hv": best})
 
-    return rows.groupBy("ts").applyInPandasWithState(
+    return rows.groupBy("ts", "_te").applyInPandasWithState(
         update,
         outputStructType="ts timestamp, hv long",
         stateStructType="hv array<bigint>",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -129,7 +129,6 @@ def main() -> None:
     def _ks_check(giant_d: int):
         def check(rows):
             assert len(rows) == SMALL_G + 1, len(rows)
-            by_g = {r.g: r for r in rows[:7]}
             giant = [r for r in rows if r.g == "GIANT"][0]
             # giant group: same uniform-shift law at domain giant_d —
             # max gap is SHIFT rows on either flank

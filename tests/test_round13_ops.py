@@ -135,8 +135,11 @@ def test_mmr_select_one_job_per_round(spark):
     # for cache materialization folding); the r12 form ran 2 jobs per
     # round
     assert len(jobs) <= k + 2, jobs
-    # the r16 auto default adds exactly ONE corpus-count job per
-    # SELECTION (never per round) to price the arrow-vs-sql decision
+    # the r16 auto default adds ONE JVM-side corpus count per
+    # SELECTION (never per round) to price the arrow-vs-sql decision;
+    # AQE may split that count into 2-3 counter-sized stage jobs (an
+    # rdd.count would be 1 job but serializes the whole quantized
+    # corpus into Python — the wrong trade; r16 review)
     sc.setJobGroup("mmr13auto", "job-count contract (auto)")
     try:
         out = mmr_select(df, "embedding", "vec_id", query_id=0, k=k)
@@ -145,7 +148,7 @@ def test_mmr_select_one_job_per_round(spark):
         sc.setJobGroup(None, None)
     assert len(rows) == k
     jobs_auto = tracker.getJobIdsForGroup("mmr13auto")
-    assert len(jobs_auto) <= k + 3, jobs_auto
+    assert len(jobs_auto) <= k + 4, jobs_auto
 
 
 # -------------------------------------------------------- dedup_paragraphs

@@ -445,6 +445,18 @@ def test_cusum_by_empty_group_cols_raises(spark):
 # -------------------------------------------------------- stream_kmv
 
 
+def _reduce_kmv(rows, k):
+    """The production reduction over an update-mode drain: per window,
+    bottom-k of the DISTINCT emitted hashes (snapshots are
+    monotone-downward supersets of the final sketch, so this equals the
+    final snapshot even when a window spans several micro-batches —
+    never assert on the raw union)."""
+    per_w: dict = {}
+    for r in rows:
+        per_w.setdefault(r.ts, set()).add(r.hv)
+    return {w: sorted(v)[:k] for w, v in per_w.items()}
+
+
 def test_stream_kmv_equals_batch_sketch_per_window(spark, tmp_path):
     """availableNow drain == batch kmv_sketch over each window's rows,
     bit-for-bit; per-window emission bounded at k rows."""
@@ -471,9 +483,7 @@ def test_stream_kmv_equals_batch_sketch_per_window(spark, tmp_path):
         str(tmp_path / "ck"),
         "update",
     ).collect()
-    got: dict = {}
-    for r in out:
-        got.setdefault(r.ts, []).append(r.hv)
+    got = _reduce_kmv(out, 8)
     batch = spark.createDataFrame(rows, "ts timestamp, k string")
     windows = sorted(got)
     assert len(windows) >= 3
@@ -515,9 +525,7 @@ def test_stream_kmv_matches_python_md5_replay(spark, tmp_path):
         str(tmp_path / "ck"),
         "update",
     ).collect()
-    got: dict = {}
-    for r in out:
-        got.setdefault(r.ts, set()).add(r.hv)
+    got = {w: set(v) for w, v in _reduce_kmv(out, 10).items()}
     want: dict = {}
     for ts, k in rows:
         w = ts.replace(hour=0, minute=0)
@@ -690,3 +698,131 @@ def test_stream_psi_contracts(spark):
     with pytest.raises(AssertionError):
         stream_psi_buckets(stream, "timestamp", "value", "1 hour",
                            0, 10, 4, [0, 0, 0, 0])  # zero reference
+
+
+# ------------------- r16 review: raw-column 0/1 label guard (all four)
+
+
+def test_label_guard_catches_fractional_labels(spark):
+    """A probability column (0.9) used as the label must raise, not
+    truncate to 0 past the guard (r16 review: the check runs on the
+    RAW column, before the long cast)."""
+    from radohydro_spark.operators.profile import (
+        auc_by,
+        auc_mann_whitney,
+        calibration_bins,
+        calibration_bins_by,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, 0.9)], "g string, s long, y double"
+    )
+    with pytest.raises(Exception, match="auc_by.*0/1 label domain"):
+        auc_by(df, "s", "y", ["g"]).collect()
+    with pytest.raises(
+        Exception, match="auc_mann_whitney.*0/1 label domain"
+    ):
+        auc_mann_whitney(df, "s", "y").collect()
+    with pytest.raises(
+        Exception, match="calibration_bins_by.*0/1 label domain"
+    ):
+        calibration_bins_by(df, "s", "y", ["g"]).collect()
+    with pytest.raises(
+        Exception, match="calibration_bins:.*0/1 label domain"
+    ):
+        calibration_bins(df, "s", "y").collect()
+    # float 0.0 / 1.0 labels are IN domain (raw compare, then cast)
+    ok = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, 1.0), ("g", 3, 1.0)],
+        "g string, s long, y double",
+    )
+    r = auc_by(ok, "s", "y", ["g"]).collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 1)
+
+
+def test_mmr_arrow_null_and_ragged_vectors_match_sql(spark):
+    """NULL-embedding rows score NULL in the SQL forms and lose the
+    argmax; the Arrow kernel must mirror that instead of crashing in
+    np.stack (r16 review).  Wrong-dim vectors get the same treatment
+    (zip_with pads with NULL -> NULL score)."""
+    from radohydro_spark.operators.sampling import mmr_select
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [3.0, 1.0, 2.0]),
+        (2, None),                 # NULL embedding
+        (3, [2.0, 3.0, 1.0]),
+        (4, [9.0, 9.0, 9.0, 9.0]),  # ragged (dim 4 vs 3)
+        (5, [1.0, 1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, vec array<double>")
+    a = mmr_select(
+        df, "vec", "doc_id", query_id=0, k=3, scorer="arrow"
+    ).collect()
+    b = mmr_select(
+        df, "vec", "doc_id", query_id=0, k=3, scorer="sql", lit_budget=0
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    picked = {r.doc_id for r in a}
+    assert 2 not in picked and 4 not in picked
+
+
+def test_stream_kmv_multibatch_eviction_and_merge(spark, tmp_path):
+    """Multi-batch drain (maxFilesPerTrigger=1): early windows time out
+    between batches (state evicted — r16 review: a custom stateful op
+    gets no free watermark cleanup), an in-horizon straggler still
+    merges with its window's surviving state, and the reduced drain
+    equals the batch law per window."""
+    import datetime
+
+    from radohydro_spark.operators.sketch import kmv_sketch
+    from radohydro_spark.streaming import run_available_now, stream_kmv
+
+    base = datetime.datetime(2024, 4, 5, 0, 0, 0)
+    # file 1: hours 0..9, many keys; file 2: hour 20 plus a straggler
+    # back in hour 9 (inside the 1h watermark horizon after batch 1)
+    f1 = [
+        (base + datetime.timedelta(hours=h, minutes=m), f"u{h}_{m % 13}")
+        for h in range(10)
+        for m in range(0, 60, 7)
+    ]
+    f2 = [
+        (base + datetime.timedelta(hours=20, minutes=m), f"v{m % 9}")
+        for m in range(0, 60, 5)
+    ] + [(base + datetime.timedelta(hours=9, minutes=59), "straggler")]
+    src = tmp_path / "src"
+    spark.createDataFrame(f1, "ts timestamp, k string").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    spark.createDataFrame(f2, "ts timestamp, k string").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_available_now(
+        stream_kmv(stream, "ts", "k", "1 hour", k=6, watermark="1 hour"),
+        "t_stream_kmv_mb",
+        str(tmp_path / "ck"),
+        "update",
+    ).collect()
+    got = _reduce_kmv(out, 6)
+    batch = spark.createDataFrame(
+        f1 + f2, "ts timestamp, k string"
+    )
+    assert len(got) == 11  # hours 0..9 + hour 20
+    for w, hvs in got.items():
+        hi = w + datetime.timedelta(hours=1)
+        sub = batch.filter((F.col("ts") >= w) & (F.col("ts") < hi))
+        want = [r.hv for r in kmv_sketch(sub, "k", k=6).collect()]
+        assert hvs == want, w
+    # the straggler's window (hour 9) must include its hash — proof the
+    # second batch MERGED into surviving state rather than restarting
+    w9 = base + datetime.timedelta(hours=9)
+    sub9 = batch.filter(
+        (F.col("ts") >= w9)
+        & (F.col("ts") < w9 + datetime.timedelta(hours=1))
+    )
+    assert got[w9] == [r.hv for r in kmv_sketch(sub9, "k", k=6).collect()]
