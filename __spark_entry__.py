@@ -11035,6 +11035,57 @@ FROM j ORDER BY day, bucket
 """
 
 
+def q_stats_quantiles_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact discrete quantiles
+    (operators.profile.quantiles_by): the order-price p25/p50/p75/p95/
+    p99 PER ORDER PRIORITY from one pass — the production latency/
+    size-monitoring shape, stats_quantiles_distributed's segmented
+    sibling on the family's group-partitioned window pattern (one
+    group-key exchange shared by cumulation, totals and the final
+    aggregate; every quantile is a conditional min over the same
+    cumulated rows).  Pure-BIGINT percentile_disc lower-boundary law:
+    quantile q = the smallest value with 100·cum ≥ q·n — no
+    interpolation, no float rank."""
+    from radohydro_spark.operators.profile import quantiles_by
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    return quantiles_by(
+        o, "price_c", ["o_orderpriority"], qs=(25, 50, 75, 95, 99)
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_QUANTILES_BY = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, v),
+s AS (SELECT g, v, CAST(sum(c) OVER w AS BIGINT) AS cum
+      FROM c WINDOW w AS (PARTITION BY g ORDER BY v
+                          ROWS UNBOUNDED PRECEDING)),
+t AS (SELECT g, CAST(max(cum) AS BIGINT) AS n FROM s GROUP BY g)
+SELECT s.g AS o_orderpriority, t.n AS n_rows,
+       CAST(min(CASE WHEN 100 * s.cum >= 25 * t.n THEN s.v END)
+            AS BIGINT) AS q25,
+       CAST(min(CASE WHEN 100 * s.cum >= 50 * t.n THEN s.v END)
+            AS BIGINT) AS q50,
+       CAST(min(CASE WHEN 100 * s.cum >= 75 * t.n THEN s.v END)
+            AS BIGINT) AS q75,
+       CAST(min(CASE WHEN 100 * s.cum >= 95 * t.n THEN s.v END)
+            AS BIGINT) AS q95,
+       CAST(min(CASE WHEN 100 * s.cum >= 99 * t.n THEN s.v END)
+            AS BIGINT) AS q99
+FROM s JOIN t ON s.g = t.g
+GROUP BY s.g, t.n
+ORDER BY o_orderpriority
+"""
+
+
 def q_events_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day audience overlap from the INGEST-TIME sketches
     alone (streaming.stream_kmv → operators.sketch.kmv_overlap): the
@@ -11163,7 +11214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # monitoring family — displaces events_orders_cogroup past
         # position 49 behind pyds_grid_source in the r17 lead.
         "events_stream_psi": q_events_stream_psi,
-        # Positions 6-8: r16 re-pins — queries whose ENGINE DEFINITION
+        # r16 first-exposure (fourth wave): per-group exact discrete
+        # quantiles — the p50/p95/p99-per-segment monitoring shape on
+        # the family window pattern; displaces events_scd2_pointintime
+        # past position 49 into the r17 lead.
+        "stats_quantiles_by": q_stats_quantiles_by,
+        # Positions 7-9: r16 re-pins — queries whose ENGINE DEFINITION
         # changed this round with value-identical output on valid
         # inputs: auc_by gained the named 0/1-label in-plan assert (r15
         # ADVICE), wasserstein_drift_by's integration guard now
@@ -11174,7 +11230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_auc_by_priority": q_dq_auc_by_priority,
         "dq_wasserstein_by_priority": q_dq_wasserstein_by_priority,
         "sample_mmr_select": q_sample_mmr_select,
-        # Positions 9-10: second-wave r16 re-pins — the r16 review
+        # Positions 10-11: second-wave r16 re-pins — the r16 review
         # moved the 0/1-label contract onto the RAW column in ONE
         # shared helper (a fractional label like 0.9 truncated past
         # the post-cast check), changing the engine definition of the
@@ -11182,13 +11238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # output on valid labels.
         "dq_auc_returns": q_dq_auc_returns,
         "dq_calibration_bins": q_dq_calibration_bins,
-        # Positions 11-13: the r10-tail rows displaced past position 49
+        # Positions 12-14: the r10-tail rows displaced past position 49
         # by the r15 second-wave first-exposure operators — staged to
         # lead this window by STRICT_SWEEP_r15 (stalest evidence).
         "media_decode_wav": q_media_decode_wav,
         "similarity_pq_adc_topk": q_pq_adc_topk,
         "sample_stratified_cap": q_sample_stratified_cap,
-        # Positions 14-26: the rest of the r10 cohort (from
+        # Positions 15-27: the rest of the r10 cohort (from
         # text_normalize_clean) — the stalest remaining driver evidence,
         # staged by STRICT_SWEEP_r15.
         # -- last driver-green: r10/r11 (the cohort remainder) --
@@ -11205,7 +11261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_weights": q_precip_weights,
         "precip_daily_resample": q_precip_daily,
         "precip_rasterize": q_precip_rasterize,
-        # Positions 27-49: the r11 cohort head (last driver-green r11).
+        # Positions 28-49: the r11 cohort head (last driver-green r11).
         # -- last driver-green: r11 --
         "dedup_jaccard_prefix_zipf": q_dedup_jaccard_prefix_zipf,
         "dedup_overlap_pairs": q_dedup_overlap_pairs,
@@ -11235,10 +11291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orders_cogroup": q_events_orders_cogroup,
         "pyds_grid_source": q_pyds_grid_source,
         # --- end of round-16 driver window (position 49 =
-        # events_scd2_pointintime; similarity_ann_multiprobe,
-        # text_unigram_logprob, events_orders_cogroup and
-        # pyds_grid_source were displaced past it by the later-wave
-        # first-exposure/re-pin rows and lead the r17 window) ---
+        # text_html_extract; events_scd2_pointintime,
+        # similarity_ann_multiprobe, text_unigram_logprob,
+        # events_orders_cogroup and pyds_grid_source were displaced
+        # past it by the later-wave first-exposure/re-pin rows and
+        # lead the r17 window) ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-17 rotation is already front-loaded: the rest of the
         # r11 cohort (from pyds_grid_stream), then the r12 cohort, the
@@ -11511,6 +11568,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_kmv": _stream_kmv_oracle(),
         "events_stream_kmv_overlap": _stream_kmv_overlap_oracle(),
         "events_stream_psi": ORACLE_STREAM_PSI,
+        "stats_quantiles_by": ORACLE_QUANTILES_BY,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

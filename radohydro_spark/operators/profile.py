@@ -2287,3 +2287,91 @@ def cusum_by(
         micro.cast("long").alias("cusum_micro"),
         "at_value",
     )
+
+
+def quantiles_by(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[int, ...] = (25, 50, 75, 95, 99),
+) -> DataFrame:
+    """Per-GROUP exact discrete quantiles — the production
+    latency/size-monitoring shape (one p50/p95/p99 row per endpoint /
+    segment / source from ONE pass), joining the per-group suite
+    (tvd/ks/gini/auc/w1/psi/calibration/cusum + bootstrap): the global
+    :func:`~radohydro_spark.operators.sketch.exact_quantiles` covers
+    the single unbounded domain on its two-pass stride machinery; this
+    covers MANY groups × bounded per-group domains on the family's
+    group-partitioned window pattern.
+
+    EXACT cross-engine in pure BIGINT rank arithmetic — the
+    ``percentile_disc`` lower-boundary law: quantile ``q`` (an INTEGER
+    percent, 1..100) is the SMALLEST value whose inclusive cumulative
+    count satisfies ``100·cum ≥ q·n`` (no interpolation, no float
+    rank: both sides integers, so no ulp can move a boundary).  The
+    products are bounded by ``100·n < 2^63`` (n per group below 9.2e16
+    rows — unreachable).
+
+    NULL group keys and values are EXCLUDED up front (the family
+    convention); groups with no rows do not appear.  CONTRACT: one
+    group's value domain must fit one task's sort (the per-group
+    window trade); a single unbounded domain belongs on the global
+    ``exact_quantiles``.
+
+    Plan shape: ONE per-(group, value) count aggregate (map-side
+    combinable, output = Σ_g |group g's value domain|), one group-key
+    exchange shared by the ordered cumulative window, the totals
+    window AND the final ``groupBy(group)`` — every quantile is a
+    conditional ``min`` over the same cumulated rows, so adding
+    quantiles adds columns, never passes.
+
+    Returns one row per group: ``(<group_cols>, n_rows,
+    q<p> ...)`` — one column per requested percent, value-typed.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "quantiles_by: group_cols is empty — use "
+            "sketch.exact_quantiles for the global form "
+            "(operators/profile.py)"
+        )
+    if not qs or not all(
+        isinstance(q, int) and 1 <= q <= 100 for q in qs
+    ):
+        raise ValueError(
+            "quantiles_by: qs must be integer percents in 1..100 "
+            "(operators/profile.py)"
+        )
+    keep = F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(*group_cols, F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    wg = W.partitionBy(*group_cols)
+    wcum = (
+        W.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = counts.select(
+        *group_cols,
+        "_v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias("n_rows")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("_cum") >= F.lit(q) * F.col("_n"),
+                    F.col("_v"),
+                )
+            ).alias(f"q{q}")
+        )
+    return base.groupBy(*group_cols).agg(*aggs)

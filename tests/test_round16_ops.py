@@ -826,3 +826,58 @@ def test_stream_kmv_multibatch_eviction_and_merge(spark, tmp_path):
         & (F.col("ts") < w9 + datetime.timedelta(hours=1))
     )
     assert got[w9] == [r.hv for r in kmv_sketch(sub9, "k", k=6).collect()]
+
+
+# ------------------------------------------------------- quantiles_by
+
+
+def _q_by(spark, rows, qs=(25, 50, 75, 95, 99)):
+    from radohydro_spark.operators.profile import quantiles_by
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    return quantiles_by(df, "v", ["g"], qs=qs)
+
+
+def _disc(vals, q):
+    """percentile_disc lower-boundary replay: smallest v with
+    100*rank >= q*n over the sorted multiset."""
+    s = sorted(vals)
+    n = len(s)
+    for i, v in enumerate(s, start=1):
+        if 100 * i >= q * n:
+            return v
+    return s[-1]
+
+
+def test_quantiles_by_python_replay_and_ties(spark):
+    rows = [(f"g{i % 3}", ((i * 17) % 50) // (i % 3 + 1)) for i in range(300)]
+    got = {r.g: r for r in _q_by(spark, rows).collect()}
+    for gk in ("g0", "g1", "g2"):
+        vals = [v for g, v in rows if g == gk]
+        r = got[gk]
+        assert r.n_rows == len(vals)
+        for q in (25, 50, 75, 95, 99):
+            assert getattr(r, f"q{q}") == _disc(vals, q), (gk, q)
+
+
+def test_quantiles_by_hand_case_and_single_value(spark):
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", 7), ("b", 7)]
+    got = {r.g: r for r in _q_by(spark, rows, qs=(50, 100)).collect()}
+    # n=4: p50 = smallest v with rank >= 2 -> 2; p100 -> 4
+    assert (got["a"].q50, got["a"].q100) == (2, 4)
+    assert (got["b"].q50, got["b"].q100) == (7, 7)
+
+
+def test_quantiles_by_null_exclusion_and_contracts(spark):
+    from radohydro_spark.operators.profile import quantiles_by
+
+    rows = [("k", 1), (None, 2), ("k", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = quantiles_by(df, "v", ["g"], qs=(50,)).collect()
+    assert len(out) == 1 and out[0].g == "k" and out[0].n_rows == 1
+    with pytest.raises(ValueError, match="quantiles_by"):
+        quantiles_by(df, "v", [])
+    with pytest.raises(ValueError, match="integer percents"):
+        quantiles_by(df, "v", ["g"], qs=(0,))
+    with pytest.raises(ValueError, match="integer percents"):
+        quantiles_by(df, "v", ["g"], qs=())
