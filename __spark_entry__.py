@@ -11191,9 +11191,358 @@ FROM r WHERE rn <= 64 ORDER BY day, hv
 """
 
 
+def q_dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity diagram (operators.profile.chi2_drift):
+    return-flag mix of lineitems shipped before vs from 1998 — the
+    SIGNIFICANCE leg of the categorical drift pair (dq_tvd_drift
+    reports effect size; the summed chi2_contrib against the K−1-dof
+    critical value says whether the gap exceeds sampling noise).
+    EXACT BIGINT cross-term d = |c1·n2 − c2·n1| under the driver-side
+    n1·n2 < 2^63 bound; chi2_contrib = (d/n1)·(d/n2)/(c1+c2) in
+    doubles with the identical expression tree cross-engine."""
+    from radohydro_spark.operators.profile import chi2_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return chi2_drift(
+        li.filter(F.col("l_shipdate") < split),
+        li.filter(F.col("l_shipdate") >= split),
+        "l_returnflag",
+    ).orderBy("cat")
+
+
+ORACLE_CHI2_DRIFT = """
+WITH base AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS cat, l_shipdate
+  FROM lineitem WHERE l_returnflag IS NOT NULL
+),
+m AS (
+  SELECT cat,
+         CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1998-01-01')
+              AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+              AS BIGINT) AS c2
+  FROM base GROUP BY cat
+),
+t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM m)
+SELECT m.cat, m.c1 AS n_old, m.c2 AS n_new,
+       CAST(abs(m.c1 * t.n2 - m.c2 * t.n1) AS BIGINT) AS d,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE round((abs(m.c1 * t.n2 - m.c2 * t.n1) / t.n1)
+                       * (abs(m.c1 * t.n2 - m.c2 * t.n1) / t.n2)
+                       / (m.c1 + m.c2), 9)
+       END AS chi2_contrib
+FROM m, t ORDER BY cat
+"""
+
+
+def q_dq_chi2_drift_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP chi-square homogeneity diagram
+    (operators.profile.chi2_drift_by): the return-flag drift test run
+    per line status — one significance verdict per segment, the
+    segmented twin completing the categorical pair with
+    dq_tvd_drift_by.  Totals computed IN-PLAN per group under the
+    named divisional assert; one union-tagged count aggregate + one
+    group-key totals window (|groups|·|domain| counters on the
+    wire)."""
+    from radohydro_spark.operators.profile import chi2_drift_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return chi2_drift_by(
+        li.filter(F.col("l_shipdate") < split),
+        li.filter(F.col("l_shipdate") >= split),
+        "l_returnflag",
+        ["l_linestatus"],
+    ).orderBy("l_linestatus", "cat")
+
+
+ORACLE_CHI2_DRIFT_BY = """
+WITH base AS (
+  SELECT l_linestatus AS g, CAST(l_returnflag AS VARCHAR) AS cat,
+         l_shipdate
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+),
+m AS (
+  SELECT g, cat,
+         CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1998-01-01')
+              AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+              AS BIGINT) AS c2
+  FROM base GROUP BY g, cat
+),
+t AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM m GROUP BY g)
+SELECT m.g AS l_linestatus, m.cat, m.c1 AS n_old, m.c2 AS n_new,
+       CAST(abs(m.c1 * t.n2 - m.c2 * t.n1) AS BIGINT) AS d,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE round((abs(m.c1 * t.n2 - m.c2 * t.n1) / t.n1)
+                       * (abs(m.c1 * t.n2 - m.c2 * t.n1) / t.n2)
+                       / (m.c1 + m.c2), 9)
+       END AS chi2_contrib
+FROM m JOIN t ON m.g = t.g ORDER BY l_linestatus, cat
+"""
+
+
+def q_dq_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon drift diagram (operators.profile.jsd_drift):
+    event-type mix of the first vs second half of the event month —
+    the BOUNDED, epsilon-free information-theoretic drift leg (PSI's
+    zero-bucket epsilon distorts exactly when new categories appear;
+    JSD is finite on disjoint supports by construction and lives in
+    [0, ln 2]).  Per-category rows under the shared float law (p, q
+    from exact BIGINT counts; 0·ln0 := 0 made explicit by CASE)."""
+    from radohydro_spark.operators.profile import jsd_drift
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return jsd_drift(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "event_type",
+    ).orderBy("cat")
+
+
+ORACLE_JSD_DRIFT = """
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS cat, ts
+  FROM events WHERE event_type IS NOT NULL
+),
+m AS (
+  SELECT cat,
+         CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16')
+              AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+              AS BIGINT) AS c2
+  FROM base GROUP BY cat
+),
+t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM m)
+SELECT m.cat, m.c1 AS n_old, m.c2 AS n_new,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE round(m.c1 / t.n1, 9) END AS p_old,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE round(m.c2 / t.n2, 9) END AS p_new,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE round((
+              (CASE WHEN m.c1 = 0 THEN 0.0
+                    ELSE (m.c1 / t.n1) * ln(2.0 * (m.c1 / t.n1)
+                         / ((m.c1 / t.n1) + (m.c2 / t.n2))) END)
+              + (CASE WHEN m.c2 = 0 THEN 0.0
+                      ELSE (m.c2 / t.n2) * ln(2.0 * (m.c2 / t.n2)
+                           / ((m.c1 / t.n1) + (m.c2 / t.n2))) END)
+            ) / 2.0, 9)
+       END AS jsd_contrib
+FROM m, t ORDER BY cat
+"""
+
+
+def q_dq_jsd_drift_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE Jensen–Shannon drift diagram
+    (operators.profile.jsd_drift_by): language mix of each document
+    source across two interleaved corpus halves — the segmented
+    bounded-divergence monitor ("did any source's language mix move
+    between drops?"), epsilon-free where per-source snapshots
+    routinely miss languages entirely.  One union-tagged count
+    aggregate + one group-key totals window."""
+    from radohydro_spark.operators.profile import jsd_drift_by
+
+    d = _docs(spark, sf_dir)
+    half = F.expr("(doc_id div 20) % 2")
+    return jsd_drift_by(
+        d.filter(half == 0),
+        d.filter(half == 1),
+        "lang",
+        ["source"],
+    ).orderBy("source", "cat")
+
+
+ORACLE_JSD_DRIFT_BY = """
+WITH base AS (
+  SELECT source AS g, CAST(lang AS VARCHAR) AS cat,
+         ((doc_id // 20) % 2) AS half
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+m AS (
+  SELECT g, cat,
+         CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS c2
+  FROM base GROUP BY g, cat
+),
+t AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM m GROUP BY g)
+SELECT m.g AS source, m.cat, m.c1 AS n_old, m.c2 AS n_new,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE round(m.c1 / t.n1, 9) END AS p_old,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE round(m.c2 / t.n2, 9) END AS p_new,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE round((
+              (CASE WHEN m.c1 = 0 THEN 0.0
+                    ELSE (m.c1 / t.n1) * ln(2.0 * (m.c1 / t.n1)
+                         / ((m.c1 / t.n1) + (m.c2 / t.n2))) END)
+              + (CASE WHEN m.c2 = 0 THEN 0.0
+                      ELSE (m.c2 / t.n2) * ln(2.0 * (m.c2 / t.n2)
+                           / ((m.c1 / t.n1) + (m.c2 / t.n2))) END)
+            ) / 2.0, 9)
+       END AS jsd_contrib
+FROM m JOIN t ON m.g = t.g ORDER BY source, cat
+"""
+
+
+def q_stats_corr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + OLS fit
+    (operators.profile.corr_by): quantity↔extended-price relationship
+    per return flag — the bivariate feature-drift / leakage screen
+    (zscore's sibling; same exact-integer-moments law: five
+    decimal(38,0)/HUGEINT sums, ONE correctly-rounded cast to double
+    each, identical closed-form float expressions cross-engine).
+    One map-side-combinable aggregate; six counters per group on the
+    wire."""
+    from radohydro_spark.operators.profile import corr_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_by(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
+ORACLE_CORR_BY = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_quantity * 100) AS BIGINT) AS xq,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS yq
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_returnflag IS NOT NULL
+),
+a AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(xq AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(yq AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yq AS HUGEINT) * yq) AS DOUBLE) AS syy,
+         CAST(sum(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy
+  FROM base GROUP BY g
+)
+SELECT g AS l_returnflag, n,
+       round((sx / n) / 100.0, 9) AS mean_x,
+       round((sy / n) / 100.0, 9) AS mean_y,
+       CASE WHEN greatest(sxx / n - (sx / n) * (sx / n), 0.0) > 0
+             AND greatest(syy / n - (sy / n) * (sy / n), 0.0) > 0
+            THEN round((sxy / n - (sx / n) * (sy / n))
+                       / sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)
+                              * greatest(syy / n - (sy / n) * (sy / n), 0.0)),
+                       9)
+       END AS corr,
+       CASE WHEN greatest(sxx / n - (sx / n) * (sx / n), 0.0) > 0
+            THEN round((sxy / n - (sx / n) * (sy / n))
+                       / greatest(sxx / n - (sx / n) * (sx / n), 0.0)
+                       * 1.0, 9)
+       END AS slope,
+       CASE WHEN greatest(sxx / n - (sx / n) * (sx / n), 0.0) > 0
+            THEN round((sy / n) / 100.0
+                       - ((sxy / n - (sx / n) * (sy / n))
+                          / greatest(sxx / n - (sx / n) * (sx / n), 0.0)
+                          * 1.0)
+                         * ((sx / n) / 100.0), 9)
+       END AS intercept
+FROM a ORDER BY l_returnflag
+"""
+
+
+def q_sketch_kmv_estimate_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct estimate
+    (operators.sketch.kmv_estimate_by over kmv_by): distinct users
+    per event type from a bottom-16 sketch — the segmented
+    approx-count-distinct with a deterministic, mergeable,
+    oracle-checkable law (portable md5 hash; exact below k, the
+    (k−1)·2³² div theta estimator past it — k=16 keeps sf0.001
+    groups on the exact branch and sf0.01+ on the estimator, so the
+    gate exercises both).  Corpus read once by the partition-pruned
+    sketch pass; everything after touches ≤ |groups|·k rows."""
+    from radohydro_spark.operators.sketch import kmv_estimate_by
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_estimate_by(ev, "user_id", ["event_type"], k=16).orderBy(
+        "event_type"
+    )
+
+
+ORACLE_KMV_ESTIMATE_BY = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         {_ph_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (SELECT g, hv,
+             row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+      FROM h),
+a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sketch,
+             CAST(max(hv) AS BIGINT) AS theta
+      FROM r WHERE rn <= 16 GROUP BY g)
+SELECT g AS event_type, n_sketch, theta,
+       CAST(CASE WHEN n_sketch < 16 THEN n_sketch
+                 ELSE (15 * 4294967296) // nullif(theta, 0)
+            END AS BIGINT) AS distinct_est
+FROM a ORDER BY event_type
+"""
+
+
+def q_sketch_heavy_hitters_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group top-k frequent values
+    (operators.sketch.heavy_hitters_by): the five hottest part keys
+    per return flag with ppm frequency shares — the segmented twin of
+    the Misra-Gries global heavy_hitters (exact count aggregate is
+    the right plan when the (group, value) domain is counter-sized).
+    Deterministic (count DESC, value ASC) tie law; share_ppm is one
+    terminal floored BIGINT division under the named in-plan 9e12
+    assert; totals and rank share ONE group-key window exchange."""
+    from radohydro_spark.operators.sketch import heavy_hitters_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters_by(li, "l_partkey", ["l_returnflag"], k=5).orderBy(
+        "l_returnflag", "rank"
+    )
+
+
+ORACLE_HEAVY_HITTERS_BY = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_partkey AS VARCHAR) AS value
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL
+),
+c AS (SELECT g, value, CAST(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY g, value),
+w AS (SELECT g, value, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY cnt DESC, value) AS rn
+      FROM c)
+SELECT g AS l_returnflag, CAST(rn AS BIGINT) AS rank, value, cnt,
+       CAST((1000000 * cnt) // n AS BIGINT) AS share_ppm
+FROM w WHERE rn <= 5 ORDER BY l_returnflag, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
+        # r16 first-exposure head, FIFTH wave (this session): the
+        # chi-square + Jensen-Shannon categorical drift legs (global +
+        # per-group), the per-group exact-moments correlation/OLS
+        # screen, the per-group KMV distinct estimate, and the exact
+        # per-group heavy hitters.  Each displaces one staged row past
+        # position 49 into the r17 lead (see STRICT_SWEEP_r16.md).
+        "dq_chi2_drift": q_dq_chi2_drift,
+        "dq_chi2_drift_by": q_dq_chi2_drift_by,
+        "dq_jsd_drift": q_dq_jsd_drift,
+        "dq_jsd_drift_by": q_dq_jsd_drift_by,
+        "stats_corr_by": q_stats_corr_by,
+        "sketch_kmv_estimate_by": q_sketch_kmv_estimate_by,
+        "sketch_heavy_hitters_by": q_sketch_heavy_hitters_by,
         # r16 first-exposure head (VERDICT r15 #2/#5/#6): the per-group
         # suite's completing members — per-segment PSI and per-slice
         # calibration on the broadcast-extent-grid pattern, per-key CUSUM
@@ -11569,6 +11918,14 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_kmv_overlap": _stream_kmv_overlap_oracle(),
         "events_stream_psi": ORACLE_STREAM_PSI,
         "stats_quantiles_by": ORACLE_QUANTILES_BY,
+        # r16 fifth-wave additions (this session)
+        "dq_chi2_drift": ORACLE_CHI2_DRIFT,
+        "dq_chi2_drift_by": ORACLE_CHI2_DRIFT_BY,
+        "dq_jsd_drift": ORACLE_JSD_DRIFT,
+        "dq_jsd_drift_by": ORACLE_JSD_DRIFT_BY,
+        "stats_corr_by": ORACLE_CORR_BY,
+        "sketch_kmv_estimate_by": ORACLE_KMV_ESTIMATE_BY,
+        "sketch_heavy_hitters_by": ORACLE_HEAVY_HITTERS_BY,
         "precip_basin_timeseries": oracle_pipeline_sql(GRID),
         "precip_fragments": oracle_fragments_sql(GRID),
         # the general polygon-overlay kernel must reproduce the

@@ -2375,3 +2375,478 @@ def quantiles_by(
             ).alias(f"q{q}")
         )
     return base.groupBy(*group_cols).agg(*aggs)
+
+
+def chi2_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Pearson chi-square homogeneity diagram between two snapshots of
+    a CATEGORICAL column — the SIGNIFICANCE leg of the categorical
+    drift pair: :func:`tvd_drift` reports effect SIZE (how far apart
+    the mixtures are), chi-square reports whether the gap is
+    explainable by sampling noise at the observed counts (the classic
+    2×K contingency test; compare Σ contributions against the
+    chi-square critical value at K−1 dof).  A 0.1%-TVD shift is noise
+    at n = 10³ and a five-sigma alarm at n = 10⁹ — monitoring needs
+    both numbers.
+
+    Law: with per-category counts ``c1, c2`` and totals ``n1, n2``,
+    the 2×K homogeneity statistic decomposes per category as
+    ``X² = Σ_cat D²/(s·n1·n2)`` where ``D = c1·n2 − c2·n1`` and
+    ``s = c1 + c2`` (algebra of (O−E)²/E over both rows).  ``D`` is
+    EXACT BIGINT under the tvd_drift validity bound ``n1·n2 < 2^63``
+    (driver-side longs → a named ValueError); the reported
+    ``chi2_contrib = (D/n1)·(D/n2)/s`` evaluates in doubles with that
+    EXACT integer numerator, the identical expression tree
+    cross-engine (every operand is a correctly-rounded int64→double
+    conversion, the psi_drift float-law convention), rounded to 9.
+
+    Per-CATEGORY diagram rows (the psi_drift shape) — the scalar X²
+    is the caller's sum, so no cross-partition float summation ever
+    happens inside the engine and the oracle compares row-by-row.
+
+    Plan shape: identical to tvd_drift — one map-side-combinable count
+    aggregate per snapshot (output = the category domain), a
+    full-outer join of two domain-sized results, a 1-row totals
+    collect.  At 100 TB the shuffle carries |domain| counters.
+
+    NULL categories are EXCLUDED on both sides (the family
+    convention).  One side empty → ``chi2_contrib`` NULL (the test is
+    undefined); empty domain → zero rows (the diagram convention).
+
+    Returns per-category rows ``(cat, n_old, n_new, d, chi2_contrib)``
+    where ``d = |D|``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    o = (
+        old.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").alias("_c1"))
+    )
+    n = (
+        new.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").alias("_c2"))
+    )
+    merged = o.join(n, "cat", "full_outer").select(
+        "cat",
+        F.coalesce(F.col("_c1"), F.lit(0)).alias("_c1"),
+        F.coalesce(F.col("_c2"), F.lit(0)).alias("_c2"),
+    )
+    merged = merged.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(merged)
+    tot = merged.agg(
+        F.sum("_c1").alias("n1"), F.sum("_c2").alias("n2")
+    ).collect()[0]
+    n1 = int(tot["n1"] or 0)
+    n2 = int(tot["n2"] or 0)
+    if n1 * n2 >= (1 << 63):
+        raise ValueError(
+            f"chi2_drift: n1*n2 = {n1}*{n2} exceeds the BIGINT "
+            "cross-multiplication domain (2^63) — sample a side "
+            "(operators/profile.py)"
+        )
+    d = F.abs(F.col("_c1") * F.lit(n2) - F.col("_c2") * F.lit(n1))
+    if n1 == 0 or n2 == 0:
+        contrib = F.lit(None).cast("double")
+    else:
+        # EXACT int64 numerator, then the shared float law: each
+        # operand is one correctly-rounded int64->double conversion
+        # and the expression tree is replicated verbatim in the oracle
+        contrib = F.round(
+            (F.col("d") / F.lit(n1))
+            * (F.col("d") / F.lit(n2))
+            / (F.col("_c1") + F.col("_c2")),
+            9,
+        )
+    return (
+        merged.withColumn("d", d.cast("long"))
+        .select(
+            "cat",
+            F.col("_c1").cast("long").alias("n_old"),
+            F.col("_c2").cast("long").alias("n_new"),
+            "d",
+            contrib.alias("chi2_contrib"),
+        )
+    )
+
+
+def chi2_drift_by(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-GROUP chi-square homogeneity diagram — :func:`chi2_drift`'s
+    segmented form (one significance test per language / source /
+    experiment arm), completing the categorical drift pair alongside
+    :func:`tvd_drift_by`.  Same per-category law with the totals
+    computed IN-PLAN per group and the ``n1·n2 < 2^63`` validity bound
+    enforced by a named in-plan ``assert_true`` (the tvd_drift_by
+    divisional-guard convention for runtime-known totals).
+
+    Rows whose GROUP KEY is NULL are EXCLUDED up front; NULL
+    categories are excluded per the family convention.  Groups present
+    on only one side report their categories at ``chi2_contrib`` NULL
+    (test undefined on an empty side); groups with no rows do not
+    appear (the global form owns the degenerate case).
+
+    Plan shape: ONE union-tagged map-side-combinable count aggregate
+    over both snapshots (output = Σ_g |group g's category domain|
+    rows) + one group-partitioned unordered totals window — at 100 TB
+    the shuffle carries |groups|·|domain| counters, never rows.
+
+    Returns per-(group, category) rows ``(<group_cols>, cat, n_old,
+    n_new, d, chi2_contrib)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "chi2_drift_by: group_cols is empty — use chi2_drift for "
+            "the global form (operators/profile.py)"
+        )
+
+    def _side(df: DataFrame, s1: int, s2: int) -> DataFrame:
+        keep = F.col(col).isNotNull()
+        for g in group_cols:
+            keep = keep & F.col(g).isNotNull()
+        return df.filter(keep).select(
+            *group_cols,
+            F.col(col).cast("string").alias("_cat"),
+            F.lit(s1).alias("_s1"),
+            F.lit(s2).alias("_s2"),
+        )
+
+    counts = (
+        _side(old, 1, 0)
+        .unionByName(_side(new, 0, 1))
+        .groupBy(*group_cols, "_cat")
+        .agg(F.sum("_s1").alias("_c1"), F.sum("_s2").alias("_c2"))
+    )
+    wg = W.partitionBy(*group_cols)
+    base = counts.select(
+        *group_cols,
+        "_cat",
+        "_c1",
+        "_c2",
+        F.sum("_c1").over(wg).alias("_n1"),
+        F.sum("_c2").over(wg).alias("_n2"),
+    )
+    # in-plan validity bound, checked DIVISIONALLY in exact BIGINT
+    # `div` (the tvd_drift_by convention): n1*n2 < 2^63 keeps every
+    # D = c1*n2 - c2*n1 term exact
+    guard = F.expr(f"_n1 = 0 OR _n2 <= ({(1 << 63) - 1} div _n1)")
+    checked_n2 = F.when(guard, F.col("_n2")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "chi2_drift_by: a group's n1*n2 exceeds the BIGINT "
+                "cross-multiplication domain (2^63) — sample a side "
+                "(operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    d = F.abs(F.col("_c1") * checked_n2 - F.col("_c2") * F.col("_n1"))
+    contrib = F.when(
+        (F.col("_n1") == 0) | (F.col("_n2") == 0),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.round(
+            (F.col("d") / F.col("_n1"))
+            * (F.col("d") / F.col("_n2"))
+            / (F.col("_c1") + F.col("_c2")),
+            9,
+        )
+    )
+    return (
+        base.withColumn("d", d.cast("long"))
+        .select(
+            *group_cols,
+            F.col("_cat").alias("cat"),
+            F.col("_c1").cast("long").alias("n_old"),
+            F.col("_c2").cast("long").alias("n_new"),
+            "d",
+            contrib.alias("chi2_contrib"),
+        )
+    )
+
+
+def jsd_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence diagram between two snapshots of a
+    CATEGORICAL column — the BOUNDED information-theoretic drift leg:
+    where :func:`psi_drift` needs a zero-bucket smoothing epsilon
+    (PSI's log-ratio diverges on any category one side lacks) and is
+    unbounded, JSD is finite BY CONSTRUCTION on disjoint supports
+    (``p·ln(2p/(p+q))`` vanishes where p = 0, no epsilon anywhere) and
+    lives in ``[0, ln 2]`` — the metric to alert on when new corpus
+    drops routinely introduce brand-new categories (new languages /
+    licenses / sources), exactly where PSI's epsilon floor distorts.
+
+    Law: with proportions ``p = c1/n1, q = c2/n2`` (doubles from EXACT
+    BIGINT counts), ``jsd_contrib = (p·ln(2p/(p+q)) +
+    q·ln(2q/(p+q)))/2`` with each term CASE-zeroed when its count is 0
+    (the 0·ln0 := 0 limit made explicit, never an epsilon).  The
+    expression tree is replicated verbatim in the oracle (the
+    psi_drift float-law convention), rounded to 9.  Σ contribs = JSD;
+    ``√JSD`` is a metric if a distance is needed.
+
+    Per-CATEGORY diagram rows (the psi_drift shape) — no float
+    summation inside the engine; the oracle compares row-by-row.
+
+    Plan shape: identical to tvd_drift — one count aggregate per
+    snapshot over the category domain, a domain-sized full-outer
+    join, no totals collect at all (proportions divide by in-plan
+    window totals).  At 100 TB the shuffle carries |domain| counters.
+
+    NULL categories are EXCLUDED on both sides (the family
+    convention).  One side empty → ``jsd_contrib`` NULL (proportions
+    undefined on that side); empty domain → zero rows.
+
+    Returns per-category rows ``(cat, n_old, n_new, p_old, p_new,
+    jsd_contrib)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    o = (
+        old.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").alias("_c1"))
+    )
+    n = (
+        new.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").alias("_c2"))
+    )
+    merged = o.join(n, "cat", "full_outer").select(
+        "cat",
+        F.coalesce(F.col("_c1"), F.lit(0)).alias("_c1"),
+        F.coalesce(F.col("_c2"), F.lit(0)).alias("_c2"),
+    )
+    w = W.partitionBy()
+    return _jsd_rows(
+        merged.select(
+            "cat",
+            "_c1",
+            "_c2",
+            F.sum("_c1").over(w).alias("_n1"),
+            F.sum("_c2").over(w).alias("_n2"),
+        ),
+        [],
+    )
+
+
+def _jsd_rows(base: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Shared JSD per-category projection: ``base`` carries
+    ``(<group_cols>, _cat|cat, _c1, _c2, _n1, _n2)``; emits the diagram
+    rows under the exact float law shared by :func:`jsd_drift` and
+    :func:`jsd_drift_by` (one definition, one oracle transcription)."""
+    cat = "_cat" if "_cat" in base.columns else "cat"
+    p = F.col("_c1") / F.col("_n1")
+    q = F.col("_c2") / F.col("_n2")
+    t1 = F.when(F.col("_c1") == 0, F.lit(0.0)).otherwise(
+        p * F.log(F.lit(2.0) * p / (p + q))
+    )
+    t2 = F.when(F.col("_c2") == 0, F.lit(0.0)).otherwise(
+        q * F.log(F.lit(2.0) * q / (p + q))
+    )
+    undefined = (F.col("_n1") == 0) | (F.col("_n2") == 0)
+    return base.select(
+        *group_cols,
+        F.col(cat).alias("cat"),
+        F.col("_c1").cast("long").alias("n_old"),
+        F.col("_c2").cast("long").alias("n_new"),
+        F.when(undefined, F.lit(None).cast("double"))
+        .otherwise(F.round(p, 9))
+        .alias("p_old"),
+        F.when(undefined, F.lit(None).cast("double"))
+        .otherwise(F.round(q, 9))
+        .alias("p_new"),
+        F.when(undefined, F.lit(None).cast("double"))
+        .otherwise(F.round((t1 + t2) / F.lit(2.0), 9))
+        .alias("jsd_contrib"),
+    )
+
+
+def jsd_drift_by(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-GROUP Jensen–Shannon drift diagram — :func:`jsd_drift`'s
+    segmented form (one bounded, epsilon-free divergence per language
+    / source / experiment arm).  Same per-category float law via the
+    shared :func:`_jsd_rows` projection, totals computed IN-PLAN per
+    group; no overflow contract is needed at all (the law never
+    cross-multiplies counts — proportions go straight to doubles).
+
+    Rows whose GROUP KEY is NULL are EXCLUDED up front; NULL
+    categories likewise.  Groups present on only one side report
+    their categories at NULL proportions/contrib (the family
+    convention); groups with no rows do not appear.
+
+    Plan shape: ONE union-tagged count aggregate (output = Σ_g
+    |group g's domain| rows) + one group-partitioned unordered totals
+    window — |groups|·|domain| counters on the wire, never rows.
+
+    Returns per-(group, category) rows ``(<group_cols>, cat, n_old,
+    n_new, p_old, p_new, jsd_contrib)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "jsd_drift_by: group_cols is empty — use jsd_drift for "
+            "the global form (operators/profile.py)"
+        )
+
+    def _side(df: DataFrame, s1: int, s2: int) -> DataFrame:
+        keep = F.col(col).isNotNull()
+        for g in group_cols:
+            keep = keep & F.col(g).isNotNull()
+        return df.filter(keep).select(
+            *group_cols,
+            F.col(col).cast("string").alias("_cat"),
+            F.lit(s1).alias("_s1"),
+            F.lit(s2).alias("_s2"),
+        )
+
+    counts = (
+        _side(old, 1, 0)
+        .unionByName(_side(new, 0, 1))
+        .groupBy(*group_cols, "_cat")
+        .agg(F.sum("_s1").alias("_c1"), F.sum("_s2").alias("_c2"))
+    )
+    wg = W.partitionBy(*group_cols)
+    base = counts.select(
+        *group_cols,
+        "_cat",
+        "_c1",
+        "_c2",
+        F.sum("_c1").over(wg).alias("_n1"),
+        F.sum("_c2").over(wg).alias("_n2"),
+    )
+    return _jsd_rows(base, group_cols)
+
+
+def corr_by(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    scale_x: int = 100,
+    scale_y: int = 100,
+) -> DataFrame:
+    """Per-group Pearson correlation + OLS fit (y on x) from EXACT
+    integer moment sums — the bivariate member of the profiling family
+    (zscore_outliers is its univariate sibling and the exactness
+    pattern is identical): the feature-drift / leakage screen a
+    training pipeline runs per segment ("did the price↔quantity
+    relationship invert in this market?", "is this feature suddenly
+    correlated with the label in one slice?").
+
+    Exactness across engines (the zscore_outliers law): float sums are
+    order-dependent, so NOTHING float is ever aggregated — both
+    columns quantize to ``round(v·scale)`` and the five moments
+    Σx, Σy, Σx², Σy², Σxy accumulate in wide decimal (Spark
+    ``decimal(38,0)``, DuckDB HUGEINT), which cannot lose a unit
+    regardless of partial-aggregation order.  ONE correctly-rounded
+    cast to double per moment AFTER summing, then the closed-form
+    moment formulas evaluate in doubles with the identical expression
+    tree cross-engine, rounded to 9:
+
+    * ``var_c = Σx²/n − (Σx/n)²`` (floored at 0), same for y
+    * ``cov_c = Σxy/n − (Σx/n)·(Σy/n)``
+    * ``corr = cov_c/√(var_x_c·var_y_c)`` — scale-invariant
+    * ``slope = (cov_c/var_x_c)·(scale_x/scale_y)``,
+      ``intercept = mean_y − slope·mean_x`` (descaled units)
+
+    Validity contract: per-row quantized products must fit the sum
+    domains — ``|x_c·y_c| ≤ ~10^18`` per row and every Σ ≤ ~10^38
+    (decimal(38,0) / HUGEINT); values need ≤ log10(scale) decimals
+    (prices, counts, rates — the zscore_outliers contract).
+    Degenerate groups report NULL: ``corr`` when either variance is 0
+    (constant column), ``slope/intercept`` when var_x is 0.
+
+    Plan shape: ONE map-side-combinable aggregate over the facts
+    (five decimal sums + a count per group — six counters on the
+    wire per task per group, never rows); no second pass, no window,
+    no collect.  The 100-TB cost is the one groupBy exchange.
+
+    Rows with a NULL group key, x, or y are EXCLUDED up front
+    (the family convention — pre-coalesce to track them).
+
+    Returns one row per group: ``(<group_cols>, n, mean_x, mean_y,
+    corr, slope, intercept)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "corr_by: group_cols is empty — pass a constant group "
+            "for a global fit (operators/profile.py)"
+        )
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    xc = F.round(F.col(x_col) * scale_x).cast("decimal(38,0)")
+    yc = F.round(F.col(y_col) * scale_y).cast("decimal(38,0)")
+    agg = (
+        df.filter(keep)
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(xc).alias("_sx"),
+            F.sum(yc).alias("_sy"),
+            F.sum(xc * xc).alias("_sxx"),
+            F.sum(yc * yc).alias("_syy"),
+            F.sum(xc * yc).alias("_sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    mx = sx / nd
+    my = sy / nd
+    var_x = F.greatest(sxx / nd - mx * mx, F.lit(0.0))
+    var_y = F.greatest(syy / nd - my * my, F.lit(0.0))
+    cov = sxy / nd - mx * my
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round(cov / F.sqrt(var_x * var_y), 9),
+    ).otherwise(F.lit(None).cast("double"))
+    slope = cov / var_x * F.lit(float(scale_x) / float(scale_y))
+    intercept = my / F.lit(float(scale_y)) - slope * (
+        mx / F.lit(float(scale_x))
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.round(mx / F.lit(float(scale_x)), 9).alias("mean_x"),
+        F.round(my / F.lit(float(scale_y)), 9).alias("mean_y"),
+        corr.alias("corr"),
+        F.when(var_x > 0, F.round(slope, 9))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("slope"),
+        F.when(var_x > 0, F.round(intercept, 9))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("intercept"),
+    )

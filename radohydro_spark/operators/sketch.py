@@ -670,3 +670,209 @@ def kmv_overlap(
             " AS BIGINT)"
         ).alias("jaccard_ppm"),
     )
+
+
+def kmv_by(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-GROUP KMV bottom-k distinct sketch — :func:`kmv_sketch`'s
+    segmented form: one mergeable distinct-cardinality summary per
+    language / source / event type, the shape ingest monitoring
+    actually needs ("how many distinct users per event type per drop",
+    "vocabulary size per language") where a single global sketch
+    averages the segments away.  Same deterministic ``portable_hash``
+    law (first 8 hex chars of md5, base-16), so slices are EXACTLY
+    reproducible cross-engine and two drops' per-group sketches feed
+    :func:`kmv_overlap` group-by-group without re-reading either
+    corpus.
+
+    Plan shape — the kmv_sketch scale design, segmented: each
+    partition maintains a running ≤ k-row bottom-k candidate set PER
+    GROUP across its Arrow batches (one vectorized ``mapInPandas``
+    pass; every global per-group winner also wins in its own
+    partition, so the union of per-partition survivors is a guaranteed
+    superset), then the global distinct + per-group
+    ``row_number ≤ k`` runs on ≤ |groups|·k·n_partitions candidate
+    rows.  A naive ``distinct`` would shuffle the ENTIRE (group, hash)
+    domain — the count-distinct cost this sketch exists to avoid.
+    The window's sort is bounded at k·n_partitions rows per group.
+
+    Rows with a NULL group key or key are EXCLUDED (the family
+    convention).  Distinct keys colliding to one 32-bit hash merge
+    within a group (the standard KMV caveat, ~n²/2³³ per group).
+
+    Returns ``(<group_cols>, hv)`` — ≤ k ascending-unique hash values
+    per group.
+
+    Reference analog: none — extends the sketch family
+    (SURVEY §2 extension table).
+    """
+    assert k >= 2
+    from pyspark.sql import Window as W
+
+    from radohydro_spark.functions.text import portable_hash
+
+    keep = F.col(key_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    hashed = df.filter(keep).select(
+        *group_cols,
+        portable_hash(F.col(key_col).cast("string")).alias("hv"),
+    )
+
+    def _prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: "pd.DataFrame | None" = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat([best, pdf])
+            cand = cand.drop_duplicates()
+            cand = cand.sort_values("hv", kind="mergesort")
+            best = cand.groupby(list(group_cols), sort=False).head(k)
+        yield best if best is not None else pd.DataFrame(
+            {c: [] for c in list(group_cols) + ["hv"]}
+        )
+
+    candidates = hashed.mapInPandas(_prune, hashed.schema)
+    w = W.partitionBy(*group_cols).orderBy("hv")
+    return (
+        candidates.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate_by(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-cardinality estimate from the
+    :func:`kmv_by` sketch (Bar-Yossef et al. 2002; Beyer et al. 2007):
+    with ``theta`` = the k-th smallest hash of a group,
+    ``distinct_est = (k−1)·2³² div theta`` — EXACT (= the true
+    distinct-hash count) whenever the group held fewer than k distinct
+    hashes, i.e. the sketch saw everything.  All arithmetic is
+    terminal floored BIGINT (``(k−1)·2³² < 2^63`` for any practical
+    k), so the estimate is bit-identical in SQL.
+
+    The whole computation touches only the ≤ |groups|·k sketch rows;
+    the corpus is read once by the sketch pass.  This is the
+    per-group twin of the ``approx_count_distinct`` shape with a
+    deterministic, mergeable, oracle-checkable law.
+
+    Returns one row per group: ``(<group_cols>, n_sketch, theta,
+    distinct_est)`` where ``n_sketch = min(k, distinct hashes)``.
+
+    Reference analog: none — extends the sketch family
+    (SURVEY §2 extension table).
+    """
+    sk = kmv_by(df, key_col, group_cols, k)
+    dom = (1 << 32) * (k - 1)
+    est = F.when(
+        F.col("n_sketch") < F.lit(k), F.col("n_sketch")
+    ).otherwise(F.expr(f"{dom} div nullif(theta, 0)"))
+    return (
+        sk.groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_sketch"),
+            F.max("hv").alias("theta"),
+        )
+        .select(
+            *group_cols,
+            F.col("n_sketch").cast("long").alias("n_sketch"),
+            F.col("theta").cast("long").alias("theta"),
+            est.cast("long").alias("distinct_est"),
+        )
+    )
+
+
+def heavy_hitters_by(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """EXACT per-group top-k most frequent values with frequency
+    shares — the segmented twin of :func:`heavy_hitters`: the global
+    form exists for the single high-cardinality column where only a
+    Misra-Gries candidate pass makes the count feasible; the per-group
+    form is the MONITORING shape ("top sources per language", "top
+    error codes per service") where the (group, value) domain is
+    category-sized and an exact count aggregate is the right plan.
+
+    Deterministic tie law: rank by ``(count DESC, value ASC)`` —
+    bit-identical cross-engine, the min_by-struct convention.
+    ``share_ppm = 10⁶·cnt div n_group`` is one terminal floored
+    BIGINT division (cnt ≤ n_group keeps ``10⁶·cnt`` far under 2^63
+    for any n_group < 9.2e12 — in-plan named assert past it).
+
+    Plan shape: ONE map-side-combinable count aggregate (output =
+    Σ_g |group g's value domain| counters) + one group-partitioned
+    window that computes totals AND rank on the SAME exchange; the
+    rank sort is over each group's domain counters, never rows.  At
+    100 TB the wire carries |groups|·|domain| counters.
+
+    NULL group keys / values are EXCLUDED (the family convention).
+
+    Returns ``(<group_cols>, rank, value, cnt, share_ppm)`` — ≤ k
+    rows per group, rank 1-based.
+
+    Reference analog: none — extends the sketch family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "heavy_hitters_by: group_cols is empty — use "
+            "heavy_hitters for the global single-column form "
+            "(operators/sketch.py)"
+        )
+    from pyspark.sql import Window as W
+
+    keep = F.col(col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(*group_cols, F.col(col).cast("string").alias("value"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wg = W.partitionBy(*group_cols)
+    wr = W.partitionBy(*group_cols).orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    base = counts.select(
+        *group_cols,
+        "value",
+        "cnt",
+        F.sum("cnt").over(wg).alias("_n"),
+        F.row_number().over(wr).alias("rank"),
+    ).filter(F.col("rank") <= k)
+    # in-plan validity bound (the family loud-contract convention for
+    # runtime-known totals): 10^6 * cnt <= 10^6 * n stays exact BIGINT
+    guard = F.col("_n") <= F.lit(9_000_000_000_000)
+    checked_n = F.when(guard, F.col("_n")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "heavy_hitters_by: a group's total exceeds the exact "
+                "ppm domain (9e12) — pre-aggregate or sample "
+                "(operators/sketch.py)"
+            ),
+        ).cast("long")
+    )
+    return (
+        base.withColumn("_chk", checked_n)
+        .select(
+            *group_cols,
+            F.col("rank").cast("long").alias("rank"),
+            "value",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(1000000 * cnt) div _chk")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
