@@ -11640,11 +11640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orders_cogroup": q_events_orders_cogroup,
         "pyds_grid_source": q_pyds_grid_source,
         # --- end of round-16 driver window (position 49 =
-        # text_html_extract; events_scd2_pointintime,
-        # similarity_ann_multiprobe, text_unigram_logprob,
-        # events_orders_cogroup and pyds_grid_source were displaced
-        # past it by the later-wave first-exposure/re-pin rows and
-        # lead the r17 window) ---
+        # tpch_q9_product_profit after the fifth-wave head; displaced
+        # past it and LEADING the r17 window, in order: tpch_q10-q14,
+        # orders_snapshot_diff, text_html_extract,
+        # events_scd2_pointintime, similarity_ann_multiprobe,
+        # text_unigram_logprob, events_orders_cogroup,
+        # pyds_grid_source) ---
         # Remainder ordered by ascending driver-evidence age so the
         # round-17 rotation is already front-loaded: the rest of the
         # r11 cohort (from pyds_grid_stream), then the r12 cohort, the

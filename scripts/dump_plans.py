@@ -186,6 +186,16 @@ HEADLINE = [
     "dq_psi_drift_by",
     "dq_calibration_bins_by",
     "dq_cusum_by",
+    # r16 fifth wave: chi2/JSD per-group diagrams (one union-tagged
+    # count aggregate + one group-key totals window), corr_by (ONE
+    # map-side-combinable moments aggregate, zero windows), the
+    # per-group KMV sketch (mapInPandas prune + candidate distinct +
+    # bounded per-group window) and exact grouped heavy hitters.
+    "dq_chi2_drift_by",
+    "dq_jsd_drift_by",
+    "stats_corr_by",
+    "sketch_kmv_estimate_by",
+    "sketch_heavy_hitters_by",
 ]
 
 
