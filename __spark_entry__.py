@@ -11527,6 +11527,195 @@ FROM w WHERE rn <= 5 ORDER BY l_returnflag, rank
 """
 
 
+def q_stats_entropy_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon-entropy diagram (operators.profile.entropy_by):
+    each document source's language-mix diversity — the curation screen
+    that flags a source whose mix collapsed to one language before it
+    skews the corpus ("evenness per slice", the single-snapshot
+    complement of the two-snapshot drift legs).  One count aggregate +
+    one group-partitioned totals window over counters; Σ h_contrib per
+    source is the entropy in nats."""
+    from radohydro_spark.operators.profile import entropy_by
+
+    d = _docs(spark, sf_dir)
+    return entropy_by(d, "lang", ["source"]).orderBy("source", "cat")
+
+
+ORACLE_ENTROPY_BY = """
+WITH base AS (
+  SELECT source AS g, CAST(lang AS VARCHAR) AS cat
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+m AS (
+  SELECT g, cat, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, cat
+),
+t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM m GROUP BY g)
+SELECT m.g AS source, m.cat, m.c AS n,
+       round(m.c / t.n, 9) AS p,
+       round(-((m.c / t.n) * ln(m.c / t.n)), 9) AS h_contrib
+FROM m JOIN t ON m.g = t.g ORDER BY source, cat
+"""
+
+
+def q_stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information diagram (operators.profile.mutual_info):
+    order priority ↔ order status association — the feature/label
+    leakage screen (Σ mi_contrib = I(X;Y) in nats; per-cell lift names
+    WHICH pair carries the dependence, which a chi-square significance
+    alone never says).  One (x, y) cell count aggregate + three window
+    exchanges over counters, nothing cross-multiplies counts."""
+    from radohydro_spark.operators.profile import mutual_info
+
+    o = _t(spark, sf_dir, "orders")
+    return mutual_info(o, "o_orderpriority", "o_orderstatus").orderBy(
+        "x_cat", "y_cat"
+    )
+
+
+ORACLE_MUTUAL_INFO = """
+WITH base AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+         CAST(o_orderstatus AS VARCHAR) AS y
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x, y
+),
+w AS (
+  SELECT x, y, c,
+         CAST(sum(c) OVER (PARTITION BY x) AS BIGINT) AS nx,
+         CAST(sum(c) OVER (PARTITION BY y) AS BIGINT) AS ny,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT x AS x_cat, y AS y_cat, c AS n_xy, nx AS n_x, ny AS n_y,
+       round((c / n) / ((nx / n) * (ny / n)), 9) AS lift,
+       round((c / n) * ln((c / n) / ((nx / n) * (ny / n))), 9)
+         AS mi_contrib
+FROM w ORDER BY x_cat, y_cat
+"""
+
+
+def q_dq_psi_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-decile PSI (operators.profile.psi_quantile_bins):
+    extended-price stability across the 1998 ship-date split, binned on
+    the OLD snapshot's exact deciles (percentile_disc lower-boundary
+    BIGINT law) instead of dq_psi_drift's outlier-stretchable equi-width
+    grid — the deployed-model monitoring convention.  Bucket assignment
+    is pure comparisons against a 1-row broadcast edge struct (no row
+    ever shuffles on a key); the PSI float law is dq_psi_drift's,
+    verbatim."""
+    from radohydro_spark.operators.profile import psi_quantile_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return psi_quantile_bins(
+        li.filter(F.col("l_shipdate") < split),
+        li.filter(F.col("l_shipdate") >= split),
+        "l_extendedprice",
+        n_bins=10,
+    ).orderBy("bucket")
+
+
+def _psi_qbins_oracle() -> str:
+    qs = [100 * i // 10 for i in range(1, 10)]
+    edge_sel = ",\n         ".join(
+        f"min(CASE WHEN 100 * cum >= {q} * n THEN v END) AS e{q}"
+        for q in qs
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN l_extendedprice > e.e{q} THEN 1 ELSE 0 END)"
+        for q in qs
+    )
+    return f"""
+WITH vals AS (
+  SELECT l_extendedprice AS v FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+cells AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY v),
+cum AS (
+  SELECT v,
+         CAST(sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM cells
+),
+edges AS (
+  SELECT {edge_sel}
+  FROM cum
+),
+ob AS (
+  SELECT CAST({bucket} AS BIGINT) AS bucket, COUNT(*) AS n_old
+  FROM lineitem l, edges e
+  WHERE l_extendedprice IS NOT NULL
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+),
+nb AS (
+  SELECT CAST({bucket} AS BIGINT) AS bucket, COUNT(*) AS n_new
+  FROM lineitem l, edges e
+  WHERE l_extendedprice IS NOT NULL
+    AND l_shipdate >= TIMESTAMP '1998-01-01'
+  GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ob.bucket, nb.bucket) AS bucket,
+         COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket
+),
+t AS (
+  SELECT *, SUM(n_old) OVER () AS tot_o, SUM(n_new) OVER () AS tot_n FROM j
+)
+SELECT bucket, n_old, n_new,
+       round(greatest(n_old / tot_o, 1e-6), 9) AS p_old,
+       round(greatest(n_new / tot_n, 1e-6), 9) AS p_new,
+       round((greatest(n_old / tot_o, 1e-6) - greatest(n_new / tot_n, 1e-6))
+             * ln(greatest(n_old / tot_o, 1e-6)
+                  / greatest(n_new / tot_n, 1e-6)), 9) AS psi_contrib
+FROM t ORDER BY bucket
+"""
+
+
+def q_dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit law screen
+    (operators.profile.benford_digits): order totals against Benford's
+    ``log10(1 + 1/d)`` — the fabrication / unit-mixup diagnostic for a
+    money column, with the per-digit chi-square contribution naming the
+    deviating digit.  Digit extraction is BIGINT→string (no float log
+    in the digit path); share_ppm is the family's exact floored-BIGINT
+    division under the named 9e12 assert; one ≤ 9-row aggregate."""
+    from radohydro_spark.operators.profile import benford_digits
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_digits(o, "o_totalprice").orderBy("digit")
+
+
+ORACLE_BENFORD = """
+WITH base AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND floor(o_totalprice) >= 1
+),
+m AS (SELECT digit, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY digit),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM m)
+SELECT CAST(m.digit AS BIGINT) AS digit, m.c AS n,
+       CAST((1000000 * m.c) // t.n AS BIGINT) AS share_ppm,
+       round(ln(1.0 + 1.0 / CAST(m.digit AS DOUBLE)) / ln(10.0), 9)
+         AS p_benford,
+       round(t.n * (((m.c / t.n)
+                     - (ln(1.0 + 1.0 / CAST(m.digit AS DOUBLE)) / ln(10.0)))
+                    * ((m.c / t.n)
+                       - (ln(1.0 + 1.0 / CAST(m.digit AS DOUBLE)) / ln(10.0))))
+             / (ln(1.0 + 1.0 / CAST(m.digit AS DOUBLE)) / ln(10.0)), 9)
+         AS chi2_contrib
+FROM m, t ORDER BY digit
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
@@ -11536,6 +11725,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # screen, the per-group KMV distinct estimate, and the exact
         # per-group heavy hitters.  Each displaces one staged row past
         # position 49 into the r17 lead (see STRICT_SWEEP_r16.md).
+        # r16 first-exposure head, SIXTH wave (this session): the
+        # single-snapshot diversity screen (per-source entropy), the
+        # feature-association MI/lift diagram, the production
+        # reference-decile PSI, and the Benford first-digit screen.
+        "stats_entropy_by": q_stats_entropy_by,
+        "stats_mutual_info": q_stats_mutual_info,
+        "dq_psi_quantile_bins": q_dq_psi_quantile_bins,
+        "dq_benford_digits": q_dq_benford_digits,
         "dq_chi2_drift": q_dq_chi2_drift,
         "dq_chi2_drift_by": q_dq_chi2_drift_by,
         "dq_jsd_drift": q_dq_jsd_drift,
@@ -11885,6 +12082,11 @@ def _radolan_scale_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r16 sixth-wave first-exposure operators
+        "stats_entropy_by": ORACLE_ENTROPY_BY,
+        "stats_mutual_info": ORACLE_MUTUAL_INFO,
+        "dq_psi_quantile_bins": _psi_qbins_oracle(),
+        "dq_benford_digits": ORACLE_BENFORD,
         # r13 first-exposure operators
         "dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
         "text_bpe_encode": ORACLE_TEXT_BPE_ENCODE,

@@ -2850,3 +2850,350 @@ def corr_by(
         .otherwise(F.lit(None).cast("double"))
         .alias("intercept"),
     )
+
+
+def _entropy_rows(base: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Shared Shannon-entropy per-category projection: ``base`` carries
+    ``(<group_cols>, _cat, _c, _n)``; emits the diagram rows under the
+    exact float law shared by :func:`entropy_profile` and
+    :func:`entropy_by` (one definition, one oracle transcription).
+    Observed cells always have ``_c >= 1`` so there is no 0·ln0 case at
+    all; a single-category group emits ``-(1·ln 1) = -0.0`` which both
+    engines canonicalise to ``0.0`` under the driver's ``+0.0`` hash
+    normalisation."""
+    p = F.col("_c") / F.col("_n")
+    return base.select(
+        *group_cols,
+        F.col("_cat").alias("cat"),
+        F.col("_c").cast("long").alias("n"),
+        F.round(p, 9).alias("p"),
+        F.round(-(p * F.log(p)), 9).alias("h_contrib"),
+    )
+
+
+def entropy_profile(df: DataFrame, col: str) -> DataFrame:
+    """Shannon-entropy diagram of a CATEGORICAL column — the diversity
+    profile a curation pipeline reads before mixing sources ("how
+    concentrated is the language / license / source mix?"): Σ
+    ``h_contrib`` is the entropy in nats, ``ln(n_categories)`` its
+    maximum, and the ratio the evenness score.  Complements the drift
+    family (tvd/chi2/jsd compare TWO snapshots; entropy scores ONE).
+
+    Law: ``p = c/n`` (doubles from EXACT BIGINT counts), ``h_contrib =
+    -(p·ln p)`` — the expression tree replicated verbatim in the
+    oracle (the family's float-law convention), rounded to 9.  No
+    epsilon anywhere: observed categories have ``c >= 1``.
+
+    Per-CATEGORY diagram rows (no float summation inside the engine;
+    the oracle compares row-by-row).  NULL categories are EXCLUDED
+    (the family convention); empty input → zero rows.
+
+    Plan shape: ONE map-side-combinable count aggregate over the
+    category domain + one unordered totals window over |domain|
+    counter rows — at 100 TB the wire carries |domain| counters, never
+    rows.
+
+    Returns per-category rows ``(cat, n, p, h_contrib)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("_cat"))
+        .agg(F.count("*").alias("_c"))
+    )
+    base = counts.select(
+        "_cat", "_c", F.sum("_c").over(W.partitionBy()).alias("_n")
+    )
+    return _entropy_rows(base, [])
+
+
+def entropy_by(
+    df: DataFrame, col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-GROUP Shannon-entropy diagram — :func:`entropy_profile`'s
+    segmented form (one diversity score per source / experiment arm /
+    time slice: "did any source's language mix collapse to a single
+    language?").  Same per-category float law via the shared
+    :func:`_entropy_rows` projection, totals computed IN-PLAN per
+    group; no overflow contract is needed (proportions go straight to
+    doubles, nothing cross-multiplies counts).
+
+    Rows whose GROUP KEY is NULL are EXCLUDED up front; NULL
+    categories likewise; groups with no rows do not appear.
+
+    Plan shape: ONE count aggregate (output = Σ_g |group g's domain|
+    counter rows) + one group-partitioned unordered totals window —
+    |groups|·|domain| counters on the wire, never rows.
+
+    Returns per-(group, category) rows ``(<group_cols>, cat, n, p,
+    h_contrib)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "entropy_by: group_cols is empty — use entropy_profile "
+            "for the global form (operators/profile.py)"
+        )
+    keep = F.col(col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(*group_cols, F.col(col).cast("string").alias("_cat"))
+        .agg(F.count("*").alias("_c"))
+    )
+    wg = W.partitionBy(*group_cols)
+    base = counts.select(
+        *group_cols, "_cat", "_c", F.sum("_c").over(wg).alias("_n")
+    )
+    return _entropy_rows(base, group_cols)
+
+
+def mutual_info(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual-information diagram between two CATEGORICAL columns —
+    the feature-association screen (label leakage, redundant
+    features, segment↔outcome dependence) that chi-square significance
+    alone does not give: Σ ``mi_contrib`` is I(X;Y) in nats, and the
+    per-cell ``lift = p_xy/(p_x·p_y)`` names WHICH (x, y) pair carries
+    the dependence (lift ≫ 1: co-occurring; ≪ 1: repelling).
+
+    Law: with EXACT BIGINT marginals ``n_x, n_y`` and cell counts
+    ``n_xy`` over total ``n``, proportions go straight to doubles
+    (``p_xy = n_xy/n`` etc. — nothing ever cross-multiplies counts, so
+    no overflow contract is needed) and ``mi_contrib =
+    p_xy·ln(p_xy/(p_x·p_y))`` — only OBSERVED cells appear (n_xy >= 1),
+    so the 0·ln0 limit never arises; absent cells contribute exactly 0
+    to I(X;Y) by that limit and are correctly not emitted.  The
+    expression tree is replicated verbatim in the oracle, rounded 9.
+
+    NULLs in either column are EXCLUDED (the family convention).
+
+    Plan shape: ONE map-side-combinable (x, y) count aggregate
+    (output = |observed cell domain| counter rows) + three window
+    exchanges over those COUNTERS (per-x, per-y, global totals) —
+    at 100 TB the wire carries |cells| counters, never rows.
+
+    Returns per-cell rows ``(x_cat, y_cat, n_xy, n_x, n_y, lift,
+    mi_contrib)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).cast("string").alias("x_cat"),
+            F.col(y_col).cast("string").alias("y_cat"),
+        )
+        .agg(F.count("*").alias("_c"))
+    )
+    base = cells.select(
+        "x_cat",
+        "y_cat",
+        "_c",
+        F.sum("_c").over(W.partitionBy("x_cat")).alias("_nx"),
+        F.sum("_c").over(W.partitionBy("y_cat")).alias("_ny"),
+        F.sum("_c").over(W.partitionBy()).alias("_n"),
+    )
+    p_xy = F.col("_c") / F.col("_n")
+    p_x = F.col("_nx") / F.col("_n")
+    p_y = F.col("_ny") / F.col("_n")
+    return base.select(
+        "x_cat",
+        "y_cat",
+        F.col("_c").cast("long").alias("n_xy"),
+        F.col("_nx").cast("long").alias("n_x"),
+        F.col("_ny").cast("long").alias("n_y"),
+        F.round(p_xy / (p_x * p_y), 9).alias("lift"),
+        F.round(p_xy * F.log(p_xy / (p_x * p_y)), 9).alias("mi_contrib"),
+    )
+
+
+def psi_quantile_bins(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index on REFERENCE-QUANTILE bins — the
+    production-standard PSI variant (:func:`psi_drift` bins on the old
+    snapshot's equi-width [min, max] grid, which one outlier stretches
+    until every row lands in one bucket; the deployed convention bins
+    on the old snapshot's DECILES so every reference bucket holds
+    ~1/n_bins of the mass and the index is outlier-robust).
+
+    Bin-edge law (EXACT cross-engine, zero interpolation): edge q for
+    q = 100·i div n_bins, i = 1..n_bins−1, is the
+    ``percentile_disc`` lower boundary — the SMALLEST value whose
+    inclusive cumulative count satisfies ``100·cum >= q·n`` (the
+    :func:`quantiles_by` BIGINT rank law).  Bucket law: ``bucket(v) =
+    Σ_q CASE WHEN v > edge_q THEN 1 ELSE 0`` — pure comparisons, no
+    float arithmetic, so tied/duplicate edges (heavy point masses)
+    merge buckets deterministically on BOTH engines; NEW values
+    beyond the old support clamp into buckets 0 / n_bins−1 by
+    construction.  Proportions then follow :func:`psi_drift`'s exact
+    float law verbatim (eps-floored, ``(p_old−p_new)·ln(p_old/p_new)``,
+    rounded 9).
+
+    NULL values are EXCLUDED on both sides.  Empty OLD snapshot →
+    every edge NULL → every row lands in bucket 0 (the CASE law) and
+    p_old floors at eps — loud in the diagram, never a crash.
+
+    Plan shape: one value-domain count aggregate on old + one global
+    cumulative window over |domain| counters → a 1-row edge struct,
+    broadcast-crossJoined onto both sides (map-side bucket, NO
+    shuffle of rows on any key) → one ≤ n_bins-row count aggregate
+    per side + full-outer join.  At 100 TB the only row-scaling cost
+    is the two scans; everything on the wire is counters.
+
+    Returns per-bucket rows ``(bucket, n_old, n_new, p_old, p_new,
+    psi_contrib)`` — :func:`psi_drift`'s exact output contract, so
+    dashboards swap grids without schema changes.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not (2 <= n_bins <= 1000):
+        raise ValueError(
+            "psi_quantile_bins: n_bins must be in 2..1000 "
+            "(operators/profile.py)"
+        )
+    qs = [100 * i // n_bins for i in range(1, n_bins)]
+    vals = old.filter(F.col(col).isNotNull()).groupBy(
+        F.col(col).alias("_v")
+    ).agg(F.count("*").alias("_c"))
+    wcum = (
+        W.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = vals.select(
+        "_v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(W.partitionBy()).alias("_n"),
+    )
+    edges = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("_cum") >= F.lit(q) * F.col("_n"),
+                    F.col("_v"),
+                )
+            ).alias(f"_e{q}")
+            for q in qs
+        ]
+    )
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        b = None
+        for q in qs:
+            term = (
+                F.when(F.col(col) > F.col(f"_e{q}"), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            b = term if b is None else b + term
+        return (
+            df.filter(F.col(col).isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(b.cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    o = bucketize(old).select("bucket", F.col("n").alias("n_old"))
+    n = bucketize(new).select("bucket", F.col("n").alias("n_new"))
+    j = o.join(n, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot_o = F.sum("n_old").over(W.partitionBy())
+    tot_n = F.sum("n_new").over(W.partitionBy())
+    p_old = F.greatest(F.col("n_old") / tot_o, F.lit(eps))
+    p_new = F.greatest(F.col("n_new") / tot_n, F.lit(eps))
+    return j.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round(p_old, 9).alias("p_old"),
+        F.round(p_new, 9).alias("p_new"),
+        F.round((p_old - p_new) * F.log(p_old / p_new), 9).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit (Benford's-law) diagram of a positive
+    numeric column — the classic fabrication / unit-mixup / truncation
+    screen for money-like measures: naturally-grown magnitudes follow
+    ``P(d) = log10(1 + 1/d)``; hand-entered, clipped, or re-scaled
+    values do not, and the per-digit chi-square contribution names
+    WHICH digit carries the deviation.
+
+    Digit law (EXACT cross-engine, no float log in the digit path):
+    rows with ``floor(value) >= 1`` keep ``digit = first character of
+    CAST(floor(value) AS BIGINT)`` — floor on a double and
+    BIGINT→string are both bit-deterministic on Spark and DuckDB.
+    Rows with NULL or ``floor(value) < 1`` are EXCLUDED (a leading
+    digit of a sub-1 or negative magnitude is a different law — take
+    abs/scale upstream if wanted).
+
+    Output law: ``share_ppm = 10⁶·n div total`` is one terminal
+    floored BIGINT division under the family's named in-plan 9e12
+    assert; ``p_benford = ln(1 + 1/d)/ln(10)`` and ``chi2_contrib =
+    total·(p_obs − p_benford)²/p_benford`` (``p_obs = n/total``) are
+    doubles with the expression tree replicated verbatim in the
+    oracle, rounded 9.  Σ chi2_contrib against χ²(8) is the test;
+    absent digits are genuinely absent rows (their contribution
+    ``total·p_d`` is recoverable from the diagram if needed).
+
+    Plan shape: ONE map-side-combinable ≤ 9-row count aggregate + one
+    unordered totals window over those 9 counters.  Nothing but the
+    scan touches rows.
+
+    Returns per-digit rows ``(digit, n, share_ppm, p_benford,
+    chi2_contrib)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    mag = F.floor(F.col(col)).cast("long")
+    counts = (
+        df.filter(F.col(col).isNotNull() & (mag >= 1))
+        .groupBy(
+            F.substring(mag.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .agg(F.count("*").alias("_c"))
+    )
+    base = counts.select(
+        "digit", "_c", F.sum("_c").over(W.partitionBy()).alias("_n")
+    )
+    guard = F.col("_n") <= F.lit(9_000_000_000_000)
+    checked_n = F.when(guard, F.col("_n")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "benford_digits: total exceeds the exact ppm domain "
+                "(9e12) — pre-aggregate or sample (operators/profile.py)"
+            ),
+        ).cast("long")
+    )
+    d = F.col("digit").cast("double")
+    p_obs = F.col("_c") / F.col("_n")
+    p_ben = F.log(F.lit(1.0) + F.lit(1.0) / d) / F.log(F.lit(10.0))
+    diff = p_obs - p_ben
+    return base.withColumn("_chk", checked_n).select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("_c").cast("long").alias("n"),
+        F.expr("(1000000 * _c) div _chk").cast("long").alias("share_ppm"),
+        F.round(p_ben, 9).alias("p_benford"),
+        F.round(F.col("_n") * (diff * diff) / p_ben, 9).alias(
+            "chi2_contrib"
+        ),
+    )

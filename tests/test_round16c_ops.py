@@ -1,0 +1,266 @@
+"""Round-16 sixth wave: the single-snapshot entropy diversity screen
+(global + per-group), the mutual-information / lift association
+diagram, the reference-decile PSI (production binning), and the
+Benford first-digit screen."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------- entropy_by
+
+
+def test_entropy_profile_python_replay(spark):
+    from radohydro_spark.operators.profile import entropy_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "cat string")
+    got = {
+        r["cat"]: r
+        for r in entropy_profile(df, "cat").collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    n = 10
+    for cat, c in [("a", 6), ("b", 3), ("c", 1)]:
+        p = c / n
+        assert got[cat]["n"] == c
+        assert got[cat]["p"] == round(p, 9)
+        assert got[cat]["h_contrib"] == round(-(p * math.log(p)), 9)
+
+
+def test_entropy_single_category_is_zero_not_negzero(spark):
+    """p = 1 gives -(1·ln 1) = -0.0; the emitted double must hash as
+    0.0 under the driver's +0.0 canonicalisation (both engines)."""
+    from radohydro_spark.operators.profile import entropy_profile
+
+    df = spark.createDataFrame([("x",)] * 4, "cat string")
+    [r] = entropy_profile(df, "cat").collect()
+    assert r["p"] == 1.0
+    assert r["h_contrib"] + 0.0 == 0.0
+
+
+def test_entropy_by_single_group_pins_global(spark):
+    from radohydro_spark.operators.profile import (
+        entropy_by,
+        entropy_profile,
+    )
+
+    rows = [("g", c) for c in ["a", "a", "b", "b", "b", "c"]]
+    df = spark.createDataFrame(rows, "g string, cat string")
+    via_by = {
+        (r["cat"],): (r["n"], r["p"], r["h_contrib"])
+        for r in entropy_by(df, "cat", ["g"]).collect()
+    }
+    via_global = {
+        (r["cat"],): (r["n"], r["p"], r["h_contrib"])
+        for r in entropy_profile(df, "cat").collect()
+    }
+    assert via_by == via_global
+
+
+def test_entropy_by_null_group_and_cat_excluded(spark):
+    from radohydro_spark.operators.profile import entropy_by
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), (None, "a"), ("h", "b")],
+        "g string, cat string",
+    )
+    got = entropy_by(df, "cat", ["g"]).collect()
+    assert {(r["g"], r["cat"]) for r in got} == {("g", "a"), ("h", "b")}
+    # each surviving group has exactly one category -> p = 1
+    assert all(r["p"] == 1.0 for r in got)
+
+
+def test_entropy_by_empty_groups_raises_named(spark):
+    from radohydro_spark.operators.profile import entropy_by
+
+    df = spark.createDataFrame([("a",)], "cat string")
+    with pytest.raises(ValueError, match="entropy_by.*group_cols"):
+        entropy_by(df, "cat", [])
+
+
+# ------------------------------------------------------ mutual_info
+
+
+def test_mutual_info_independent_is_zero(spark):
+    """A perfectly product-form table: every cell's lift is 1 and
+    mi_contrib is exactly ln(1) = 0 (no tolerance needed — the doubles
+    divide to exact dyadic proportions)."""
+    from radohydro_spark.operators.profile import mutual_info
+
+    rows = []
+    for x, rx in [("x1", 1), ("x2", 1)]:
+        for y, ry in [("y1", 1), ("y2", 3)]:
+            rows += [(x, y)] * (rx * ry)
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = mutual_info(df, "x", "y").collect()
+    assert len(got) == 4
+    for r in got:
+        assert r["lift"] == 1.0
+        assert r["mi_contrib"] + 0.0 == 0.0
+
+
+def test_mutual_info_python_replay_dependent(spark):
+    from radohydro_spark.operators.profile import mutual_info
+
+    rows = [("a", "p")] * 4 + [("a", "q")] * 1 + [("b", "q")] * 5
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = {(r["x_cat"], r["y_cat"]): r for r in mutual_info(df, "x", "y").collect()}
+    n = 10
+    marg_x = {"a": 5, "b": 5}
+    marg_y = {"p": 4, "q": 6}
+    cells = {("a", "p"): 4, ("a", "q"): 1, ("b", "q"): 5}
+    assert set(got) == set(cells)
+    for (x, y), c in cells.items():
+        p_xy, p_x, p_y = c / n, marg_x[x] / n, marg_y[y] / n
+        r = got[(x, y)]
+        assert r["n_xy"] == c and r["n_x"] == marg_x[x] and r["n_y"] == marg_y[y]
+        assert r["lift"] == round(p_xy / (p_x * p_y), 9)
+        assert r["mi_contrib"] == round(
+            p_xy * math.log(p_xy / (p_x * p_y)), 9
+        )
+
+
+def test_mutual_info_null_rows_excluded(spark):
+    from radohydro_spark.operators.profile import mutual_info
+
+    df = spark.createDataFrame(
+        [("a", "p"), ("a", None), (None, "p")], "x string, y string"
+    )
+    got = mutual_info(df, "x", "y").collect()
+    assert len(got) == 1 and got[0]["n_xy"] == 1 and got[0]["n_x"] == 1
+
+
+# ------------------------------------------------- psi_quantile_bins
+
+
+def _psi_contrib(n_old, n_new, tot_o, tot_n, eps=1e-6):
+    p_o = max(n_old / tot_o, eps)
+    p_n = max(n_new / tot_n, eps)
+    return round((p_o - p_n) * math.log(p_o / p_n), 9)
+
+
+def test_psi_qbins_uniform_reference_fills_all_buckets(spark):
+    """Old = 1..100 exactly once: decile edges are 10, 20, ..., 90 by
+    the lower-boundary law, so each bucket holds exactly 10 old rows;
+    an identical new snapshot drifts nowhere."""
+    from radohydro_spark.operators.profile import psi_quantile_bins
+
+    old = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    got = {
+        r["bucket"]: r
+        for r in psi_quantile_bins(old, old, "v", n_bins=10).collect()
+    }
+    assert set(got) == set(range(10))
+    for b, r in got.items():
+        assert r["n_old"] == 10 and r["n_new"] == 10
+        assert r["psi_contrib"] + 0.0 == 0.0
+
+
+def test_psi_qbins_new_clamps_into_edge_buckets(spark):
+    from radohydro_spark.operators.profile import psi_quantile_bins
+
+    old = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    new = spark.createDataFrame([(-5,), (0,), (1000,)], "v long")
+    got = {
+        r["bucket"]: r
+        for r in psi_quantile_bins(old, new, "v", n_bins=10).collect()
+    }
+    # below-support values -> bucket 0; above-support -> bucket 9
+    assert got[0]["n_new"] == 2
+    assert got[9]["n_new"] == 1
+    assert got[0]["psi_contrib"] == _psi_contrib(10, 2, 100, 3)
+    assert got[5]["psi_contrib"] == _psi_contrib(10, 0, 100, 3)
+
+
+def test_psi_qbins_point_mass_merges_buckets_deterministically(spark):
+    """90% of old mass on one value: most decile edges coincide, the
+    comparison bucket law merges them, and the bucket ids stay stable
+    (no empty phantom rows, no float wobble)."""
+    from radohydro_spark.operators.profile import psi_quantile_bins
+
+    rows = [(5,)] * 90 + [(i,) for i in range(6, 16)]
+    old = spark.createDataFrame(rows, "v long")
+    got = psi_quantile_bins(old, old, "v", n_bins=10).collect()
+    buckets = {r["bucket"] for r in got}
+    # v = 5 fails every "v > edge" test (all inner edges >= 5) -> bucket 0
+    assert 0 in buckets
+    assert sum(r["n_old"] for r in got) == 100
+    by = {r["bucket"]: r for r in got}
+    assert by[0]["n_old"] == 90
+
+
+def test_psi_qbins_bad_bins_raises_named(spark):
+    from radohydro_spark.operators.profile import psi_quantile_bins
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="psi_quantile_bins.*n_bins"):
+        psi_quantile_bins(df, df, "v", n_bins=1)
+
+
+def test_psi_qbins_output_contract_matches_psi_drift(spark):
+    from radohydro_spark.operators.profile import (
+        psi_drift,
+        psi_quantile_bins,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, 21)], "v long")
+    a = psi_drift(df, df, "v")
+    b = psi_quantile_bins(df, df, "v")
+    assert a.columns == b.columns
+
+
+# ---------------------------------------------------- benford_digits
+
+
+def test_benford_digits_python_replay(spark):
+    from radohydro_spark.operators.profile import benford_digits
+
+    vals = [1.5, 19.0, 123.4, 2.0, 29.99, 999.0, 3.14]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    counts = {1: 3, 2: 2, 9: 1, 3: 1}
+    assert set(got) == set(counts)
+    total = 7
+    for d, c in counts.items():
+        r = got[d]
+        p_ben = math.log(1.0 + 1.0 / d) / math.log(10.0)
+        p_obs = c / total
+        diff = p_obs - p_ben
+        assert r["n"] == c
+        assert r["share_ppm"] == (1_000_000 * c) // total
+        assert r["p_benford"] == round(p_ben, 9)
+        assert r["chi2_contrib"] == round(total * (diff * diff) / p_ben, 9)
+
+
+def test_benford_digits_excludes_sub_one_and_null(spark):
+    from radohydro_spark.operators.profile import benford_digits
+
+    df = spark.createDataFrame(
+        [(0.7,), (0.0,), (-123.0,), (None,), (42.0,)], "v double"
+    )
+    got = benford_digits(df, "v").collect()
+    assert len(got) == 1
+    assert got[0]["digit"] == 4 and got[0]["n"] == 1
+
+
+def test_benford_digits_perfect_benford_zero_chi2(spark):
+    """Feed exact Benford-proportioned counts scaled so p_obs lands on
+    the same doubles? It cannot (ln ratios are irrational) — instead
+    assert monotonicity: the canonical 30.1%/17.6%/12.5% shape yields
+    tiny contribs while an anti-Benford (uniform) shape yields large
+    ones for digit 1."""
+    from radohydro_spark.operators.profile import benford_digits
+
+    uniform = spark.createDataFrame(
+        [(float(d) * 10,) for d in range(1, 10)], "v double"
+    )
+    got = {r["digit"]: r for r in benford_digits(uniform, "v").collect()}
+    # digit 1 expected at 30.1% but observed 11.1% -> the largest gap
+    assert got[1]["chi2_contrib"] == max(
+        r["chi2_contrib"] for r in got.values()
+    )
