@@ -11716,6 +11716,131 @@ FROM m, t ORDER BY digit
 """
 
 
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (functions.text.vocab_growth):
+    distinct-vocabulary and token counts over ten corpus prefixes —
+    the collection-planning diagnostic (flattening curve ⇒ new data is
+    redundant; feeds the BPE vocab budget directly).  Integer-only
+    prefix law (bucket = id·10 div (max+1), token's bucket =
+    min(bucket) over occurrences); one token-domain shuffle + counter
+    windows."""
+    from radohydro_spark.functions.text import vocab_growth
+
+    d = _docs(spark, sf_dir)
+    return vocab_growth(d, "text", "doc_id", n_buckets=10).orderBy("bucket")
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+mx AS (SELECT max(doc_id) AS m FROM d),
+db AS (
+  SELECT CAST((doc_id * 10) // (m + 1) AS BIGINT) AS bucket, text
+  FROM d, mx
+),
+toks AS (
+  SELECT bucket, lower(tok) AS tok
+  FROM (SELECT bucket, unnest({_SQL_TOKS}) AS tok FROM db)
+  WHERE tok <> ''
+),
+tb AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY bucket
+),
+vb AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS vocab_new
+  FROM (SELECT tok, min(bucket) AS bucket FROM toks GROUP BY tok)
+  GROUP BY bucket
+),
+docs AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM db GROUP BY bucket
+),
+j AS (
+  SELECT COALESCE(docs.bucket, tb.bucket, vb.bucket) AS bucket,
+         COALESCE(n_docs, 0) AS n_docs,
+         COALESCE(n_tokens, 0) AS n_tokens,
+         COALESCE(vocab_new, 0) AS vocab_new
+  FROM docs
+  FULL OUTER JOIN tb ON docs.bucket = tb.bucket
+  FULL OUTER JOIN vb ON COALESCE(docs.bucket, tb.bucket) = vb.bucket
+)
+SELECT bucket, n_docs, n_tokens, vocab_new,
+       CAST(sum(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS docs_cum,
+       CAST(sum(n_tokens) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS tokens_cum,
+       CAST(sum(vocab_new) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS vocab_cum
+FROM j ORDER BY bucket
+"""
+
+
+def q_events_stream_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window exact top-k
+    (streaming.stream_key_counts + top_k_slice): per-DAY event-type
+    heavy hitters maintained at ingest time — the bounded-domain exact
+    twin of events_stream_count_min (one long per (window, key),
+    watermark-evicted by the runtime's own windowed-aggregate state
+    store), then the heavy_hitters_by tie law ((cnt DESC, value ASC),
+    floored-BIGINT share_ppm) over the drained slices."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import (
+        run_available_now,
+        stream_key_counts,
+        top_k_slice,
+    )
+
+    raw_schema = _probe_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    counts = stream_key_counts(
+        stream, "ts", "event_type", "1 day", watermark="1 hour"
+    )
+    name = "stream_topk_" + uuid.uuid4().hex[:8]
+    out = run_available_now(
+        counts, name, tempfile.mkdtemp(prefix="ck_"), "complete"
+    )
+    return top_k_slice(out, k=3).select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "rank",
+        "value",
+        "cnt",
+        "share_ppm",
+    ).orderBy("day", "rank")
+
+
+ORACLE_STREAM_TOP_K = """
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS w, CAST(event_type AS VARCHAR) AS v
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+c AS (SELECT w, v, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY w, v),
+r AS (
+  SELECT w, v, cnt,
+         row_number() OVER (PARTITION BY w ORDER BY cnt DESC, v ASC)
+           AS rank,
+         CAST(sum(cnt) OVER (PARTITION BY w) AS BIGINT) AS n
+  FROM c
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS day, CAST(rank AS BIGINT) AS rank,
+       v AS value, cnt,
+       CAST((1000000 * cnt) // n AS BIGINT) AS share_ppm
+FROM r WHERE rank <= 3 ORDER BY day, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
@@ -11729,6 +11854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-snapshot diversity screen (per-source entropy), the
         # feature-association MI/lift diagram, the production
         # reference-decile PSI, and the Benford first-digit screen.
+        "text_vocab_growth": q_text_vocab_growth,
+        "events_stream_top_k": q_events_stream_top_k,
         "stats_entropy_by": q_stats_entropy_by,
         "stats_mutual_info": q_stats_mutual_info,
         "dq_psi_quantile_bins": q_dq_psi_quantile_bins,
@@ -12083,6 +12210,8 @@ def _radolan_scale_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         # r16 sixth-wave first-exposure operators
+        "text_vocab_growth": ORACLE_VOCAB_GROWTH,
+        "events_stream_top_k": ORACLE_STREAM_TOP_K,
         "stats_entropy_by": ORACLE_ENTROPY_BY,
         "stats_mutual_info": ORACLE_MUTUAL_INFO,
         "dq_psi_quantile_bins": _psi_qbins_oracle(),

@@ -1307,3 +1307,100 @@ def pmi_boundary_margin(
         .first()
     )
     return 0.5 if row["m"] is None else float(row["m"])
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve — the corpus-scale planning
+    diagnostic: how fast does the distinct-token vocabulary grow as the
+    corpus grows?  A healthy natural corpus grows ``V ≈ K·N^β`` with β
+    ~0.4-0.6; a flattening curve means new data is redundant (stop
+    collecting / dedup harder), a superlinear one means noise or
+    boilerplate explosion.  Feeds tokenizer-vocab sizing (BPE budget)
+    and dedup planning directly.
+
+    Prefix law (EXACT, integer-only): docs order by ``id_col``; bucket
+    ``b(doc) = (id·n_buckets) div (max_id + 1)`` (0..n_buckets−1 for
+    non-negative ids — a negative id surfaces as a negative bucket,
+    visible rather than silent).  A token BELONGS to the first bucket
+    containing a document that uses it (``min(bucket)`` over its
+    occurrences — monotone in id, so identical to bucketing
+    ``min(id)``); ``vocab_cum`` at bucket b is then EXACTLY the
+    distinct-token count of the corpus prefix through b.  Tokens are
+    the module's whitespace/lowercase law (split ``\\s+``, lower,
+    drop empty — the unigram_logprob convention).
+
+    Rows with NULL id or NULL text are EXCLUDED.
+
+    Plan shape: one 1-row max aggregate (broadcast back), one token
+    explode feeding TWO map-side-combinable aggregates — per-token
+    ``min(bucket)`` (the only token-domain shuffle) and per-bucket
+    occurrence counts — plus one doc-level per-bucket count; the three
+    ≤ n_buckets-row tables full-outer join and cumulate on ordered
+    windows over ≤ n_buckets counter rows.  At 100 TB the wire carries
+    the |vocabulary| min-counters and 3·n_buckets counters, never rows.
+
+    Returns per-bucket rows ``(bucket, n_docs, n_tokens, vocab_new,
+    docs_cum, tokens_cum, vocab_cum)``.
+
+    Reference analog: none — extends the text-analysis family
+    (SURVEY §2 extension table).
+    """
+    from pyspark.sql import Window
+
+    if not (2 <= n_buckets <= 10_000):
+        raise ValueError(
+            "vocab_growth: n_buckets must be in 2..10000 "
+            "(functions/text.py)"
+        )
+    d = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    mx = d.agg(F.max("_id").alias("_mx"))
+    db = d.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(_id * {n_buckets}) div (_mx + 1)")
+        .cast("long")
+        .alias("bucket"),
+        "_text",
+    )
+    toks = (
+        db.select("bucket", F.explode(tokens("_text")).alias("_tok"))
+        .select("bucket", F.lower(F.col("_tok")).alias("_tok"))
+        .filter(F.col("_tok") != "")
+    )
+    tok_b = toks.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    voc_b = (
+        toks.groupBy("_tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("vocab_new"))
+    )
+    doc_b = db.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    j = (
+        doc_b.join(tok_b, "bucket", "full_outer")
+        .join(voc_b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("vocab_new", F.lit(0)).cast("long").alias("vocab_new"),
+        )
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "vocab_new",
+        F.sum("n_docs").over(wcum).cast("long").alias("docs_cum"),
+        F.sum("n_tokens").over(wcum).cast("long").alias("tokens_cum"),
+        F.sum("vocab_new").over(wcum).cast("long").alias("vocab_cum"),
+    )

@@ -904,3 +904,99 @@ def stream_psi_buckets(
             "psi_contrib"
         ),
     )
+
+
+def stream_key_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-window EXACT key counts — the bounded-domain twin
+    of :func:`stream_count_min`: where the sketch answers frequency
+    questions over an UNBOUNDED key domain at fixed state, this keeps
+    one long per (window, key) for a CATEGORY-SIZED key (event type,
+    status code, language) so the drained slices answer top-k /
+    mix-shift questions EXACTLY — the ingest-time feed for
+    :func:`top_k_slice` (per-window heavy hitters without re-reading
+    the corpus).
+
+    CONTRACT (the state bound): the key domain must be category-sized
+    — state is ≤ windows·|domain| longs, maintained by Spark's
+    windowed-aggregate state store and EVICTED by the watermark (no
+    custom state, so cleanup is the runtime's own guarantee, not
+    hand-rolled).  An unbounded domain belongs on
+    :func:`stream_count_min`.
+
+    DETERMINISTIC and batch-identical: one watermarked window-grouped
+    count — an availableNow drain equals the batch
+    ``groupBy(window, key).count()`` row-for-row (exact SQL oracle;
+    no hashing anywhere).
+
+    Returns ``(ts, value, cnt)`` per window — ``ts`` the window start;
+    NULL keys and NULL timestamps are excluded (the family contract).
+    """
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .filter(F.col(key_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window),
+            F.col(key_col).cast("string").alias("value"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.select(
+        F.col("window.start").alias("ts"),
+        "value",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def top_k_slice(drained: DataFrame, k: int = 5) -> DataFrame:
+    """Per-window top-k reduction over DRAINED :func:`stream_key_counts`
+    slices ``(ts, value, cnt)`` — the
+    :func:`~radohydro_spark.operators.sketch.heavy_hitters_by` law with
+    the window-start as the group: rank by ``(cnt DESC, value ASC)``
+    (the deterministic tie convention), ``share_ppm = 10⁶·cnt div
+    n_window`` as one terminal floored BIGINT division under the
+    family's named in-plan 9e12 assert.
+
+    Batch-side: runs on the drained store (or any (ts, value, cnt)
+    table), one group-partitioned window computing totals AND rank on
+    the same exchange over counter rows.
+
+    Returns ``(ts, rank, value, cnt, share_ppm)`` — ≤ k rows per
+    window, rank 1-based.
+    """
+    if k < 1:
+        raise ValueError("top_k_slice: k must be >= 1 (streaming/streams.py)")
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy("ts")
+    wr = W.partitionBy("ts").orderBy(F.col("cnt").desc(), F.col("value").asc())
+    base = drained.select(
+        "ts",
+        "value",
+        "cnt",
+        F.sum("cnt").over(wg).alias("_n"),
+        F.row_number().over(wr).alias("rank"),
+    ).filter(F.col("rank") <= k)
+    guard = F.col("_n") <= F.lit(9_000_000_000_000)
+    checked_n = F.when(guard, F.col("_n")).otherwise(
+        F.assert_true(
+            guard,
+            F.lit(
+                "top_k_slice: a window's total exceeds the exact ppm "
+                "domain (9e12) — pre-aggregate or sample "
+                "(streaming/streams.py)"
+            ),
+        ).cast("long")
+    )
+    return base.withColumn("_chk", checked_n).select(
+        "ts",
+        F.col("rank").cast("long").alias("rank"),
+        "value",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("(1000000 * cnt) div _chk").cast("long").alias("share_ppm"),
+    )

@@ -264,3 +264,181 @@ def test_benford_digits_perfect_benford_zero_chi2(spark):
     assert got[1]["chi2_contrib"] == max(
         r["chi2_contrib"] for r in got.values()
     )
+
+
+# -------------------------------------------------------- vocab_growth
+
+
+def test_vocab_growth_python_replay(spark):
+    from radohydro_spark.functions.text import vocab_growth
+
+    docs = [
+        (0, "the cat"),
+        (1, "the dog"),
+        (2, "a cat and a dog"),
+        (3, "new words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["bucket"]: r for r in vocab_growth(df, n_buckets=2).collect()}
+    # max_id = 3 -> bucket = id*2 div 4: ids 0,1 -> 0; ids 2,3 -> 1
+    assert set(got) == {0, 1}
+    assert got[0]["n_docs"] == 2 and got[1]["n_docs"] == 2
+    assert got[0]["n_tokens"] == 4 and got[1]["n_tokens"] == 8
+    # prefix 0 vocab: {the, cat, dog} = 3; bucket 1 adds {a, and, new,
+    # words, here} = 5
+    assert got[0]["vocab_new"] == 3 and got[1]["vocab_new"] == 5
+    assert got[1]["vocab_cum"] == 8 and got[1]["tokens_cum"] == 12
+    assert got[1]["docs_cum"] == 4
+
+
+def test_vocab_growth_prefix_exactness(spark):
+    """vocab_cum at bucket b must equal the distinct-token count of the
+    corpus prefix through b, computed independently."""
+    from radohydro_spark.functions.text import vocab_growth
+
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randint(1, 8))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n_buckets = 5
+    got = {r["bucket"]: r for r in vocab_growth(df, n_buckets=5).collect()}
+    mx = 24
+    for b, r in got.items():
+        prefix_vocab = set()
+        for i, text in docs:
+            if (i * n_buckets) // (mx + 1) <= b:
+                prefix_vocab.update(
+                    t.lower() for t in text.split() if t
+                )
+        assert r["vocab_cum"] == len(prefix_vocab), f"bucket {b}"
+
+
+def test_vocab_growth_null_rows_excluded(spark):
+    from radohydro_spark.functions.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, None), (None, "z"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = vocab_growth(df, n_buckets=2).collect()
+    assert sum(r["n_docs"] for r in got) == 2
+    assert max(r["vocab_cum"] for r in got) == 2  # {x, y}
+
+
+def test_vocab_growth_bad_buckets_raises_named(spark):
+    from radohydro_spark.functions.text import vocab_growth
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_growth.*n_buckets"):
+        vocab_growth(df, n_buckets=1)
+
+
+# --------------------------------------- stream_key_counts / top_k_slice
+
+
+def test_stream_key_counts_equals_batch(spark, tmp_path):
+    """availableNow drain == batch groupBy(window, key).count()
+    row-for-row (no hashing, no sketch — the exact-count contract)."""
+    import datetime
+
+    from radohydro_spark.streaming import (
+        run_available_now,
+        stream_key_counts,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=11 * i), f"k{i % 4}")
+        for i in range(50)
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, "ts timestamp, k string").write.parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, k string").parquet(str(src))
+    )
+    out = run_available_now(
+        stream_key_counts(stream, "ts", "k", "1 hour", watermark="1 hour"),
+        "t_stream_keycounts",
+        str(tmp_path / "ck"),
+        "complete",
+    ).collect()
+    got = {(r.ts, r.value): r.cnt for r in out}
+    want: dict = {}
+    for ts, k in rows:
+        w = ts.replace(minute=0, second=0)
+        want[(w, k)] = want.get((w, k), 0) + 1
+    assert got == want
+
+
+def test_top_k_slice_tie_law_and_ppm(spark):
+    import datetime
+
+    from radohydro_spark.streaming import top_k_slice
+
+    w = datetime.datetime(2024, 3, 1)
+    rows = [
+        (w, "b", 5),
+        (w, "a", 5),
+        (w, "c", 7),
+        (w, "d", 3),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value string, cnt long")
+    got = top_k_slice(df, k=3).orderBy("rank").collect()
+    # ties at cnt=5 break by value ASC: a before b
+    assert [(r["rank"], r["value"]) for r in got] == [
+        (1, "c"),
+        (2, "a"),
+        (3, "b"),
+    ]
+    n = 20
+    assert [r["share_ppm"] for r in got] == [
+        (1_000_000 * 7) // n,
+        (1_000_000 * 5) // n,
+        (1_000_000 * 5) // n,
+    ]
+
+
+def test_top_k_slice_bad_k_raises_named(spark):
+    import datetime
+
+    from radohydro_spark.streaming import top_k_slice
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1), "a", 1)],
+        "ts timestamp, value string, cnt long",
+    )
+    with pytest.raises(ValueError, match="top_k_slice: k"):
+        top_k_slice(df, k=0)
+
+
+def test_stream_key_counts_null_keys_excluded(spark, tmp_path):
+    import datetime
+
+    from radohydro_spark.streaming import (
+        run_available_now,
+        stream_key_counts,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(base, "a"), (base, None), (base, "a")]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, "ts timestamp, k string").write.parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, k string").parquet(str(src))
+    )
+    out = run_available_now(
+        stream_key_counts(stream, "ts", "k", "1 day", watermark="1 hour"),
+        "t_stream_keycounts_null",
+        str(tmp_path / "ck"),
+        "complete",
+    ).collect()
+    assert [(r.value, r.cnt) for r in out] == [("a", 2)]
