@@ -11841,6 +11841,261 @@ FROM r WHERE rank <= 3 ORDER BY day, rank
 """
 
 
+def q_stats_ttest_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Welch two-sample t-test (operators.profile.ttest_by):
+    did mean extended price move across the 1998 ship-date split, per
+    return flag — the parametric A/B screen (one exact-moment pass;
+    the Poisson bootstrap is the non-parametric confirmatory leg).
+    Exact HUGEINT/decimal(38,0) cent sums over ONE union-tagged group
+    exchange; Welch t and Satterthwaite df in doubles with the
+    identical expression tree cross-engine."""
+    from radohydro_spark.operators.profile import ttest_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return ttest_by(
+        li.filter(F.col("l_shipdate") < split),
+        li.filter(F.col("l_shipdate") >= split),
+        "l_extendedprice",
+        ["l_returnflag"],
+        scale=100,
+    ).orderBy("l_returnflag")
+
+
+ORACLE_TTEST_BY = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS q,
+         CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+           AS s
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_shipdate IS NOT NULL
+),
+a AS (
+  SELECT g,
+         CAST(count(*) FILTER (WHERE s = 0) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE s = 1) AS BIGINT) AS n2,
+         CAST(COALESCE(sum(CAST(q AS HUGEINT)) FILTER (WHERE s = 0), 0)
+              AS DOUBLE) AS s1,
+         CAST(COALESCE(sum(CAST(q AS HUGEINT)) FILTER (WHERE s = 1), 0)
+              AS DOUBLE) AS s2,
+         CAST(COALESCE(sum(CAST(q AS HUGEINT) * q) FILTER (WHERE s = 0), 0)
+              AS DOUBLE) AS sxx1,
+         CAST(COALESCE(sum(CAST(q AS HUGEINT) * q) FILTER (WHERE s = 1), 0)
+              AS DOUBLE) AS sxx2
+  FROM base GROUP BY g
+),
+b AS (SELECT g, n1, n2, sxx1, sxx2, s1 / n1 AS m1, s2 / n2 AS m2 FROM a),
+c AS (
+  SELECT *,
+         greatest(sxx1 - n1 * m1 * m1, 0.0) / (n1 - 1.0) AS v1,
+         greatest(sxx2 - n2 * m2 * m2, 0.0) / (n2 - 1.0) AS v2
+  FROM b
+),
+d AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM c)
+SELECT g AS l_returnflag, n1 AS n_old, n2 AS n_new,
+       CASE WHEN n1 >= 1 THEN round(m1 / 100.0, 9) END AS mean_old,
+       CASE WHEN n2 >= 1 THEN round(m2 / 100.0, 9) END AS mean_new,
+       CASE WHEN n1 >= 1 AND n2 >= 1
+            THEN round((m2 - m1) / 100.0, 9) END AS mean_diff,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND se2 > 0.0
+            THEN round((m2 - m1) / sqrt(se2), 9) END AS t_stat,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND se2 > 0.0
+            THEN round((se2 * se2)
+                       / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                          + (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 9)
+       END AS welch_df
+FROM d ORDER BY l_returnflag
+"""
+
+
+def q_stats_mutual_info_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP mutual-information diagram
+    (operators.profile.mutual_info_by): return-flag ↔ ship-year
+    association per line status — the segmented leakage screen ("is the
+    dependence confined to one slice?").  One (group, x, y) count
+    aggregate + three group-partitioned counter windows."""
+    from radohydro_spark.operators.profile import mutual_info_by
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("string")
+    )
+    return mutual_info_by(
+        li, "l_returnflag", "ship_year", ["l_linestatus"]
+    ).orderBy("l_linestatus", "x_cat", "y_cat")
+
+
+ORACLE_MUTUAL_INFO_BY = """
+WITH base AS (
+  SELECT l_linestatus AS g, CAST(l_returnflag AS VARCHAR) AS x,
+         CAST(year(l_shipdate) AS VARCHAR) AS y
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_linestatus IS NOT NULL
+),
+cells AS (
+  SELECT g, x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, x, y
+),
+w AS (
+  SELECT g, x, y, c,
+         CAST(sum(c) OVER (PARTITION BY g, x) AS BIGINT) AS nx,
+         CAST(sum(c) OVER (PARTITION BY g, y) AS BIGINT) AS ny,
+         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM cells
+)
+SELECT g AS l_linestatus, x AS x_cat, y AS y_cat,
+       c AS n_xy, nx AS n_x, ny AS n_y,
+       round((c / n) / ((nx / n) * (ny / n)), 9) AS lift,
+       round((c / n) * ln((c / n) / ((nx / n) * (ny / n))), 9)
+         AS mi_contrib
+FROM w ORDER BY l_linestatus, x_cat, y_cat
+"""
+
+
+def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot profile diff (operators.profile.schema_drift): the
+    orders table's column profiles across the 1997 order-date split —
+    null-ppm and min/max support movement per column with the
+    added/removed/changed/stable status law (distinct counts reported
+    but excluded from status: they scale with |rows|).  Two single-agg
+    profile scans + a |columns|-row join."""
+    from radohydro_spark.operators.profile import schema_drift
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    return schema_drift(
+        o.filter(F.col("o_orderdate") < split),
+        o.filter(F.col("o_orderdate") >= split),
+        cols,
+    ).orderBy("column")
+
+
+def _schema_drift_oracle() -> str:
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+    def side(c: str, op: str) -> str:
+        return f"""SELECT '{c}' AS col, count(*) AS n_rows,
+       count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders WHERE o_orderdate {op} TIMESTAMP '1997-01-01'"""
+
+    o_side = " UNION ALL ".join(side(c, "<") for c in cols)
+    n_side = " UNION ALL ".join(side(c, ">=") for c in cols)
+    return f"""
+WITH o AS ({o_side}),
+n AS ({n_side}),
+j AS (
+  SELECT COALESCE(o.col, n.col) AS column,
+         o.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+         CASE WHEN o.n_rows > 0
+              THEN CAST((1000000 * o.n_nulls) // o.n_rows AS BIGINT)
+         END AS null_ppm_old,
+         CASE WHEN n.n_rows > 0
+              THEN CAST((1000000 * n.n_nulls) // n.n_rows AS BIGINT)
+         END AS null_ppm_new,
+         o.n_distinct AS n_distinct_old, n.n_distinct AS n_distinct_new,
+         o.min_value AS min_old, o.max_value AS max_old,
+         n.min_value AS min_new, n.max_value AS max_new
+  FROM o FULL OUTER JOIN n ON o.col = n.col
+)
+SELECT "column",
+       CASE WHEN n_rows_old IS NULL THEN 'added'
+            WHEN n_rows_new IS NULL THEN 'removed'
+            WHEN (null_ppm_old IS DISTINCT FROM null_ppm_new)
+              OR (min_old IS DISTINCT FROM min_new)
+              OR (max_old IS DISTINCT FROM max_new) THEN 'changed'
+            ELSE 'stable' END AS status,
+       CAST(n_rows_old AS BIGINT) AS n_rows_old,
+       CAST(n_rows_new AS BIGINT) AS n_rows_new,
+       null_ppm_old, null_ppm_new,
+       CAST(n_distinct_old AS BIGINT) AS n_distinct_old,
+       CAST(n_distinct_new AS BIGINT) AS n_distinct_new,
+       min_old, max_old, min_new, max_new
+FROM j ORDER BY "column"
+"""
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators.graph.label_propagation): 3 rounds of
+    most-frequent-neighbor-label (ties to the smallest label) over the
+    deterministic customer hash graph — community detection inside the
+    giant component that connected components cannot split.  Fixed
+    round count ⇒ the oracle unrolls the identical recursion in SQL."""
+    from radohydro_spark.operators.graph import label_propagation
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    nn = c.agg((F.max("c_custkey") + 1).alias("nn"))
+    base = c.crossJoin(F.broadcast(nn))
+    edges = base.select(
+        F.col("c_custkey").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % F.col("nn")).alias("dst"),
+    ).unionAll(
+        base.select(
+            F.col("c_custkey"),
+            ((F.col("c_custkey") * 13 + 5) % F.col("nn")),
+        )
+    )
+    return (
+        label_propagation(edges, iters=3)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("label").cast("long").alias("label"),
+        )
+        .orderBy("node")
+    )
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    parts = [
+        """
+WITH c AS (SELECT c_custkey FROM customer),
+mx AS (SELECT max(c_custkey) + 1 AS nn FROM c),
+e0 AS (
+  SELECT c_custkey AS a, (c_custkey * 7 + 3) % nn AS b FROM c, mx
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 13 + 5) % nn FROM c, mx
+),
+e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)
+  WHERE a <> b
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM e)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+v{k} AS (
+  SELECT e.b AS node, l{k - 1}.label, count(*) AS c
+  FROM e JOIN l{k - 1} ON e.a = l{k - 1}.node GROUP BY 1, 2
+),
+p{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{k}) t
+  WHERE rn = 1
+),
+l{k} AS (
+  SELECT l{k - 1}.node, COALESCE(p{k}.label, l{k - 1}.label) AS label
+  FROM l{k - 1} LEFT JOIN p{k} ON l{k - 1}.node = p{k}.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l{iters} ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
@@ -11854,6 +12109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-snapshot diversity screen (per-source entropy), the
         # feature-association MI/lift diagram, the production
         # reference-decile PSI, and the Benford first-digit screen.
+        "stats_ttest_by": q_stats_ttest_by,
+        "stats_mutual_info_by": q_stats_mutual_info_by,
+        "dq_schema_drift": q_dq_schema_drift,
+        "graph_label_propagation": q_graph_label_propagation,
         "text_vocab_growth": q_text_vocab_growth,
         "events_stream_top_k": q_events_stream_top_k,
         "stats_entropy_by": q_stats_entropy_by,
@@ -12210,6 +12469,10 @@ def _radolan_scale_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         # r16 sixth-wave first-exposure operators
+        "stats_ttest_by": ORACLE_TTEST_BY,
+        "stats_mutual_info_by": ORACLE_MUTUAL_INFO_BY,
+        "dq_schema_drift": _schema_drift_oracle(),
+        "graph_label_propagation": _lpa_oracle(3),
         "text_vocab_growth": ORACLE_VOCAB_GROWTH,
         "events_stream_top_k": ORACLE_STREAM_TOP_K,
         "stats_entropy_by": ORACLE_ENTROPY_BY,

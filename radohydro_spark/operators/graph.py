@@ -400,3 +400,91 @@ def k_core(
             f"{n}); raise max_iter for deep peel chains (e.g. long paths)"
         )
     return cur.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) — the
+    near-linear community pass (Raghavan et al. 2007) a corpus graph
+    gets AFTER :func:`connected_components`: components give the
+    transitive-closure clusters; LPA splits a giant component into
+    dense communities (host clusters in a link graph, topical clusters
+    in a similarity graph) without any modularity optimization loop.
+
+    DETERMINISTIC law (classic LPA leaves tie-breaks random; this
+    variant pins them so runs and engines agree exactly): every node
+    starts labelled with its own id; each round, SYNCHRONOUSLY, a
+    node's new label is the most frequent label among its NEIGHBORS
+    with ties broken by SMALLEST label — ``argmin by (count DESC,
+    label ASC)``; nodes with no neighbors keep their current label.
+    EXACTLY ``iters`` rounds (no convergence test — a fixed round
+    count is what lets an exact SQL oracle unroll the recursion).
+    Edges are symmetrized and de-duplicated; SELF-LOOPS are excluded
+    (a self-vote would freeze every node at round 1).
+
+    Plan shape per round: one broadcast-or-shuffle hash join
+    (edges × labels on the src key) + one (node, label) count
+    aggregate + one per-node window for the deterministic argmin +
+    one left join back onto the node universe — all shuffle-parallel
+    on the node key, rows per round bounded by |edges|.  Each round
+    ends in ``localCheckpoint`` (the module convention: without it the
+    logical plan doubles per iteration and Catalyst analysis explodes
+    long before the data does).
+
+    Returns ``(node, label)`` — nodes sharing a label form a
+    community.
+
+    Reference analog: none — extends the graph family
+    (SURVEY §2 extension table).
+    """
+    if iters < 1:
+        raise ValueError(
+            "label_propagation: iters must be >= 1 (operators/graph.py)"
+        )
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    if nodes is None:
+        universe = e.select(F.col("a").alias("node")).distinct()
+    else:
+        universe = nodes.select(
+            F.col(nodes.columns[0]).alias("node")
+        ).distinct()
+    labels = universe.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window as W
+
+    for _ in range(iters):
+        votes = (
+            e.join(labels, e["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        wr = W.partitionBy("node").orderBy(
+            F.col("_c").desc(), F.col("label").asc()
+        )
+        pick = (
+            votes.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

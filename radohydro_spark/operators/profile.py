@@ -3197,3 +3197,304 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
             "chi2_contrib"
         ),
     )
+
+
+def mutual_info_by(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-GROUP mutual-information diagram — :func:`mutual_info`'s
+    segmented form (one association verdict per segment: "is the
+    return-flag↔ship-year dependence confined to one line status?").
+    Same per-cell float law (proportions from exact BIGINT counts,
+    nothing cross-multiplies, so no overflow contract), totals and
+    marginals computed IN-PLAN per group.
+
+    Rows with a NULL group key, x, or y are EXCLUDED up front (the
+    family convention); groups with no rows do not appear.
+
+    Plan shape: ONE (group, x, y) count aggregate (output = Σ_g
+    |group g's observed cell domain| counters) + three
+    group-partitioned window exchanges over those COUNTERS
+    ((g, x) marginal, (g, y) marginal, g total) — |groups|·|cells|
+    counters on the wire, never rows.
+
+    Returns per-(group, cell) rows ``(<group_cols>, x_cat, y_cat,
+    n_xy, n_x, n_y, lift, mi_contrib)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "mutual_info_by: group_cols is empty — use mutual_info "
+            "for the global form (operators/profile.py)"
+        )
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    cells = (
+        df.filter(keep)
+        .groupBy(
+            *group_cols,
+            F.col(x_col).cast("string").alias("x_cat"),
+            F.col(y_col).cast("string").alias("y_cat"),
+        )
+        .agg(F.count("*").alias("_c"))
+    )
+    base = cells.select(
+        *group_cols,
+        "x_cat",
+        "y_cat",
+        "_c",
+        F.sum("_c").over(W.partitionBy(*group_cols, "x_cat")).alias("_nx"),
+        F.sum("_c").over(W.partitionBy(*group_cols, "y_cat")).alias("_ny"),
+        F.sum("_c").over(W.partitionBy(*group_cols)).alias("_n"),
+    )
+    p_xy = F.col("_c") / F.col("_n")
+    p_x = F.col("_nx") / F.col("_n")
+    p_y = F.col("_ny") / F.col("_n")
+    return base.select(
+        *group_cols,
+        "x_cat",
+        "y_cat",
+        F.col("_c").cast("long").alias("n_xy"),
+        F.col("_nx").cast("long").alias("n_x"),
+        F.col("_ny").cast("long").alias("n_y"),
+        F.round(p_xy / (p_x * p_y), 9).alias("lift"),
+        F.round(p_xy * F.log(p_xy / (p_x * p_y)), 9).alias("mi_contrib"),
+    )
+
+
+def ttest_by(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Welch two-sample t-test — the PARAMETRIC A/B leg of
+    the drift/eval family (:func:`~radohydro_spark.operators.aggregate.
+    poisson_bootstrap_ci_by` answers the same "did the mean move per
+    arm?" question non-parametrically at ~32 passes; Welch answers it
+    from ONE exact-moment pass when the normal approximation is
+    acceptable — the screening order is t-test first, bootstrap on the
+    survivors).
+
+    Exactness across engines (the :func:`corr_by` / zscore law): float
+    sums are order-dependent, so NOTHING float is ever aggregated —
+    values quantize to ``round(v·scale)`` and per-side Σx, Σx²
+    accumulate in wide decimal (Spark decimal(38,0), DuckDB HUGEINT)
+    over ONE union-tagged group exchange; one correctly-rounded cast
+    to double per moment AFTER summing, then the Welch formulas
+    evaluate in doubles with the identical expression tree
+    cross-engine, rounded 9:
+
+    * ``m = Σx/n`` (cents), ``v = max(Σx² − n·m², 0)/(n−1)`` (sample
+      variance, floored against cast ulp on constant columns)
+    * ``se² = v1/n1 + v2/n2``; ``t = (m2 − m1)/√se²`` (scale cancels)
+    * ``df = se⁴ / ((v1/n1)²/(n1−1) + (v2/n2)²/(n2−1))``
+      (Welch–Satterthwaite)
+
+    Validity: groups need n ≥ 2 on BOTH sides and ``se² > 0`` —
+    otherwise ``t_stat``/``welch_df`` are NULL (means still report).
+    Same per-row quantization contract as corr_by (≤ log10(scale)
+    decimals; |x_c| ≤ ~10⁹ keeps Σx² inside decimal(38,0) at any n).
+
+    Rows with a NULL group key or value are EXCLUDED up front.
+
+    Plan shape: ONE union-tagged map-side-combinable aggregate — six
+    counters per group on the wire (2×(n, Σx, Σx²)), never rows; no
+    window, no second pass, no collect.
+
+    Returns one row per group: ``(<group_cols>, n_old, n_new,
+    mean_old, mean_new, mean_diff, t_stat, welch_df)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not group_cols:
+        raise ValueError(
+            "ttest_by: group_cols is empty — pass a constant group "
+            "for a global test (operators/profile.py)"
+        )
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        keep = F.col(value_col).isNotNull()
+        for g in group_cols:
+            keep = keep & F.col(g).isNotNull()
+        return df.filter(keep).select(
+            *group_cols,
+            F.round(F.col(value_col) * scale)
+            .cast("decimal(38,0)")
+            .alias("_q"),
+            F.lit(tag).alias("_s"),
+        )
+
+    u = _side(old, 0).unionByName(_side(new, 1))
+    zero = F.lit(0).cast("decimal(38,0)")
+    agg = u.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("_n2"),
+        F.sum(F.when(F.col("_s") == 0, F.col("_q")).otherwise(zero)).alias(
+            "_s1"
+        ),
+        F.sum(F.when(F.col("_s") == 1, F.col("_q")).otherwise(zero)).alias(
+            "_s2"
+        ),
+        F.sum(
+            F.when(F.col("_s") == 0, F.col("_q") * F.col("_q")).otherwise(
+                zero
+            )
+        ).alias("_sxx1"),
+        F.sum(
+            F.when(F.col("_s") == 1, F.col("_q") * F.col("_q")).otherwise(
+                zero
+            )
+        ).alias("_sxx2"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    sxx1 = F.col("_sxx1").cast("double")
+    sxx2 = F.col("_sxx2").cast("double")
+    # NULL-divisor guards: ANSI mode raises DIVIDE_BY_ZERO even under
+    # a gating CASE (subexpression hoisting evaluates branches
+    # eagerly), but division by NULL is NULL — so degenerate groups
+    # (n = 0 for means, n < 2 for variances, se2 = 0 for t) divide by
+    # NULL and flow NULL into the already-gated outputs, while valid
+    # groups see the IDENTICAL doubles (the when picks n itself).
+    n1m = F.when(F.col("_n1") >= 1, n1)
+    n2m = F.when(F.col("_n2") >= 1, n2)
+    n1v = F.when(F.col("_n1") >= 2, n1)
+    n2v = F.when(F.col("_n2") >= 2, n2)
+    m1 = s1 / n1m
+    m2 = s2 / n2m
+    v1 = F.greatest(sxx1 - n1 * m1 * m1, F.lit(0.0)) / (n1v - F.lit(1.0))
+    v2 = F.greatest(sxx2 - n2 * m2 * m2, F.lit(0.0)) / (n2v - F.lit(1.0))
+    se2 = v1 / n1v + v2 / n2v
+    t_den = F.when(se2 > F.lit(0.0), F.sqrt(se2))
+    t = (m2 - m1) / t_den
+    df_den = F.when(
+        se2 > F.lit(0.0),
+        (v1 / n1v) * (v1 / n1v) / (n1v - F.lit(1.0))
+        + (v2 / n2v) * (v2 / n2v) / (n2v - F.lit(1.0)),
+    )
+    dfw = (se2 * se2) / df_den
+    valid = (
+        (F.col("_n1") >= 2) & (F.col("_n2") >= 2) & (se2 > F.lit(0.0))
+    )
+    sc = F.lit(float(scale))
+    return agg.select(
+        *group_cols,
+        F.col("_n1").cast("long").alias("n_old"),
+        F.col("_n2").cast("long").alias("n_new"),
+        F.when(F.col("_n1") >= 1, F.round(m1 / sc, 9)).alias("mean_old"),
+        F.when(F.col("_n2") >= 1, F.round(m2 / sc, 9)).alias("mean_new"),
+        F.when(
+            (F.col("_n1") >= 1) & (F.col("_n2") >= 1),
+            F.round((m2 - m1) / sc, 9),
+        ).alias("mean_diff"),
+        F.when(valid, F.round(t, 9)).otherwise(
+            F.lit(None).cast("double")
+        ).alias("t_stat"),
+        F.when(valid, F.round(dfw, 9)).otherwise(
+            F.lit(None).cast("double")
+        ).alias("welch_df"),
+    )
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Column-profile DIFF between two table snapshots — the "what
+    changed in this drop?" report a pipeline reads before the
+    distributional drift legs even run: columns appearing/disappearing,
+    null-rate movement, and min/max support shifts, from ONE
+    :func:`profile_columns` pass per side.
+
+    Laws (all exact): ``null_ppm = 10⁶·n_nulls div n_rows`` per side
+    (NULL when the side has 0 rows); ``status`` is ``'added'`` /
+    ``'removed'`` when the column exists on one side only (profiling
+    skips columns a side's schema lacks), else ``'changed'`` when the
+    null ppm OR the min/max strings moved (NULL-safe compares), else
+    ``'stable'``.  Distinct counts are REPORTED but excluded from the
+    status law — they scale with |rows| and would flag every growing
+    table.
+
+    Plan shape: two single-aggregate profile jobs (each ONE scan, all
+    measures map-side partial — the profile_columns plan) + a
+    |columns|-row full-outer join.  Nothing driver-side scales with
+    data.
+
+    Returns one row per column: ``(column, status, n_rows_old,
+    n_rows_new, null_ppm_old, null_ppm_new, n_distinct_old,
+    n_distinct_new, min_old, max_old, min_new, max_new)``.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    cols = cols or sorted(set(old.columns) | set(new.columns))
+    old_cols = [c for c in cols if c in old.columns]
+    new_cols = [c for c in cols if c in new.columns]
+    if not old_cols and not new_cols:
+        raise ValueError(
+            "schema_drift: none of the requested columns exist on "
+            "either side (operators/profile.py)"
+        )
+
+    def _prof(df: DataFrame, side_cols: list[str], suffix: str):
+        p = profile_columns(df.select(side_cols), side_cols)
+        return p.select(
+            "column",
+            F.col("n_rows").alias(f"n_rows_{suffix}"),
+            F.col("n_nulls").alias(f"_nulls_{suffix}"),
+            F.col("n_distinct").alias(f"n_distinct_{suffix}"),
+            F.col("min_value").alias(f"min_{suffix}"),
+            F.col("max_value").alias(f"max_{suffix}"),
+        )
+
+    o = _prof(old, old_cols, "old") if old_cols else None
+    n = _prof(new, new_cols, "new") if new_cols else None
+    if o is None or n is None:
+        raise ValueError(
+            "schema_drift: one side has none of the requested columns "
+            "(operators/profile.py)"
+        )
+    j = o.join(n, "column", "full_outer")
+
+    def _ppm(nulls: str, rows: str):
+        return F.when(
+            F.col(rows) > 0,
+            F.expr(f"(1000000 * {nulls}) div {rows}"),
+        ).cast("long")
+
+    ppm_o = _ppm("_nulls_old", "n_rows_old")
+    ppm_n = _ppm("_nulls_new", "n_rows_new")
+    added = F.col("n_rows_old").isNull()
+    removed = F.col("n_rows_new").isNull()
+    changed = (
+        ~ppm_o.eqNullSafe(ppm_n)
+        | ~F.col("min_old").eqNullSafe(F.col("min_new"))
+        | ~F.col("max_old").eqNullSafe(F.col("max_new"))
+    )
+    return j.select(
+        "column",
+        F.when(added, F.lit("added"))
+        .when(removed, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+        F.col("n_rows_old").cast("long").alias("n_rows_old"),
+        F.col("n_rows_new").cast("long").alias("n_rows_new"),
+        ppm_o.alias("null_ppm_old"),
+        ppm_n.alias("null_ppm_new"),
+        F.col("n_distinct_old").cast("long").alias("n_distinct_old"),
+        F.col("n_distinct_new").cast("long").alias("n_distinct_new"),
+        "min_old",
+        "max_old",
+        "min_new",
+        "max_new",
+    )

@@ -442,3 +442,240 @@ def test_stream_key_counts_null_keys_excluded(spark, tmp_path):
         "complete",
     ).collect()
     assert [(r.value, r.cnt) for r in out] == [("a", 2)]
+
+
+# ------------------------------------------------------------ ttest_by
+
+
+def _welch(xs, ys):
+    n1, n2 = len(xs), len(ys)
+    s1, s2 = float(sum(xs)), float(sum(ys))
+    sxx1 = float(sum(v * v for v in xs))
+    sxx2 = float(sum(v * v for v in ys))
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = max(sxx1 - n1 * m1 * m1, 0.0) / (n1 - 1.0)
+    v2 = max(sxx2 - n2 * m2 * m2, 0.0) / (n2 - 1.0)
+    se2 = v1 / n1 + v2 / n2
+    t = (m2 - m1) / math.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1.0)
+        + (v2 / n2) * (v2 / n2) / (n2 - 1.0)
+    )
+    return m1, m2, t, dfw
+
+
+def test_ttest_by_python_replay(spark):
+    from radohydro_spark.operators.profile import ttest_by
+
+    xs = [1.00, 2.00, 3.00, 4.00]          # cents: 100..400
+    ys = [2.50, 3.50, 4.50]                # cents: 250..450
+    old = spark.createDataFrame([("g", v) for v in xs], "g string, v double")
+    new = spark.createDataFrame([("g", v) for v in ys], "g string, v double")
+    [r] = ttest_by(old, new, "v", ["g"]).collect()
+    cx = [round(v * 100) for v in xs]
+    cy = [round(v * 100) for v in ys]
+    m1, m2, t, dfw = _welch(cx, cy)
+    assert r["n_old"] == 4 and r["n_new"] == 3
+    assert r["mean_old"] == round(m1 / 100.0, 9)
+    assert r["mean_new"] == round(m2 / 100.0, 9)
+    assert r["mean_diff"] == round((m2 - m1) / 100.0, 9)
+    assert r["t_stat"] == round(t, 9)
+    assert r["welch_df"] == round(dfw, 9)
+
+
+def test_ttest_by_degenerate_groups_null_stats(spark):
+    from radohydro_spark.operators.profile import ttest_by
+
+    old = spark.createDataFrame(
+        [("one_sided", 1.0), ("tiny", 1.0), ("const", 5.0), ("const", 5.0)],
+        "g string, v double",
+    )
+    new = spark.createDataFrame(
+        [("tiny", 2.0), ("tiny", 3.0), ("const", 5.0), ("const", 5.0)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in ttest_by(old, new, "v", ["g"]).collect()}
+    # one-sided: group exists, new side empty -> means/diff/t all gated
+    r = got["one_sided"]
+    assert r["n_new"] == 0 and r["mean_new"] is None
+    assert r["mean_diff"] is None and r["t_stat"] is None
+    # n1 = 1 < 2 -> t/df NULL but both means report
+    r = got["tiny"]
+    assert r["mean_old"] == 1.0 and r["mean_new"] == 2.5
+    assert r["t_stat"] is None and r["welch_df"] is None
+    # constant on both sides -> se2 == 0 -> NULL t
+    r = got["const"]
+    assert r["t_stat"] is None and r["mean_diff"] == 0.0
+
+
+def test_ttest_by_empty_groups_raises_named(spark):
+    from radohydro_spark.operators.profile import ttest_by
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="ttest_by.*group_cols"):
+        ttest_by(df, df, "v", [])
+
+
+# ------------------------------------------------------ mutual_info_by
+
+
+def test_mutual_info_by_single_group_pins_global(spark):
+    from radohydro_spark.operators.profile import (
+        mutual_info,
+        mutual_info_by,
+    )
+
+    rows = [("g", x, y) for x, y in
+            [("a", "p")] * 3 + [("a", "q")] * 2 + [("b", "p")] * 1]
+    df = spark.createDataFrame(rows, "g string, x string, y string")
+    via_by = {
+        (r["x_cat"], r["y_cat"]): (
+            r["n_xy"], r["n_x"], r["n_y"], r["lift"], r["mi_contrib"]
+        )
+        for r in mutual_info_by(df, "x", "y", ["g"]).collect()
+    }
+    via_global = {
+        (r["x_cat"], r["y_cat"]): (
+            r["n_xy"], r["n_x"], r["n_y"], r["lift"], r["mi_contrib"]
+        )
+        for r in mutual_info(df, "x", "y").collect()
+    }
+    assert via_by == via_global
+
+
+def test_mutual_info_by_groups_isolated(spark):
+    """Marginals must come from the row's own group only."""
+    from radohydro_spark.operators.profile import mutual_info_by
+
+    rows = [("g1", "a", "p")] * 4 + [("g2", "a", "q")] * 6
+    df = spark.createDataFrame(rows, "g string, x string, y string")
+    got = {(r["g"], r["x_cat"], r["y_cat"]): r
+           for r in mutual_info_by(df, "x", "y", ["g"]).collect()}
+    assert got[("g1", "a", "p")]["n_x"] == 4
+    assert got[("g2", "a", "q")]["n_x"] == 6
+    assert all(r["lift"] == 1.0 for r in got.values())
+
+
+def test_mutual_info_by_empty_groups_raises_named(spark):
+    from radohydro_spark.operators.profile import mutual_info_by
+
+    df = spark.createDataFrame([("g", "a", "p")], "g string, x string, y string")
+    with pytest.raises(ValueError, match="mutual_info_by.*group_cols"):
+        mutual_info_by(df, "x", "y", [])
+
+
+# -------------------------------------------------------- schema_drift
+
+
+def test_schema_drift_status_laws(spark):
+    from radohydro_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame(
+        [(1, "x", None), (2, "y", 5.0)], "k long, s string, gone double"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 7), (2, "z", 8), (3, None, 9)],
+        "k long, s string, fresh long",
+    )
+    got = {r["column"]: r for r in schema_drift(old, new).collect()}
+    assert got["gone"]["status"] == "removed"
+    assert got["fresh"]["status"] == "added"
+    # k: nulls 0/0, min 1/1, max 2/3 -> changed
+    assert got["k"]["status"] == "changed"
+    # s: null ppm 0 -> 333333, max y -> z -> changed
+    assert got["s"]["status"] == "changed"
+    assert got["s"]["null_ppm_old"] == 0
+    assert got["s"]["null_ppm_new"] == (1_000_000 * 1) // 3
+
+
+def test_schema_drift_stable_column(spark):
+    from radohydro_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    new = spark.createDataFrame(
+        [(1,), (2,), (2,), (1,), (2,), (None,), (None,)], "k long"
+    )
+    # ppm old = 333333, ppm new = 2/7 -> 285714 -> changed
+    [r] = schema_drift(old, new).collect()
+    assert r["status"] == "changed"
+    # same null RATE via matching ppm -> stable
+    old2 = spark.createDataFrame([(1,), (2,)], "k long")
+    new2 = spark.createDataFrame([(1,), (2,), (2,), (1,)], "k long")
+    [r2] = schema_drift(old2, new2).collect()
+    assert r2["status"] == "stable"
+    assert r2["n_distinct_old"] == 2 and r2["n_distinct_new"] == 2
+
+
+def test_schema_drift_no_columns_raises_named(spark):
+    from radohydro_spark.operators.profile import schema_drift
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="schema_drift"):
+        schema_drift(df, df, ["missing"])
+
+
+# -------------------------------------------------- label_propagation
+
+
+def test_label_propagation_python_replay(spark):
+    """Triangle {1,2,3} + pendant 4-3: replay the synchronous rounds
+    by hand."""
+    from radohydro_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+
+    def lpa_py(adj, iters):
+        labels = {n: n for n in adj}
+        for _ in range(iters):
+            new = {}
+            for n, nbrs in adj.items():
+                votes: dict = {}
+                for m in nbrs:
+                    votes[labels[m]] = votes.get(labels[m], 0) + 1
+                new[n] = min(
+                    votes, key=lambda lb: (-votes[lb], lb)
+                ) if votes else labels[n]
+            labels = new
+        return labels
+
+    adj = {1: {2, 3}, 2: {1, 3}, 3: {1, 2, 4}, 4: {3}}
+    for iters in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iters=iters).collect()
+        }
+        assert got == lpa_py(adj, iters), f"iters={iters}"
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    from radohydro_spark.operators.graph import label_propagation
+
+    # node 3 sees labels {1, 2} once each -> takes 1
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=1).collect()
+    }
+    assert got[3] == 1
+
+
+def test_label_propagation_self_loop_excluded(spark):
+    from radohydro_spark.operators.graph import label_propagation
+
+    # self-loop on 2 must not freeze it: neighbor 1's label wins
+    edges = spark.createDataFrame([(2, 2), (1, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=1).collect()
+    }
+    assert got[2] == 1
+
+
+def test_label_propagation_bad_iters_raises_named(spark):
+    from radohydro_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="label_propagation.*iters"):
+        label_propagation(edges, iters=0)
