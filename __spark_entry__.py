@@ -12096,6 +12096,89 @@ FROM l{iters} ORDER BY node
     return "".join(parts)
 
 
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (operators.asof.asof_join_nearest): each
+    purchase gets the CLOSEST same-user click in either direction
+    within a 6-hour tolerance — the sensor/price alignment shape
+    (pandas merge_asof direction='nearest').  One union + one key
+    exchange carrying both window scans; the pick law is exact
+    integer microseconds, ties to the prior side."""
+    from radohydro_spark.operators.asof import asof_join_nearest
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join_nearest(
+        purchases, clicks, keys=["user_id"], ts_col="ts",
+        tolerance_s=21600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("click_value_asof", 4).alias("click_value"),
+    )
+
+
+ORACLE_EVENTS_ASOF_NEAREST = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+b AS (
+  SELECT p.event_id, c.ts AS bts, c.click_value AS bval
+  FROM purchases p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+f AS (
+  SELECT p.event_id, c.ts AS fts, c.click_value AS fval
+  FROM purchases p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, b.bts, b.bval, f.fts, f.fval,
+         CASE WHEN b.bts IS NOT NULL
+              THEN epoch_us(p.ts) - epoch_us(b.bts) END AS db,
+         CASE WHEN f.fts IS NOT NULL
+              THEN epoch_us(f.fts) - epoch_us(p.ts) END AS df
+  FROM purchases p
+  JOIN b ON p.event_id = b.event_id
+  JOIN f ON p.event_id = f.event_id
+),
+pick AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN db IS NOT NULL AND db <= 21600000000
+                   AND (df IS NULL OR df > 21600000000 OR db <= df)
+              THEN bts
+              WHEN df IS NOT NULL AND df <= 21600000000
+              THEN fts
+         END AS mts,
+         CASE WHEN db IS NOT NULL AND db <= 21600000000
+                   AND (df IS NULL OR df > 21600000000 OR db <= df)
+              THEN bval
+              WHEN df IS NOT NULL AND df <= 21600000000
+              THEN fval
+         END AS mval
+  FROM j
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(mts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       round(mval, 4) AS click_value
+FROM pick
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
@@ -12109,6 +12192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-snapshot diversity screen (per-source entropy), the
         # feature-association MI/lift diagram, the production
         # reference-decile PSI, and the Benford first-digit screen.
+        "events_asof_nearest": q_events_asof_nearest,
         "stats_ttest_by": q_stats_ttest_by,
         "stats_mutual_info_by": q_stats_mutual_info_by,
         "dq_schema_drift": q_dq_schema_drift,
@@ -12469,6 +12553,7 @@ def _radolan_scale_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         # r16 sixth-wave first-exposure operators
+        "events_asof_nearest": ORACLE_EVENTS_ASOF_NEAREST,
         "stats_ttest_by": ORACLE_TTEST_BY,
         "stats_mutual_info_by": ORACLE_MUTUAL_INFO_BY,
         "dq_schema_drift": _schema_drift_oracle(),

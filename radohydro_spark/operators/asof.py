@@ -144,3 +144,103 @@ def asof_join_forward(
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """NEAREST as-of: for each left row, attach the right row whose
+    timestamp is CLOSEST in either direction within the same key group
+    — the sensor/price alignment shape (pandas ``merge_asof
+    direction='nearest'``) that neither the backward nor the forward
+    join alone gives.
+
+    Deterministic pick law (EXACT integer microseconds — no float
+    time arithmetic anywhere): with ``db = l.ts − prior.ts`` and
+    ``df = next.ts − l.ts`` (both ≥ 0, from ``unix_micros``), a side
+    is VALID when it matched and, given ``tolerance_s``, its delta is
+    ≤ ``round(tolerance_s·10⁶)`` µs (inclusive); the nearest pick is
+    the prior side when it is valid and (the next side is invalid OR
+    ``db <= df``) — TIES GO BACKWARD — else the next side when valid,
+    else NULL.  Both boundaries are inclusive (a right row at exactly
+    ``l.ts`` has db = df = 0 and wins as the prior).
+
+    Plan shape: ONE union + ONE hash-partition exchange on the keys
+    carrying BOTH window scans (the ascending last-prior carry and the
+    descending first-next carry sort on the same exchange), then a
+    stateless pick projection — the :func:`asof_join` cost profile,
+    linear in |L|+|R|, no inequality join, no candidate explosion.
+    Equal-timestamp ties inside the right stream resolve to the same
+    row on both scans (the last in timestamp order — pre-dedupe the
+    right side per (keys, ts) for a total law, as the backward join
+    documents).
+
+    Returns left columns + ``<ts_col><suffix>`` + each right payload
+    column as ``<name><suffix>`` (NULLs when no side is valid).
+
+    Reference analog: none — extends the join family
+    (SURVEY §2 extension table).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys + [ts_col]]
+    payload = F.struct(
+        F.col(ts_col).alias("_rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_rpay"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
+    l = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    wb = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts_col).desc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = (
+        l.unionByName(r)
+        .withColumn("_prior", F.last("_rpay", ignorenulls=True).over(wb))
+        .withColumn("_next", F.last("_rpay", ignorenulls=True).over(wf))
+    )
+    lts = F.unix_micros(F.col(ts_col))
+    db = lts - F.unix_micros(F.col("_prior._rts"))
+    df_ = F.unix_micros(F.col("_next._rts")) - lts
+    valid_b = F.col("_prior").isNotNull()
+    valid_f = F.col("_next").isNotNull()
+    if tolerance_s is not None:
+        tol_us = F.lit(int(round(float(tolerance_s) * 1_000_000)))
+        valid_b = valid_b & (db <= tol_us)
+        valid_f = valid_f & (df_ <= tol_us)
+    pick = (
+        F.when(valid_b & (~valid_f | (db <= df_)), F.col("_prior"))
+        .when(valid_f, F.col("_next"))
+        .otherwise(F.lit(None).cast(r.schema["_rpay"].dataType))
+    )
+    out = merged.filter(F.col("_side") == 1).withColumn("_m", pick).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        F.col("_m._rts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out

@@ -679,3 +679,114 @@ def test_label_propagation_bad_iters_raises_named(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="label_propagation.*iters"):
         label_propagation(edges, iters=0)
+
+
+# --------------------------------------------------- asof_join_nearest
+
+
+def _ts(h, m=0, s=0):
+    import datetime
+
+    return datetime.datetime(2024, 5, 1, h, m, s)
+
+
+def test_asof_nearest_picks_closest_either_direction(spark):
+    from radohydro_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, "u", _ts(13))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(9), "a"), ("u", _ts(10, 30), "b"), ("u", _ts(14), "c")],
+        "k string, ts timestamp, tag string",
+    )
+    got = {
+        r["id"]: r["tag_asof"]
+        for r in asof_join_nearest(left, right, ["k"]).collect()
+    }
+    # 10:00 -> prior 9:00 (60 min) vs next 10:30 (30 min): next wins
+    assert got[1] == "b"
+    # 13:00 -> prior 10:30 (150) vs next 14:00 (60): next wins
+    assert got[2] == "c"
+
+
+def test_asof_nearest_tie_goes_backward_and_exact_match(spark):
+    from radohydro_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(12)), (2, "u", _ts(10))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(11), "before"), ("u", _ts(13), "after"),
+         ("u", _ts(10), "exact")],
+        "k string, ts timestamp, tag string",
+    )
+    got = {
+        r["id"]: r["tag_asof"]
+        for r in asof_join_nearest(left, right, ["k"]).collect()
+    }
+    # 12:00 -> db = df = 60 min: tie goes BACKWARD
+    assert got[1] == "before"
+    # right row exactly AT left.ts -> db = 0, wins as prior
+    assert got[2] == "exact"
+
+
+def test_asof_nearest_tolerance_gates_each_side(spark):
+    from radohydro_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(12))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(9), "far_prior"), ("u", _ts(12, 45), "near_next")],
+        "k string, ts timestamp, tag string",
+    )
+    # tolerance 1h: prior (3h) invalid, next (45min) valid
+    [r] = asof_join_nearest(
+        left, right, ["k"], tolerance_s=3600
+    ).collect()
+    assert r["tag_asof"] == "near_next"
+    # tolerance 10min: neither side valid -> NULLs
+    [r2] = asof_join_nearest(
+        left, right, ["k"], tolerance_s=600
+    ).collect()
+    assert r2["tag_asof"] is None and r2["ts_asof"] is None
+
+
+def test_asof_nearest_no_right_rows_yields_nulls(spark):
+    from radohydro_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(12))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("other", _ts(12), "x")], "k string, ts timestamp, tag string"
+    )
+    [r] = asof_join_nearest(left, right, ["k"]).collect()
+    assert r["tag_asof"] is None
+
+
+def test_asof_nearest_agrees_with_backward_when_only_prior(spark):
+    """With every right row before every left row, nearest must equal
+    the plain backward asof_join."""
+    from radohydro_spark.operators.asof import asof_join, asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(i, "u", _ts(12, i)) for i in range(5)],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(8, i), f"t{i}") for i in range(3)],
+        "k string, ts timestamp, tag string",
+    )
+    near = {
+        r["id"]: (r["ts_asof"], r["tag_asof"])
+        for r in asof_join_nearest(left, right, ["k"]).collect()
+    }
+    back = {
+        r["id"]: (r["ts_asof"], r["tag_asof"])
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+    assert near == back
