@@ -12179,6 +12179,64 @@ FROM pick
 """
 
 
+def q_events_stream_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window diversity monitor
+    (streaming.stream_key_counts + entropy_slice): per-DAY Shannon
+    entropy of the event-type mix maintained at ingest time — the
+    evenness leg completing the ingest-time monitoring family
+    (frequency / distinct / mix / distribution / top-k / diversity);
+    the entropy_profile float law per window over exact drained
+    counts."""
+    import tempfile
+    import uuid
+
+    from radohydro_spark.streaming import (
+        entropy_slice,
+        run_available_now,
+        stream_key_counts,
+    )
+
+    raw_schema = _probe_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    counts = stream_key_counts(
+        stream, "ts", "event_type", "1 day", watermark="1 hour"
+    )
+    name = "stream_ent_" + uuid.uuid4().hex[:8]
+    out = run_available_now(
+        counts, name, tempfile.mkdtemp(prefix="ck_"), "complete"
+    )
+    return entropy_slice(out).select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        "value",
+        "cnt",
+        "p",
+        "h_contrib",
+    ).orderBy("day", "value")
+
+
+ORACLE_STREAM_ENTROPY = """
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS w, CAST(event_type AS VARCHAR) AS v
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+c AS (SELECT w, v, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY w, v),
+t AS (
+  SELECT w, v, cnt, CAST(sum(cnt) OVER (PARTITION BY w) AS BIGINT) AS n
+  FROM c
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS day, v AS value, cnt,
+       round(cnt / n, 9) AS p,
+       round(-((cnt / n) * ln(cnt / n)), 9) AS h_contrib
+FROM t ORDER BY day, value
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
@@ -12192,6 +12250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-snapshot diversity screen (per-source entropy), the
         # feature-association MI/lift diagram, the production
         # reference-decile PSI, and the Benford first-digit screen.
+        "events_stream_entropy": q_events_stream_entropy,
         "events_asof_nearest": q_events_asof_nearest,
         "stats_ttest_by": q_stats_ttest_by,
         "stats_mutual_info_by": q_stats_mutual_info_by,
@@ -12553,6 +12612,7 @@ def _radolan_scale_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         # r16 sixth-wave first-exposure operators
+        "events_stream_entropy": ORACLE_STREAM_ENTROPY,
         "events_asof_nearest": ORACLE_EVENTS_ASOF_NEAREST,
         "stats_ttest_by": ORACLE_TTEST_BY,
         "stats_mutual_info_by": ORACLE_MUTUAL_INFO_BY,

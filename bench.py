@@ -161,6 +161,14 @@ HEADLINE = [
     # runtime's drain + memory sink by design).
     "dq_psi_drift_by",
     "events_stream_kmv",
+    # round-16 sixth wave: the token-domain min-aggregate shape (Heaps
+    # vocabulary growth — explode feeding a per-token min(bucket) agg,
+    # the one token-domain shuffle, + counter windows) and the
+    # dual-window single-exchange nearest as-of join (both the
+    # ascending last-prior and descending first-next scans sort on ONE
+    # key exchange; the pick law is stateless integer microseconds).
+    "text_vocab_growth",
+    "events_asof_nearest",
 ]
 
 

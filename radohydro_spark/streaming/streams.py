@@ -1000,3 +1000,40 @@ def top_k_slice(drained: DataFrame, k: int = 5) -> DataFrame:
         F.col("cnt").cast("long").alias("cnt"),
         F.expr("(1000000 * cnt) div _chk").cast("long").alias("share_ppm"),
     )
+
+
+def entropy_slice(drained: DataFrame) -> DataFrame:
+    """Per-window Shannon-entropy reduction over DRAINED
+    :func:`stream_key_counts` slices ``(ts, value, cnt)`` — the
+    ingest-time DIVERSITY monitor completing the family (count_min =
+    frequency, kmv = distinct/overlap, category_drift = mix shift,
+    psi_buckets = numeric distribution, top_k = head concentration,
+    this = evenness: "did this hour's traffic collapse onto one key?").
+
+    Law: the :func:`~radohydro_spark.operators.profile.entropy_profile`
+    float law per window — ``p = cnt/n_window`` (doubles from exact
+    BIGINT counts), ``h_contrib = -(p·ln p)``, rounded 9, no epsilon
+    (drained slices only hold observed keys, cnt ≥ 1).  Σ h_contrib
+    per window is the entropy in nats; ``ln(n_keys)`` its maximum.
+
+    Batch-side over counter rows: ONE window-partitioned totals
+    exchange, nothing row-scaling.
+
+    Returns per-(window, key) rows ``(ts, value, cnt, p, h_contrib)``.
+    """
+    from pyspark.sql import Window as W
+
+    base = drained.select(
+        "ts",
+        "value",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.sum("cnt").over(W.partitionBy("ts")).alias("_n"),
+    )
+    p = F.col("cnt") / F.col("_n")
+    return base.select(
+        "ts",
+        "value",
+        "cnt",
+        F.round(p, 9).alias("p"),
+        F.round(-(p * F.log(p)), 9).alias("h_contrib"),
+    )

@@ -196,6 +196,24 @@ HEADLINE = [
     "stats_corr_by",
     "sketch_kmv_estimate_by",
     "sketch_heavy_hitters_by",
+    # r16 sixth wave: the entropy/MI counter-window diagrams, the
+    # reference-decile PSI (domain-counter cumulative window -> 1-row
+    # broadcast edge struct -> map-side bucket; no row shuffles on a
+    # key), the Welch t-test (ONE union-tagged moments aggregate), the
+    # schema diff (two single-agg profile scans + |columns|-row join),
+    # the Heaps vocabulary curve (token-domain min aggregate), the
+    # nearest as-of join (dual window scans on ONE key exchange) and
+    # 3-round deterministic LPA (per-round vote agg + argmin window).
+    "stats_entropy_by",
+    "stats_mutual_info",
+    "stats_mutual_info_by",
+    "dq_psi_quantile_bins",
+    "dq_benford_digits",
+    "stats_ttest_by",
+    "dq_schema_drift",
+    "text_vocab_growth",
+    "events_asof_nearest",
+    "graph_label_propagation",
 ]
 
 

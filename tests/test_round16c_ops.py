@@ -790,3 +790,36 @@ def test_asof_nearest_agrees_with_backward_when_only_prior(spark):
         for r in asof_join(left, right, ["k"]).collect()
     }
     assert near == back
+
+
+# -------------------------------------------------------- entropy_slice
+
+
+def test_entropy_slice_matches_entropy_profile_law(spark):
+    """A drained (ts, value, cnt) slice must reproduce entropy_profile
+    run on the equivalent exploded rows, per window."""
+    import datetime
+
+    from radohydro_spark.operators.profile import entropy_profile
+    from radohydro_spark.streaming import entropy_slice
+
+    w1, w2 = datetime.datetime(2024, 3, 1), datetime.datetime(2024, 3, 2)
+    slices = spark.createDataFrame(
+        [(w1, "a", 6), (w1, "b", 3), (w1, "c", 1), (w2, "a", 2)],
+        "ts timestamp, value string, cnt long",
+    )
+    got = {
+        (r["ts"], r["value"]): (r["p"], r["h_contrib"])
+        for r in entropy_slice(slices).collect()
+    }
+    rows_w1 = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    ref = {
+        r["cat"]: (r["p"], r["h_contrib"])
+        for r in entropy_profile(
+            spark.createDataFrame(rows_w1, "cat string"), "cat"
+        ).collect()
+    }
+    for v in ("a", "b", "c"):
+        assert got[(w1, v)] == ref[v]
+    # single-key window: p = 1, h = 0
+    assert got[(w2, "a")] == (1.0, 0.0)
