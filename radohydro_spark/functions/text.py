@@ -1360,7 +1360,26 @@ def vocab_growth(
     d = df.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    mx = d.agg(F.max("_id").alias("_mx"))
+    # in-plan validity bound (the family loud-contract convention for
+    # runtime-known extremes): id·n_buckets must stay exact BIGINT —
+    # hash-valued 64-bit ids would silently wrap the bucket law
+    # otherwise (r16 review)
+    _id_bound = 9_223_372_036_854_775_807 // n_buckets - 1
+    mx_ok = F.col("_mx") <= F.lit(_id_bound)
+    mx = d.agg(F.max("_id").alias("_mx")).select(
+        F.when(F.col("_mx").isNull() | mx_ok, F.col("_mx"))
+        .otherwise(
+            F.assert_true(
+                mx_ok,
+                F.lit(
+                    "vocab_growth: max id exceeds the exact bucket "
+                    "domain (id*n_buckets past BIGINT) — remap ids "
+                    "first (functions/text.py)"
+                ),
+            ).cast("long")
+        )
+        .alias("_mx")
+    )
     db = d.crossJoin(F.broadcast(mx)).select(
         F.expr(f"(_id * {n_buckets}) div (_mx + 1)")
         .cast("long")

@@ -3058,10 +3058,14 @@ def psi_quantile_bins(
     Reference analog: none — extends the data-quality family
     (SURVEY §2 extension table).
     """
-    if not (2 <= n_bins <= 1000):
+    # the integer-percent edge law has exactly 99 possible inner edges
+    # (1..99) — n_bins > 100 would generate DUPLICATE percents
+    # (ambiguous _e aliases) and n_bins >= 101 a degenerate q = 0 edge,
+    # so the validator caps at the law's own resolution (r16 review)
+    if not (2 <= n_bins <= 100):
         raise ValueError(
-            "psi_quantile_bins: n_bins must be in 2..1000 "
-            "(operators/profile.py)"
+            "psi_quantile_bins: n_bins must be in 2..100 — the integer "
+            "percentile edge law has 99 inner edges (operators/profile.py)"
         )
     qs = [100 * i // n_bins for i in range(1, n_bins)]
     vals = old.filter(F.col(col).isNotNull()).groupBy(
@@ -3174,24 +3178,16 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
     base = counts.select(
         "digit", "_c", F.sum("_c").over(W.partitionBy()).alias("_n")
     )
-    guard = F.col("_n") <= F.lit(9_000_000_000_000)
-    checked_n = F.when(guard, F.col("_n")).otherwise(
-        F.assert_true(
-            guard,
-            F.lit(
-                "benford_digits: total exceeds the exact ppm domain "
-                "(9e12) — pre-aggregate or sample (operators/profile.py)"
-            ),
-        ).cast("long")
-    )
+    from radohydro_spark.laws import with_share_ppm
+
     d = F.col("digit").cast("double")
     p_obs = F.col("_c") / F.col("_n")
     p_ben = F.log(F.lit(1.0) + F.lit(1.0) / d) / F.log(F.lit(10.0))
     diff = p_obs - p_ben
-    return base.withColumn("_chk", checked_n).select(
+    return with_share_ppm(base, "_c", "_n", "benford_digits").select(
         F.col("digit").cast("long").alias("digit"),
         F.col("_c").cast("long").alias("n"),
-        F.expr("(1000000 * _c) div _chk").cast("long").alias("share_ppm"),
+        "share_ppm",
         F.round(p_ben, 9).alias("p_benford"),
         F.round(F.col("_n") * (diff * diff) / p_ben, 9).alias(
             "chi2_contrib"
@@ -3463,16 +3459,17 @@ def schema_drift(
             "schema_drift: one side has none of the requested columns "
             "(operators/profile.py)"
         )
+    from radohydro_spark.laws import with_share_ppm
+
     j = o.join(n, "column", "full_outer")
-
-    def _ppm(nulls: str, rows: str):
-        return F.when(
-            F.col(rows) > 0,
-            F.expr(f"(1000000 * {nulls}) div {rows}"),
-        ).cast("long")
-
-    ppm_o = _ppm("_nulls_old", "n_rows_old")
-    ppm_n = _ppm("_nulls_new", "n_rows_new")
+    j = with_share_ppm(
+        j, "_nulls_old", "n_rows_old", "schema_drift", "null_ppm_old"
+    )
+    j = with_share_ppm(
+        j, "_nulls_new", "n_rows_new", "schema_drift", "null_ppm_new"
+    )
+    ppm_o = F.col("null_ppm_old")
+    ppm_n = F.col("null_ppm_new")
     added = F.col("n_rows_old").isNull()
     removed = F.col("n_rows_new").isNull()
     changed = (
@@ -3489,8 +3486,8 @@ def schema_drift(
         .alias("status"),
         F.col("n_rows_old").cast("long").alias("n_rows_old"),
         F.col("n_rows_new").cast("long").alias("n_rows_new"),
-        ppm_o.alias("null_ppm_old"),
-        ppm_n.alias("null_ppm_new"),
+        "null_ppm_old",
+        "null_ppm_new",
         F.col("n_distinct_old").cast("long").alias("n_distinct_old"),
         F.col("n_distinct_new").cast("long").alias("n_distinct_new"),
         "min_old",

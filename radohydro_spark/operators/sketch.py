@@ -852,27 +852,14 @@ def heavy_hitters_by(
         F.row_number().over(wr).alias("rank"),
     ).filter(F.col("rank") <= k)
     # in-plan validity bound (the family loud-contract convention for
-    # runtime-known totals): 10^6 * cnt <= 10^6 * n stays exact BIGINT
-    guard = F.col("_n") <= F.lit(9_000_000_000_000)
-    checked_n = F.when(guard, F.col("_n")).otherwise(
-        F.assert_true(
-            guard,
-            F.lit(
-                "heavy_hitters_by: a group's total exceeds the exact "
-                "ppm domain (9e12) — pre-aggregate or sample "
-                "(operators/sketch.py)"
-            ),
-        ).cast("long")
-    )
-    return (
-        base.withColumn("_chk", checked_n)
-        .select(
-            *group_cols,
-            F.col("rank").cast("long").alias("rank"),
-            "value",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.expr("(1000000 * cnt) div _chk")
-            .cast("long")
-            .alias("share_ppm"),
-        )
+    # runtime-known totals, one shared definition): 10^6 * cnt <=
+    # 10^6 * n stays exact BIGINT
+    from radohydro_spark.laws import with_share_ppm
+
+    return with_share_ppm(base, "cnt", "_n", "heavy_hitters_by").select(
+        *group_cols,
+        F.col("rank").cast("long").alias("rank"),
+        "value",
+        F.col("cnt").cast("long").alias("cnt"),
+        "share_ppm",
     )

@@ -982,23 +982,14 @@ def top_k_slice(drained: DataFrame, k: int = 5) -> DataFrame:
         F.sum("cnt").over(wg).alias("_n"),
         F.row_number().over(wr).alias("rank"),
     ).filter(F.col("rank") <= k)
-    guard = F.col("_n") <= F.lit(9_000_000_000_000)
-    checked_n = F.when(guard, F.col("_n")).otherwise(
-        F.assert_true(
-            guard,
-            F.lit(
-                "top_k_slice: a window's total exceeds the exact ppm "
-                "domain (9e12) — pre-aggregate or sample "
-                "(streaming/streams.py)"
-            ),
-        ).cast("long")
-    )
-    return base.withColumn("_chk", checked_n).select(
+    from radohydro_spark.laws import with_share_ppm
+
+    return with_share_ppm(base, "cnt", "_n", "top_k_slice").select(
         "ts",
         F.col("rank").cast("long").alias("rank"),
         "value",
         F.col("cnt").cast("long").alias("cnt"),
-        F.expr("(1000000 * cnt) div _chk").cast("long").alias("share_ppm"),
+        "share_ppm",
     )
 
 

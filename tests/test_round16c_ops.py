@@ -823,3 +823,94 @@ def test_entropy_slice_matches_entropy_profile_law(spark):
         assert got[(w1, v)] == ref[v]
     # single-key window: p = 1, h = 0
     assert got[(w2, "a")] == (1.0, 0.0)
+
+
+# ------------------------------------------- r16 review regression pins
+
+
+def test_psi_qbins_rejects_past_edge_resolution(spark):
+    """The integer-percent law has 99 inner edges; n_bins past 100
+    would generate duplicate percents (ambiguous edge aliases) — the
+    validator now names that cap (r16 review)."""
+    from radohydro_spark.operators.profile import psi_quantile_bins
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="psi_quantile_bins.*2..100"):
+        psi_quantile_bins(df, df, "v", n_bins=101)
+    # the densest legal grid still works end-to-end
+    big = spark.createDataFrame([(i,) for i in range(1, 1001)], "v long")
+    got = psi_quantile_bins(big, big, "v", n_bins=100).collect()
+    assert len(got) == 100
+    assert all(r["psi_contrib"] + 0.0 == 0.0 for r in got)
+
+
+def test_vocab_growth_huge_ids_raise_named(spark):
+    """id*n_buckets past BIGINT must raise the named in-plan assert,
+    not silently wrap the bucket law (r16 review)."""
+    from radohydro_spark.functions.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [(9_223_372_036_854_775_806, "x y")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="vocab_growth.*exact bucket"):
+        vocab_growth(df, n_buckets=10).collect()
+
+
+def test_asof_nearest_null_timestamps_total_law(spark):
+    """NULL-ts left rows get NULL matches; NULL-ts right rows are
+    excluded — no order-dependent leak through the window carries
+    (r16 review)."""
+    from radohydro_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "u", None), (2, "u", _ts(12))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", None, "ghost"), ("u", _ts(11), "real")],
+        "k string, ts timestamp, tag string",
+    )
+    got = {
+        r["id"]: r["tag_asof"]
+        for r in asof_join_nearest(left, right, ["k"]).collect()
+    }
+    assert got[1] is None      # NULL left ts -> no match
+    assert got[2] == "real"    # NULL right ts never matches
+
+
+def test_schema_drift_empty_side_null_ppm(spark):
+    from radohydro_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame([], "k long")
+    new = spark.createDataFrame([(1,), (None,)], "k long")
+    [r] = schema_drift(old, new).collect()
+    assert r["n_rows_old"] == 0
+    assert r["null_ppm_old"] is None
+    assert r["null_ppm_new"] == 500_000
+    assert r["status"] == "changed"
+
+
+def test_shared_ppm_guard_raises_named(spark):
+    """The one shared checked-ppm law (laws.py) raises its named
+    assert past the 9e12 bound for every consumer."""
+    import datetime
+
+    from radohydro_spark.streaming import top_k_slice
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1), "a", 9_000_000_000_001)],
+        "ts timestamp, value string, cnt long",
+    )
+    with pytest.raises(Exception, match="top_k_slice.*ppm domain"):
+        top_k_slice(df, k=1).collect()
+
+
+def test_shared_ppm_guard_values_unchanged(spark):
+    """The helper swap must not move a single share_ppm value."""
+    from radohydro_spark.operators.sketch import heavy_hitters_by
+
+    rows = [("g", v) for v in ["a"] * 7 + ["b"] * 3]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["value"]: r["share_ppm"]
+           for r in heavy_hitters_by(df, "v", ["g"], k=2).collect()}
+    assert got == {"a": 700_000, "b": 300_000}
