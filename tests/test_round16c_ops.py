@@ -914,3 +914,103 @@ def test_shared_ppm_guard_values_unchanged(spark):
     got = {r["value"]: r["share_ppm"]
            for r in heavy_hitters_by(df, "v", ["g"], k=2).collect()}
     assert got == {"a": 700_000, "b": 300_000}
+
+
+# ------------------------------------------------ hypothesis property pins
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-500, max_value=500), min_size=2,
+             max_size=8),
+    st.lists(st.integers(min_value=-500, max_value=500), min_size=2,
+             max_size=8),
+)
+def test_ttest_by_property_python_replay(spark, xs, ys):
+    """Welch law replay over arbitrary small integer samples (values
+    are cents/100 so the quantization is exact)."""
+    from radohydro_spark.operators.profile import ttest_by
+
+    old = spark.createDataFrame(
+        [("g", v / 100.0) for v in xs], "g string, v double"
+    )
+    new = spark.createDataFrame(
+        [("g", v / 100.0) for v in ys], "g string, v double"
+    )
+    [r] = ttest_by(old, new, "v", ["g"]).collect()
+    fx, fy = [float(v) for v in xs], [float(v) for v in ys]
+    m1 = sum(fx) / len(fx)
+    m2 = sum(fy) / len(fy)
+    assert r["mean_old"] == round(m1 / 100.0, 9)
+    assert r["mean_diff"] == round((m2 - m1) / 100.0, 9)
+    se2_zero = len(set(xs)) == 1 and len(set(ys)) == 1
+    if se2_zero:
+        assert r["t_stat"] is None
+    else:
+        _, _, t, dfw = _welch(fx, fy)
+        assert r["t_stat"] == round(t, 9)
+        assert r["welch_df"] == round(dfw, 9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_top_k_slice_property_share_and_order(spark, pairs):
+    """Shares are the exact floored ppm of each count; ranks follow
+    (cnt DESC, value ASC); Σ share_ppm never exceeds 10^6."""
+    import datetime
+
+    from radohydro_spark.streaming import top_k_slice
+
+    w = datetime.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(w, v, c) for v, c in pairs], "ts timestamp, value string, cnt long"
+    )
+    got = top_k_slice(df, k=10).orderBy("rank").collect()
+    total = sum(c for _, c in pairs)
+    want_order = sorted(pairs, key=lambda t: (-t[1], t[0]))
+    assert [r["value"] for r in got] == [v for v, _ in want_order]
+    for r in got:
+        c = dict(pairs)[r["value"]]
+        assert r["share_ppm"] == (1_000_000 * c) // total
+    assert sum(r["share_ppm"] for r in got) <= 1_000_000
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=2,
+             max_size=12, unique=True)
+)
+def test_vocab_growth_property_totals(spark, ids):
+    """Across any id set: Σ vocab_new = |distinct tokens|, Σ n_docs =
+    |docs|, cumulative columns are the running sums, every bucket is in
+    range."""
+    from radohydro_spark.functions.text import vocab_growth
+
+    docs = [(i, f"t{i % 7} shared") for i in ids]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = sorted(
+        vocab_growth(df, n_buckets=4).collect(), key=lambda r: r["bucket"]
+    )
+    vocab = {f"t{i % 7}" for i in ids} | {"shared"}
+    assert sum(r["vocab_new"] for r in rows) == len(vocab)
+    assert sum(r["n_docs"] for r in rows) == len(ids)
+    run_docs = run_vocab = 0
+    for r in rows:
+        assert 0 <= r["bucket"] < 4
+        run_docs += r["n_docs"]
+        run_vocab += r["vocab_new"]
+        assert r["docs_cum"] == run_docs
+        assert r["vocab_cum"] == run_vocab
