@@ -12237,6 +12237,111 @@ FROM t ORDER BY day, value
 """
 
 
+def q_dq_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift table (operators.profile.qq_table):
+    where along the extended-price distribution did the 1998 ship-date
+    split move mass — the WHERE answer next to dq_ks_drift's WHETHER
+    (p1..p99 per side on the percentile_disc BIGINT lower-boundary
+    law, both sides cumulated on ONE union-tagged exchange)."""
+    from radohydro_spark.operators.profile import qq_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return qq_table(
+        li.filter(F.col("l_shipdate") < split),
+        li.filter(F.col("l_shipdate") >= split),
+        "l_extendedprice",
+    ).orderBy("percent")
+
+
+def _qq_oracle() -> str:
+    qs = (1, 5, 10, 25, 50, 75, 90, 95, 99)
+    edge_sel = ",\n         ".join(
+        f"min(CASE WHEN n1 > 0 AND 100 * cum1 >= {q} * n1 THEN v END)"
+        f" AS qo{q},\n         "
+        f"min(CASE WHEN n2 > 0 AND 100 * cum2 >= {q} * n2 THEN v END)"
+        f" AS qn{q}"
+        for q in qs
+    )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({q} AS BIGINT) AS percent, qo{q} AS q_old, "
+        f"qn{q} AS q_new, qn{q} - qo{q} AS diff FROM q"
+        for q in qs
+    )
+    return f"""
+WITH base AS (
+  SELECT l_extendedprice AS v,
+         CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+           AS s
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+),
+cells AS (
+  SELECT v,
+         CAST(count(*) FILTER (WHERE s = 0) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE s = 1) AS BIGINT) AS c2
+  FROM base GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum1,
+         CAST(sum(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum2,
+         CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         CAST(sum(c2) OVER () AS BIGINT) AS n2
+  FROM cells
+),
+q AS (
+  SELECT {edge_sel}
+  FROM cum
+)
+{rows}
+ORDER BY percent
+"""
+
+
+def q_dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail health screen (operators.profile.rare_categories):
+    leading document words holding under 2% of their language's mass
+    — the pre-flight check before stratified sampling / per-category
+    heads, and the typo-label detector a top-k view never shows.  One
+    count aggregate + one group-totals counter window + the shared
+    floored-ppm law."""
+    from radohydro_spark.operators.profile import rare_categories
+
+    d = _docs(spark, sf_dir).withColumn(
+        "first_word", F.split(F.trim(F.col("text")), r"\s+")[0]
+    )
+    return rare_categories(
+        d, "first_word", ["lang"], max_ppm=20000
+    ).orderBy("lang", "cat")
+
+
+ORACLE_RARE_CATEGORIES = """
+WITH base AS (
+  SELECT lang AS g,
+         CAST(list_extract(string_split_regex(trim(text), '\\s+'), 1)
+              AS VARCHAR) AS cat
+  FROM documents
+  WHERE lang IS NOT NULL
+    AND list_extract(string_split_regex(trim(text), '\\s+'), 1)
+        IS NOT NULL
+),
+m AS (
+  SELECT g, cat, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY g, cat
+),
+t AS (SELECT g, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY g)
+SELECT m.g AS lang, m.cat, m.n,
+       CAST((1000000 * m.n) // t.tot AS BIGINT) AS share_ppm
+FROM m JOIN t ON m.g = t.g
+WHERE (1000000 * m.n) // t.tot < 20000 AND m.n >= 1
+ORDER BY lang, cat
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
@@ -12250,6 +12355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-snapshot diversity screen (per-source entropy), the
         # feature-association MI/lift diagram, the production
         # reference-decile PSI, and the Benford first-digit screen.
+        "dq_qq_table": q_dq_qq_table,
+        "dq_rare_categories": q_dq_rare_categories,
         "events_stream_entropy": q_events_stream_entropy,
         "events_asof_nearest": q_events_asof_nearest,
         "stats_ttest_by": q_stats_ttest_by,
@@ -12612,6 +12719,8 @@ def _radolan_scale_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         # r16 sixth-wave first-exposure operators
+        "dq_qq_table": _qq_oracle(),
+        "dq_rare_categories": ORACLE_RARE_CATEGORIES,
         "events_stream_entropy": ORACLE_STREAM_ENTROPY,
         "events_asof_nearest": ORACLE_EVENTS_ASOF_NEAREST,
         "stats_ttest_by": ORACLE_TTEST_BY,

@@ -3495,3 +3495,179 @@ def schema_drift(
         "min_new",
         "max_new",
     )
+
+
+def qq_table(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    qs: tuple[int, ...] = (1, 5, 10, 25, 50, 75, 90, 95, 99),
+) -> DataFrame:
+    """Quantile–quantile drift table between two snapshots of a numeric
+    column — the DIAGNOSTIC sibling of the KS statistic: KS says "the
+    distributions differ (D = 0.18)"; the Q-Q table says WHERE ("p95
+    moved from 41 s to 87 s, the body is unchanged") — the first thing
+    an on-call engineer actually reads.
+
+    EXACT cross-engine in pure BIGINT rank arithmetic — both sides
+    evaluate the ``percentile_disc`` lower-boundary law (the
+    :func:`quantiles_by` convention): quantile ``q`` is the SMALLEST
+    value whose inclusive cumulative count satisfies ``100·cum >=
+    q·n``.  No interpolation, no float rank — a boundary cannot move
+    by an ulp.  ``diff = q_new − q_old`` is exact whenever the column
+    is integer-typed (feed cents/micros; for doubles the difference is
+    still the IEEE difference of two exactly-selected data values).
+
+    NULL values are EXCLUDED per side; an EMPTY side reports NULL
+    quantiles (and NULL diff) rather than raising.
+
+    Plan shape: ONE union-tagged value-domain count aggregate (output
+    = |combined domain| counters) + one ordered cumulative window per
+    side sharing the SAME single exchange + one conditional-min
+    aggregate; the per-percent rows come from a stateless ≤ |qs|-row
+    unpivot.  At 100 TB the wire carries |domain| counters, never
+    rows.
+
+    Returns one row per requested percent: ``(percent, q_old, q_new,
+    diff)``, value-typed quantile columns.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    if not qs or not all(isinstance(q, int) and 1 <= q <= 100 for q in qs):
+        raise ValueError(
+            "qq_table: qs must be integer percents in 1..100 "
+            "(operators/profile.py)"
+        )
+
+    def _side(df: DataFrame, s1: int, s2: int) -> DataFrame:
+        return df.filter(F.col(col).isNotNull()).select(
+            F.col(col).alias("_v"),
+            F.lit(s1).alias("_s1"),
+            F.lit(s2).alias("_s2"),
+        )
+
+    counts = (
+        _side(old, 1, 0)
+        .unionByName(_side(new, 0, 1))
+        .groupBy("_v")
+        .agg(F.sum("_s1").alias("_c1"), F.sum("_s2").alias("_c2"))
+    )
+    wcum = (
+        W.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy()
+    base = counts.select(
+        "_v",
+        F.sum("_c1").over(wcum).alias("_cum1"),
+        F.sum("_c2").over(wcum).alias("_cum2"),
+        F.sum("_c1").over(wall).alias("_n1"),
+        F.sum("_c2").over(wall).alias("_n2"),
+    )
+    aggs = []
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("_n1") > 0)
+                    & (
+                        F.lit(100) * F.col("_cum1")
+                        >= F.lit(q) * F.col("_n1")
+                    ),
+                    F.col("_v"),
+                )
+            ).alias(f"_qo{q}")
+        )
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("_n2") > 0)
+                    & (
+                        F.lit(100) * F.col("_cum2")
+                        >= F.lit(q) * F.col("_n2")
+                    ),
+                    F.col("_v"),
+                )
+            ).alias(f"_qn{q}")
+        )
+    one = base.agg(*aggs)
+    stack = ", ".join(f"{q}, _qo{q}, _qn{q}" for q in qs)
+    return one.select(
+        F.expr(
+            f"stack({len(qs)}, {stack}) AS (percent, q_old, q_new)"
+        )
+    ).select(
+        F.col("percent").cast("long").alias("percent"),
+        "q_old",
+        "q_new",
+        (F.col("q_new") - F.col("q_old")).alias("diff"),
+    )
+
+
+def rare_categories(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    max_ppm: int = 1000,
+    min_n: int = 1,
+) -> DataFrame:
+    """Long-tail health screen: the categories holding LESS than
+    ``max_ppm`` parts-per-million of their (group's) mass — the
+    pre-flight check before stratified sampling, one-hot encoding, or
+    per-category model heads (a 3-row category silently breaks all
+    three), and the typo/near-duplicate-label detector ("en" vs "en-")
+    that a top-k heavy-hitters view never shows.
+
+    Laws (all exact): ``share_ppm`` is the family's floored-BIGINT
+    division under the shared named 9e12 assert
+    (:func:`radohydro_spark.laws.with_share_ppm`); a category is RARE
+    when ``share_ppm < max_ppm`` and ``n >= min_n`` (min_n lets
+    callers drop singletons when only systematic rarities matter).
+    NULL categories / group keys are EXCLUDED (the family convention).
+
+    Plan shape: ONE map-side-combinable count aggregate over the
+    (group,) category domain + one (group-)totals window over
+    counters + a stateless threshold filter — |groups|·|domain|
+    counters on the wire, never rows.
+
+    Returns ``(<group_cols>, cat, n, share_ppm)`` — rare rows only,
+    callers sort/alert downstream.
+
+    Reference analog: none — extends the data-quality family
+    (SURVEY §2 extension table).
+    """
+    from radohydro_spark.laws import with_share_ppm
+
+    if not (1 <= max_ppm <= 1_000_000):
+        raise ValueError(
+            "rare_categories: max_ppm must be in 1..1000000 "
+            "(operators/profile.py)"
+        )
+    group_cols = group_cols or []
+    keep = F.col(col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    counts = (
+        df.filter(keep)
+        .groupBy(*group_cols, F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").alias("n"))
+    )
+    wg = W.partitionBy(*group_cols)
+    base = counts.select(
+        *group_cols, "cat", "n", F.sum("n").over(wg).alias("_n")
+    )
+    return (
+        with_share_ppm(base, "n", "_n", "rare_categories")
+        .filter(
+            (F.col("share_ppm") < F.lit(int(max_ppm)))
+            & (F.col("n") >= F.lit(int(min_n)))
+        )
+        .select(
+            *group_cols,
+            "cat",
+            F.col("n").cast("long").alias("n"),
+            "share_ppm",
+        )
+    )

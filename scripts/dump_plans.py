@@ -214,6 +214,12 @@ HEADLINE = [
     "text_vocab_growth",
     "events_asof_nearest",
     "graph_label_propagation",
+    # r16 seventh wave: the Q-Q drift table (one union-tagged
+    # domain-counter exchange shared by both sides' cumulative
+    # windows) and the long-tail min-support screen (count agg +
+    # group-totals counter window + the shared ppm law).
+    "dq_qq_table",
+    "dq_rare_categories",
 ]
 
 

@@ -1014,3 +1014,99 @@ def test_vocab_growth_property_totals(spark, ids):
         run_vocab += r["vocab_new"]
         assert r["docs_cum"] == run_docs
         assert r["vocab_cum"] == run_vocab
+
+
+# ------------------------------------------------------------ qq_table
+
+
+def test_qq_table_python_replay(spark):
+    from radohydro_spark.operators.profile import qq_table
+
+    old = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    new = spark.createDataFrame(
+        [(i,) for i in range(1, 51)] + [(i * 10,) for i in range(5, 55)],
+        "v long",
+    )
+    got = {r["percent"]: r for r in qq_table(old, new, "v").collect()}
+
+    def disc(vals, q):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, v in enumerate(vals, 1):
+            if 100 * i >= q * n:
+                return v
+
+    ov = list(range(1, 101))
+    nv = list(range(1, 51)) + [i * 10 for i in range(5, 55)]
+    for q in (1, 5, 10, 25, 50, 75, 90, 95, 99):
+        r = got[q]
+        assert r["q_old"] == disc(ov, q), q
+        assert r["q_new"] == disc(nv, q), q
+        assert r["diff"] == r["q_new"] - r["q_old"]
+
+
+def test_qq_table_empty_side_reports_null(spark):
+    from radohydro_spark.operators.profile import qq_table
+
+    old = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    new = spark.createDataFrame([], "v long")
+    got = qq_table(old, new, "v", qs=(50,)).collect()
+    [r] = got
+    assert r["q_old"] is not None
+    assert r["q_new"] is None and r["diff"] is None
+
+
+def test_qq_table_identical_sides_zero_diff(spark):
+    from radohydro_spark.operators.profile import qq_table
+
+    df = spark.createDataFrame([(i % 37,) for i in range(500)], "v long")
+    got = qq_table(df, df, "v").collect()
+    assert len(got) == 9
+    assert all(r["diff"] == 0 for r in got)
+
+
+def test_qq_table_bad_percents_raise_named(spark):
+    from radohydro_spark.operators.profile import qq_table
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="qq_table: qs"):
+        qq_table(df, df, "v", qs=(0,))
+
+
+# ------------------------------------------------------ rare_categories
+
+
+def test_rare_categories_threshold_law(spark):
+    from radohydro_spark.operators.profile import rare_categories
+
+    rows = [("g", "common")] * 990 + [("g", "rare")] * 9 + [("g", "one")]
+    df = spark.createDataFrame(rows, "g string, cat string")
+    got = {
+        r["cat"]: r
+        for r in rare_categories(df, "cat", ["g"], max_ppm=10_000).collect()
+    }
+    # rare: 9/1000 = 9000 ppm < 10000; one: 1000 ppm; common: 990000
+    assert set(got) == {"rare", "one"}
+    assert got["rare"]["share_ppm"] == 9000
+    assert got["one"]["share_ppm"] == 1000
+
+
+def test_rare_categories_min_n_drops_singletons(spark):
+    from radohydro_spark.operators.profile import rare_categories
+
+    rows = [("g", "common")] * 995 + [("g", "rare")] * 4 + [("g", "one")]
+    df = spark.createDataFrame(rows, "g string, cat string")
+    got = rare_categories(df, "cat", ["g"], max_ppm=10_000, min_n=2).collect()
+    assert [r["cat"] for r in got] == ["rare"]
+
+
+def test_rare_categories_global_form_and_validation(spark):
+    from radohydro_spark.operators.profile import rare_categories
+
+    df = spark.createDataFrame(
+        [("a",)] * 999 + [("b",)], "cat string"
+    )
+    got = rare_categories(df, "cat", max_ppm=5000).collect()
+    assert [(r["cat"], r["share_ppm"]) for r in got] == [("b", 1000)]
+    with pytest.raises(ValueError, match="rare_categories: max_ppm"):
+        rare_categories(df, "cat", max_ppm=0)
