@@ -3526,7 +3526,13 @@ def qq_table(
     side sharing the SAME single exchange + one conditional-min
     aggregate; the per-percent rows come from a stateless ≤ |qs|-row
     unpivot.  At 100 TB the wire carries |domain| counters, never
-    rows.
+    rows.  CONTRACT (the :func:`quantiles_by` trade): the COMBINED
+    value domain must fit one task's sort — the cumulative window is
+    unpartitioned, so a near-unique column (raw timestamps, unrounded
+    doubles) funnels every domain counter through one reducer; bucket
+    such columns first, or take each side's quantiles separately on
+    the range-partitioned two-pass
+    :func:`~radohydro_spark.operators.sketch.exact_quantiles`.
 
     Returns one row per requested percent: ``(percent, q_old, q_new,
     diff)``, value-typed quantile columns.
@@ -3534,9 +3540,13 @@ def qq_table(
     Reference analog: none — extends the data-quality family
     (SURVEY §2 extension table).
     """
-    if not qs or not all(isinstance(q, int) and 1 <= q <= 100 for q in qs):
+    if (
+        not qs
+        or not all(isinstance(q, int) and 1 <= q <= 100 for q in qs)
+        or len(set(qs)) != len(qs)
+    ):
         raise ValueError(
-            "qq_table: qs must be integer percents in 1..100 "
+            "qq_table: qs must be DISTINCT integer percents in 1..100 "
             "(operators/profile.py)"
         )
 
@@ -3651,23 +3661,23 @@ def rare_categories(
         keep = keep & F.col(g).isNotNull()
     counts = (
         df.filter(keep)
-        .groupBy(*group_cols, F.col(col).cast("string").alias("cat"))
-        .agg(F.count("*").alias("n"))
+        .groupBy(*group_cols, F.col(col).cast("string").alias("_cat"))
+        .agg(F.count("*").alias("_c"))
     )
     wg = W.partitionBy(*group_cols)
     base = counts.select(
-        *group_cols, "cat", "n", F.sum("n").over(wg).alias("_n")
+        *group_cols, "_cat", "_c", F.sum("_c").over(wg).alias("_n")
     )
     return (
-        with_share_ppm(base, "n", "_n", "rare_categories")
+        with_share_ppm(base, "_c", "_n", "rare_categories")
         .filter(
             (F.col("share_ppm") < F.lit(int(max_ppm)))
-            & (F.col("n") >= F.lit(int(min_n)))
+            & (F.col("_c") >= F.lit(int(min_n)))
         )
         .select(
             *group_cols,
-            "cat",
-            F.col("n").cast("long").alias("n"),
+            F.col("_cat").alias("cat"),
+            F.col("_c").cast("long").alias("n"),
             "share_ppm",
         )
     )

@@ -1110,3 +1110,24 @@ def test_rare_categories_global_form_and_validation(spark):
     assert [(r["cat"], r["share_ppm"]) for r in got] == [("b", 1000)]
     with pytest.raises(ValueError, match="rare_categories: max_ppm"):
         rare_categories(df, "cat", max_ppm=0)
+
+
+def test_qq_table_duplicate_percents_raise_named(spark):
+    """Duplicate qs previously died deep in Spark with an opaque
+    AMBIGUOUS_REFERENCE — the validator now names it (r16 review)."""
+    from radohydro_spark.operators.profile import qq_table
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="qq_table.*DISTINCT"):
+        qq_table(df, df, "v", qs=(50, 50))
+
+
+def test_rare_categories_survives_cat_named_group_col(spark):
+    """A group column literally named 'cat' or 'n' must not collide
+    with the operator's internals (r16 review)."""
+    from radohydro_spark.operators.profile import rare_categories
+
+    rows = [("g1", "common")] * 999 + [("g1", "odd")]
+    df = spark.createDataFrame(rows, "cat string, n string")
+    got = rare_categories(df, "n", ["cat"], max_ppm=5000).collect()
+    assert [(r["cat"], r["n"]) for r in got] == [("g1", 1)]
