@@ -12342,6 +12342,32 @@ ORDER BY lang, cat
 """
 
 
+def q_dq_tvd_baseline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted drift-baseline lifecycle
+    (operators.profile.save_category_baseline +
+    tvd_drift_vs_baseline): the early-orders priority histogram is
+    written to a parquet store ONCE, then the late orders compare
+    against the STORE without re-reading the reference side — the
+    production monitoring shape (reference corpora are archived; only
+    the new drop is scanned).  The oracle recomputes BOTH sides raw,
+    so a green hash proves the store round-trips the law exactly."""
+    import tempfile
+
+    from radohydro_spark.operators.profile import (
+        save_category_baseline,
+        tvd_drift_vs_baseline,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="tvd_base_") + "/priority_baseline"
+    save_category_baseline(
+        o.filter(F.year("o_orderdate") <= 1994), "o_orderpriority", path
+    )
+    return tvd_drift_vs_baseline(
+        o.filter(F.year("o_orderdate") >= 1995), "o_orderpriority", path
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
@@ -12355,6 +12381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-snapshot diversity screen (per-source entropy), the
         # feature-association MI/lift diagram, the production
         # reference-decile PSI, and the Benford first-digit screen.
+        "dq_tvd_baseline_persist": q_dq_tvd_baseline_persist,
         "dq_qq_table": q_dq_qq_table,
         "dq_rare_categories": q_dq_rare_categories,
         "events_stream_entropy": q_events_stream_entropy,
@@ -12719,6 +12746,7 @@ def _radolan_scale_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         # r16 sixth-wave first-exposure operators
+        "dq_tvd_baseline_persist": ORACLE_TVD_DRIFT,
         "dq_qq_table": _qq_oracle(),
         "dq_rare_categories": ORACLE_RARE_CATEGORIES,
         "events_stream_entropy": ORACLE_STREAM_ENTROPY,

@@ -742,6 +742,16 @@ def tvd_drift(
         .groupBy(F.col(col).cast("string").alias("cat"))
         .agg(F.count("*").alias("_c2"))
     )
+    return _tvd_from_counts(spark, o, n)
+
+
+def _tvd_from_counts(spark, o: DataFrame, n: DataFrame) -> DataFrame:
+    """The TVD law from per-category COUNT frames ``o = (cat, _c1)``
+    and ``n = (cat, _c2)`` — one definition shared by
+    :func:`tvd_drift` (both sides counted live) and
+    :func:`tvd_drift_vs_baseline` (the old side read from a persisted
+    baseline store), so the stored-baseline path cannot drift from the
+    recompute-both-sides law."""
     merged = o.join(n, "cat", "full_outer").select(
         "cat",
         F.coalesce(F.col("_c1"), F.lit(0)).alias("_c1"),
@@ -3681,3 +3691,66 @@ def rare_categories(
             "share_ppm",
         )
     )
+
+
+def save_category_baseline(
+    df: DataFrame, col: str, path: str
+) -> DataFrame:
+    """Persist a categorical column's exact count histogram — the
+    BASELINE half of the production drift workflow: the reference
+    snapshot is profiled ONCE at release time and every later drop
+    compares against the STORE (``tvd_drift_vs_baseline``), never
+    re-reading the reference corpus (which at 100 TB may already be
+    archived or deleted).  The drift family's persisted-lifecycle
+    member, next to the LSH and IVF index stores.
+
+    The store is a plain parquet table ``(cat string, n long)`` —
+    NULL categories excluded (the family convention) — readable by
+    anything, mergeable by summing, and tiny (|category domain| rows).
+
+    Returns the store read BACK from ``path`` (the audit convention:
+    what you got is what later comparisons will see).
+    """
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    counts.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def tvd_drift_vs_baseline(
+    new: DataFrame, col: str, baseline_path: str
+) -> DataFrame:
+    """Exact categorical TVD of a NEW snapshot against a PERSISTED
+    baseline histogram (:func:`save_category_baseline`) — the
+    production monitoring shape: one scan of the new drop, ZERO scans
+    of the reference corpus, bit-identical to
+    :func:`tvd_drift` run on both raw sides (the shared
+    :func:`_tvd_from_counts` law; round-trip pinned).
+
+    Plan shape: one map-side-combinable count aggregate over the new
+    side + a |domain|-row parquet read + the TVD scalar aggregate —
+    at 100 TB the only row-scaling cost is the single new-side scan.
+
+    Raises a named ValueError when the store's schema is not the
+    ``(cat, n)`` contract (a wrong path fails loudly, not with a
+    column-resolution error mid-plan).
+    """
+    spark = new.sparkSession
+    base = spark.read.parquet(baseline_path)
+    if set(base.columns) != {"cat", "n"}:
+        raise ValueError(
+            "tvd_drift_vs_baseline: the store at "
+            f"{baseline_path!r} has columns {sorted(base.columns)}, "
+            "expected the save_category_baseline (cat, n) contract "
+            "(operators/profile.py)"
+        )
+    o = base.select("cat", F.col("n").cast("long").alias("_c1"))
+    n = (
+        new.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count("*").alias("_c2"))
+    )
+    return _tvd_from_counts(spark, o, n)

@@ -1131,3 +1131,63 @@ def test_rare_categories_survives_cat_named_group_col(spark):
     df = spark.createDataFrame(rows, "cat string, n string")
     got = rare_categories(df, "n", ["cat"], max_ppm=5000).collect()
     assert [(r["cat"], r["n"]) for r in got] == [("g1", 1)]
+
+
+# --------------------------------------------- drift baseline lifecycle
+
+
+def test_tvd_baseline_roundtrip_pins_direct_law(spark, tmp_path):
+    """compare-vs-store must be bit-identical to tvd_drift on both raw
+    sides (the shared _tvd_from_counts law)."""
+    from radohydro_spark.operators.profile import (
+        save_category_baseline,
+        tvd_drift,
+        tvd_drift_vs_baseline,
+    )
+
+    old = spark.createDataFrame(
+        [("a",)] * 70 + [("b",)] * 30, "cat string"
+    )
+    new = spark.createDataFrame(
+        [("a",)] * 40 + [("b",)] * 50 + [("c",)] * 10, "cat string"
+    )
+    path = str(tmp_path / "base")
+    store = save_category_baseline(old, "cat", path)
+    assert {(r["cat"], r["n"]) for r in store.collect()} == {
+        ("a", 70),
+        ("b", 30),
+    }
+    [direct] = tvd_drift(old, new, "cat").collect()
+    [via_store] = tvd_drift_vs_baseline(new, "cat", path).collect()
+    assert direct.asDict() == via_store.asDict()
+    # d_a = |70*100-40*100| = 3000 is the largest numerator
+    assert via_store["top_category"] == "a"
+
+
+def test_tvd_baseline_bad_store_schema_raises_named(spark, tmp_path):
+    from radohydro_spark.operators.profile import tvd_drift_vs_baseline
+
+    path = str(tmp_path / "wrong")
+    spark.createDataFrame([(1, "x")], "id long, label string").write.parquet(
+        path
+    )
+    df = spark.createDataFrame([("a",)], "cat string")
+    with pytest.raises(ValueError, match="tvd_drift_vs_baseline.*contract"):
+        tvd_drift_vs_baseline(df, "cat", path)
+
+
+def test_tvd_baseline_new_category_counts(spark, tmp_path):
+    """A category unseen in the baseline must surface (full-outer
+    semantics survive the store)."""
+    from radohydro_spark.operators.profile import (
+        save_category_baseline,
+        tvd_drift_vs_baseline,
+    )
+
+    old = spark.createDataFrame([("a",)] * 10, "cat string")
+    new = spark.createDataFrame([("z",)] * 10, "cat string")
+    path = str(tmp_path / "base2")
+    save_category_baseline(old, "cat", path)
+    [r] = tvd_drift_vs_baseline(new, "cat", path).collect()
+    # disjoint supports: TVD = 1 -> num = 2*n1*n2 = 200, ppm = 10^6
+    assert r["tvd_num"] == 200 and r["tvd_ppm"] == 1_000_000
