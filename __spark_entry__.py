@@ -12368,6 +12368,34 @@ def q_dq_tvd_baseline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_psi_baseline_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted NUMERIC drift baseline
+    (operators.profile.save_decile_baseline + psi_vs_baseline): the
+    pre-1998 extended-price decile edges and bucket counts write to a
+    parquet store once; the post-1998 drop compares against the STORE
+    with zero reference scans — the deployed-model PSI monitoring
+    workflow.  The oracle recomputes both sides raw
+    (dq_psi_quantile_bins' transcription), so a green hash proves the
+    store round-trips the edge, bucket and PSI laws exactly."""
+    import tempfile
+
+    from radohydro_spark.operators.profile import (
+        psi_vs_baseline,
+        save_decile_baseline,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    split = F.lit("1998-01-01").cast("timestamp")
+    path = tempfile.mkdtemp(prefix="psi_base_") + "/price_baseline"
+    save_decile_baseline(
+        li.filter(F.col("l_shipdate") < split), "l_extendedprice", path,
+        n_bins=10,
+    )
+    return psi_vs_baseline(
+        li.filter(F.col("l_shipdate") >= split), "l_extendedprice", path
+    ).orderBy("bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-16 driver window (positions 0-49) ---
@@ -12381,6 +12409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-snapshot diversity screen (per-source entropy), the
         # feature-association MI/lift diagram, the production
         # reference-decile PSI, and the Benford first-digit screen.
+        "dq_psi_baseline_persist": q_dq_psi_baseline_persist,
         "dq_tvd_baseline_persist": q_dq_tvd_baseline_persist,
         "dq_qq_table": q_dq_qq_table,
         "dq_rare_categories": q_dq_rare_categories,
@@ -12746,6 +12775,7 @@ def _radolan_scale_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         # r16 sixth-wave first-exposure operators
+        "dq_psi_baseline_persist": _psi_qbins_oracle(),
         "dq_tvd_baseline_persist": ORACLE_TVD_DRIFT,
         "dq_qq_table": _qq_oracle(),
         "dq_rare_categories": ORACLE_RARE_CATEGORIES,

@@ -3078,6 +3078,22 @@ def psi_quantile_bins(
             "percentile edge law has 99 inner edges (operators/profile.py)"
         )
     qs = [100 * i // n_bins for i in range(1, n_bins)]
+    edges = _qbin_edges(old, col, qs)
+    o = _qbin_bucketize(old, col, edges, qs).select(
+        "bucket", F.col("n").alias("n_old")
+    )
+    n = _qbin_bucketize(new, col, edges, qs).select(
+        "bucket", F.col("n").alias("n_new")
+    )
+    return _psi_rows(o, n, eps)
+
+
+def _qbin_edges(old: DataFrame, col: str, qs: list[int]) -> DataFrame:
+    """The 1-row reference-quantile edge struct shared by
+    :func:`psi_quantile_bins` (edges computed live) and
+    :func:`save_decile_baseline` (edges persisted) — the
+    ``percentile_disc`` lower-boundary BIGINT law per percent in
+    ``qs``, columns ``_e{q}``."""
     vals = old.filter(F.col(col).isNotNull()).groupBy(
         F.col(col).alias("_v")
     ).agg(F.count("*").alias("_c"))
@@ -3091,7 +3107,7 @@ def psi_quantile_bins(
         F.sum("_c").over(wcum).alias("_cum"),
         F.sum("_c").over(W.partitionBy()).alias("_n"),
     )
-    edges = cum.agg(
+    return cum.agg(
         *[
             F.min(
                 F.when(
@@ -3103,24 +3119,35 @@ def psi_quantile_bins(
         ]
     )
 
-    def bucketize(df: DataFrame) -> DataFrame:
-        b = None
-        for q in qs:
-            term = (
-                F.when(F.col(col) > F.col(f"_e{q}"), F.lit(1))
-                .otherwise(F.lit(0))
-            )
-            b = term if b is None else b + term
-        return (
-            df.filter(F.col(col).isNotNull())
-            .crossJoin(F.broadcast(edges))
-            .select(b.cast("long").alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n"))
-        )
 
-    o = bucketize(old).select("bucket", F.col("n").alias("n_old"))
-    n = bucketize(new).select("bucket", F.col("n").alias("n_new"))
+def _qbin_bucketize(
+    df: DataFrame, col: str, edges: DataFrame, qs: list[int]
+) -> DataFrame:
+    """The shared bucket law: ``bucket(v) = Σ_q CASE WHEN v > _e{q}
+    THEN 1 ELSE 0`` against a 1-row broadcast edge struct — pure
+    comparisons, identical whether the edges were computed live or
+    read back from a store."""
+    b = None
+    for q in qs:
+        term = (
+            F.when(F.col(col) > F.col(f"_e{q}"), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        b = term if b is None else b + term
+    return (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .select(b.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _psi_rows(o: DataFrame, n: DataFrame, eps: float) -> DataFrame:
+    """The shared eps-floored PSI projection over per-bucket count
+    frames ``o = (bucket, n_old)`` / ``n = (bucket, n_new)`` — one
+    definition for the live and stored-baseline paths (the
+    :func:`psi_drift` float law verbatim)."""
     j = o.join(n, "bucket", "full_outer").select(
         "bucket",
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
@@ -3754,3 +3781,79 @@ def tvd_drift_vs_baseline(
         .agg(F.count("*").alias("_c2"))
     )
     return _tvd_from_counts(spark, o, n)
+
+
+def save_decile_baseline(
+    df: DataFrame, col: str, path: str, n_bins: int = 10
+) -> None:
+    """Persist a numeric column's reference-quantile PSI baseline —
+    the NUMERIC half of the persisted drift lifecycle
+    (:func:`save_category_baseline` holds the categorical half): the
+    reference snapshot's exact decile EDGES (the percentile_disc
+    BIGINT law) and per-bucket counts write once; every later drop
+    compares against the STORE (:func:`psi_vs_baseline`) with zero
+    reference-corpus scans — exactly how a deployed model's PSI
+    monitor runs in production.
+
+    The store is two tiny parquet tables under ``path``: ``edges/``
+    (one row, columns ``_e{q}``, value-typed) and ``buckets/``
+    (≤ n_bins rows ``(bucket, n)``) — both readable by anything and
+    together sufficient to reproduce :func:`psi_quantile_bins`'s old
+    side exactly (round-trip pinned).
+    """
+    if not (2 <= n_bins <= 100):
+        raise ValueError(
+            "save_decile_baseline: n_bins must be in 2..100 — the "
+            "integer percentile edge law has 99 inner edges "
+            "(operators/profile.py)"
+        )
+    qs = [100 * i // n_bins for i in range(1, n_bins)]
+    edges = _qbin_edges(df, col, qs)
+    edges.write.mode("overwrite").parquet(f"{path}/edges")
+    spark = df.sparkSession
+    stored_edges = spark.read.parquet(f"{path}/edges")
+    buckets = _qbin_bucketize(df, col, stored_edges, qs).select(
+        "bucket", F.col("n").cast("long").alias("n")
+    )
+    buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+
+
+def psi_vs_baseline(
+    new: DataFrame, col: str, path: str, eps: float = 1e-6
+) -> DataFrame:
+    """Reference-decile PSI of a NEW snapshot against a PERSISTED
+    baseline (:func:`save_decile_baseline`) — one scan of the new
+    drop, zero scans of the reference corpus, bit-identical to
+    :func:`psi_quantile_bins` run on both raw sides (the shared
+    ``_qbin_bucketize`` / ``_psi_rows`` laws; round-trip pinned).
+    The requested percents are recovered from the store's ``_e{q}``
+    column names, so caller and store cannot disagree about the grid.
+
+    Raises a named ValueError when either store table is missing its
+    contract columns (a wrong path fails loudly, not mid-plan).
+    """
+    spark = new.sparkSession
+    edges = spark.read.parquet(f"{path}/edges")
+    qs = []
+    for c in edges.columns:
+        if not (c.startswith("_e") and c[2:].isdigit()):
+            raise ValueError(
+                f"psi_vs_baseline: the store at {path!r}/edges has "
+                f"column {c!r}, expected only the save_decile_baseline "
+                "_e<percent> contract (operators/profile.py)"
+            )
+        qs.append(int(c[2:]))
+    qs.sort()
+    buckets = spark.read.parquet(f"{path}/buckets")
+    if set(buckets.columns) != {"bucket", "n"}:
+        raise ValueError(
+            f"psi_vs_baseline: the store at {path!r}/buckets has "
+            f"columns {sorted(buckets.columns)}, expected the "
+            "save_decile_baseline (bucket, n) contract "
+            "(operators/profile.py)"
+        )
+    o = buckets.select("bucket", F.col("n").cast("long").alias("n_old"))
+    n = _qbin_bucketize(new, col, edges, qs).select(
+        "bucket", F.col("n").alias("n_new")
+    )
+    return _psi_rows(o, n, eps)

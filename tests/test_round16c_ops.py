@@ -1191,3 +1191,49 @@ def test_tvd_baseline_new_category_counts(spark, tmp_path):
     [r] = tvd_drift_vs_baseline(new, "cat", path).collect()
     # disjoint supports: TVD = 1 -> num = 2*n1*n2 = 200, ppm = 10^6
     assert r["tvd_num"] == 200 and r["tvd_ppm"] == 1_000_000
+
+
+def test_psi_baseline_roundtrip_pins_direct_law(spark, tmp_path):
+    """compare-vs-store must be bit-identical to psi_quantile_bins on
+    both raw sides (shared edge/bucket/psi laws)."""
+    from radohydro_spark.operators.profile import (
+        psi_quantile_bins,
+        psi_vs_baseline,
+        save_decile_baseline,
+    )
+
+    old = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    new = spark.createDataFrame(
+        [(i,) for i in range(50, 180)] + [(-3,)], "v long"
+    )
+    path = str(tmp_path / "psibase")
+    save_decile_baseline(old, "v", path, n_bins=10)
+    direct = {
+        r["bucket"]: r.asDict()
+        for r in psi_quantile_bins(old, new, "v", n_bins=10).collect()
+    }
+    via = {
+        r["bucket"]: r.asDict()
+        for r in psi_vs_baseline(new, "v", path).collect()
+    }
+    assert direct == via
+
+
+def test_psi_baseline_bad_store_raises_named(spark, tmp_path):
+    from radohydro_spark.operators.profile import psi_vs_baseline
+
+    path = str(tmp_path / "bad")
+    spark.createDataFrame([(1,)], "wrong long").write.parquet(
+        path + "/edges"
+    )
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="psi_vs_baseline.*contract"):
+        psi_vs_baseline(df, "v", path)
+
+
+def test_save_decile_baseline_bad_bins_raises_named(spark, tmp_path):
+    from radohydro_spark.operators.profile import save_decile_baseline
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="save_decile_baseline.*2..100"):
+        save_decile_baseline(df, "v", str(tmp_path / "x"), n_bins=101)
