@@ -2574,7 +2574,14 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    out = run_available_now(agg, name, tempfile.mkdtemp(prefix="ck_"), "complete")
+    # state = |hours x event_type| aggregate buffers (window-domain
+    # bounded, input-size independent; partial aggregation bounds the
+    # stateful shuffle the same way) -> state partitions sized to the
+    # window domain, not the session default (run_available_now doc)
+    out = run_available_now(
+        agg, name, tempfile.mkdtemp(prefix="ck_"), "complete",
+        state_partitions=8,
+    )
     return out.select(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
@@ -2692,8 +2699,11 @@ def q_events_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     name = "stream_cms_" + uuid.uuid4().hex[:8]
+    # state ≤ windows·depth·width counters by the sketch contract ->
+    # window-domain-sized state partitions (run_available_now doc)
     out = run_available_now(
-        sk, name, tempfile.mkdtemp(prefix="ck_"), "complete"
+        sk, name, tempfile.mkdtemp(prefix="ck_"), "complete",
+        state_partitions=8,
     )
     return out.select(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("day"),
@@ -3592,7 +3602,18 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from radohydro_spark.sources.jpeg import encode_jpeg_gray
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # the documents file is one small parquet -> ONE scan partition, which
+    # serialized the whole encode+decode chain on a single core (measured
+    # 1.62 s; the codec itself is ~2.5 core-seconds).  Spread the id rows
+    # across the session's parallelism BEFORE the Python stages — the
+    # shuffle moves only 8-byte ids, the heavy bytes are generated after
+    # it (guide §2.3: shuffle keys, not payloads; §6: one small file must
+    # not set the parallelism of the compute behind it).
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(it):
         for pdf in it:
@@ -10942,8 +10963,12 @@ def q_events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", "user_id", "1 day", k=64, watermark="1 hour"
     )
     name = "stream_kmv_" + uuid.uuid4().hex[:8]
+    # state ≤ windows·k longs and the stateful shuffle carries ≤
+    # windows·k pre-pruned rows per upstream task (stream_kmv's
+    # stateless bottom-k prune) -> window-domain-sized state partitions
     out = run_available_now(
-        sk, name, tempfile.mkdtemp(prefix="ck_"), "update"
+        sk, name, tempfile.mkdtemp(prefix="ck_"), "update",
+        state_partitions=8,
     )
     w = W.partitionBy("ts").orderBy("hv")
     return (

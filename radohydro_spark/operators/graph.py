@@ -109,7 +109,7 @@ def pagerank(
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_interval: int = 4,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list — the canonical
     iterative-algorithm shape (Brin & Page '98; Pregel/GraphX formulation)
@@ -126,12 +126,16 @@ def pagerank(
     and the per-round plan is identical — at 100 TB the edge list is
     pre-partitioned on ``src`` once and every round reuses that layout.
 
-    Lineage is truncated every ``checkpoint_interval`` rounds, not every
-    round: consecutive un-checkpointed rounds pack into ONE multi-stage
-    job (sequential shuffles, no intermediate materialization — measured
-    ~4x faster at 5 iterations), while the periodic ``localCheckpoint``
-    still bounds plan depth for long runs (same rationale as
-    ``connected_components``).
+    Lineage is truncated every ``checkpoint_interval`` rounds, default
+    EVERY round (r16 optimization): the per-round dangling-mass
+    broadcast runs as its OWN job, so with un-checkpointed rounds the
+    broadcast at round k re-executes the full k-round lineage — a
+    quadratic re-execution term that the interleaved A/B (5 iterations,
+    5-node graph) measured at 1.41 s for interval=4 vs 1.01 s for
+    interval=1; at real graph scale the re-executed rounds are full
+    shuffles, so the gap widens with |E|.  The checkpointed relation is
+    node-sized (never edge-sized).  Raise the interval only for a loop
+    with no per-round broadcast.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     if nodes is None:

@@ -210,7 +210,11 @@ def stateful_running_total(
 
 
 def run_available_now(
-    stream_df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a stream with the availableNow trigger into a memory sink and
     return the materialized result — batch-equivalent replay used by tests
@@ -220,17 +224,44 @@ def run_available_now(
     emits windows already past the watermark, so the tail of a bounded
     replay would be withheld); non-aggregating streams (dedup, projections)
     must use ``append``; applyInPandasWithState uses ``update``.
+
+    ``state_partitions`` (r16 optimization) sizes the stateful operator's
+    shuffle/state-store partition count for BOUNDED-STATE streams.  A
+    stateful micro-batch pays a fixed per-partition cost EVERY trigger
+    (state-store load + commit + task round-trip — measured ~28 ms per
+    partition per batch on this host, ~0.9 s per batch at the session's
+    32 even with ZERO input rows), so the right count scales with STATE
+    VOLUME, not input rows.  For the sketch/windowed-aggregate operators
+    in this module the state is bounded by construction (windows·k longs,
+    windows·depth·width counters, windows·|keys| buffers) and the rows
+    entering the stateful exchange are partial aggregates / pre-pruned
+    candidates — both independent of input size — so a small count is the
+    correct PRODUCTION sizing at any ingest scale, not a local-mode tune.
+    Leave ``None`` (session default) for streams whose state grows with
+    the key domain.  The value is pinned into the checkpoint by the
+    streaming runtime at first batch, so it must be set before start():
+    the session conf is set for the drain and restored after.
     """
-    q = (
+    spark = stream_df.sparkSession
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    if state_partitions is None:
+        q = writer.start()
+        q.awaitTermination()
+    else:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+            q = writer.start()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 def stream_stream_join(
@@ -723,17 +754,39 @@ def stream_kmv(
     # max(window_start) − delay it is ≤ the event-time watermark, i.e.
     # strictly conservative — eviction can only fire LATER than the
     # event-time horizon, never early
-    rows = (
-        stream.filter(
-            F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
-        )
-        .select(
-            F.window(F.col(ts_col), window).start.alias("ts"),
-            F.window(F.col(ts_col), window).end.alias("_te"),
-            portable_hash(F.col(key_col).cast("string")).alias("hv"),
-        )
-        .withWatermark("ts", watermark)
+    rows = stream.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.window(F.col(ts_col), window).start.alias("ts"),
+        F.window(F.col(ts_col), window).end.alias("_te"),
+        portable_hash(F.col(key_col).cast("string")).alias("hv"),
     )
+
+    # STATELESS per-task pre-prune (r16 optimization): bottom-k of a
+    # union is the bottom-k of per-part bottom-ks, so each input task
+    # forwards at most k distinct hvs PER WINDOW into the stateful
+    # exchange — the batch builder's per-partition prune law carried to
+    # the stream.  The stateful shuffle then moves ≤ windows·k rows per
+    # upstream task REGARDLESS of ingest volume (previously: every hash
+    # row), which is what makes a window-domain-sized state-partition
+    # count (run_available_now's ``state_partitions``) safe at any
+    # scale.  Emissions are unchanged: bottom-k absorbs the prune.
+    def _prune(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf):
+                yield (
+                    pdf.sort_values("hv")
+                    .drop_duplicates(["ts", "hv"])
+                    .groupby(["ts", "_te"], sort=False)
+                    .head(k)
+                )
+
+    # the mapInPandas output is a fresh projection, so the watermark
+    # re-attaches AFTER it (window-start column, max per window survives
+    # the prune — same conservative horizon as tagging before it)
+    rows = rows.mapInPandas(
+        _prune, schema="ts timestamp, _te timestamp, hv long"
+    ).withWatermark("ts", watermark)
 
     def update(
         key: tuple,
