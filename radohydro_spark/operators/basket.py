@@ -48,6 +48,14 @@ def pair_lift(
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("_arr"))
         .filter(F.size("_arr") <= max_basket_size)
     )
+    # THREE consumers read the basket aggregate (pair explosion, item
+    # counts, basket count); without a persist the collect_set shuffle
+    # over the fact table replays per consumer (r16: 1.99 s -> 1.29 s on
+    # the bench basket).  Basket-count rows, released by the session pool.
+    kept = kept.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(kept)
     pair_structs = F.flatten(
         F.transform(
             "_arr",

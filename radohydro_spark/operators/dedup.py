@@ -966,6 +966,16 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # the tf relation feeds FOUR consumers (df(t), the norms aggregate,
+    # and both sides of the term self-join), each of which otherwise
+    # replays the tokenize+explode+aggregate from the source scan — the
+    # r16 plan audit counted 48 parquet scans in one query.  Persist it
+    # once (corpus-vocabulary-sized, released by the session pool), the
+    # same compute-once treatment the shingle operators give ``sh``.
+    tf = tf.cache()
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    _PERSISTED.append(tf)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)

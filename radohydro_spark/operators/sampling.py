@@ -789,10 +789,24 @@ def dsir_importance_weights(
     """
     src_grams = _hashed_gram_buckets(corpus, text_col, id_col, k, n_buckets)
     tgt_grams = _hashed_gram_buckets(target, text_col, id_col, k, n_buckets)
+    # the corpus grams feed the bucket aggregate AND the weight join —
+    # persist so tokenize+md5 (the dominant cost, see SOAK.md's md5 tax)
+    # runs once instead of per consumer (r16; spillable, released by the
+    # session pool).  The target side is read once (see ns/nt below).
+    from pyspark import StorageLevel
+
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
+    src_grams = src_grams.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(src_grams)
     cs = src_grams.groupBy("b").agg(F.count("*").alias("cs"))
     ct = tgt_grams.groupBy("b").agg(F.count("*").alias("ct"))
-    ns = src_grams.agg(F.count("*").alias("ns"))
-    nt = tgt_grams.agg(F.count("*").alias("nt"))
+    # totals are the bucket-table sums — deriving them from the
+    # n_buckets-row aggregates (identical BIGINTs by definition, r16)
+    # removes one full corpus replay and one full target replay that
+    # the separate count aggregates cost
+    ns = cs.agg(F.coalesce(F.sum("cs"), F.lit(0)).alias("ns"))
+    nt = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
     lr = (
         cs.join(ct, "b", "left")
         .na.fill({"ct": 0})
