@@ -1621,7 +1621,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("distinct_ratio") >= 0.3)
         & (F.col("n_punct").cast("double") / F.col("n_chars_calc") <= 0.1)
     ).select("doc_id")
-    q = corpus.join(keep_q, "doc_id", "left_semi")
+    # q feeds both its stage count and the exact-dedup build: cache so
+    # the text_stats tokenize pass runs once, not twice (r16 plan audit)
+    q = corpus.join(keep_q, "doc_id", "left_semi").cache()
     e = DD.dedup_exact(q, "text", "doc_id").cache()
     pairs = DD.ngram_jaccard_pairs(
         e, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=None

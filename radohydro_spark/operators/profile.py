@@ -279,13 +279,26 @@ def mad_outliers(
     fence count; per-group medians/MADs are dimension-sized and broadcast
     back — the row side never collects, never self-joins.
     """
+    from pyspark import StorageLevel
+
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
     med = df.groupBy(group_col).agg(
         F.percentile(value_col, F.lit(0.5)).alias("med"),
         F.count("*").alias("n_rows"),
     )
-    dev = df.join(F.broadcast(med.select(group_col, "med")), group_col).withColumn(
-        "_absdev", F.abs(F.col(value_col) - F.col("med"))
+    # dev feeds TWO consumers (the MAD percentile and the fence count):
+    # persist the projected (group, absdev) rows so the base relation is
+    # scanned twice total (median pass + dev build), not three times
+    # (r16 plan audit).  Row-sized but narrow; spillable; released via
+    # the session pool.
+    dev = (
+        df.join(F.broadcast(med.select(group_col, "med")), group_col)
+        .withColumn("_absdev", F.abs(F.col(value_col) - F.col("med")))
+        .select(group_col, "_absdev")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(dev)
     mad = dev.groupBy(group_col).agg(
         F.percentile("_absdev", F.lit(0.5)).alias("mad")
     )

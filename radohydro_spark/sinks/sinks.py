@@ -79,7 +79,12 @@ def write_basin_csvs(
             F.round("rainfall_mm", round_decimals).alias("rainfall"),
         )
         .repartition("basin_id")
-        .sortWithinPartitions("time")
+        # sort by the PARTITION column first: the dynamic-partition
+        # writer requires its output ordered by basin_id and inserts its
+        # own (time-order-destroying) sort when the requirement is not
+        # already met — sorting by time alone only survived while the
+        # upstream generator was single-partition (r16: it no longer is)
+        .sortWithinPartitions("basin_id", "time")
         .write.mode("overwrite")
         .partitionBy("basin_id")
         .csv(staging)
