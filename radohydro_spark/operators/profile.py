@@ -279,26 +279,22 @@ def mad_outliers(
     fence count; per-group medians/MADs are dimension-sized and broadcast
     back — the row side never collects, never self-joins.
     """
-    from pyspark import StorageLevel
-
-    from radohydro_spark.plans.pipeline import _PERSISTED
-
+    # dev feeds TWO consumers (the MAD percentile and the fence count),
+    # so the base relation is scanned three times — DELIBERATE (r16
+    # audit): persisting the projected (group, absdev) rows was
+    # implemented and A/B-soaked at 20M rows, range-backed AND
+    # parquet-backed with pad columns (scripts/soak_mad_outliers.py),
+    # and lost both times (steady-state 1.30s recompute vs 1.51s cached
+    # on parquet) — the columnar scan prunes to the two needed columns
+    # anyway, so recompute is a cheap pruned scan + broadcast join while
+    # the cache pays row serialization of every input row.
     med = df.groupBy(group_col).agg(
         F.percentile(value_col, F.lit(0.5)).alias("med"),
         F.count("*").alias("n_rows"),
     )
-    # dev feeds TWO consumers (the MAD percentile and the fence count):
-    # persist the projected (group, absdev) rows so the base relation is
-    # scanned twice total (median pass + dev build), not three times
-    # (r16 plan audit).  Row-sized but narrow; spillable; released via
-    # the session pool.
-    dev = (
-        df.join(F.broadcast(med.select(group_col, "med")), group_col)
-        .withColumn("_absdev", F.abs(F.col(value_col) - F.col("med")))
-        .select(group_col, "_absdev")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    dev = df.join(F.broadcast(med.select(group_col, "med")), group_col).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("med"))
     )
-    _PERSISTED.append(dev)
     mad = dev.groupBy(group_col).agg(
         F.percentile("_absdev", F.lit(0.5)).alias("mad")
     )
