@@ -1,7 +1,7 @@
 """Dump formatted physical plans of the BENCH headline queries, one file
-per query, to plans/r16/<query>_<tag>.txt.
+per query, to plans/<round>/<query>_<tag>.txt.
 
-Usage: python scripts/dump_bench_plans.py <tag> [sf_dir] [query ...]
+Usage: SPARK_GRAFT_PLAN_ROUND=r17 python scripts/dump_bench_plans.py <tag> [sf_dir] [query ...]
 
 <tag> is e.g. "before" / "after".  Defaults to every query in
 bench.HEADLINE at /root/testdata/sf0.1.  Streaming queries (whose wall is
@@ -30,7 +30,9 @@ def main() -> None:
     only = [a for a in rest if "/" not in a]
     names = only or HEADLINE
 
-    outdir = "/root/repo/plans/r16"
+    outdir = os.path.join(
+        "/root/repo/plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17")
+    )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("dump_bench_plans")
     qs = entrymod.queries()
