@@ -552,6 +552,19 @@ def _poisson_replicate_means(
         key.alias("_key"),
         F.col(value_col).cast("long").alias("_x"),
     )
+    # The fan multiplies every row by (B+1) and the portable md5 ladder
+    # is the dominant per-row cost, so this stage's parallelism is the
+    # whole operator's wall.  A small source arrives as ONE scan
+    # partition (locally: one parquet file under maxPartitionBytes — the
+    # media_decode_jpeg trap, r16) and would run the entire fan+hash on
+    # one core: measured 19.0 s -> 3.9 s at sf0.1/32 cores (r17).
+    # Repartition the NARROW (key, x) rows BEFORE the fan, only when the
+    # scan is under-parallel — the shuffle moves 1/(B+1) of the post-fan
+    # bytes (guide §2.3/§2.5), and row placement cannot change the
+    # integer replicate sums.
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    if rows.rdd.getNumPartitions() < par:
+        rows = rows.repartition(par)
     fan = rows.select(
         *group_cols,
         "_key",

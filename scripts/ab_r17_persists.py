@@ -21,7 +21,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
-from pyspark.sql import DataFrame
+
+# Spark 4: local sessions instantiate the CLASSIC DataFrame subclass,
+# which OVERRIDES cache/persist — patching pyspark.sql.DataFrame (the
+# base) silently does nothing (found the hard way in this round's
+# bootstrap A/B: both arms ran the patched-on plan)
+from pyspark.sql.classic.dataframe import DataFrame
 
 from radohydro_spark import get_spark
 from radohydro_spark.plans.pipeline import release_persisted
