@@ -1622,9 +1622,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_punct").cast("double") / F.col("n_chars_calc") <= 0.1)
     ).select("doc_id")
     # q feeds both its stage count and the exact-dedup build: cache so
-    # the text_stats tokenize pass runs once, not twice (r16 plan audit)
+    # the text_stats tokenize pass runs once, not twice (r16 plan audit).
+    # All four stage caches register in the session pool (r17, VERDICT
+    # r16 #7): a long session (the 286-query sweep) otherwise pins these
+    # corpus-text caches until LRU while operator persists are released.
+    from radohydro_spark.plans.pipeline import _PERSISTED
+
     q = corpus.join(keep_q, "doc_id", "left_semi").cache()
     e = DD.dedup_exact(q, "text", "doc_id").cache()
+    _PERSISTED.extend([q, e])
     pairs = DD.ngram_jaccard_pairs(
         e, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=None
     )
@@ -1634,6 +1640,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = d.filter(F.col("doc_id") % 50 == 0)
     flagged = DD.contamination_check(nd, benchmark, "text", "doc_id", k=3, min_shared=5)
     clean = nd.join(flagged.select("doc_id"), "doc_id", "left_anti").cache()
+    _PERSISTED.extend([nd, clean])
     splits = split_assign(clean, "doc_id", val_pct=10, test_pct=10)
 
     def cnt(df: DataFrame, name: str) -> DataFrame:

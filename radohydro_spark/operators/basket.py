@@ -49,13 +49,13 @@ def pair_lift(
         .filter(F.size("_arr") <= max_basket_size)
     )
     # THREE consumers read the basket aggregate (pair explosion, item
-    # counts, basket count); without a persist the collect_set shuffle
-    # over the fact table replays per consumer (r16: 1.99 s -> 1.29 s on
-    # the bench basket).  Basket-count rows, released by the session pool.
-    kept = kept.cache()
-    from radohydro_spark.plans.pipeline import _PERSISTED
-
-    _PERSISTED.append(kept)
+    # counts, basket count).  r16 added a .cache() here; the r17 cold
+    # A/B (release_persisted between repetitions, so every repetition
+    # pays the fill) reverted it: persist-on 2.376 s vs persist-off
+    # 1.996 s (ratio 1.19) — the three consumers share ONE plan, so
+    # ReusedExchange already computes the collect_set shuffle once and
+    # replays only the post-shuffle aggregate per consumer; the columnar
+    # cache fill+read is pure overhead on top of that at any scale.
     pair_structs = F.flatten(
         F.transform(
             "_arr",

@@ -967,15 +967,14 @@ def tfidf_cosine_pairs(
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # the tf relation feeds FOUR consumers (df(t), the norms aggregate,
-    # and both sides of the term self-join), each of which otherwise
-    # replays the tokenize+explode+aggregate from the source scan — the
-    # r16 plan audit counted 48 parquet scans in one query.  Persist it
-    # once (corpus-vocabulary-sized, released by the session pool), the
-    # same compute-once treatment the shingle operators give ``sh``.
-    tf = tf.cache()
-    from radohydro_spark.plans.pipeline import _PERSISTED
-
-    _PERSISTED.append(tf)
+    # and both sides of the term self-join).  r16 cached it (the plan
+    # audit counted 48 parquet scans); the r17 cold A/B (every repetition
+    # pays the cache fill) reverted that: persist-on 2.558 s vs
+    # persist-off 2.038 s (ratio 1.25) — all four consumers sit in ONE
+    # plan, so the tf aggregate's exchange is computed once and reused
+    # (ReusedExchange/AQE), and the columnar cache fill+read only adds
+    # cost.  r16 itself measured the cache wall-neutral warm; priced
+    # cold it is a 25% regression.
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
@@ -1297,20 +1296,35 @@ def jaccard_prefix_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # ARRAY VERIFY (r17, VERDICT r16 #4): ship each doc's sorted distinct
+    # sid set ONCE per doc and compute |A ∩ B| per candidate pair with a
+    # codegen array_intersect — the sorted_neighborhood treatment.  The
+    # former exploded verify re-joined the full shingle relation twice
+    # and shuffled one row per SHARED SHINGLE per pair into the pair-key
+    # aggregate; in the hot-vocabulary regime (every pair shares most
+    # shingles) that shuffle is quadratic×overlap while this one is one
+    # row per candidate.  Row-identical: shingle sets are distinct by
+    # construction, |A| = size of the set, and n_common =
+    # size(array_intersect) = the join-count (property: tests pin
+    # equality to ngram_jaccard_pairs(max_doc_freq=None)).
+    arrs = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("sid")).alias("_sids")
+    )
     return (
-        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("id_b"))
-            & (F.col("sb.sid") == F.col("sa.sid")),
+        cand.join(
+            arrs.select(F.col("doc_id").alias("id_a"), F.col("_sids").alias("_sa")),
+            "id_a",
         )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_common"),
-            F.first(F.col("sa.n_sh")).alias("_na"),
-            F.first(F.col("sb.n_sh")).alias("_nb"),
+        .join(
+            arrs.select(F.col("doc_id").alias("id_b"), F.col("_sids").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+            F.size("_sa").alias("_na"),
+            F.size("_sb").alias("_nb"),
         )
         .select(
             "id_a",
@@ -1383,17 +1397,29 @@ def overlap_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # ARRAY VERIFY (r17): same rewrite as jaccard_prefix_pairs — one
+    # sorted distinct sid array per doc, |A ∩ B| per candidate via
+    # codegen array_intersect instead of re-joining the exploded shingle
+    # relation twice and shuffling one row per shared shingle per pair.
+    arrs = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("sid")).alias("_sids")
+    )
     return (
-        cand.join(sa, F.col("sa.doc_id") == F.col("id_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("id_b"))
-            & (F.col("sb.sid") == F.col("sa.sid")),
+        cand.join(
+            arrs.select(F.col("doc_id").alias("id_a"), F.col("_sids").alias("_sa")),
+            "id_a",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        .join(
+            arrs.select(F.col("doc_id").alias("id_b"), F.col("_sids").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            # cast: the former count(*) was BIGINT; size() is INT —
+            # the output schema must not change
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_common"),
+        )
         .filter(F.col("n_common") >= min_overlap)
     )
 

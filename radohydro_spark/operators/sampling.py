@@ -792,7 +792,8 @@ def dsir_importance_weights(
     # the corpus grams feed the bucket aggregate AND the weight join —
     # persist so tokenize+md5 (the dominant cost, see SOAK.md's md5 tax)
     # runs once instead of per consumer (r16; spillable, released by the
-    # session pool).  The target side is read once (see ns/nt below).
+    # session pool).  The target side is read once via the ct persist
+    # below (r17).
     from pyspark import StorageLevel
 
     from radohydro_spark.plans.pipeline import _PERSISTED
@@ -800,7 +801,12 @@ def dsir_importance_weights(
     src_grams = src_grams.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(src_grams)
     cs = src_grams.groupBy("b").agg(F.count("*").alias("cs"))
-    ct = tgt_grams.groupBy("b").agg(F.count("*").alias("ct"))
+    # the ct aggregate feeds BOTH the nt total and the lr join, and
+    # exchange reuse does not dedupe the subtree (r16 ADVICE: the target
+    # was tokenized+hashed twice) — persist the ≤ n_buckets-row aggregate
+    # so the target side is read once
+    ct = tgt_grams.groupBy("b").agg(F.count("*").alias("ct")).cache()
+    _PERSISTED.append(ct)
     # totals are the bucket-table sums — deriving them from the
     # n_buckets-row aggregates (identical BIGINTs by definition, r16)
     # removes one full corpus replay and one full target replay that

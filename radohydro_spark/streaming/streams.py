@@ -241,6 +241,14 @@ def run_available_now(
     the key domain.  The value is pinned into the checkpoint by the
     streaming runtime at first batch, so it must be set before start():
     the session conf is set for the drain and restored after.
+
+    SINGLE-THREADED-SESSION ASSUMPTION (r16 ADVICE): the temporary
+    ``spark.sql.shuffle.partitions`` is session-global for the duration
+    of the drain — a concurrent query planned in the same SparkSession
+    during that window would silently pick it up.  Every caller in this
+    codebase (queries, bench, tests) drains sequentially; a caller that
+    overlaps queries must drain on ``spark.newSession()`` (isolated SQL
+    conf; read the memory-sink table from that session) instead.
     """
     spark = stream_df.sparkSession
     writer = (
@@ -771,15 +779,24 @@ def stream_kmv(
     # row), which is what makes a window-domain-sized state-partition
     # count (run_available_now's ``state_partitions``) safe at any
     # scale.  Emissions are unchanged: bottom-k absorbs the prune.
+    # The accumulator folds ACROSS Arrow chunks (r17, r16 ADVICE: the
+    # per-chunk form only bounded windows·k per ~10k-row batch): its
+    # size is re-pruned to ≤ windows·k rows after every chunk, so task
+    # memory stays bounded and the yield is one windows·k-row frame.
     def _prune(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
         for pdf in it:
-            if len(pdf):
-                yield (
-                    pdf.sort_values("hv")
-                    .drop_duplicates(["ts", "hv"])
-                    .groupby(["ts", "_te"], sort=False)
-                    .head(k)
-                )
+            if not len(pdf):
+                continue
+            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = (
+                both.sort_values("hv")
+                .drop_duplicates(["ts", "hv"])
+                .groupby(["ts", "_te"], sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
 
     # the mapInPandas output is a fresh projection, so the watermark
     # re-attaches AFTER it (window-start column, max per window survives

@@ -9,7 +9,7 @@ the build+run — for the three queries under test the operator persist is
 the ONLY persist in the plan (verified by reading the query paths), so
 the patch removes exactly the candidate persist and nothing else.
 
-Usage: python scripts/ab_r17_persists.py [sf_dir] [reps]
+Usage: python scripts/ab_r17_persists.py [sf_dir] [reps] [q1,q2,...]
 """
 
 from __future__ import annotations
@@ -34,11 +34,15 @@ from radohydro_spark.plans.pipeline import release_persisted
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
-QUERIES = [
-    "orders_market_basket",
-    "text_tfidf_cosine_pairs",
-    "sample_dsir_weights",
-]
+QUERIES = (
+    sys.argv[3].split(",")
+    if len(sys.argv) > 3
+    else [
+        "orders_market_basket",
+        "text_tfidf_cosine_pairs",
+        "sample_dsir_weights",
+    ]
+)
 
 
 def main() -> None:
