@@ -10974,10 +10974,13 @@ def q_events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_kmv_" + uuid.uuid4().hex[:8]
     # state ≤ windows·k longs and the stateful shuffle carries ≤
     # windows·k pre-pruned rows per upstream task (stream_kmv's
-    # stateless bottom-k prune) -> window-domain-sized state partitions
+    # stateless bottom-k prune) -> window-domain-sized state partitions.
+    # skip_no_data_batch: the kmv timeout handler emits NOTHING (pure
+    # state cleanup), so the zero-input watermark batch is result-free
+    # for a bounded drain (r17, VERDICT r16 #3)
     out = run_available_now(
         sk, name, tempfile.mkdtemp(prefix="ck_"), "update",
-        state_partitions=8,
+        state_partitions=8, skip_no_data_batch=True,
     )
     w = W.partitionBy("ts").orderBy("hv")
     return (
@@ -11151,8 +11154,11 @@ def q_events_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", "user_id", "1 day", k=64, watermark="1 hour"
     )
     name = "stream_kmv_ov_" + uuid.uuid4().hex[:8]
+    # same drain sizing + result-free no-data-batch skip as
+    # q_events_stream_kmv (the kmv timeout emits nothing)
     out = run_available_now(
-        sk, name, tempfile.mkdtemp(prefix="ck_"), "update"
+        sk, name, tempfile.mkdtemp(prefix="ck_"), "update",
+        state_partitions=8, skip_no_data_batch=True,
     )
     w = W.partitionBy("ts").orderBy("hv")
     table = (

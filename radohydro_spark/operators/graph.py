@@ -150,11 +150,11 @@ def pagerank(
     universe = universe.localCheckpoint(eager=True)
     n_nodes = universe.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+    e_deg = e.join(outdeg, "src")
     # EDGE PRE-PARTITION (r17, VERDICT r16 #8): at graph scale every
     # round's contribution join is a shuffle join, and an un-partitioned
     # edge checkpoint re-shuffles the EDGE side (the big side) once per
-    # iteration.  Re-checkpointing e_deg hash-partitioned + sorted on
+    # iteration.  Checkpointing e_deg hash-partitioned + sorted on
     # ``src`` lets every round satisfy the join's distribution/ordering
     # requirement from the stored layout (localCheckpoint preserves
     # outputPartitioning/outputOrdering), so only the node-sized rank
@@ -162,8 +162,11 @@ def pagerank(
     # only when the edge relation is too big to broadcast (below the
     # threshold the per-round join broadcasts and never shuffles edges,
     # so the extra up-front shuffle would be pure cost — the bench's
-    # 5-node graph stays on the identical old plan).  The count is one
-    # cheap scan of the already-materialized checkpoint.
+    # 5-node graph stays on the identical old plan).  The decision uses
+    # the RAW edge count (one shuffle-free scan, a conservative upper
+    # bound on |distinct edges|) BEFORE materializing, so exactly one
+    # edge checkpoint ever exists (a decide-after-materialize version
+    # held two deserialized copies and OOMed the 20M-edge soak).
     if prepartition is None:
         spark = edges.sparkSession
         thresh_raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -179,13 +182,24 @@ def pagerank(
         # a disabled threshold (-1: no broadcasts, every join shuffles)
         # falls back to the default 10 MB cut for "big enough to matter"
         limit = thresh if thresh >= 0 else 10 << 20
-        prepartition = e_deg.count() * 48 > limit
+        prepartition = edges.count() * 48 > limit
     if prepartition:
-        e_deg = (
-            e_deg.repartition("src")
-            .sortWithinPartitions("src")
-            .localCheckpoint(eager=True)
-        )
+        # persist, NOT localCheckpoint: a checkpointed LogicalRDD comes
+        # back as UnknownPartitioning (measured on 4.1 — the layout-reuse
+        # premise silently dies), while InMemoryTableScan preserves the
+        # cached plan's hashpartitioning(src)+ordering, so every round's
+        # shuffle join reads the edge side WITHOUT an exchange.  The
+        # columnar cache is also ~5x smaller than checkpoint's
+        # deserialized rows.  Registered in the session pool; the count
+        # materializes it so round 1 doesn't pay the fill inside a
+        # broadcast-timeout window.
+        from radohydro_spark.plans.pipeline import _PERSISTED
+
+        e_deg = e_deg.repartition("src").sortWithinPartitions("src").persist()
+        _PERSISTED.append(e_deg)
+        e_deg.count()
+    else:
+        e_deg = e_deg.localCheckpoint(eager=True)
     # the dangling-mass anti-join runs EVERY iteration: probe it against
     # the checkpointed e_deg's src column, not against outdeg — outdeg's
     # lineage reaches back through the whole edge derivation (often a

@@ -215,6 +215,7 @@ def run_available_now(
     checkpoint_dir: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
+    skip_no_data_batch: bool = False,
 ) -> DataFrame:
     """Drain a stream with the availableNow trigger into a memory sink and
     return the materialized result — batch-equivalent replay used by tests
@@ -242,13 +243,30 @@ def run_available_now(
     streaming runtime at first batch, so it must be set before start():
     the session conf is set for the drain and restored after.
 
+    ``skip_no_data_batch`` (r17, VERDICT r16 #3) disables
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` for the drain:
+    after the data batches, the engine otherwise runs one more
+    ZERO-INPUT micro-batch purely to advance the watermark for eager
+    state management (timeout firing / eviction) — a full state-store
+    load+commit round across every state partition that, for a BOUNDED
+    drain, can be provably result-free.  Safe ONLY when no emission
+    depends on watermark advancement: update-mode stateful operators
+    whose timeout handler emits nothing (stream_kmv: timeout =
+    state.remove()), or complete-mode aggregates (every batch rewrites
+    the full sink).  NEVER set it for append-mode windowed aggregates
+    or outer stream-stream joins — their final rows are emitted BY the
+    no-data batch.  State cleanup is skipped, which a terminating drain
+    on a throwaway checkpoint never observes; a long-running stream
+    keeps the default.
+
     SINGLE-THREADED-SESSION ASSUMPTION (r16 ADVICE): the temporary
-    ``spark.sql.shuffle.partitions`` is session-global for the duration
-    of the drain — a concurrent query planned in the same SparkSession
-    during that window would silently pick it up.  Every caller in this
-    codebase (queries, bench, tests) drains sequentially; a caller that
-    overlaps queries must drain on ``spark.newSession()`` (isolated SQL
-    conf; read the memory-sink table from that session) instead.
+    ``spark.sql.shuffle.partitions`` (and the no-data-batch flag) is
+    session-global for the duration of the drain — a concurrent query
+    planned in the same SparkSession during that window would silently
+    pick it up.  Every caller in this codebase (queries, bench, tests)
+    drains sequentially; a caller that overlaps queries must drain on
+    ``spark.newSession()`` (isolated SQL conf; read the memory-sink
+    table from that session) instead.
     """
     spark = stream_df.sparkSession
     writer = (
@@ -258,17 +276,24 @@ def run_available_now(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
-    if state_partitions is None:
+    overrides: dict[str, str] = {}
+    if state_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(int(state_partitions))
+    if skip_no_data_batch:
+        overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    if not overrides:
         q = writer.start()
         q.awaitTermination()
     else:
-        old = spark.conf.get("spark.sql.shuffle.partitions")
+        old = {k: spark.conf.get(k) for k in overrides}
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+            for k, v in overrides.items():
+                spark.conf.set(k, v)
             q = writer.start()
             q.awaitTermination()
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            for k, v in old.items():
+                spark.conf.set(k, v)
     return spark.table(name)
 
 
