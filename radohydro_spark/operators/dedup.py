@@ -672,9 +672,18 @@ def build_lsh_index(
     banded = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", "b.band", "b.band_key")
+    # RANGE-partition on (band, band_key), not repartition("band") (r17,
+    # guide §2.5): n_bands distinct values hashed into n_bands partitions
+    # serialized the whole index write onto n_bands tasks at ANY corpus
+    # size.  Range partitioning keeps full write parallelism, each file
+    # covers a disjoint band_key range (file- AND row-group-level
+    # pruning at probe time), and the (band, band_key) sort both feeds
+    # the partitionBy writer in partition-column order (no inserted
+    # sort) and preserves the within-file band_key ordering the probe's
+    # row-group stats rely on.
     (
-        banded.repartition("band")
-        .sortWithinPartitions("band_key")
+        banded.repartitionByRange("band", "band_key")
+        .sortWithinPartitions("band", "band_key")
         .write.mode("errorifexists")
         .partitionBy("band")
         .parquet(f"{path}/bands")
@@ -767,9 +776,10 @@ def update_lsh_index(
     banded = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", "b.band", "b.band_key")
+    # same range-partitioned parallel write as build_lsh_index (r17)
     (
-        banded.repartition("band")
-        .sortWithinPartitions("band_key")
+        banded.repartitionByRange("band", "band_key")
+        .sortWithinPartitions("band", "band_key")
         .write.mode("append")
         .partitionBy("band")
         .parquet(f"{path}/bands")

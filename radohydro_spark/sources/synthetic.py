@@ -70,7 +70,16 @@ def synthetic_obs(spark: SparkSession, g: GridSpec = GRID) -> DataFrame:
     # the 1-way generator vs 1.04 s at 32-way; the 200x200x24 grid is
     # ~1M rows of codegen arithmetic).  Row content is unchanged — only
     # the split of the id range across tasks.
-    par = max(1, spark.sparkContext.defaultParallelism)
+    # ROW-GATED (r17, VERDICT r16 #6): cap at one generator task per
+    # ~64k emitted obs rows (cells x timesteps) so a small grid does not
+    # fan into per-task overhead (the 0.72x precip_basin_timeseries
+    # regression at sf0.1/32 cores — interleaved A/B on the 1,152-row
+    # bench grid: 32-way 1.37 s vs gated 1.26 s vs 1-way 1.16 s, all
+    # inside one spread band; the 20M-row soak reads 1-way 16.8-22.2 s
+    # vs gated 6.8-8.6 s).  Row-based, not core-based — at scale it
+    # saturates to defaultParallelism.
+    n_rows_out = g.n_rows * g.n_cols * g.n_ts
+    par = max(1, min(spark.sparkContext.defaultParallelism, -(-n_rows_out // 65536)))
     cells = spark.range(0, g.n_rows * g.n_cols, 1, par).select(
         (F.col("id") % g.n_rows).cast("int").alias("cell_row"),
         (F.col("id") / g.n_rows).cast("int").alias("cell_col"),
