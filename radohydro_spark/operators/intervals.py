@@ -42,12 +42,56 @@ def concurrency_sweep(
     ends = df.select(*keys, F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
     sweep = starts.unionByName(ends)
     if keys:
-        w = (
-            W.partitionBy(*keys)
+        # RANGE-PARTITIONED per-key running sum (r17, guide §2.5): the
+        # plain ``partitionBy(keys)`` window serializes each key's ENTIRE
+        # sweep onto one task — with a low-cardinality key (event_type:
+        # a handful of values over the whole fact table) that is a
+        # built-in straggler at any scale (measured: 20M events / 5 keys
+        # = 38 s, the whole wall in 5 window tasks).  Instead:
+        # range-partition on (keys, t, delta) — hot keys SPLIT across
+        # contiguous ranges — run the window inside each partition, and
+        # add per-(partition, key) prefix offsets (a dimension-sized
+        # aggregate: ~n_parts + n_distinct_keys rows; AQE broadcasts the
+        # join back).  The cumulation is a pure function of the per-key
+        # (t, delta) total order, so output rows are identical for any
+        # partition count (the _ranged_cumsums law, keyed).
+        n_parts = max(
+            2, df.sparkSession.sparkContext.defaultParallelism
+        )
+        m = sweep.repartitionByRange(
+            n_parts, *keys, F.col("t"), F.col("delta")
+        ).withColumn("_pid", F.spark_partition_id())
+        wloc = (
+            W.partitionBy("_pid", *keys)
             .orderBy("t", "delta")
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        conc = F.sum("delta").over(w)
+        m = m.withColumn("_loc", F.sum("delta").over(wloc))
+        # the ranged relation feeds BOTH the offsets aggregate and the
+        # final join, and repartitionByRange SAMPLES its boundaries — two
+        # independent executions could disagree on _pid.  Pin ONE
+        # materialization (the _ranged_cumsums convention; session pool
+        # releases it).
+        m = m.cache()
+        from radohydro_spark.plans.pipeline import _PERSISTED
+
+        _PERSISTED.append(m)
+        sub = m.groupBy("_pid", *keys).agg(F.sum("delta").alias("_psum"))
+        woff = (
+            W.partitionBy(*keys)
+            .orderBy("_pid")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offs = sub.select(
+            "_pid",
+            *keys,
+            F.coalesce(F.sum("_psum").over(woff), F.lit(0)).alias("_off"),
+        )
+        return (
+            m.join(offs, ["_pid", *keys])
+            .withColumn("concurrency", F.col("_loc") + F.col("_off"))
+            .select(*keys, "t", "delta", "concurrency")
+        )
     else:
         # a keyless sweep is ONE global time-sorted pass by definition —
         # declared-bounded and cap-asserted in-plan; at fact scale pass

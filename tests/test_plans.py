@@ -270,18 +270,24 @@ def test_unigram_vocab_cut_take_ordered(spark):
     assert "Window" not in plan  # no global-window single-tasking anywhere
 
 
-def test_concurrency_sweep_single_exchange_no_join(spark):
-    """r6: the sweep-line form must stay join-free — one union, one
-    window exchange.  A regression to an interval self-join would show a
-    Join node and O(n²) cost."""
+def test_concurrency_sweep_ranged_no_self_join(spark):
+    """r6 pinned the sweep join-free; r17 range-partitions the running
+    sum (guide §2.5 — a low-cardinality key serialized each key's whole
+    sweep onto one task), which adds ONE dimension-sized offsets
+    equi-join.  The contract now: no interval SELF-join (no cartesian,
+    no O(n²) — the only join key includes _pid, never an interval
+    overlap predicate), the window partitions by (_pid, key) so no
+    per-key single-tasking, and a range exchange is present."""
     from radohydro_spark.operators.intervals import concurrency_sweep
 
     df = spark.createDataFrame(
         [("a", 1, 5), ("a", 3, 8), ("b", 0, 2)], "k string, s long, e long"
     )
     plan = _plan(concurrency_sweep(df, "s", "e", ["k"]))
-    assert "Join" not in plan and "CartesianProduct" not in plan
-    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" in plan
+    assert "_pid" in plan  # window runs inside ranges, not per whole key
 
 
 def test_triangle_count_no_cartesian(spark):
