@@ -150,23 +150,30 @@ def pagerank(
     universe = universe.localCheckpoint(eager=True)
     n_nodes = universe.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    e_deg = e.join(outdeg, "src")
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
     # EDGE PRE-PARTITION (r17, VERDICT r16 #8): at graph scale every
     # round's contribution join is a shuffle join, and an un-partitioned
     # edge checkpoint re-shuffles the EDGE side (the big side) once per
-    # iteration.  Checkpointing e_deg hash-partitioned + sorted on
-    # ``src`` lets every round satisfy the join's distribution/ordering
-    # requirement from the stored layout (localCheckpoint preserves
-    # outputPartitioning/outputOrdering), so only the node-sized rank
-    # relation moves per round.  ``prepartition=None`` decides by scale:
-    # only when the edge relation is too big to broadcast (below the
-    # threshold the per-round join broadcasts and never shuffles edges,
-    # so the extra up-front shuffle would be pure cost — the bench's
-    # 5-node graph stays on the identical old plan).  The decision uses
-    # the RAW edge count (one shuffle-free scan, a conservative upper
-    # bound on |distinct edges|) BEFORE materializing, so exactly one
-    # edge checkpoint ever exists (a decide-after-materialize version
-    # held two deserialized copies and OOMed the 20M-edge soak).
+    # iteration.  Re-materializing e_deg hash-partitioned + sorted on
+    # ``src`` as a PERSIST (not a checkpoint: a checkpointed LogicalRDD
+    # comes back as UnknownPartitioning on Spark 4.1 — measured, the
+    # layout-reuse premise silently dies; InMemoryTableScan preserves
+    # the cached plan's partitioning+ordering) lets every round's
+    # shuffle join read the edge side with NO exchange — only the
+    # node-sized rank relation moves per round.  ``prepartition=None``
+    # decides by scale: only when the edge relation is too big to
+    # broadcast (below the threshold the per-round join broadcasts and
+    # never shuffles edges, so the extra layout pass would be pure cost
+    # — the bench's 5-node graph stays on the identical old plan).  The
+    # decision signal is the NODE count (already computed above — zero
+    # extra jobs): the per-round join's small side is the node-sized
+    # rank relation, so while ranks fit the broadcast threshold the
+    # edge side is never shuffled and pre-partitioning buys nothing;
+    # once ranks outgrow it the join goes sort-merge and the layout
+    # pays every round.  (A first cut counted the edge relation — that
+    # re-ran the full edge derivation per call, +1.1 s per bench
+    # repetition; counting the checkpoint instead still cost a job and
+    # ~0.15 s, and the node count is the truer signal anyway.)
     if prepartition is None:
         spark = edges.sparkSession
         thresh_raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -178,28 +185,17 @@ def pagerank(
                     thresh_raw
                 )
             )
-        # 3 BIGINTs + row overhead ≈ 48 bytes per (src, dst, deg) row;
+        # a (node BIGINT, rank DOUBLE) broadcast row is ~24 bytes framed;
         # a disabled threshold (-1: no broadcasts, every join shuffles)
-        # falls back to the default 10 MB cut for "big enough to matter"
+        # falls back to the default 10 MB cut
         limit = thresh if thresh >= 0 else 10 << 20
-        prepartition = edges.count() * 48 > limit
+        prepartition = n_nodes * 24 > limit
     if prepartition:
-        # persist, NOT localCheckpoint: a checkpointed LogicalRDD comes
-        # back as UnknownPartitioning (measured on 4.1 — the layout-reuse
-        # premise silently dies), while InMemoryTableScan preserves the
-        # cached plan's hashpartitioning(src)+ordering, so every round's
-        # shuffle join reads the edge side WITHOUT an exchange.  The
-        # columnar cache is also ~5x smaller than checkpoint's
-        # deserialized rows.  Registered in the session pool; the count
-        # materializes it so round 1 doesn't pay the fill inside a
-        # broadcast-timeout window.
         from radohydro_spark.plans.pipeline import _PERSISTED
 
         e_deg = e_deg.repartition("src").sortWithinPartitions("src").persist()
         _PERSISTED.append(e_deg)
         e_deg.count()
-    else:
-        e_deg = e_deg.localCheckpoint(eager=True)
     # the dangling-mass anti-join runs EVERY iteration: probe it against
     # the checkpointed e_deg's src column, not against outdeg — outdeg's
     # lineage reaches back through the whole edge derivation (often a
