@@ -68,6 +68,27 @@ def test_pagerank_mass_conservation_and_golden(spark):
     assert max(ranks, key=ranks.get) == "c"
 
 
+def test_pagerank_prepartition_identical(spark):
+    """r17: the edge pre-partition (repartition(src)+sort+persist) is a
+    pure layout change — ranks must match the un-partitioned path
+    row-for-row on the same graph."""
+    from radohydro_spark.operators.graph import pagerank
+    from radohydro_spark.plans.pipeline import release_persisted
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "a")],
+        "src string, dst string",
+    )
+    try:
+        off = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4, prepartition=False).collect()}
+        on = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4, prepartition=True).collect()}
+    finally:
+        release_persisted()
+    assert set(off) == set(on)
+    for k in off:
+        assert abs(off[k] - on[k]) < 1e-12
+
+
 def test_pagerank_isolated_nodes_via_universe(spark):
     from radohydro_spark.operators.graph import pagerank
 
